@@ -1,0 +1,120 @@
+"""Merge/load semantics — the reference's database.ts, Spark-first.
+
+The reference stages batches into temp tables and issues SQL MERGE /
+INSERT ON CONFLICT / TRUNCATE+INSERT / clear-then-insert per table
+(typescript/src/database.ts:168-254), ordered by FK dependencies
+(2_database_load.ts + queries/sql/get_dependent_tables.sql).
+
+Spark redesign: merges are declarative set operations —
+- upsert        = union + per-PK window dedup, source wins. ONE shuffle
+                  on the PK; no global sort; map-side partial nothing to
+                  combine but AQE coalesces. At 100 TB the PK hash
+                  partitioning is the same work MERGE would do anyway.
+- truncate+insert = the source IS the result (overwrite write).
+- clear-then-insert = anti-join target on the group key, union source
+                  (database.ts:186-212 intellectual_entity_id /
+                  organization_id path).
+- orphan cleanup  = left-anti join on the FK (database.ts:300-355).
+- FK order        = metadata toposort; levels can merge in parallel.
+"""
+
+from __future__ import annotations
+
+from graphlib import TopologicalSorter
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE INTO target USING source ON keys: matched -> update (source
+    row replaces target row), not matched -> insert.
+
+    database.ts:214-222. Implemented as priority-union + row_number over
+    the PK: one hash shuffle, deterministic, idempotent (re-running with
+    the same source converges — test_merge_convergence).
+    """
+    cols = target.columns
+    tagged = source.select(*cols).withColumn("_src", F.lit(0)).unionByName(
+        target.select(*cols).withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("_src"))
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_src", "_rn")
+    )
+
+
+def truncate_insert(source: DataFrame, columns: list[str]) -> DataFrame:
+    """Full-sync path (database.ts:179-184): truncate + bulk insert ==
+    the staged source projected to the target schema."""
+    return source.select(*columns)
+
+
+def clear_and_insert(
+    target: DataFrame, source: DataFrame, group_key: str
+) -> DataFrame:
+    """Multi-value-table merge (database.ts:186-212): delete every target
+    row whose group key appears in the source, then insert all source
+    rows. Left-anti join + union; the anti join broadcasts the distinct
+    source keys when small (Catalyst decides)."""
+    keys = source.select(group_key).distinct()
+    kept = target.join(keys, on=group_key, how="left_anti")
+    return kept.unionByName(source.select(*target.columns))
+
+
+def orphan_cleanup(
+    child: DataFrame, parent: DataFrame, fk: str, parent_key: str,
+    keep_null_fk: bool = True,
+) -> DataFrame:
+    """Remove child rows whose FK no longer resolves
+    (database.ts:300-326 TEMP_deleteOrphanedTempRepresentation).
+    NULL FKs are legal and kept, as in the reference."""
+    parents = parent.select(F.col(parent_key).alias(fk)).distinct()
+    resolved = child.filter(F.col(fk).isNotNull()).join(
+        parents, on=fk, how="left_semi"
+    )
+    if keep_null_fk:
+        return child.filter(F.col(fk).isNull()).unionByName(resolved)
+    return resolved
+
+
+def delete_flagged(
+    entities: DataFrame,
+    fragments: DataFrame,
+    entity_key: str,
+    fragment_fk: str,
+    flag: str = "is_deleted",
+) -> tuple[DataFrame, DataFrame]:
+    """Delete processing (flows/arc_db_delete_flow.py:34-49): drop
+    entities referenced by a flagged fragment, then drop flagged
+    fragments. Returns (entities', fragments')."""
+    flagged_keys = (
+        fragments.filter(F.col(flag))
+        .select(F.col(fragment_fk).alias(entity_key))
+        .distinct()
+    )
+    ents = entities.join(flagged_keys, on=entity_key, how="left_anti")
+    frags = fragments.filter(~F.col(flag) | F.col(flag).isNull())
+    return ents, frags
+
+
+def fk_merge_order(dependencies: dict[str, set[str]]) -> list[list[str]]:
+    """Topological merge levels over the FK graph
+    (2_database_load.ts / get_dependent_tables.sql): each level's tables
+    have all parents merged and can run as PARALLEL Spark jobs.
+
+    ``dependencies[t]`` = set of tables t references (must merge first).
+    Pure driver-side metadata — no data motion.
+    """
+    ts = TopologicalSorter(dependencies)
+    ts.prepare()
+    levels: list[list[str]] = []
+    while ts.is_active():
+        ready = sorted(ts.get_ready())
+        if not ready:
+            break
+        levels.append(list(ready))
+        ts.done(*ready)
+    return levels

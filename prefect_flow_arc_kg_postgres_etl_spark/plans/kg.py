@@ -1,0 +1,408 @@
+"""A-block plans: the reference's KG/ETL operators exercised on the
+harness tables, each with a DuckDB oracle (SURVEY.md §2 A1-A16).
+
+The KG is modeled by melting relational tables into triples (the shape
+the reference streams out of TriplyDB) and running the triple-model
+operators on them; every result is independently reproducible in ANSI
+SQL, which is what makes the driver's oracle check meaningful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from prefect_flow_arc_kg_postgres_etl_spark.functions.coercion import (
+    bool_default_false,
+    iso_duration_seconds,
+    safe_timestamp,
+)
+from prefect_flow_arc_kg_postgres_etl_spark.operators import merge as M
+from prefect_flow_arc_kg_postgres_etl_spark.operators import triples as T
+from prefect_flow_arc_kg_postgres_etl_spark.operators.index_documents import (
+    build_index_documents,
+    partition_stats,
+)
+from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+CUSTOMER_COLS = ["c_name", "c_mktsegment", "c_nationkey", "c_acctbal"]
+
+# ---------------------------------------------------------------- A1 melt
+def kg_melt_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return T.melt(cust, "c_custkey", CUSTOMER_COLS, subject_prefix="customer:").select(
+        "subject", "predicate", "object"
+    )
+
+
+KG_MELT_ORACLE = " UNION ALL ".join(
+    f"SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS subject, "
+    f"'{c}' AS predicate, CAST({c} AS VARCHAR) AS object "
+    f"FROM customer WHERE {c} IS NOT NULL"
+    for c in CUSTOMER_COLS
+)
+
+
+# ------------------------------------------------------------- A2 pivot
+def kg_pivot_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    triples = T.melt(cust, "c_custkey", CUSTOMER_COLS, subject_prefix="customer:")
+    return T.pivot_records(triples, CUSTOMER_COLS)
+
+
+KG_PIVOT_ORACLE = (
+    "SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS subject, "
+    + ", ".join(f"CAST({c} AS VARCHAR) AS {c}" for c in CUSTOMER_COLS)
+    + " FROM customer"
+)
+
+
+# --------------------------------------------------------- A3 construct
+def kg_construct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT a relational view over a two-'graph' triple store:
+    customer triples joined to nation triples through the shared ?nk
+    variable, scoped to one segment — the shape of queries/av-audio.sparql
+    (entity + maintainer-organisation patterns)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    graph = T.melt(cust, "c_custkey", CUSTOMER_COLS).unionByName(
+        T.melt(nat, "n_nationkey", ["n_name"])
+    )
+    out = T.construct(
+        graph,
+        patterns=[
+            ("?c", "c_name", "?cust_name"),
+            ("?c", "c_mktsegment", "BUILDING"),
+            ("?c", "c_nationkey", "?nk"),
+            ("?nk", "n_name", "?nation_name"),
+        ],
+    )
+    return out.select(
+        F.col("c").alias("id"),
+        F.col("cust_name"),
+        F.col("nation_name"),
+    )
+
+
+KG_CONSTRUCT_ORACLE = """
+SELECT CAST(c_custkey AS VARCHAR) AS id,
+       c_name AS cust_name,
+       n_name AS nation_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+# ---------------------------------------------------------- A4 coercion
+def kg_value_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal coercion rules applied to synthesized literals derived
+    deterministically from orders: ISO durations -> seconds, invalid
+    timestamps -> NULL, missing booleans -> false. The oracle computes
+    the expected values arithmetically — an independent check of the
+    Spark-side regex/coercion pipeline."""
+    orders = load_table(spark, sf_dir, "orders")
+    lit_dur = F.concat(
+        F.lit("P"),
+        (F.col("o_orderkey") % 3).cast("string"),
+        F.lit("DT"),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("H"),
+        (F.col("o_orderkey") % 60).cast("string"),
+        F.lit("S"),
+    )
+    return orders.select(
+        F.col("o_orderkey"),
+        iso_duration_seconds(lit_dur).alias("duration_secs"),
+        safe_timestamp(F.col("o_orderpriority")).alias("bad_ts"),
+        bool_default_false(F.lit(None)).alias("flag"),
+    )
+
+
+KG_COERCION_ORACLE = """
+SELECT o_orderkey,
+       CAST((o_orderkey % 3) * 86400 + (o_orderkey % 7) * 3600
+            + (o_orderkey % 60) AS DOUBLE) AS duration_secs,
+       CAST(NULL AS TIMESTAMP) AS bad_ts,
+       FALSE AS flag
+FROM orders
+"""
+
+
+# ------------------------------------------------------------ A5 upsert
+ORDER_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+]
+
+_UPSERT_SPLIT = "1995-06-01"
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderdate") < _UPSERT_SPLIT)
+    src = (
+        orders.filter(F.col("o_orderdate") >= "1995-01-01")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    return M.upsert(base, src, keys=["o_orderkey"])
+
+
+MERGE_UPSERT_ORACLE = f"""
+WITH base AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '{_UPSERT_SPLIT} 00:00:00'
+), src AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+)
+SELECT {", ".join(ORDER_COLS)} FROM src
+UNION ALL
+SELECT {", ".join("b." + c for c in ORDER_COLS)} FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = b.o_orderkey)
+"""
+
+
+# --------------------------------------------------- A6 truncate+insert
+def truncate_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-sync path: the staged source replaces the table wholesale."""
+    orders = load_table(spark, sf_dir, "orders")
+    staged = orders.filter(F.col("o_orderstatus") != "F")
+    return M.truncate_insert(staged, ORDER_COLS)
+
+
+TRUNCATE_INSERT_ORACLE = (
+    f"SELECT {', '.join(ORDER_COLS)} FROM orders WHERE o_orderstatus <> 'F'"
+)
+
+
+LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
+
+
+# --------------------------------------------------- A7 clear-and-insert
+def clear_and_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.filter(
+        (F.col("l_shipdate") >= "1995-05-01") & (F.col("l_shipdate") < "1995-06-01")
+    ).withColumn("l_quantity", F.col("l_quantity") + 1.0)
+    return M.clear_and_insert(li, src, group_key="l_orderkey")
+
+
+CLEAR_INSERT_ORACLE = f"""
+WITH src AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+         l_quantity + 1.0 AS l_quantity, l_extendedprice, l_discount,
+         l_tax, l_returnflag, l_linestatus, l_shipdate
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-05-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1995-06-01 00:00:00'
+)
+SELECT {", ".join(LINEITEM_COLS)} FROM lineitem
+WHERE l_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM src)
+UNION ALL
+SELECT {", ".join(LINEITEM_COLS)} FROM src
+"""
+
+
+# --------------------------------------------------- A8 orphan cleanup
+def orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    parents = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 50000.0
+    )
+    return M.orphan_cleanup(li, parents, fk="l_orderkey", parent_key="o_orderkey")
+
+
+ORPHAN_ORACLE = f"""
+SELECT {", ".join(LINEITEM_COLS)} FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 50000.0
+)
+"""
+
+
+# ------------------------------------------------ A9 delete processing
+def delete_processing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arc_db_delete_flow: events whose value < 0.05 act as 'is_deleted'
+    fragment flags against their user (entity); surviving customers are
+    returned."""
+    cust = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "is_deleted", F.col("value") < 0.05
+    )
+    ents, _frags = M.delete_flagged(
+        cust, events, entity_key="c_custkey", fragment_fk="user_id"
+    )
+    return ents
+
+
+DELETE_ORACLE = """
+SELECT * FROM customer
+WHERE c_custkey NOT IN (
+  SELECT DISTINCT user_id FROM events WHERE value < 0.05
+)
+"""
+
+
+# ---------------------------------------------- A10 incremental since
+_SINCE = "2024-01-20 00:00:00"
+
+
+def incremental_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINCE-scoped incremental extract (configuration.ts SINCE; the
+    sparql ?since filter). The timestamp filter is partition-prunable at
+    scale (events laid out by date)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("ts") > _SINCE).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+SINCE_ORACLE = f"""
+SELECT event_id, ts, user_id, event_type, value
+FROM events WHERE ts > TIMESTAMP '{_SINCE}'
+"""
+
+
+# ---------------------------------------------- A11 partition stats
+def partition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return partition_stats(
+        orders, org_col="o_orderpriority", updated_col="o_orderdate",
+        since="1995-01-01 00:00:00",
+    )
+
+
+PARTITION_STATS_ORACLE = """
+SELECT o_orderpriority AS partition,
+       COUNT(*) AS cnt,
+       BOOL_OR(o_orderdate IS NOT NULL
+               AND o_orderdate > TIMESTAMP '1995-01-01 00:00:00') AS is_updated
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------- A12 index documents
+def index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_index_documents(spark, sf_dir, as_json=False)
+
+
+INDEX_DOC_ORACLE = """
+WITH order_agg AS (
+  SELECT o_custkey,
+         COUNT(*) AS order_count,
+         ROUND(SUM(o_totalprice), 2) AS total_spend,
+         MAX(o_orderdate) AS last_order_date,
+         STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey AS id,
+       LOWER(n.n_name) AS index,
+       c.c_name AS name,
+       c.c_mktsegment AS segment,
+       n.n_name AS nation,
+       r.r_name AS region,
+       COALESCE(oa.order_count, 0) AS order_count,
+       COALESCE(oa.total_spend, 0.0) AS total_spend,
+       oa.last_order_date,
+       COALESCE(oa.order_keys, '') AS order_keys
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+LEFT JOIN order_agg oa ON oa.o_custkey = c.c_custkey
+"""
+
+
+# ---------------------------------------------- A13 fk merge order
+TPCH_FK_GRAPH: dict[str, set[str]] = {
+    "region": set(),
+    "nation": {"region"},
+    "part": set(),
+    "supplier": {"nation"},
+    "customer": {"nation"},
+    "orders": {"customer"},
+    "lineitem": {"orders", "part", "supplier"},
+}
+
+
+def fk_merge_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    levels = M.fk_merge_order(TPCH_FK_GRAPH)
+    rows = [
+        (table, lvl) for lvl, tables in enumerate(levels) for table in tables
+    ]
+    return spark.createDataFrame(rows, "table_name string, level int")
+
+
+FK_ORDER_ORACLE = """
+SELECT * FROM (VALUES
+  ('part', 0), ('region', 0),
+  ('nation', 1),
+  ('customer', 2), ('supplier', 2),
+  ('orders', 3),
+  ('lineitem', 4)
+) AS t(table_name, level)
+"""
+
+
+# ---------------------------------------------- A14 org scoping
+_OR_IDS = ["NATION_3", "NATION_7", "NATION_12"]
+
+
+def org_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR_IDS scoping (configuration.ts OR_IDS): restrict the pipeline
+    to a set of organisations — broadcast semi-join on the org dim."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(_OR_IDS))
+    return cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey, "left_semi"
+    )
+
+
+ORG_SCOPE_ORACLE = f"""
+SELECT * FROM customer WHERE c_nationkey IN (
+  SELECT n_nationkey FROM nation
+  WHERE n_name IN ({", ".join(repr(x) for x in _OR_IDS)})
+)
+"""
+
+
+# ---------------------------------------------- A15 batch staging
+_BATCH_SIZE = 100
+
+
+def batch_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record batching (stream.ts:120-160 RecordBatcher): records routed
+    per target table, numbered deterministically, grouped into batches of
+    BATCH_SIZE. In Spark batching is a window numbering — batches map to
+    write tasks, not driver-side buffers."""
+    cust = T.to_table_triples(
+        load_table(spark, sf_dir, "customer"), "graph.customer", "c_custkey"
+    ).select("table_name", "record_id")
+    orders = T.to_table_triples(
+        load_table(spark, sf_dir, "orders"), "graph.orders", "o_orderkey"
+    ).select("table_name", "record_id")
+    records = cust.unionByName(orders)
+    w = Window.partitionBy("table_name").orderBy("record_id")
+    return records.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - F.lit(1)) / _BATCH_SIZE).cast("bigint"),
+    )
+
+
+BATCH_STAGE_ORACLE = f"""
+WITH records AS (
+  SELECT 'graph.customer' AS table_name, CAST(c_custkey AS VARCHAR) AS record_id
+  FROM customer
+  UNION ALL
+  SELECT 'graph.orders', CAST(o_orderkey AS VARCHAR) FROM orders
+)
+SELECT table_name, record_id,
+       CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY table_name ORDER BY record_id) - 1)
+            / {_BATCH_SIZE}) AS BIGINT) AS batch_id
+FROM records
+"""

@@ -1,0 +1,65 @@
+"""Query registry: name -> (spark builder, DuckDB oracle SQL).
+
+This drives ``__spark_entry__.py`` (the driver contract) and
+``tests/test_oracle.py`` (the same check run locally). Keys follow
+SURVEY.md §2. ``oracle=None`` marks genuinely non-SQL-expressible ops —
+the driver then records a weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from prefect_flow_arc_kg_postgres_etl_spark.plans import kg, relational
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    builder: Builder
+    oracle: str | None
+
+
+QUERIES: dict[str, QuerySpec] = {
+    # ---- A-block: KG/ETL core (reference parity)
+    "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
+    "kg_pivot_records": QuerySpec(kg.kg_pivot_records, kg.KG_PIVOT_ORACLE),
+    "kg_construct_view": QuerySpec(kg.kg_construct_view, kg.KG_CONSTRUCT_ORACLE),
+    "kg_value_coercion": QuerySpec(kg.kg_value_coercion, kg.KG_COERCION_ORACLE),
+    "merge_upsert": QuerySpec(kg.merge_upsert, kg.MERGE_UPSERT_ORACLE),
+    "truncate_insert": QuerySpec(kg.truncate_insert, kg.TRUNCATE_INSERT_ORACLE),
+    "clear_and_insert": QuerySpec(kg.clear_and_insert, kg.CLEAR_INSERT_ORACLE),
+    "orphan_cleanup": QuerySpec(kg.orphan_cleanup, kg.ORPHAN_ORACLE),
+    "delete_processing": QuerySpec(kg.delete_processing, kg.DELETE_ORACLE),
+    "incremental_since": QuerySpec(kg.incremental_since, kg.SINCE_ORACLE),
+    "partition_stats": QuerySpec(kg.partition_stats_q, kg.PARTITION_STATS_ORACLE),
+    "index_documents": QuerySpec(kg.index_documents, kg.INDEX_DOC_ORACLE),
+    "fk_merge_order": QuerySpec(kg.fk_merge_order_q, kg.FK_ORDER_ORACLE),
+    "org_scope": QuerySpec(kg.org_scope, kg.ORG_SCOPE_ORACLE),
+    "batch_stage": QuerySpec(kg.batch_stage, kg.BATCH_STAGE_ORACLE),
+    # ---- B-block: relational query layer
+    "q1_pricing_summary": QuerySpec(relational.q1_pricing_summary, relational.Q1_ORACLE),
+    "q3_shipping_priority": QuerySpec(relational.q3_shipping_priority, relational.Q3_ORACLE),
+    "q5_local_volume": QuerySpec(relational.q5_local_volume, relational.Q5_ORACLE),
+    "topk_per_group": QuerySpec(relational.topk_per_group, relational.TOPK_ORACLE),
+    "windowed_running": QuerySpec(relational.windowed_running, relational.RUNNING_ORACLE),
+    "rollup_agg": QuerySpec(relational.rollup_agg, relational.ROLLUP_ORACLE),
+    "distinct_agg": QuerySpec(relational.distinct_agg, relational.DISTINCT_ORACLE),
+    "events_tumbling": QuerySpec(relational.events_tumbling, relational.TUMBLING_ORACLE),
+    "sessionize": QuerySpec(relational.sessionize, relational.SESSIONIZE_ORACLE),
+    "asof_join": QuerySpec(relational.asof_join, relational.ASOF_ORACLE),
+}
+
+
+def queries() -> dict[str, Builder]:
+    return {name: spec.builder for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle
+    }

@@ -1,0 +1,73 @@
+"""Source catalog over the harness parquet tables.
+
+The reference discovers its load targets from database metadata
+(reference: typescript/src/database.ts:55-66 getIntersectingSchemaTables);
+here the catalog is the parquet directory. Readers are plain
+``spark.read.parquet`` so Catalyst gets pushdown + pruning; nothing is
+cached eagerly — operators decide what to persist.
+
+At cluster scale the same catalog fronts object-store paths; only
+``sf_dir`` changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H
+# dims grow sublinearly or are fixed); fact tables must never broadcast.
+BROADCAST_DIMS = {"region", "nation", "supplier", "customer", "part"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The harness may hand us a session we didn't build; pin the confs
+    # correctness depends on (both are runtime-settable SQL confs).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); Spark's reader has no
+        # nanos timestamp type. Read nanos as long, truncate to micros
+        # (what DuckDB/Arrow do when casting ns -> us timestamps).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+class Catalog:
+    """Lazy handle on one scale-factor directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return load_table(self.spark, self.sf_dir, name)
+        raise AttributeError(name)
+
+    def table(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)
+
+    def register_views(self) -> None:
+        """Register every table as a temp view for the SQL API."""
+        for name in TABLES:
+            self.table(name).createOrReplaceTempView(name)
