@@ -1,0 +1,198 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, cheapest first — the standard web-corpus dedup ladder:
+  exact (content-hash groupBy)  ->  MinHash+LSH (near-dup candidates
+  without the quadratic pair join)  ->  SimHash (hamming-space)  ->
+  exact n-gram Jaccard (the precise-but-quadratic verifier one runs on
+  LSH candidates, never the full corpus, at scale).
+
+Everything is built from JVM-side expressions: xxhash64 for MinHash
+(scan-side, no UDF), explode + single hash-agg shuffles. Nothing here
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_kg_postgres_etl_spark.functions.text import (
+    fingerprint,
+    word_ngrams,
+    words,
+)
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on the normalized-content fingerprint: one hash-agg
+    shuffle on the (uniform) fingerprint; the canonical survivor is the
+    smallest id. Returns (fingerprint, keep_id, n_copies)."""
+    return (
+        docs.select(fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+def doc_ngrams(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-grams per doc: (id, gram)."""
+    return (
+        docs.select(F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams"))
+        .select("id", F.explode("grams").alias("gram"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing >=1 gram.
+
+    Quadratic in gram frequency — at 100 TB this runs on the LSH
+    candidate set (minhash_lsh_candidates), not the raw corpus; exposed
+    directly for correctness checking at small SF.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    """
+    grams = doc_ngrams(docs, id_col, text_col, n)
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    a = grams.select(F.col("id").alias("doc_a"), "gram")
+    b = grams.select(F.col("id").alias("doc_b"), "gram")
+    common = (
+        a.join(b, on="gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """k-permutation MinHash over word n-gram shingles.
+
+    Each permutation is xxhash64(seed_i, gram) — computed scan-side in
+    codegen, k min-aggregates in ONE groupBy (map-side combine => the
+    shuffle carries one row per doc). Returns (id, sig array<long>).
+    """
+    grams = doc_ngrams(docs, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("gram"))).alias(f"h{i}") for i in range(k)
+    ]
+    sig = grams.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    k: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """LSH banding over MinHash signatures: docs agreeing on ALL rows of
+    any band become a candidate pair. Join key is (band, xxhash64(band
+    slice)) — uniformly distributed by construction, so the self-join
+    can't skew. Returns (doc_a, doc_b, est_jaccard) where est_jaccard is
+    the signature agreement fraction."""
+    r = k // bands
+    sig = minhash_signatures(docs, k, id_col, text_col, n)
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.element_at("sig", b * r + j + 1) for j in range(r)]).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.bh")
+    left = banded.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bh")
+    right = banded.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bh")
+    pairs = (
+        left.join(right, on=["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(agree.cast("double") / F.lit(float(k)), 6).alias("est_jaccard"),
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per token, xxhash64 -> each bit votes +/-1; the
+    fingerprint is the sign vector. 64 sum-aggregates in ONE groupBy
+    (map-side combine, one row per doc on the shuffle). Returns
+    (id, simhash string of 64 bits, n_tokens)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(words(F.lower(F.col(text_col)))).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(
+            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("id").agg(F.count("*").cast("bigint").alias("n_tokens"), *votes)
+    bits = F.concat(*[
+        F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(63, -1, -1)
+    ])
+    return agg.select("id", bits.alias("simhash"), "n_tokens")
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    Direct pairwise form (correctness tier). The scale path buckets both
+    sides with random-hyperplane LSH first (similarity.lsh_bucket) and
+    only scores within buckets."""
+    from prefect_flow_arc_kg_postgres_etl_spark.functions.vectors import cosine
+
+    a = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
+    b = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )

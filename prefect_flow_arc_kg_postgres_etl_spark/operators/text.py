@@ -1,0 +1,119 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, fingerprinting — per-document feature extraction for corpus
+curation, all scan-side JVM expressions (no UDFs in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_kg_postgres_etl_spark.functions.text import (
+    STOPWORDS,
+    fingerprint,
+    punct_count,
+    stopword_hits,
+    token_count,
+    words,
+)
+
+# Marker-word lists per language for the n-gram/stopword language-ID
+# heuristic. Deterministic and engine-portable; on a real multilingual
+# corpus these are the top character n-grams per language.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "que", "de", "los"],
+    "fr": ["le", "la", "les", "et", "des"],
+}
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language, pick
+    the best scorer (ties broken alphabetically); no hits -> 'und'."""
+    w = words(F.lower(F.col(text_col)))
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # max of (hits, lang) — hits first, then REVERSED lang would win ties;
+    # build (hits, negated-rank) instead: alphabetical tie-break needs the
+    # smallest lang among max hits, so compare on (hits, lang) with
+    # array_max over structs ordering lexicographically. Negate via
+    # sort: pick max hits, then min lang among those.
+    all_scores = F.array(*scores)
+    max_hits = F.array_max(F.transform(all_scores, lambda s: s.getField("hits")))
+    best = F.array_min(
+        F.transform(
+            F.filter(all_scores, lambda s: s.getField("hits") == max_hits),
+            lambda s: s.getField("lang"),
+        )
+    )
+    detected = F.when(max_hits > 0, best).otherwise(F.lit("und"))
+    return docs.select(
+        F.col(id_col), detected.alias("detected_lang"), max_hits.cast("bigint").alias("marker_hits")
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score in [0,1]:
+    length band, punctuation ratio, stopword ratio, mean word length —
+    the standard cheap quality gates for corpus filtering."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("bigint")
+    n_words = token_count(t)
+    n_stop = stopword_hits(t)
+    n_punct = punct_count(t)
+    chars_in_words = F.length(F.regexp_replace(t, r"\s+", "")).cast("bigint")
+    stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    mean_wlen = F.when(n_words > 0, chars_in_words.cast("double") / n_words).otherwise(0.0)
+    len_ok = ((n_chars >= 100) & (n_chars <= 20000)).cast("double")
+    wlen_ok = ((mean_wlen >= 2.0) & (mean_wlen <= 12.0)).cast("double")
+    punct_ok = (punct_ratio <= 0.2).cast("double")
+    score = F.round((len_ok + wlen_ok + punct_ok) / 3.0, 6)
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_computed"),
+        n_words.alias("n_words"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        score.alias("quality"),
+    )
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword estimate
+    (word-length based: ceil(len/4) per word, the common chars/4 rule
+    computed exactly per word)."""
+    t = F.col(text_col)
+    w = words(t)
+    subwords = F.aggregate(
+        F.transform(w, lambda x: F.ceil(F.length(x) / 4.0).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        F.col(id_col),
+        token_count(t).alias("ws_tokens"),
+        subwords.alias("est_bpe_tokens"),
+    )
+
+
+def fingerprint_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+
+
+__all__ = [
+    "LANG_MARKERS",
+    "STOPWORDS",
+    "language_id",
+    "quality_score",
+    "token_stats",
+    "fingerprint_docs",
+]

@@ -1,0 +1,300 @@
+"""D-block plans: training-data pipeline operators (SURVEY.md §2 D1-D12)
+over the documents/embeddings tables.
+
+The harness corpus has no duplicates, so dedup entries synthesize a
+deterministic dup corpus inline (original ∪ exact copies ∪ perturbed
+copies / scaled embeddings) — identically in the Spark plan and the
+DuckDB oracle, which keeps the hash check meaningful.
+
+Oracles use sequential left-fold list reductions so double summation
+order matches Spark's ``aggregate`` fold bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_kg_postgres_etl_spark.functions.text import STOPWORDS
+from prefect_flow_arc_kg_postgres_etl_spark.operators import dedup as D
+from prefect_flow_arc_kg_postgres_etl_spark.operators import similarity as S
+from prefect_flow_arc_kg_postgres_etl_spark.operators import text as TX
+from prefect_flow_arc_kg_postgres_etl_spark.operators.multimodal import (
+    attach_binary_payload,
+    fake_featurize,
+)
+from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------- dup corpora
+_EXACT_OFF = 1_000_000
+_NEAR_OFF = 2_000_000
+_NEAR_SUFFIX = " zz qq extra tail tokens"
+_VEC_OFF = 100_000
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str, near: bool = False) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + _EXACT_OFF).alias("doc_id"), "text")
+    )
+    if near:
+        corpus = corpus.unionByName(
+            docs.select(
+                (F.col("doc_id") + _NEAR_OFF).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(_NEAR_SUFFIX)).alias("text"),
+            )
+        )
+    return corpus
+
+
+_DUP_CORPUS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_EXACT_OFF}, text FROM documents
+"""
+
+_NEAR_CORPUS_SQL = f"""
+  {_DUP_CORPUS_SQL}
+  UNION ALL
+  SELECT doc_id + {_NEAR_OFF}, text || '{_NEAR_SUFFIX}' FROM documents
+"""
+
+_FPR_SQL = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+
+
+# ------------------------------------------------------- D1 exact dedup
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_dup_corpus(spark, sf_dir))
+
+
+DEDUP_EXACT_ORACLE = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL})
+SELECT {_FPR_SQL} AS fingerprint,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM corpus GROUP BY 1
+"""
+
+
+# ----------------------------------------------- D4 exact n-gram jaccard
+_JAC_T = 0.8
+
+_GRAMS_SQL = """
+  SELECT DISTINCT doc_id AS id, g AS gram
+  FROM words, UNNEST(CASE WHEN len(w) >= 3
+        THEN list_transform(generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        ELSE [] END) AS t(g)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_dup_corpus(spark, sf_dir, near=True), _JAC_T)
+
+
+DEDUP_JACCARD_ORACLE = f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM corpus
+),
+grams AS ({_GRAMS_SQL}),
+sizes AS (SELECT id, COUNT(*) AS n FROM grams GROUP BY 1),
+pairs AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS common
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.id = doc_a
+JOIN sizes sb ON sb.id = doc_b
+WHERE common * 1.0 / (sa.n + sb.n - common) >= {_JAC_T}
+"""
+
+
+# ------------------------------------------- D5 embedding cosine dedup
+_COS_T = 0.99
+
+_DOT_SQL = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _norm_sql(v: str) -> str:
+    return f"sqrt({_DOT_SQL.format(a=v, b=v)})"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_DOT_SQL.format(a=a, b=b)} / ({_norm_sql(a)} * {_norm_sql(b)}))"
+
+
+_VEC_CORPUS_SQL = f"""
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_VEC_OFF},
+         list_transform(embedding, x -> CAST(x * CAST(2.0 AS REAL) AS REAL))
+  FROM embeddings
+"""
+
+
+def _vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = emb.select(
+        (F.col("vec_id") + _VEC_OFF).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0).cast("float")).cast("float")
+        ).alias("embedding"),
+    )
+    return emb.unionByName(scaled)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_near_dups(_vec_corpus(spark, sf_dir), _COS_T)
+
+
+DEDUP_COSINE_ORACLE = f"""
+WITH corpus AS ({_VEC_CORPUS_SQL}),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_cos_sql("a.embedding", "b.embedding")} AS cos_raw
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, ROUND(cos_raw, 6) AS cosine
+FROM pairs WHERE cos_raw >= {_COS_T}
+"""
+
+
+# --------------------------------------------- D6 brute-force ANN top-k
+_N_QUERIES = 10
+_K = 5
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.brute_force_topk(queries, emb, k=_K)
+
+
+ANN_BRUTE_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql("qv", "cv")} AS cos_raw
+  FROM q, c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_raw DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {_K}
+"""
+
+
+# ------------------------------------------------- D8 language ID
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _hits_sql(markers: list[str]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return (
+        "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        f"x -> list_contains([{lst}], x)))"
+    )
+
+
+_LANGS_ALPHA = sorted(TX.LANG_MARKERS.items())
+
+LANG_ID_ORACLE = (
+    "WITH scored AS (SELECT doc_id, "
+    + ", ".join(f"{_hits_sql(m)} AS h_{lang}" for lang, m in _LANGS_ALPHA)
+    + " FROM documents), m AS (SELECT doc_id, "
+    + "GREATEST(" + ", ".join(f"h_{lang}" for lang, _ in _LANGS_ALPHA) + ") AS mx, "
+    + ", ".join(f"h_{lang}" for lang, _ in _LANGS_ALPHA)
+    + " FROM scored) SELECT doc_id, CASE WHEN mx = 0 THEN 'und' "
+    + " ".join(f"WHEN h_{lang} = mx THEN '{lang}'" for lang, _ in _LANGS_ALPHA)
+    + " END AS detected_lang, CAST(mx AS BIGINT) AS marker_hits FROM m"
+)
+
+
+# ------------------------------------------------- D9 quality scoring
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+_SW_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+QUALITY_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars_computed,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+              x -> list_contains([{_SW_LIST}], x))) AS BIGINT) AS n_stop,
+         CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(LENGTH(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS chars_in_words
+  FROM documents
+), ratios AS (
+  SELECT doc_id, n_chars_computed, n_words,
+         CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars_computed > 0 THEN n_punct * 1.0 / n_chars_computed ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_words > 0 THEN chars_in_words * 1.0 / n_words ELSE 0.0 END AS mean_wlen
+  FROM feat
+)
+SELECT doc_id, n_chars_computed, n_words,
+       ROUND(stop_ratio, 6) AS stopword_ratio,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(mean_wlen, 6) AS mean_word_len,
+       ROUND((
+         (CASE WHEN n_chars_computed BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN mean_wlen BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+FROM ratios
+"""
+
+
+# ------------------------------------------------- D10 token counting
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+TOKEN_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       list_reduce(list_transform(string_split_regex(trim(text), '\\s+'),
+                   x -> CAST(CEIL(LENGTH(x) / 4.0) AS BIGINT)),
+                   (a, b) -> a + b) AS est_bpe_tokens
+FROM documents
+"""
+
+
+# ------------------------------------------------- D11 fingerprinting
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint_docs(load_table(spark, sf_dir, "documents"))
+
+
+FINGERPRINT_ORACLE = f"SELECT doc_id, {_FPR_SQL} AS fingerprint FROM documents"
+
+
+# ----------------------------------- rows-only entries (non-SQL ops)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_candidates(_dup_corpus(spark, sf_dir, near=True))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_dup_corpus(spark, sf_dir))
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.lsh_topk(queries, emb, k=_K)
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return fake_featurize(media)

@@ -13,7 +13,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from prefect_flow_arc_kg_postgres_etl_spark.plans import kg, relational
+from prefect_flow_arc_kg_postgres_etl_spark.plans import kg, pipeline, relational
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -52,6 +52,21 @@ QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec(relational.events_tumbling, relational.TUMBLING_ORACLE),
     "sessionize": QuerySpec(relational.sessionize, relational.SESSIONIZE_ORACLE),
     "asof_join": QuerySpec(relational.asof_join, relational.ASOF_ORACLE),
+    # ---- D-block: training-data pipeline operators
+    "dedup_exact": QuerySpec(pipeline.dedup_exact, pipeline.DEDUP_EXACT_ORACLE),
+    "dedup_ngram_jaccard": QuerySpec(pipeline.dedup_ngram_jaccard, pipeline.DEDUP_JACCARD_ORACLE),
+    "dedup_embedding_cosine": QuerySpec(pipeline.dedup_embedding_cosine, pipeline.DEDUP_COSINE_ORACLE),
+    "ann_bruteforce_topk": QuerySpec(pipeline.ann_bruteforce_topk, pipeline.ANN_BRUTE_ORACLE),
+    "text_language_id": QuerySpec(pipeline.text_language_id, pipeline.LANG_ID_ORACLE),
+    "text_quality_score": QuerySpec(pipeline.text_quality_score, pipeline.QUALITY_ORACLE),
+    "text_token_stats": QuerySpec(pipeline.text_token_stats, pipeline.TOKEN_ORACLE),
+    "text_fingerprint": QuerySpec(pipeline.text_fingerprint, pipeline.FINGERPRINT_ORACLE),
+    # rows-only (hash/LSH internals are engine-specific; verified in tests
+    # against their exact counterparts instead)
+    "dedup_minhash_lsh": QuerySpec(pipeline.dedup_minhash_lsh, None),
+    "dedup_simhash": QuerySpec(pipeline.dedup_simhash, None),
+    "ann_lsh_topk": QuerySpec(pipeline.ann_lsh_topk, None),
+    "multimodal_decode": QuerySpec(pipeline.multimodal_decode, None),
 }
 
 
