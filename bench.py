@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full
+materialization, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from prefect_flow_arc_kg_postgres_etl_spark.plans.registry import QUERIES
+from prefect_flow_arc_kg_postgres_etl_spark.session import get_spark
+
+# Headline set: the flagship ETL path, the relational layer, streaming,
+# and the pipeline operators — one per operator family.
+HEADLINE = [
+    "index_documents",
+    "kg_pivot_records",
+    "merge_upsert",
+    "clear_and_insert",
+    "delete_processing",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_volume",
+    "topk_per_group",
+    "sessionize",
+    "asof_join",
+    "events_tumbling",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "ann_bruteforce_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+
+    # warm the JVM/session (tiny action, not timed)
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        builder = QUERIES[name].builder
+        t0 = time.time()
+        df = builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

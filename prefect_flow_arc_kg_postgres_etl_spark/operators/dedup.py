@@ -120,7 +120,6 @@ def minhash_lsh_candidates(
     sig = minhash_signatures(docs, k, id_col, text_col, n)
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(*[
                 F.struct(
@@ -130,25 +129,34 @@ def minhash_lsh_candidates(
                 for b in range(bands)
             ])
         ).alias("bk"),
-    ).select("id", "sig", "bk.band", "bk.bh")
-    left = banded.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bh")
-    right = banded.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bh")
+    ).select("id", "bk.band", "bk.bh")
+    left = banded.select(F.col("id").alias("doc_a"), "band", "bh")
+    right = banded.select(F.col("id").alias("doc_b"), "band", "bh")
+    # Dedup candidate pairs on the id pair ONLY (a doc pair can collide
+    # in several bands) — signatures re-join afterwards from the small
+    # one-row-per-doc table, keeping the wide arrays off the pair shuffle.
     pairs = (
         left.join(right, on=["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .distinct()
     )
+    sig_a = sig.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"))
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
     )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        F.round(agree.cast("double") / F.lit(float(k)), 6).alias("est_jaccard"),
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree.cast("double") / F.lit(float(k)), 6).alias("est_jaccard"),
+        )
     )
 
 

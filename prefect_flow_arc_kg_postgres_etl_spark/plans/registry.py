@@ -13,7 +13,12 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from prefect_flow_arc_kg_postgres_etl_spark.plans import kg, pipeline, relational
+from prefect_flow_arc_kg_postgres_etl_spark.plans import (
+    kg,
+    pipeline,
+    relational,
+    streaming_plans,
+)
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -67,6 +72,13 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(pipeline.dedup_simhash, None),
     "ann_lsh_topk": QuerySpec(pipeline.ann_lsh_topk, None),
     "multimodal_decode": QuerySpec(pipeline.multimodal_decode, None),
+    # ---- C-block: Structured Streaming
+    "stream_windowed_agg": QuerySpec(
+        streaming_plans.stream_windowed_agg, streaming_plans.STREAM_WINDOWED_ORACLE
+    ),
+    "stream_incremental_upsert": QuerySpec(
+        streaming_plans.stream_incremental_upsert, None
+    ),
 }
 
 

@@ -1,0 +1,37 @@
+"""C-block plans: Structured Streaming (SURVEY.md §2 C1-C2).
+
+stream_windowed_agg is hash-checked against the BATCH oracle (complete
+mode over a bounded file source == the batch tumbling aggregation) —
+the strongest correctness statement available for a streaming op.
+stream_incremental_upsert is rows-only (its per-batch sequencing is
+engine-internal; final-state semantics are tested in tests/).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from prefect_flow_arc_kg_postgres_etl_spark.plans.relational import TUMBLING_ORACLE
+from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+    incremental_upsert_stream,
+    windowed_agg_stream,
+)
+
+_COUNTER = {"n": 0}
+
+
+def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _COUNTER["n"] += 1
+    return windowed_agg_stream(
+        spark, sf_dir, query_name=f"stream_windowed_agg_{_COUNTER['n']}"
+    )
+
+
+STREAM_WINDOWED_ORACLE = TUMBLING_ORACLE
+
+
+def stream_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = tempfile.mkdtemp(prefix="stream_upsert_") + "/target"
+    return incremental_upsert_stream(spark, sf_dir, target)

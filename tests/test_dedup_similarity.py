@@ -1,0 +1,83 @@
+"""Dedup/similarity semantics the oracle can't check: MinHash-LSH
+recall of true near-dups, SimHash fingerprint equality for identical
+docs, and LSH-ANN recall against the brute-force tier."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from prefect_flow_arc_kg_postgres_etl_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _dup_docs(spark, n=60):
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < n)
+    )
+    return docs.unionByName(
+        docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    )
+
+
+def test_minhash_lsh_finds_exact_dups(spark):
+    """Identical docs have identical signatures -> every exact-dup pair
+    must be an LSH candidate with est_jaccard == 1.0 (no probabilistic
+    slack for identity)."""
+    cands = minhash_lsh_candidates(_dup_docs(spark)).collect()
+    found = {(r.doc_a, r.doc_b) for r in cands if r.est_jaccard == 1.0}
+    expected = {(i, i + 1000) for i in range(60)}
+    assert expected <= found
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark):
+    docs = _dup_docs(spark)
+    true_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, 0.95).collect()
+    }
+    cand_pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates(docs).collect()}
+    assert true_pairs <= cand_pairs
+
+
+def test_simhash_identical_docs_same_fingerprint(spark):
+    fp = simhash(_dup_docs(spark)).collect()
+    by_id = {r.id: r.simhash for r in fp}
+    for i in range(60):
+        assert by_id[i] == by_id[i + 1000]
+        assert len(by_id[i]) == 64
+
+
+def test_exact_dedup_counts(spark):
+    out = exact_dedup(_dup_docs(spark)).collect()
+    assert all(r.n_copies == 2 for r in out)
+    assert all(r.keep_id < 1000 for r in out)
+    assert len(out) == 60
+
+
+def test_lsh_ann_results_subset_of_bruteforce_space(spark):
+    """LSH top-k returns genuine neighbors (scores match brute-force
+    scoring for the same pair) and achieves nonzero recall on sf0.001."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in brute_force_topk(queries, emb, k=20).collect()
+    }
+    approx = lsh_topk(queries, emb, k=5, n_planes=4).collect()
+    assert len(approx) > 0
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        if key in brute:
+            assert abs(brute[key] - r.cosine) < 1e-9

@@ -1,0 +1,78 @@
+"""Merge-semantics unit tests: the reference's load contract
+(idempotency, full==incremental convergence, delete convergence) —
+SURVEY.md §5."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import (
+    clear_and_insert,
+    delete_flagged,
+    fk_merge_order,
+    orphan_cleanup,
+    upsert,
+)
+
+
+def _df(spark, rows, schema="k long, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_upsert_update_and_insert(spark):
+    target = _df(spark, [(1, "a"), (2, "b")])
+    source = _df(spark, [(2, "B"), (3, "C")])
+    out = {(r.k, r.v) for r in upsert(target, source, ["k"]).collect()}
+    assert out == {(1, "a"), (2, "B"), (3, "C")}
+
+
+def test_upsert_idempotent(spark):
+    target = _df(spark, [(1, "a"), (2, "b")])
+    source = _df(spark, [(2, "B"), (3, "C")])
+    once = upsert(target, source, ["k"])
+    twice = upsert(once, source, ["k"])
+    assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}
+
+
+def test_full_equals_incremental(spark):
+    """TRUNCATE+INSERT of the final source == chain of incremental
+    upserts whose union covers it (reference full_sync contract)."""
+    v1 = _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    v2 = _df(spark, [(2, "B"), (4, "d")])
+    incremental = upsert(upsert(_df(spark, []), v1, ["k"]), v2, ["k"])
+    full = upsert(v1, v2, ["k"])
+    assert {tuple(r) for r in incremental.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+
+
+def test_clear_and_insert_replaces_groups(spark):
+    target = _df(spark, [(1, "x1"), (1, "x2"), (2, "y1")])
+    source = _df(spark, [(1, "new")])
+    out = {(r.k, r.v) for r in clear_and_insert(target, source, "k").collect()}
+    assert out == {(1, "new"), (2, "y1")}
+
+
+def test_orphan_cleanup_keeps_null_fk(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,)], "pk long")
+    out = orphan_cleanup(child, parent, fk="fk", parent_key="pk")
+    assert {r.id for r in out.collect()} == {1, 3}
+
+
+def test_delete_flagged_cascade(spark):
+    ents = spark.createDataFrame([(1,), (2,), (3,)], "e long")
+    frags = spark.createDataFrame(
+        [(1, 100, True), (2, 101, False), (3, 102, True), (3, 103, False)],
+        "e long, f long, is_deleted boolean",
+    )
+    ents2, frags2 = delete_flagged(ents, frags, "e", "e")
+    assert {r.e for r in ents2.collect()} == {2}
+    assert {r.f for r in frags2.collect()} == {101, 103}
+
+
+def test_fk_merge_order_levels():
+    levels = fk_merge_order({"a": set(), "b": {"a"}, "c": {"a"}, "d": {"b", "c"}})
+    assert levels == [["a"], ["b", "c"], ["d"]]

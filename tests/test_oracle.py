@@ -1,0 +1,42 @@
+"""The driver's correctness gate, run locally: every oracle-backed
+registry query must hash-match its DuckDB result at sf0.001 (fast tier;
+tools/check_oracle.py runs the sf0.01 tier the driver uses)."""
+
+from __future__ import annotations
+
+import pytest
+
+from prefect_flow_arc_kg_postgres_etl_spark.plans.registry import QUERIES
+from tests.conftest import SF_SMOKE
+from tools.check_oracle import norm_cell, table_hash
+
+import duckdb
+
+from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import TABLES
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    spec = QUERIES[name]
+    sdf = spec.builder(spark, SF_SMOKE)
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if spec.oracle is None:
+        assert s_rows is not None  # rows-only contract: runs, stable schema
+        return
+    res = duck.sql(spec.oracle)
+    d_cols = list(res.columns)
+    d_rows = res.fetchall()
+    assert len(s_rows) == len(d_rows), f"rowcount {len(s_rows)} != {len(d_rows)}"
+    assert sorted(s_cols) == sorted(d_cols)
+    s_ord = [s_cols.index(c) for c in sorted(s_cols)]
+    d_ord = [d_cols.index(c) for c in sorted(d_cols)]
+    assert table_hash(s_rows, s_ord) == table_hash(d_rows, d_ord), "value hash"

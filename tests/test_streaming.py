@@ -1,0 +1,35 @@
+"""Structured-Streaming semantics: stream==batch equivalence for the
+windowed agg, and final-state convergence for the CDC upsert loop."""
+
+from __future__ import annotations
+
+import tempfile
+
+from prefect_flow_arc_kg_postgres_etl_spark.plans.relational import events_tumbling
+from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+    incremental_upsert_stream,
+    windowed_agg_stream,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_stream_agg_equals_batch(spark):
+    stream_out = {
+        tuple(r)
+        for r in windowed_agg_stream(spark, SF_SMOKE, "t_stream_agg").collect()
+    }
+    batch_out = {tuple(r) for r in events_tumbling(spark, SF_SMOKE).collect()}
+    assert stream_out == batch_out
+
+
+def test_incremental_upsert_converges_to_source(spark):
+    """event_ids are unique, so continuously upserting the stream must
+    converge to exactly the source table."""
+    target = tempfile.mkdtemp(prefix="t_upsert_") + "/target"
+    final = incremental_upsert_stream(spark, SF_SMOKE, target)
+    src = load_table(spark, SF_SMOKE, "events")
+    assert final.count() == src.count()
+    assert {r.event_id for r in final.select("event_id").collect()} == {
+        r.event_id for r in src.select("event_id").collect()
+    }
