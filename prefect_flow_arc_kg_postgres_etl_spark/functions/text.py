@@ -27,21 +27,28 @@ def token_count(col: Column) -> Column:
     return F.size(words(col)).cast("bigint")
 
 
-def word_ngrams(col: Column, n: int = 3) -> Column:
-    """Word n-grams as space-joined strings; fewer than n words -> [].
+def ngrams_from_tokens(w: Column, n: int = 3) -> Column:
+    """Word n-grams (space-joined) from an ALREADY-MATERIALIZED token
+    array column; fewer than n tokens -> [].
+
+    ``w`` must be a plain attribute reference (select the tokenization
+    into its own projection first): inlining the ``split`` expression
+    here makes Catalyst re-evaluate it per gram element — quadratic in
+    document length.
 
     Guarded: sequence(1, k) counts DOWN in Spark when k < 1, so gate on
     size before generating indices.
     """
-    w = words(F.lower(col))
     idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + F.lit(j)) for j in range(n)]),
-    )
-    return F.when(F.size(w) >= n, gram).otherwise(
-        F.array().cast("array<string>")
-    )
+    gram = F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+    return F.when(F.size(w) >= n, gram).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-grams straight from a text column. Convenience form for
+    short texts/tests; hot paths should materialize tokens and use
+    ngrams_from_tokens (see its docstring)."""
+    return ngrams_from_tokens(words(F.lower(col)), n)
 
 
 def stopword_hits(col: Column, stopwords: list[str] | None = None) -> Column:

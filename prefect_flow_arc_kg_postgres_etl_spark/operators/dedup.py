@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from prefect_flow_arc_kg_postgres_etl_spark.functions.text import (
     fingerprint,
-    word_ngrams,
+    ngrams_from_tokens,
     words,
 )
 
@@ -38,12 +38,29 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def doc_ngrams(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-grams per doc: (id, gram)."""
+    """Distinct word n-grams per doc: (id, gram).
+
+    Tokenization is materialized into its own projection before the
+    gram transform — inlining it re-evaluates the split per gram
+    element (quadratic in doc length)."""
+    toks = docs.select(F.col(id_col).alias("id"), words(F.lower(F.col(text_col))).alias("w"))
     return (
-        docs.select(F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams"))
+        toks.select("id", ngrams_from_tokens(F.col("w"), n).alias("grams"))
         .select("id", F.explode("grams").alias("gram"))
         .distinct()
     )
+
+
+def _gram_hashes(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, g): one xxhash64 per word n-gram, hashed straight off the
+    sliced token array — no gram strings are ever built, and no
+    distinct (MinHash's min is duplicate-insensitive)."""
+    toks = docs.select(F.col(id_col).alias("id"), words(F.lower(F.col(text_col))).alias("w"))
+    idx = F.sequence(F.lit(1), F.size("w") - (n - 1))
+    hashes = F.when(
+        F.size("w") >= n, F.transform(idx, lambda i: F.xxhash64(F.slice("w", i, n)))
+    ).otherwise(F.array().cast("array<long>"))
+    return toks.select("id", F.explode(hashes).alias("g"))
 
 
 def ngram_jaccard_pairs(
@@ -95,10 +112,11 @@ def minhash_signatures(
     codegen, k min-aggregates in ONE groupBy (map-side combine => the
     shuffle carries one row per doc). Returns (id, sig array<long>).
     """
-    grams = doc_ngrams(docs, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("gram"))).alias(f"h{i}") for i in range(k)
-    ]
+    grams = _gram_hashes(docs, id_col, text_col, n)
+    # k permutations derived from ONE base hash per gram: xxhash64 over
+    # (i, g) hashes two longs — far cheaper than re-hashing the gram
+    # string k times, and just as uniform.
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}") for i in range(k)]
     sig = grams.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 

@@ -44,7 +44,11 @@ def _dup_corpus(spark: SparkSession, sf_dir: str, near: bool = False) -> DataFra
                 F.concat(F.col("text"), F.lit(_NEAR_SUFFIX)).alias("text"),
             )
         )
-    return corpus
+    # The testdata documents table is one small parquet file -> one
+    # input split; spread it so the CPU-heavy shingling/hashing that
+    # follows uses every core. (At real scale the scan has thousands of
+    # splits and this repartition is a no-op-sized shuffle of raw text.)
+    return corpus.repartition(spark.sparkContext.defaultParallelism)
 
 
 _DUP_CORPUS_SQL = f"""
