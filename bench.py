@@ -48,8 +48,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
 
-    # warm the JVM/session (tiny action, not timed)
-    spark.range(1).count()
+    # Warm the JVM/session (not timed): touch the parquet reader, codegen
+    # and the shuffle machinery once so the first timed query doesn't pay
+    # one-time init cost that isn't query work.
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    load_table(spark, sf_dir, "region").groupBy("r_name").count().collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

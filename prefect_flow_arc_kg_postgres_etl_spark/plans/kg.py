@@ -349,6 +349,37 @@ SELECT * FROM (VALUES
 """
 
 
+# ---------------------------------------------- A16 table intersection
+# The "target schema": tables the load destination knows about, incl.
+# two that the source catalog does NOT ship (they must drop out) —
+# mirrors getIntersectingTables against a live information_schema.
+_TARGET_SCHEMA = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "index_documents", "schema_migrations",
+]
+
+
+def table_intersection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import (
+        discover_tables,
+        table_intersection,
+    )
+
+    names = table_intersection(discover_tables(sf_dir), _TARGET_SCHEMA)
+    return spark.createDataFrame([(n,) for n in names], "table_name string")
+
+
+TABLE_INTERSECTION_ORACLE = f"""
+SELECT table_name FROM (VALUES
+  {", ".join(f"('{t}')" for t in sorted(_TARGET_SCHEMA))}
+) AS t(table_name)
+WHERE table_name IN (
+  'region','nation','customer','supplier','part','orders','lineitem',
+  'events','documents','embeddings'
+)
+"""
+
+
 # ---------------------------------------------- A14 org scoping
 _OR_IDS = ["NATION_3", "NATION_7", "NATION_12"]
 

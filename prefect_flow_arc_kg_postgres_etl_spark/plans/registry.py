@@ -46,6 +46,9 @@ QUERIES: dict[str, QuerySpec] = {
     "fk_merge_order": QuerySpec(kg.fk_merge_order_q, kg.FK_ORDER_ORACLE),
     "org_scope": QuerySpec(kg.org_scope, kg.ORG_SCOPE_ORACLE),
     "batch_stage": QuerySpec(kg.batch_stage, kg.BATCH_STAGE_ORACLE),
+    "table_intersection": QuerySpec(
+        kg.table_intersection_q, kg.TABLE_INTERSECTION_ORACLE
+    ),
     # ---- B-block: relational query layer
     "q1_pricing_summary": QuerySpec(relational.q1_pricing_summary, relational.Q1_ORACLE),
     "q3_shipping_priority": QuerySpec(relational.q3_shipping_priority, relational.Q3_ORACLE),

@@ -52,6 +52,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def discover_tables(sf_dir: str) -> list[str]:
+    """Source-side schema discovery: table names present in the catalog
+    directory (the Spark analogue of information_schema listing —
+    reference: typescript/src/database.ts:55-66)."""
+    return sorted(
+        f[: -len(".parquet")]
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def table_intersection(source_tables: list[str], target_tables: list[str]) -> list[str]:
+    """Load only tables present in BOTH schemas (reference:
+    typescript/src/database.ts:35-45 getIntersectingTables) — a catalog
+    metadata op; order is deterministic (sorted)."""
+    return sorted(set(source_tables) & set(target_tables))
+
+
 class Catalog:
     """Lazy handle on one scale-factor directory."""
 
