@@ -58,9 +58,15 @@ def safe_timestamp(col: Column) -> Column:
     """Parse a timestamp string; invalid -> NULL (never an error).
 
     Mirrors the reference's drop-invalid-date behavior. try_to_timestamp
-    is ANSI-safe and codegen'd.
+    is ANSI-safe and codegen'd. Years outside [1, 9999] also coerce to
+    NULL: Spark will happily parse '99999' as year 99999, which then
+    breaks Python datetime conversion and every JSON/date consumer
+    downstream (found by the hypothesis property tests).
     """
-    return F.try_to_timestamp(col)
+    ts = F.try_to_timestamp(col)
+    lo = F.to_timestamp(F.lit("0001-01-01 00:00:00"))
+    hi = F.to_timestamp(F.lit("9999-12-31 23:59:59"))
+    return F.when(ts.between(lo, hi), ts)
 
 
 def clamp_min_year(col: Column) -> Column:

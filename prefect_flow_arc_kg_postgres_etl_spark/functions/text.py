@@ -16,11 +16,12 @@ STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
 
 
 def words(col: Column) -> Column:
-    """Whitespace tokenization; empty text -> empty array."""
-    trimmed = F.trim(col)
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
-    )
+    """Whitespace tokenization; empty/whitespace-only text -> [].
+
+    Split then drop empty tokens: ``trim`` strips only spaces (not tabs/
+    newlines), so trim-then-split leaves phantom '' tokens on dirty
+    whitespace — found by the hypothesis property tests."""
+    return F.array_remove(F.split(col, r"\s+"), "")
 
 
 def token_count(col: Column) -> Column:

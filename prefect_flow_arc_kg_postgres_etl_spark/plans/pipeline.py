@@ -99,7 +99,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_JACCARD_ORACLE = f"""
 WITH corpus AS ({_NEAR_CORPUS_SQL}),
 words AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM corpus
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM corpus
 ),
 grams AS ({_GRAMS_SQL}),
 sizes AS (SELECT id, COUNT(*) AS n FROM grams GROUP BY 1),
@@ -206,8 +208,8 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hits_sql(markers: list[str]) -> str:
     lst = ", ".join(f"'{m}'" for m in markers)
     return (
-        "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
-        f"x -> list_contains([{lst}], x)))"
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        f"x -> x <> '' AND list_contains([{lst}], x)))"
     )
 
 
@@ -236,9 +238,10 @@ QUALITY_ORACLE = f"""
 WITH feat AS (
   SELECT doc_id,
          CAST(LENGTH(text) AS BIGINT) AS n_chars_computed,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
-         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-              x -> list_contains([{_SW_LIST}], x))) AS BIGINT) AS n_stop,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+              x -> x <> '')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+              x -> x <> '' AND list_contains([{_SW_LIST}], x))) AS BIGINT) AS n_stop,
          CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
          CAST(LENGTH(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS chars_in_words
   FROM documents
@@ -267,12 +270,17 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOKEN_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+)
 SELECT doc_id,
-       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
-       list_reduce(list_transform(string_split_regex(trim(text), '\\s+'),
-                   x -> CAST(CEIL(LENGTH(x) / 4.0) AS BIGINT)),
-                   (a, b) -> a + b) AS est_bpe_tokens
-FROM documents
+       CAST(len(w) AS BIGINT) AS ws_tokens,
+       CAST(COALESCE(list_sum(list_transform(w,
+            x -> CAST(CEIL(LENGTH(x) / 4.0) AS BIGINT))), 0) AS BIGINT)
+         AS est_bpe_tokens
+FROM toks
 """
 
 

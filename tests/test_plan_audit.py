@@ -1,0 +1,120 @@
+"""Explain-plan audits (SURVEY.md §6): the physical plans the engine
+produces must be the plans we would ship to a 1000-executor cluster.
+
+These tests read ``explain("formatted")`` output and assert the
+properties that decide 100 TB viability — broadcast joins on dims,
+parquet filter pushdown + column pruning, no cartesian products, and
+single-shuffle aggregation/upsert shapes. A regression here means a
+query silently picked a plan that works at sf0.1 and dies at sf1000.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import DataFrame
+
+from prefect_flow_arc_kg_postgres_etl_spark.plans.registry import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_shuffles(plan: str) -> int:
+    """Count data shuffles (hash/range exchanges) from the formatted
+    plan's detail headers — one ``(N) Exchange`` line per operator.
+    Broadcast exchanges are not shuffles."""
+    return plan.count(") Exchange")
+
+
+def build(spark, name: str) -> str:
+    return plan_of(QUERIES[name].builder(spark, SF_SMOKE))
+
+
+# Every oracle-backed batch query must compile to a plan with no
+# cartesian product (the one O(n^2) shape that can never scale). The
+# brute-force pairwise ops are exempt BY DESIGN (they are the
+# correctness tier; their scale path is the LSH variant).
+_CARTESIAN_OK = {
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",  # gram-join is keyed; listed defensively
+    "ann_bruteforce_topk",  # broadcast-cross by design (query set is small)
+    "stream_windowed_agg",  # streaming: explain needs a started query
+    "stream_incremental_upsert",
+}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in QUERIES if n not in _CARTESIAN_OK)
+)
+def test_no_cartesian_product(spark, name):
+    plan = build(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_index_documents_broadcasts_dims_and_prunes(spark):
+    plan = build(spark, "index_documents")
+    # nation + region + (AQE may also choose the order_agg side)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # Column pruning: the customer scan must not read c_acctbal/c_address.
+    assert "c_acctbal" not in plan
+    # The orders scan reads only the agg inputs.
+    assert "o_orderpriority" not in plan
+
+
+def test_q5_star_join_broadcasts_all_dims(spark):
+    plan = build(spark, "q5_local_volume")
+    # 6-way star: every dim side must broadcast; the only exchanges are
+    # for aggregation, never a shuffle-hash/sort-merge join of lineitem.
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_pushes_filter_to_scan(spark):
+    plan = build(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_single_shuffle(spark):
+    # groupBy with partial aggregation: exactly one data exchange.
+    plan = build(spark, "q1_pricing_summary")
+    assert n_shuffles(plan) == 1, plan
+
+
+def test_merge_upsert_single_shuffle_on_pk(spark):
+    """Upsert = union + window dedup: ONE hash exchange on the PK (the
+    window's partitionBy), not a join + a sort + an extra exchange.
+    WindowGroupLimit must also run BEFORE the exchange (partial top-1
+    per key map-side)."""
+    plan = build(spark, "merge_upsert")
+    assert n_shuffles(plan) == 1, plan
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+
+
+def test_minhash_lsh_no_wide_rows_on_pair_shuffle(spark):
+    """The candidate-pair join must join on (band, bh) hash keys and
+    must NOT carry the 64-long signature arrays through the pair
+    shuffle (they re-attach afterwards from the per-doc table)."""
+    plan = build(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "xxhash64" in plan.lower() or "HashAggregate" in plan
+
+
+def test_scans_prune_columns(spark):
+    """kg_melt reads exactly the melted columns, nothing else."""
+    plan = build(spark, "kg_melt_triples")
+    assert "ReadSchema" in plan
+    assert "c_address" not in plan and "c_phone" not in plan
+
+
+def test_org_scope_is_broadcast_semi_join(spark):
+    plan = build(spark, "org_scope")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
