@@ -82,6 +82,7 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_incremental_upsert": QuerySpec(
         streaming_plans.stream_incremental_upsert, None
     ),
+    "stream_sessionize": QuerySpec(streaming_plans.stream_sessionize, None),
 }
 
 

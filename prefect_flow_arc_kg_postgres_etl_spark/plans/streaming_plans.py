@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from prefect_flow_arc_kg_postgres_etl_spark.plans.relational import TUMBLING_ORACLE
 from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
     incremental_upsert_stream,
+    sessionize_stream,
     windowed_agg_stream,
 )
 
@@ -35,3 +36,14 @@ STREAM_WINDOWED_ORACLE = TUMBLING_ORACLE
 def stream_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = tempfile.mkdtemp(prefix="stream_upsert_") + "/target"
     return incremental_upsert_stream(spark, sf_dir, target)
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: custom stateful operator via applyInPandasWithState. Rows-only
+    for the driver (emits CLOSED sessions; each user's final session
+    stays in state); tests/test_streaming.py checks exact equivalence
+    with the batch sessionize operator on the closed set."""
+    _COUNTER["n"] += 1
+    return sessionize_stream(
+        spark, sf_dir, query_name=f"stream_sessionize_{_COUNTER['n']}"
+    )

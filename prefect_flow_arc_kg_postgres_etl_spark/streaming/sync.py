@@ -67,6 +67,107 @@ def windowed_agg_stream(
     )
 
 
+SESSION_GAP_MIN = 30
+
+_SESS_STATE_SCHEMA = "start_us bigint, end_us bigint, n bigint"
+_SESS_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint"
+)
+
+
+def _sessionize_group(key, pdfs, state):
+    """Stateful per-user sessionizer (runs inside applyInPandasWithState).
+
+    State = the one still-open session (start, end, count) as epoch
+    micros. Each micro-batch merges its events in timestamp order:
+    events within SESSION_GAP_MIN of the open session extend it; a
+    larger gap CLOSES the open session (emitted) and opens a new one.
+    The final open session stays in state across batches — the
+    streaming analogue of the lag+cumsum batch operator
+    (plans/relational.py sessionize), with the window pass replaced by
+    per-key state.
+    """
+    import pandas as pd
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    (user_id,) = key
+
+    if state.hasTimedOut:
+        if state.exists:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(end, unit="us")],
+                    "n_events": [n],
+                }
+            )
+        return
+
+    ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+    ts_us = ts.astype("int64") // 1000  # ns -> us
+    closed: list[tuple[int, int, int]] = []
+    if state.exists:
+        start, end, n = state.get
+    else:
+        start = end = n = None
+    for t in ts_us:
+        if start is None:
+            start, end, n = t, t, 1
+        elif t - end <= gap_us:
+            end, n = t, n + 1
+        else:
+            closed.append((start, end, n))
+            start, end, n = t, t, 1
+    if start is not None:
+        state.update((int(start), int(end), int(n)))
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                "n_events": [c for _, _, c in closed],
+            }
+        )
+
+
+def sessionize_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_sessionize"
+) -> DataFrame:
+    """Streaming gap-based sessionization — the custom stateful operator
+    Spark has no built-in for (C3). Closed sessions emit as soon as the
+    gap that closes them is seen; each user's final session remains in
+    state (it would emit on timeout in a continuous run).
+
+    State is one tuple per user — at 100 TB scale the state store holds
+    |active users| rows, not events; shuffle is one hash exchange on
+    user_id per micro-batch.
+    """
+    ev = events_stream(spark, sf_dir).select("user_id", "ts")
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=_SESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
 def incremental_upsert_stream(
     spark: SparkSession,
     sf_dir: str,

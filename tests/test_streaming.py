@@ -33,3 +33,30 @@ def test_incremental_upsert_converges_to_source(spark):
     assert {r.event_id for r in final.select("event_id").collect()} == {
         r.event_id for r in src.select("event_id").collect()
     }
+
+
+def test_stream_sessionize_equals_batch_closed_sessions(spark):
+    """The stateful sessionizer's CLOSED sessions must exactly equal the
+    batch sessionize result minus each user's final (still-open)
+    session — same starts, ends and event counts."""
+    from prefect_flow_arc_kg_postgres_etl_spark.plans.relational import sessionize
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        sessionize_stream,
+    )
+
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_stream(spark, SF_SMOKE, "t_sessionize").collect()
+    }
+    batch = sessionize(spark, SF_SMOKE).collect()
+    last_per_user = {}
+    for r in batch:
+        cur = last_per_user.get(r.user_id)
+        if cur is None or r.session_start > cur:
+            last_per_user[r.user_id] = r.session_start
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch
+        if r.session_start != last_per_user[r.user_id]
+    }
+    assert streamed == expected
