@@ -211,12 +211,18 @@ def embedding_near_dups(
     Direct pairwise form (correctness tier). The scale path buckets both
     sides with random-hyperplane LSH first (similarity.lsh_bucket) and
     only scores within buckets."""
-    from prefect_flow_arc_kg_postgres_etl_spark.functions.vectors import cosine
+    from prefect_flow_arc_kg_postgres_etl_spark.functions.vectors import dot, norm
 
-    a = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
-    b = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    # Norms computed once per row pre-join; per pair only the dot fold
+    # remains (identical arithmetic to cosine(), so oracle-stable).
+    a = vectors.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"), norm(F.col(vec_col)).alias("na")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"), norm(F.col(vec_col)).alias("nb")
+    )
     pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
-    cos = cosine(F.col("ea"), F.col("eb"))
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from prefect_flow_arc_kg_postgres_etl_spark.functions.vectors import cosine, dot
+from prefect_flow_arc_kg_postgres_etl_spark.functions.vectors import dot, norm
 
 
 def brute_force_topk(
@@ -25,13 +25,24 @@ def brute_force_topk(
     """Exact top-k by cosine for each query vector. The query side is
     broadcast (it is small by contract); ties break on neighbor id for
     determinism. Returns (query_id, neighbor_id, cosine, rank)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # Norms are computed ONCE per row on each side before the join —
+    # per pair only the dot-product fold remains (3x less fold work
+    # than cosine() per pair; identical arithmetic, so oracle-stable).
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_raw", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos_raw", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.col("neighbor_id"))
     return (
@@ -91,15 +102,21 @@ def lsh_topk(
     misses are the recall tradeoff, measured in tests vs brute force).
     Equi-join on bucket replaces the cross join — the 100 TB path."""
     qb = lsh_bucket(queries, n_planes, dim, id_col, vec_col).select(
-        F.col("id").alias("query_id"), F.col("vec").alias("qv"), "bucket"
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qv"),
+        norm(F.col("vec")).alias("qn"),
+        "bucket",
     )
     cb = lsh_bucket(corpus, n_planes, dim, id_col, vec_col).select(
-        F.col("id").alias("neighbor_id"), F.col("vec").alias("cv"), "bucket"
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cv"),
+        norm(F.col("vec")).alias("cn"),
+        "bucket",
     )
     scored = (
         qb.join(cb, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_raw", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos_raw", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.col("neighbor_id"))
     return (

@@ -32,6 +32,14 @@ _NEAR_SUFFIX = " zz qq extra tail tokens"
 _VEC_OFF = 100_000
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin a small single-file scan across every core. The
+    testdata tables are one parquet file -> one input split, which would
+    serialize the CPU-heavy expression work that follows; at real scale
+    the scan has thousands of splits and this is a no-op-sized shuffle."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _dup_corpus(spark: SparkSession, sf_dir: str, near: bool = False) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.unionByName(
@@ -44,11 +52,7 @@ def _dup_corpus(spark: SparkSession, sf_dir: str, near: bool = False) -> DataFra
                 F.concat(F.col("text"), F.lit(_NEAR_SUFFIX)).alias("text"),
             )
         )
-    # The testdata documents table is one small parquet file -> one
-    # input split; spread it so the CPU-heavy shingling/hashing that
-    # follows uses every core. (At real scale the scan has thousands of
-    # splits and this repartition is a no-op-sized shuffle of raw text.)
-    return corpus.repartition(spark.sparkContext.defaultParallelism)
+    return _spread(spark, corpus)
 
 
 _DUP_CORPUS_SQL = f"""
@@ -146,7 +150,9 @@ _VEC_CORPUS_SQL = f"""
 
 
 def _vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _spread(
+        spark, load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     scaled = emb.select(
         (F.col("vec_id") + _VEC_OFF).alias("vec_id"),
         F.transform(
@@ -178,7 +184,7 @@ _K = 5
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _spread(spark, load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return S.brute_force_topk(queries, emb, k=_K)
 
@@ -202,7 +208,7 @@ FROM (
 
 # ------------------------------------------------- D8 language ID
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.language_id(load_table(spark, sf_dir, "documents"))
+    return TX.language_id(_spread(spark, load_table(spark, sf_dir, "documents")))
 
 
 def _hits_sql(markers: list[str]) -> str:
@@ -229,7 +235,7 @@ LANG_ID_ORACLE = (
 
 # ------------------------------------------------- D9 quality scoring
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.quality_score(load_table(spark, sf_dir, "documents"))
+    return TX.quality_score(_spread(spark, load_table(spark, sf_dir, "documents")))
 
 
 _SW_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -266,7 +272,7 @@ FROM ratios
 
 # ------------------------------------------------- D10 token counting
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.token_stats(load_table(spark, sf_dir, "documents"))
+    return TX.token_stats(_spread(spark, load_table(spark, sf_dir, "documents")))
 
 
 TOKEN_ORACLE = """
@@ -286,7 +292,7 @@ FROM toks
 
 # ------------------------------------------------- D11 fingerprinting
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.fingerprint_docs(load_table(spark, sf_dir, "documents"))
+    return TX.fingerprint_docs(_spread(spark, load_table(spark, sf_dir, "documents")))
 
 
 FINGERPRINT_ORACLE = f"SELECT doc_id, {_FPR_SQL} AS fingerprint FROM documents"
@@ -302,11 +308,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _spread(spark, load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return S.lsh_topk(queries, emb, k=_K)
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    media = attach_binary_payload(_spread(spark, load_table(spark, sf_dir, "documents")))
     return fake_featurize(media)
