@@ -76,40 +76,68 @@ def pivot_records(
     return triples.groupBy(F.col(subject_col).alias("subject")).agg(*aggs)
 
 
-def construct(
+_PATH_VAR = 0
+
+
+def _expand_paths(
+    patterns: list[tuple[str, str, str]]
+) -> list[tuple[str, str, str]]:
+    """Rewrite SPARQL property paths into plain patterns:
+      - sequence  ``p1/p2``  -> two patterns through a fresh variable
+        (a join through the intermediate node);
+      - inverse   ``^p``     -> swapped subject/object roles.
+    Alternation ``p1|p2`` is handled at scan time (predicate isin).
+    The reference queries use all three (e.g. person.sparql:
+    ``(schema:license|(rel:isp/schema:license))``, ``^schema:mentions``).
+    """
+    global _PATH_VAR
+    out: list[tuple[str, str, str]] = []
+    for s, p, o in patterns:
+        if not p.startswith("?") and "/" in p:
+            hops = p.split("/")
+            prev = s
+            for i, hop in enumerate(hops):
+                if i == len(hops) - 1:
+                    out.extend(_expand_paths([(prev, hop, o)]))
+                else:
+                    _PATH_VAR += 1
+                    mid = f"?__path{_PATH_VAR}"
+                    out.extend(_expand_paths([(prev, hop, mid)]))
+                    prev = mid
+        elif p.startswith("^"):
+            out.append((o, p[1:], s))
+        else:
+            out.append((s, p, o))
+    return out
+
+
+def _bgp(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
-    select: dict[str, str] | None = None,
-    filters: list[Column] | None = None,
-) -> DataFrame:
-    """Evaluate a basic graph pattern (SPARQL WHERE clause) and project
-    bound variables — the CONSTRUCT core of 1_kg_view_construct.ts.
-
-    ``patterns``: (subject_var, predicate, object_var) entries; names
-    starting with '?' are variables, anything else is a constant.
-    Each pattern is a predicate-filtered scan of the triples DataFrame;
-    shared variables across patterns become equi-join keys. With the
-    triples source bucketed/partitioned by subject, consecutive
-    subject-keyed patterns co-locate; Catalyst/AQE handles the rest.
-
-    Returns one column per variable (without the '?').
-    """
+    values: dict[str, list[str]] | None = None,
+) -> tuple[DataFrame, set[str]]:
+    """Evaluate one basic graph pattern group; returns (df, bound vars)."""
+    values = values or {}
     out: DataFrame | None = None
     bound: set[str] = set()
-    for i, (s, p, o) in enumerate(patterns):
+    for s, p, o in _expand_paths(patterns):
         t = triples
         sel = []
         if p.startswith("?"):
             sel.append(F.col("predicate").alias(p[1:]))
+        elif "|" in p:  # path alternation: one scan, predicate isin
+            t = t.filter(F.col("predicate").isin(p.split("|")))
         else:
             t = t.filter(F.col("predicate") == p)
         for term, col in ((s, "subject"), (o, "object")):
             if term.startswith("?"):
                 sel.append(F.col(col).alias(term[1:]))
+                if term in values:  # SPARQL VALUES: an in-list pushed to the scan
+                    t = t.filter(F.col(col).isin(values[term]))
             else:
                 t = t.filter(F.col(col) == term)
         t = t.select(*sel)
-        new_vars = {c for c in t.columns}
+        new_vars = set(t.columns)
         if out is None:
             out = t
         else:
@@ -117,9 +145,47 @@ def construct(
             out = out.join(t, on=keys, how="inner") if keys else out.crossJoin(t)
         bound |= new_vars
     assert out is not None, "empty pattern list"
+    return out, bound
+
+
+def construct(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    select: dict[str, str] | None = None,
+    filters: list[Column] | None = None,
+    optionals: list[list[tuple[str, str, str]]] | None = None,
+    values: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Evaluate a SPARQL-shaped WHERE clause and project bound variables
+    — the CONSTRUCT core of 1_kg_view_construct.ts.
+
+    ``patterns``: (subject_var, predicate, object_var) entries; names
+    starting with '?' are variables, anything else is a constant. The
+    predicate slot accepts property paths: ``p1/p2`` sequence, ``p1|p2``
+    alternation, ``^p`` inverse (the forms the reference queries use).
+    Each pattern is a predicate-filtered scan of the triples DataFrame;
+    shared variables across patterns become equi-join keys.
+
+    ``optionals``: SPARQL OPTIONAL groups — each group is evaluated as
+    its own BGP and LEFT-joined on the shared variables (unmatched rows
+    keep NULL bindings), exactly SPARQL's OPTIONAL semantics.
+
+    ``values``: SPARQL VALUES — variable -> allowed constants, applied
+    as an in-list filter at the scans that bind the variable.
+
+    Returns one column per variable (without the '?'); internal
+    ``__path``-prefixed sequence variables are dropped.
+    """
+    out, bound = _bgp(triples, patterns, values)
+    for group in optionals or []:
+        g, gvars = _bgp(triples, group, values)
+        keys = sorted(bound & gvars)
+        out = out.join(g, on=keys, how="left") if keys else out.crossJoin(g)
+        bound |= gvars
     if filters:
         for f in filters:
             out = out.filter(f)
+    out = out.select(*[c for c in out.columns if not c.startswith("__path")])
     if select:
         out = out.select(*[F.col(v).alias(a) for v, a in select.items()])
     return out

@@ -94,6 +94,92 @@ WHERE c_mktsegment = 'BUILDING'
 """
 
 
+# ------------------------------------- A17 construct: OPTIONAL + VALUES
+def _kg_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer + nation + orders melted into one triple graph — the
+    multi-'graph' store the reference queries span (entity graph +
+    organization graph, person.sparql:48-56)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        T.melt(cust, "c_custkey", ["c_name", "c_mktsegment", "c_nationkey"])
+        .unionByName(T.melt(nat, "n_nationkey", ["n_name"]))
+        .unionByName(T.melt(orders, "o_orderkey", ["o_custkey", "o_orderpriority"]))
+    )
+
+
+def kg_construct_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL + VALUES semantics: customers in a VALUES-listed
+    segment, LEFT-bound to their urgent orders (customers without one
+    keep a NULL binding) — the dominant shape of the reference queries
+    (73 OPTIONAL groups in av-audio.sparql; VALUES at
+    person.sparql:53)."""
+    out = T.construct(
+        _kg_graph(spark, sf_dir),
+        patterns=[("?c", "c_name", "?name"), ("?c", "c_mktsegment", "?seg")],
+        values={"?seg": ["BUILDING", "MACHINERY"]},
+        optionals=[[("?o", "o_custkey", "?c"), ("?o", "o_orderpriority", "1-URGENT")]],
+    )
+    return out.select(
+        F.col("c").alias("id"),
+        F.col("name").alias("cust_name"),
+        F.col("seg").alias("segment"),
+        F.col("o").alias("urgent_order"),
+    )
+
+
+KG_OPTIONAL_ORACLE = """
+SELECT CAST(c_custkey AS VARCHAR) AS id,
+       c_name AS cust_name,
+       c_mktsegment AS segment,
+       CAST(o_orderkey AS VARCHAR) AS urgent_order
+FROM customer LEFT JOIN orders
+  ON o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+"""
+
+
+# --------------------------------- A18 construct: property paths
+def kg_construct_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property paths: inverse (^o_custkey), sequence
+    (c_nationkey/n_name), alternation (c_name|c_mktsegment) — the forms
+    the reference queries use (person.sparql:57
+    ``schema:license|(rel:isp/schema:license)``, person.sparql:79
+    ``^schema:mentions``)."""
+    out = T.construct(
+        _kg_graph(spark, sf_dir),
+        patterns=[
+            ("?c", "^o_custkey", "?o"),
+            ("?o", "o_orderpriority", "1-URGENT"),
+            ("?c", "c_nationkey/n_name", "?nation"),
+            ("?c", "c_name|c_mktsegment", "?label"),
+        ],
+    )
+    return out.select(
+        F.col("o").alias("order_id"),
+        F.col("c").alias("cust_id"),
+        F.col("nation"),
+        F.col("label"),
+    )
+
+
+KG_PATHS_ORACLE = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+         CAST(c_custkey AS VARCHAR) AS cust_id,
+         n_name AS nation, c_name, c_mktsegment
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderpriority = '1-URGENT'
+)
+SELECT order_id, cust_id, nation, c_name AS label FROM base
+UNION ALL
+SELECT order_id, cust_id, nation, c_mktsegment AS label FROM base
+"""
+
+
 # ---------------------------------------------------------- A4 coercion
 def kg_value_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Literal coercion rules applied to synthesized literals derived

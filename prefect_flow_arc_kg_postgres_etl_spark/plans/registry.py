@@ -34,6 +34,8 @@ QUERIES: dict[str, QuerySpec] = {
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
     "kg_pivot_records": QuerySpec(kg.kg_pivot_records, kg.KG_PIVOT_ORACLE),
     "kg_construct_view": QuerySpec(kg.kg_construct_view, kg.KG_CONSTRUCT_ORACLE),
+    "kg_construct_optional": QuerySpec(kg.kg_construct_optional, kg.KG_OPTIONAL_ORACLE),
+    "kg_construct_paths": QuerySpec(kg.kg_construct_paths, kg.KG_PATHS_ORACLE),
     "kg_value_coercion": QuerySpec(kg.kg_value_coercion, kg.KG_COERCION_ORACLE),
     "merge_upsert": QuerySpec(kg.merge_upsert, kg.MERGE_UPSERT_ORACLE),
     "truncate_insert": QuerySpec(kg.truncate_insert, kg.TRUNCATE_INSERT_ORACLE),

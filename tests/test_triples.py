@@ -70,3 +70,74 @@ def test_construct_constant_filter(spark):
         triples, patterns=[("?s", "type", "Person"), ("?s", "name", "?n")]
     )
     assert [(r.s, r.n) for r in out.collect()] == [("a", "Ann")]
+
+
+def _graph(spark):
+    return spark.createDataFrame(
+        [
+            ("c1", "name", "alice", None),
+            ("c1", "seg", "BUILDING", None),
+            ("c2", "name", "bob", None),
+            ("c2", "seg", "AUTO", None),
+            ("c3", "name", "carol", None),
+            ("c3", "seg", "BUILDING", None),
+            ("o1", "cust", "c1", None),
+            ("o1", "prio", "URGENT", None),
+            ("o2", "cust", "c1", None),
+            ("o2", "prio", "LOW", None),
+            ("o3", "cust", "c3", None),
+            ("o3", "prio", "LOW", None),
+            ("c1", "nk", "n1", None),
+            ("c3", "nk", "n2", None),
+            ("n1", "nname", "BE", None),
+            ("n2", "nname", "NL", None),
+        ],
+        "subject string, predicate string, object string, lang string",
+    )
+
+
+def test_construct_optional_keeps_unmatched(spark):
+    """SPARQL OPTIONAL: base rows survive with NULL bindings when the
+    optional group doesn't match (c3 has no URGENT order)."""
+    out = construct(
+        _graph(spark),
+        patterns=[("?c", "seg", "BUILDING")],
+        optionals=[[("?o", "cust", "?c"), ("?o", "prio", "URGENT")]],
+    )
+    assert {(r.c, r.o) for r in out.collect()} == {("c1", "o1"), ("c3", None)}
+
+
+def test_construct_values_inlist(spark):
+    out = construct(
+        _graph(spark),
+        patterns=[("?c", "seg", "?s")],
+        values={"?s": ["AUTO"]},
+    )
+    assert {(r.c, r.s) for r in out.collect()} == {("c2", "AUTO")}
+
+
+def test_construct_path_sequence_and_inverse(spark):
+    """^cust inverse + nk/nname sequence: per URGENT order, the
+    customer's nation name through the two-hop path."""
+    out = construct(
+        _graph(spark),
+        patterns=[
+            ("?c", "^cust", "?o"),
+            ("?o", "prio", "URGENT"),
+            ("?c", "nk/nname", "?nn"),
+        ],
+    )
+    rows = out.collect()
+    assert {(r.o, r.c, r.nn) for r in rows} == {("o1", "c1", "BE")}
+    assert all(not c.startswith("__path") for c in out.columns)
+
+
+def test_construct_path_alternation(spark):
+    out = construct(
+        _graph(spark),
+        patterns=[("?c", "seg", "BUILDING"), ("?c", "name|seg", "?label")],
+    )
+    assert {(r.c, r.label) for r in out.collect()} == {
+        ("c1", "alice"), ("c1", "BUILDING"),
+        ("c3", "carol"), ("c3", "BUILDING"),
+    }
