@@ -140,6 +140,49 @@ WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
 """
 
 
+# ------------------------------------------- A19 ES bulk feed (sink)
+def es_bulk_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index sink's wire format: index_documents -> ES ``_bulk``
+    NDJSON action/source pairs, partitionable per organisation
+    (arc_db_load_index_tables_flow.py feeds graph.index_documents; this
+    is the same feed rendered for the indexer)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sinks.es_bulk import to_bulk_actions
+
+    docs = build_index_documents(spark, sf_dir, as_json=True)
+    return to_bulk_actions(docs)
+
+
+ES_BULK_ORACLE = """
+WITH order_agg AS (
+  SELECT o_custkey,
+         COUNT(*) AS order_count,
+         ROUND(SUM(o_totalprice), 2) AS total_spend,
+         STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys
+  FROM orders GROUP BY o_custkey
+),
+docs AS (
+  SELECT c.c_custkey AS id,
+         LOWER(n.n_name) AS index,
+         '{"name":"' || c.c_name
+         || '","segment":"' || c.c_mktsegment
+         || '","nation":"' || n.n_name
+         || '","region":"' || r.r_name
+         || '","order_count":' || CAST(COALESCE(oa.order_count, 0) AS VARCHAR)
+         || ',"total_spend":' || CAST(COALESCE(oa.total_spend, 0.0) AS VARCHAR)
+         || ',"order_keys":"' || COALESCE(oa.order_keys, '') || '"}'
+           AS document
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  LEFT JOIN order_agg oa ON oa.o_custkey = c.c_custkey
+)
+SELECT index,
+       '{"index":{"_index":"' || index || '","_id":"' || CAST(id AS VARCHAR)
+       || '"}}' || chr(10) || document AS bulk
+FROM docs
+"""
+
+
 # --------------------------------- A18 construct: property paths
 def kg_construct_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL property paths: inverse (^o_custkey), sequence

@@ -51,6 +51,7 @@ QUERIES: dict[str, QuerySpec] = {
     "table_intersection": QuerySpec(
         kg.table_intersection_q, kg.TABLE_INTERSECTION_ORACLE
     ),
+    "es_bulk_feed": QuerySpec(kg.es_bulk_feed, kg.ES_BULK_ORACLE),
     # ---- B-block: relational query layer
     "q1_pricing_summary": QuerySpec(relational.q1_pricing_summary, relational.Q1_ORACLE),
     "q3_shipping_priority": QuerySpec(relational.q3_shipping_priority, relational.Q3_ORACLE),

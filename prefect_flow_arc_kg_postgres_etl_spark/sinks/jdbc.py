@@ -1,0 +1,108 @@
+"""JDBC (Postgres-style) sink.
+
+The reference loads per-table batches into temp tables and merges into
+targets DB-side (typescript/src/database.ts:168-254: ``MERGE INTO`` on
+the primary keys, or clear-then-insert for multi-value tables). On
+Spark the same contract splits into:
+
+- ``jdbc_writer`` — the bulk-load leg: a configured
+  ``DataFrameWriter`` for ``spark.write.jdbc`` (partitioned parallel
+  inserts, batched statements, truncate-not-drop for full sync). The
+  JDBC driver jar is a deploy-time concern; assembling the writer is
+  pure config and testable offline.
+- ``merge_statement`` / ``clear_statement`` — DB-side SQL generators
+  mirroring the reference's merge queries, for engines where the final
+  hop runs in the warehouse.
+- ``stage_then_merge`` — the engine-side alternative used throughout
+  this repo: stage the batch, apply the distributed upsert
+  (operators/merge.py), land the converged table. Works at any scale
+  with no DB round-trip in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def jdbc_options(
+    url: str,
+    table: str,
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    truncate: bool = False,
+    options: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """JDBC writer options as a pure dict (testable without a driver
+    jar). ``truncate=True`` + mode='overwrite' is the reference's
+    full-sync TRUNCATE+INSERT (database.ts:179-184) without dropping
+    the table (keeps indexes/grants). ``num_partitions`` caps parallel
+    connections; ``batchsize`` batches inserts exactly like the
+    reference's per-table record batches (stream.ts:120-160)."""
+    opts = {"url": url, "dbtable": table, "batchsize": str(batchsize)}
+    if truncate:
+        opts["truncate"] = "true"
+    if num_partitions is not None:
+        opts["numPartitions"] = str(num_partitions)
+    opts.update(options or {})
+    return opts
+
+
+def jdbc_writer(df: DataFrame, url: str, table: str, mode: str = "append", **kw):
+    """Configured JDBC writer (not yet executed — call ``.save()``).
+    The driver jar is a deploy-time concern; option assembly is
+    ``jdbc_options`` above."""
+    return df.write.format("jdbc").options(**jdbc_options(url, table, **kw)).mode(mode)
+
+
+def merge_statement(table: str, staging: str, keys: list[str], columns: list[str]) -> str:
+    """The reference's MERGE INTO (database.ts:214-222), generated for a
+    staged batch: update matched on the PKs, insert new."""
+    on = " AND ".join(f"x.{k} = y.{k}" for k in keys)
+    sets = ", ".join(f"{c} = y.{c}" for c in columns if c not in keys)
+    cols = ", ".join(columns)
+    vals = ", ".join(f"y.{c}" for c in columns)
+    return (
+        f"MERGE INTO {table} x USING {staging} y ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+def clear_statement(table: str, staging: str, group_key: str) -> str:
+    """Clear-then-insert leg for multi-value tables
+    (database.ts:200-211): delete every row whose group key appears in
+    the staged batch before inserting the batch."""
+    return (
+        f"DELETE FROM {table} WHERE {group_key} IN "
+        f"(SELECT {group_key} FROM {staging})"
+    )
+
+
+def stage_then_merge(
+    spark: SparkSession,
+    source: DataFrame,
+    target_path: str,
+    staging_path: str,
+    keys: list[str],
+) -> DataFrame:
+    """Engine-side merge: stage the batch as parquet (the temp-table
+    analogue — restartable, inspectable), then converge it into the
+    target with the distributed source-wins upsert and land the result.
+
+    Returns the merged DataFrame (read back from the landed target).
+    One shuffle on the PKs; at 100 TB the target should be bucketed on
+    ``keys`` so repeated merges co-locate."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import upsert
+
+    source.write.mode("overwrite").parquet(staging_path)
+    staged = spark.read.parquet(staging_path)
+    try:
+        target = spark.read.parquet(target_path)
+        merged = upsert(target, staged, keys)
+    except Exception:  # first load: nothing to merge into
+        merged = staged
+    out_path = target_path.rstrip("/") + ".new"
+    merged.write.mode("overwrite").parquet(out_path)
+    landed = spark.read.parquet(out_path)
+    landed.write.mode("overwrite").parquet(target_path)
+    return spark.read.parquet(target_path)

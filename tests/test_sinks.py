@@ -1,0 +1,92 @@
+"""Sink contracts: ES bulk NDJSON format + per-index partitioning,
+JDBC option/statement generation, stage-then-merge convergence."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from prefect_flow_arc_kg_postgres_etl_spark.sinks.es_bulk import (
+    to_bulk_actions,
+    write_bulk_ndjson,
+)
+from prefect_flow_arc_kg_postgres_etl_spark.sinks.jdbc import (
+    clear_statement,
+    jdbc_options,
+    merge_statement,
+    stage_then_merge,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "org_a", '{"name":"x"}'),
+            (2, "org_a", '{"name":"y"}'),
+            (3, "org_b", '{"name":"z"}'),
+        ],
+        "id long, index string, document string",
+    )
+
+
+def test_bulk_actions_format(spark):
+    rows = to_bulk_actions(_docs(spark)).collect()
+    by_id = {}
+    for r in rows:
+        action, source = r.bulk.split("\n")
+        meta = json.loads(action)["index"]
+        by_id[meta["_id"]] = (meta["_index"], json.loads(source))
+    assert by_id == {
+        "1": ("org_a", {"name": "x"}),
+        "2": ("org_a", {"name": "y"}),
+        "3": ("org_b", {"name": "z"}),
+    }
+
+
+def test_bulk_write_partitions_per_index(spark, tmp_path):
+    path = str(tmp_path / "bulk")
+    write_bulk_ndjson(_docs(spark), path)
+    parts = sorted(d for d in os.listdir(path) if d.startswith("index="))
+    assert parts == ["index=org_a", "index=org_b"]
+    body = spark.read.text(f"{path}/index=org_a").collect()
+    # two docs -> four NDJSON lines (action + source each)
+    assert len(body) == 4
+
+
+def test_jdbc_options_and_statements():
+    opts = jdbc_options(
+        "jdbc:postgresql://db/arc", "graph.thing",
+        num_partitions=8, truncate=True,
+    )
+    assert opts["dbtable"] == "graph.thing"
+    assert opts["numPartitions"] == "8"
+    assert opts["truncate"] == "true"
+
+    m = merge_statement(
+        "graph.thing", "temp.thing", ["id"], ["id", "name", "score"]
+    )
+    assert "MERGE INTO graph.thing x USING temp.thing y ON x.id = y.id" in m
+    assert "UPDATE SET name = y.name, score = y.score" in m
+    assert "INSERT (id, name, score) VALUES (y.id, y.name, y.score)" in m
+
+    c = clear_statement("graph.schema_is_part_of", "temp.sip", "organization_id")
+    assert c == (
+        "DELETE FROM graph.schema_is_part_of WHERE organization_id IN "
+        "(SELECT organization_id FROM temp.sip)"
+    )
+
+
+def test_stage_then_merge_converges(spark, tmp_path):
+    target = str(tmp_path / "target")
+    staging = str(tmp_path / "staging")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    out1 = stage_then_merge(spark, v1, target, staging, ["id"])
+    assert {(r.id, r.v) for r in out1.collect()} == {(1, "a"), (2, "b")}
+
+    v2 = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    out2 = stage_then_merge(spark, v2, target, staging, ["id"])
+    assert {(r.id, r.v) for r in out2.collect()} == {(1, "a"), (2, "B"), (3, "c")}
+
+    # idempotent: re-merging the same batch changes nothing
+    out3 = stage_then_merge(spark, v2, target, staging, ["id"])
+    assert {(r.id, r.v) for r in out3.collect()} == {(1, "a"), (2, "B"), (3, "c")}
