@@ -313,6 +313,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(queries, emb, k=_K)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(spark, load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.ivf_topk(queries, emb, k=_K)
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary_payload(_spread(spark, load_table(spark, sf_dir, "documents")))
     return fake_featurize(media)

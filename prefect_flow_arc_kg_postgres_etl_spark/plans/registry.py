@@ -63,6 +63,13 @@ QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec(relational.events_tumbling, relational.TUMBLING_ORACLE),
     "sessionize": QuerySpec(relational.sessionize, relational.SESSIONIZE_ORACLE),
     "asof_join": QuerySpec(relational.asof_join, relational.ASOF_ORACLE),
+    "exists_anti": QuerySpec(relational.exists_anti, relational.EXISTS_ANTI_ORACLE),
+    "correlated_subquery": QuerySpec(
+        relational.correlated_subquery, relational.CORRELATED_ORACLE
+    ),
+    "grouping_sets": QuerySpec(
+        relational.grouping_sets, relational.GROUPING_SETS_ORACLE
+    ),
     # ---- D-block: training-data pipeline operators
     "dedup_exact": QuerySpec(pipeline.dedup_exact, pipeline.DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(pipeline.dedup_ngram_jaccard, pipeline.DEDUP_JACCARD_ORACLE),
@@ -77,6 +84,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(pipeline.dedup_minhash_lsh, None),
     "dedup_simhash": QuerySpec(pipeline.dedup_simhash, None),
     "ann_lsh_topk": QuerySpec(pipeline.ann_lsh_topk, None),
+    "ann_ivf_topk": QuerySpec(pipeline.ann_ivf_topk, None),
     "multimodal_decode": QuerySpec(pipeline.multimodal_decode, None),
     # ---- C-block: Structured Streaming
     "stream_windowed_agg": QuerySpec(

@@ -382,3 +382,98 @@ LEFT JOIN LATERAL (
   LIMIT 1
 ) oo ON TRUE
 """
+
+
+# ---------------------------------------- B11 exists / anti-join (Q21/Q22 shape)
+def exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with a positive balance and NO urgent order (TPC-H
+    Q22's anti-join core): left-anti join — Spark's decorrelated NOT
+    EXISTS — aggregated per nation. The filter on orders is pushed to
+    the scan BEFORE the anti join; the join shuffles on custkey only,
+    and AQE turns it into a broadcast anti when the filtered side
+    fits."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    no_orders = cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return (
+        no_orders.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .select(F.col("c_nationkey").alias("nationkey"), "numcust", "totacctbal")
+    )
+
+
+EXISTS_ANTI_ORACLE = """
+SELECT c_nationkey AS nationkey,
+       COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > 0
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+# ------------------------------- B12 correlated scalar subquery (Q17 shape)
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems below 20%% of their part's average quantity (TPC-H
+    Q17's correlated scalar subquery), decorrelated the way Catalyst
+    does it: pre-aggregate per part, then join — one shuffle on
+    partkey, no per-row subquery execution."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_limit")
+    )
+    small = li.join(avg_qty, on="l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_limit")
+    )
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+CORRELATED_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_lineitems
+FROM lineitem l1
+WHERE l_quantity < (
+  SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l1.l_partkey
+)
+"""
+
+
+# -------------------------------------------------- B13 grouping sets
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregate in one pass: GROUPING SETS over
+    (returnflag, linestatus), (returnflag), () — Spark expands to a
+    single shuffle with grouping-id, not three scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""

@@ -81,3 +81,31 @@ def test_lsh_ann_results_subset_of_bruteforce_space(spark):
         key = (r.query_id, r.neighbor_id)
         if key in brute:
             assert abs(brute[key] - r.cosine) < 1e-9
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    """IVF top-k: scores agree with brute force on shared pairs, and
+    probing n_probe=all centroids recovers brute-force exactly (the
+    index partitions the corpus, so full probing = exact search)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r.query_id, r.neighbor_id): (r.cosine, r.rank)
+        for r in brute_force_topk(queries, emb, k=5).collect()
+    }
+    # full probe == exact
+    full = ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=8).collect()
+    assert {(r.query_id, r.neighbor_id): (r.cosine, r.rank) for r in full} == brute
+
+    # partial probe: genuine neighbors with matching scores, recall > 0
+    approx = ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=3).collect()
+    assert len(approx) > 0
+    hits = 0
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        if key in brute:
+            assert abs(brute[key][0] - r.cosine) < 1e-9
+            hits += 1
+    assert hits > 0
