@@ -94,6 +94,9 @@ QUERIES: dict[str, QuerySpec] = {
         streaming_plans.stream_incremental_upsert, None
     ),
     "stream_sessionize": QuerySpec(streaming_plans.stream_sessionize, None),
+    "stream_dedup": QuerySpec(
+        streaming_plans.stream_dedup, streaming_plans.STREAM_DEDUP_ORACLE
+    ),
 }
 
 

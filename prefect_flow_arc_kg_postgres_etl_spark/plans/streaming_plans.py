@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from prefect_flow_arc_kg_postgres_etl_spark.plans.relational import TUMBLING_ORACLE
 from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+    dedup_stream,
     incremental_upsert_stream,
     sessionize_stream,
     windowed_agg_stream,
@@ -47,3 +48,15 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stream(
         spark, sf_dir, query_name=f"stream_sessionize_{_COUNTER['n']}"
     )
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: watermarked streaming dedup of a doubled source; final table
+    == the plain events table, which is the batch-SQL oracle."""
+    _COUNTER["n"] += 1
+    return dedup_stream(spark, sf_dir, query_name=f"stream_dedup_{_COUNTER['n']}")
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+"""

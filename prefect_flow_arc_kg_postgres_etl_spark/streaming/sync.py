@@ -216,3 +216,33 @@ def incremental_upsert_stream(
     q = ev.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.read.parquet(target_path)
+
+
+def dedup_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_dedup"
+) -> DataFrame:
+    """C4: streaming exact deduplication. The source is read TWICE and
+    unioned (a deterministic duplicated stream — the at-least-once
+    delivery case dedup exists for); ``dropDuplicatesWithinWatermark``
+    keys on event_id with a 1-hour watermark, so state for an id is
+    dropped once the watermark passes it — bounded state at 100 TB,
+    unlike an unbounded dropDuplicates.
+
+    Final table equals the plain events table — the batch-SQL oracle.
+    """
+    ev = events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    doubled = ev.unionByName(ev)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -60,3 +60,17 @@ def test_stream_sessionize_equals_batch_closed_sessions(spark):
         if r.session_start != last_per_user[r.user_id]
     }
     assert streamed == expected
+
+
+def test_stream_dedup_equals_source(spark):
+    """Doubled stream + watermarked dedup == the original events table."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import dedup_stream
+
+    out = dedup_stream(spark, SF_SMOKE, query_name="t_stream_dedup")
+    expected = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    assert out.count() == expected.count()
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
