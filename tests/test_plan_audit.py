@@ -118,3 +118,40 @@ def test_scans_prune_columns(spark):
 def test_org_scope_is_broadcast_semi_join(spark):
     plan = build(spark, "org_scope")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_ivf_probe_join_is_broadcast_equi(spark):
+    """IVF: centroid assignment is scan-side (no exchange to build the
+    index); the probe side broadcasts into an equi-join on cluster id —
+    never a cross join of queries x corpus."""
+    plan = build(spark, "ann_ivf_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exists_anti_pushes_filter_and_broadcasts(spark):
+    """Anti-join: the o_orderpriority filter reaches the orders scan
+    (the anti side shrinks before the join, not after)."""
+    plan = build(spark, "exists_anti")
+    assert "PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority," in plan
+    assert "LeftAnti" in plan
+
+
+def test_correlated_subquery_decorrelates_to_one_agg_join(spark):
+    """Q17 shape: no per-row subquery — one aggregation over lineitem
+    joined back on partkey."""
+    plan = build(spark, "correlated_subquery")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final of the avg
+
+
+def test_construct_optional_values_pushed_to_scan(spark):
+    """VALUES in-lists must reach the triples scan as In filters on the
+    object column, not post-join filters. (The triples here come from a
+    melt projection, so the filter shows as a Filter over the generator,
+    before any join.)"""
+    plan = build(spark, "kg_construct_optional")
+    assert "CartesianProduct" not in plan
+    # OPTIONAL group compiles to a left outer join
+    assert "LeftOuter" in plan or "left_outer" in plan.lower()
