@@ -1,0 +1,155 @@
+"""End-to-end sync flow — the reference's main_flow.py data path,
+Spark-native.
+
+Reference orchestration (flows/main_flow.py): full vs incremental
+(``full_sync`` / ``last_modified``), per-table loads merged in
+FK-dependency order (queries/sql/get_dependent_tables.sql), then the
+index build (arc_db_load_index_tables_flow.py) and the search feed.
+The Prefect plumbing (deployment scheduling, skip-if-running) is not
+data processing and stays with whatever scheduler runs this; the flow
+below is the data path itself:
+
+  scope (SINCE filter) -> stage -> merge per table in topo order
+  (tables within a level are independent -> submitted concurrently;
+  Spark's scheduler interleaves the jobs) -> rebuild index documents
+  -> emit the ES bulk feed.
+
+Full sync is truncate-insert (overwrite); incremental is the
+distributed PK upsert via stage_then_merge. A table with no
+last-modified column is re-upserted in full on incremental runs —
+idempotent, converges (the reference treats those the same way).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_kg_postgres_etl_spark.operators.index_documents import (
+    build_index_documents,
+)
+from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import fk_merge_order
+from prefect_flow_arc_kg_postgres_etl_spark.sinks.es_bulk import write_bulk_ndjson
+from prefect_flow_arc_kg_postgres_etl_spark.sinks.jdbc import stage_then_merge
+from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+# Primary keys (merge keys) per harness table.
+TABLE_PK: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+}
+
+# Last-modified analogue per table (the SINCE scope column —
+# configuration.ts SINCE / sparql ?since). Tables absent here have no
+# modification timestamp and are re-upserted in full.
+TABLE_MODIFIED: dict[str, str] = {
+    "orders": "o_orderdate",
+    "lineitem": "l_shipdate",
+    "events": "ts",
+}
+
+# Multi-value tables: no row-level PK; merged with clear-then-insert on
+# a group key (database.ts:186-212 — the reference's
+# intellectual_entity_id / organization_id multi-value path). The
+# harness lineitem plays that role: (l_orderkey, l_linenumber) is not
+# unique in the synthetic data, so lines are a multi-value set per
+# order.
+TABLE_MULTIVALUE: dict[str, str] = {
+    "lineitem": "l_orderkey",
+}
+
+# FK dependency graph (child -> parents), the input to the topo sort
+# (queries/sql/get_dependent_tables.sql).
+TABLE_DEPS: dict[str, set[str]] = {
+    "region": set(),
+    "nation": {"region"},
+    "customer": {"nation"},
+    "supplier": {"nation"},
+    "part": set(),
+    "orders": {"customer"},
+    "lineitem": {"orders", "part", "supplier"},
+    "events": set(),
+}
+
+
+def sync_flow(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    full_sync: bool = True,
+    since=None,
+    tables: list[str] | None = None,
+    build_index: bool = True,
+) -> dict[str, int]:
+    """Run one sync: load every table from ``sf_dir`` into the store at
+    ``store_dir`` (full = overwrite, incremental = PK upsert of rows
+    modified after ``since``), then rebuild the index documents and the
+    ES bulk feed from the converged store. Returns per-table row counts
+    after merge (the reference logs merge rowcounts the same way)."""
+    wanted = tables or list(TABLE_PK)
+    deps = {t: TABLE_DEPS[t] & set(wanted) for t in wanted}
+    counts: dict[str, int] = {}
+
+    def sync_table(name: str) -> int:
+        src = load_table(spark, sf_dir, name)
+        path = f"{store_dir}/{name}.parquet"
+        if full_sync:
+            src.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path).count()
+        if name in TABLE_MULTIVALUE:
+            # Incremental multi-value merge: a modified group re-emits
+            # ALL its rows (the reference's CONSTRUCT does the same for
+            # an updated entity's multi-value triples), then
+            # clear-then-insert on the group key.
+            group_key = TABLE_MULTIVALUE[name]
+            batch = src
+            if since is not None and name in TABLE_MODIFIED:
+                changed = (
+                    src.filter(F.col(TABLE_MODIFIED[name]) > F.lit(since))
+                    .select(group_key)
+                    .distinct()
+                )
+                batch = src.join(changed, on=group_key, how="left_semi")
+            from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import (
+                clear_and_insert,
+            )
+
+            staging = f"{store_dir}/_staging/{name}"
+            batch.write.mode("overwrite").parquet(staging)
+            staged = spark.read.parquet(staging)
+            target = spark.read.parquet(path)
+            merged = clear_and_insert(target, staged, group_key)
+            tmp = path + ".new"
+            merged.write.mode("overwrite").parquet(tmp)
+            spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path).count()
+        if since is not None and name in TABLE_MODIFIED:
+            src = src.filter(F.col(TABLE_MODIFIED[name]) > F.lit(since))
+        merged = stage_then_merge(
+            spark, src, path, f"{store_dir}/_staging/{name}", TABLE_PK[name]
+        )
+        return merged.count()
+
+    # Merge level-by-level in FK order; tables inside a level have no
+    # mutual dependency, so their Spark jobs run concurrently (separate
+    # threads -> the scheduler interleaves stages across cores).
+    for level in fk_merge_order(deps):
+        with ThreadPoolExecutor(max_workers=len(level)) as pool:
+            for name, n in zip(level, pool.map(sync_table, level)):
+                counts[name] = n
+
+    if build_index and {"customer", "nation", "region", "orders"} <= set(wanted):
+        docs = build_index_documents(spark, store_dir, as_json=True)
+        write_bulk_ndjson(docs, f"{store_dir}/_index/es_bulk")
+        counts["index_documents"] = spark.read.text(
+            f"{store_dir}/_index/es_bulk"
+        ).count()
+    return counts

@@ -140,6 +140,28 @@ WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
 """
 
 
+# ----------------------------------------- A21 end-to-end sync flow
+def flow_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sync operators composed end-to-end (flows.py — main_flow.py's
+    data path): full sync into a temp store in FK order, then the index
+    documents built FROM THE LANDED STORE. Hash-equality with the
+    source-built oracle proves the load+merge legs are lossless."""
+    import tempfile
+
+    from prefect_flow_arc_kg_postgres_etl_spark.flows import sync_flow
+
+    store = tempfile.mkdtemp(prefix="flow_store_")
+    sync_flow(
+        spark,
+        sf_dir,
+        store,
+        full_sync=True,
+        build_index=False,
+        tables=["region", "nation", "customer", "orders"],
+    )
+    return build_index_documents(spark, store, as_json=False)
+
+
 # ------------------------------------------- A19 ES bulk feed (sink)
 def es_bulk_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The index sink's wire format: index_documents -> ES ``_bulk``

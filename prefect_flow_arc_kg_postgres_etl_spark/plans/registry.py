@@ -52,6 +52,7 @@ QUERIES: dict[str, QuerySpec] = {
         kg.table_intersection_q, kg.TABLE_INTERSECTION_ORACLE
     ),
     "es_bulk_feed": QuerySpec(kg.es_bulk_feed, kg.ES_BULK_ORACLE),
+    "flow_full_sync": QuerySpec(kg.flow_full_sync, kg.INDEX_DOC_ORACLE),
     # ---- B-block: relational query layer
     "q1_pricing_summary": QuerySpec(relational.q1_pricing_summary, relational.Q1_ORACLE),
     "q3_shipping_priority": QuerySpec(relational.q3_shipping_priority, relational.Q3_ORACLE),

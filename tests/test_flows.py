@@ -1,0 +1,59 @@
+"""End-to-end sync flow: full-vs-incremental convergence (the
+reference's implicit contract — a full sync and a catch-up incremental
+run must land the identical store and identical index feed)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_kg_postgres_etl_spark.flows import TABLE_PK, sync_flow
+from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+CUTOFF = datetime.date(1995, 1, 1)
+
+
+def _table_rows(spark, store, name):
+    df = spark.read.parquet(f"{store}/{name}.parquet")
+    return {tuple(str(v) for v in r) for r in df.select(sorted(df.columns)).collect()}
+
+
+def test_full_then_incremental_converges(spark, tmp_path):
+    store_a = str(tmp_path / "store_full")
+    store_b = str(tmp_path / "store_incr")
+
+    # Path A: one full sync of everything.
+    counts_a = sync_flow(spark, SF_SMOKE, store_a, full_sync=True)
+    assert counts_a["orders"] > 0 and counts_a["index_documents"] > 0
+
+    # Path B: an old store (orders/lineitem only up to CUTOFF), then an
+    # incremental catch-up with since=CUTOFF.
+    sync_flow(spark, SF_SMOKE, store_b, full_sync=True, build_index=False)
+    for name, col in (("orders", "o_orderdate"), ("lineitem", "l_shipdate")):
+        old = load_table(spark, SF_SMOKE, name).filter(F.col(col) <= F.lit(CUTOFF))
+        old.write.mode("overwrite").parquet(f"{store_b}/{name}.parquet.old")
+        spark.read.parquet(f"{store_b}/{name}.parquet.old").write.mode(
+            "overwrite"
+        ).parquet(f"{store_b}/{name}.parquet")
+    counts_b = sync_flow(spark, SF_SMOKE, store_b, full_sync=False, since=CUTOFF)
+
+    # Converged: every table identical, and the index feed identical.
+    for name in TABLE_PK:
+        assert _table_rows(spark, store_a, name) == _table_rows(
+            spark, store_b, name
+        ), f"{name} diverged"
+    feed_a = {r.value for r in spark.read.text(f"{store_a}/_index/es_bulk").collect()}
+    feed_b = {r.value for r in spark.read.text(f"{store_b}/_index/es_bulk").collect()}
+    assert feed_a == feed_b
+    assert counts_b["orders"] == counts_a["orders"]
+
+
+def test_incremental_rerun_is_idempotent(spark, tmp_path):
+    store = str(tmp_path / "store")
+    sync_flow(spark, SF_SMOKE, store, full_sync=True, build_index=False)
+    first = {n: _table_rows(spark, store, n) for n in ("orders", "customer")}
+    sync_flow(spark, SF_SMOKE, store, full_sync=False, since=CUTOFF, build_index=False)
+    again = {n: _table_rows(spark, store, n) for n in ("orders", "customer")}
+    assert first == again
