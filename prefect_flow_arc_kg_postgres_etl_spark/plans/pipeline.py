@@ -22,6 +22,8 @@ from prefect_flow_arc_kg_postgres_etl_spark.operators import text as TX
 from prefect_flow_arc_kg_postgres_etl_spark.operators.multimodal import (
     attach_binary_payload,
     fake_featurize,
+    resize_thumbnails,
+    sample_frames,
 )
 from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
 
@@ -322,3 +324,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary_payload(_spread(spark, load_table(spark, sf_dir, "documents")))
     return fake_featurize(media)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_binary_payload(_spread(spark, load_table(spark, sf_dir, "documents")))
+    return resize_thumbnails(media)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_binary_payload(_spread(spark, load_table(spark, sf_dir, "documents")))
+    return sample_frames(media)

@@ -87,6 +87,8 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_lsh_topk": QuerySpec(pipeline.ann_lsh_topk, None),
     "ann_ivf_topk": QuerySpec(pipeline.ann_ivf_topk, None),
     "multimodal_decode": QuerySpec(pipeline.multimodal_decode, None),
+    "multimodal_resize": QuerySpec(pipeline.multimodal_resize, None),
+    "multimodal_frame_sample": QuerySpec(pipeline.multimodal_frame_sample, None),
     # ---- C-block: Structured Streaming
     "stream_windowed_agg": QuerySpec(
         streaming_plans.stream_windowed_agg, streaming_plans.STREAM_WINDOWED_ORACLE

@@ -109,3 +109,38 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
             assert abs(brute[key][0] - r.cosine) < 1e-9
             hits += 1
     assert hits > 0
+
+
+def test_multimodal_resize_and_frames(spark):
+    """Resize is 1:1 with aspect-preserving dims; frame sampling is 1:N
+    with deterministic checksums; both run through mapInPandas."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_thumbnails,
+        sample_frames,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    media = attach_binary_payload(docs)
+    n_docs = docs.count()
+
+    thumbs = resize_thumbnails(media, max_side=128)
+    rows = thumbs.collect()
+    assert len(rows) == n_docs
+    for r in rows[:50]:
+        assert max(r.thumb_width, r.thumb_height) <= 128
+        assert r.thumb_len >= 1
+        # aspect ratio preserved within integer rounding
+        assert abs(r.thumb_width / r.thumb_height - r.width / r.height) < 0.05
+
+    frames = sample_frames(media, every_n_bytes=256, max_frames=4)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert len(per_doc) == n_docs
+    assert all(1 <= r["count"] <= 4 for r in per_doc)
+    # deterministic: same input -> same checksums
+    a = {(r.doc_id, r.frame_idx): r.frame_checksum for r in frames.collect()}
+    b = {
+        (r.doc_id, r.frame_idx): r.frame_checksum
+        for r in sample_frames(media, every_n_bytes=256, max_frames=4).collect()
+    }
+    assert a == b
