@@ -36,10 +36,14 @@ HEADLINE = [
     "sessionize",
     "asof_join",
     "events_tumbling",
+    "exists_anti",
+    "grouping_sets",
+    "kg_construct_optional",
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality_score",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
 ]
 
 
