@@ -80,26 +80,41 @@ TABLE_DEPS: dict[str, set[str]] = {
 }
 
 
+# Organisation scoping (configuration.ts OR_IDS): the harness org
+# analogue is the nation key; these are the columns that carry it.
+TABLE_ORG: dict[str, str] = {
+    "nation": "n_nationkey",
+    "customer": "c_nationkey",
+    "supplier": "s_nationkey",
+}
+
+
 def sync_flow(
     spark: SparkSession,
     sf_dir: str,
     store_dir: str,
     full_sync: bool = True,
     since=None,
+    or_ids: list[int] | None = None,
     tables: list[str] | None = None,
     build_index: bool = True,
 ) -> dict[str, int]:
     """Run one sync: load every table from ``sf_dir`` into the store at
     ``store_dir`` (full = overwrite, incremental = PK upsert of rows
     modified after ``since``), then rebuild the index documents and the
-    ES bulk feed from the converged store. Returns per-table row counts
-    after merge (the reference logs merge rowcounts the same way)."""
+    ES bulk feed from the converged store. ``or_ids`` restricts the run
+    to an organisation set (configuration.ts OR_IDS) — an isin filter
+    pushed to every scan that carries the org key. Returns per-table
+    row counts after merge (the reference logs merge rowcounts the
+    same way)."""
     wanted = tables or list(TABLE_PK)
     deps = {t: TABLE_DEPS[t] & set(wanted) for t in wanted}
     counts: dict[str, int] = {}
 
     def sync_table(name: str) -> int:
         src = load_table(spark, sf_dir, name)
+        if or_ids is not None and name in TABLE_ORG:
+            src = src.filter(F.col(TABLE_ORG[name]).isin(or_ids))
         path = f"{store_dir}/{name}.parquet"
         if full_sync:
             src.write.mode("overwrite").parquet(path)

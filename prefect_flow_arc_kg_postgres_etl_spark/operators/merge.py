@@ -118,3 +118,28 @@ def fk_merge_order(dependencies: dict[str, set[str]]) -> list[list[str]]:
         levels.append(list(ready))
         ts.done(*ready)
     return levels
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the (large, skewed) left side gets a
+    random-salt component on the key; the right side is replicated
+    ``salt`` ways so every salted partition finds its match. Turns one
+    hot key's partition into ``salt`` even ones.
+
+    AQE's skew-join handles most cases at runtime; explicit salting is
+    for the pathological keys AQE can't split (a single key larger than
+    a partition). The salt is derived from a hash of the whole left row
+    (deterministic, no rand()) so repeated runs produce identical
+    plans/results."""
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l_salted = left.withColumn("_salt", lsalt.cast("int"))
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l_salted.join(r_salted, on=[key, "_salt"], how=how).drop("_salt")

@@ -57,3 +57,17 @@ def test_incremental_rerun_is_idempotent(spark, tmp_path):
     sync_flow(spark, SF_SMOKE, store, full_sync=False, since=CUTOFF, build_index=False)
     again = {n: _table_rows(spark, store, n) for n in ("orders", "customer")}
     assert first == again
+
+
+def test_sync_flow_org_scoped(spark, tmp_path):
+    """OR_IDS scoping: org-keyed tables filter to the scope set; the
+    index feed only contains the scoped organisations."""
+    store = str(tmp_path / "scoped")
+    counts = sync_flow(spark, SF_SMOKE, store, full_sync=True, or_ids=[0, 1, 2])
+    cust = spark.read.parquet(f"{store}/customer.parquet")
+    assert {r.c_nationkey for r in cust.select("c_nationkey").distinct().collect()} <= {0, 1, 2}
+    nations = spark.read.parquet(f"{store}/nation.parquet")
+    assert nations.count() == 3
+    assert counts["index_documents"] > 0
+    docs = spark.read.text(f"{store}/_index/es_bulk")
+    assert docs.count() == 2 * cust.count()  # action + source line per customer

@@ -76,3 +76,22 @@ def test_delete_flagged_cascade(spark):
 def test_fk_merge_order_levels():
     levels = fk_merge_order({"a": set(), "b": {"a"}, "c": {"a"}, "d": {"b", "c"}})
     assert levels == [["a"], ["b", "c"], ["d"]]
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change join semantics — same rows as the plain
+    join, with the hot key's work split across salt partitions."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import salted_join
+
+    # skewed left: 90% of rows share key 1
+    left = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, 0) for k in range(2, 102)],
+        "k long, payload long",
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(1, 102)], "k long, attr string"
+    )
+    plain = {(r.k, r.payload, r.attr) for r in left.join(right, on="k").collect()}
+    salted = {(r.k, r.payload, r.attr) for r in salted_join(left, right, "k").collect()}
+    assert salted == plain
+    assert len(salted) == 1000
