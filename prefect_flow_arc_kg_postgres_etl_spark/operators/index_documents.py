@@ -39,9 +39,20 @@ def build_index_documents(
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
 
-    # Pre-aggregate the multi-value side (orders per customer) before the
-    # star join — one row per customer crosses the join.
+    # Every aggregate shape of update_partition.sql, pre-reduced to ONE
+    # row per customer BEFORE the star join (map-side partials; the join
+    # carries no multi-value fan-out):
+
+    # (a) plain aggs + (b) LATERAL pick-one-with-priority
+    # (update_partition.sql:62-74 dcterms_format ORDER BY CASE LIMIT 1):
+    # min over (case-rank, value) — deterministic, single agg pass.
+    prio_rank = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .otherwise(3)
+    )
     order_agg = orders.groupBy("o_custkey").agg(
         F.count("*").cast("bigint").alias("order_count"),
         F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
@@ -49,25 +60,95 @@ def build_index_documents(
         F.concat_ws(
             ",", F.sort_array(F.collect_list(F.col("o_orderkey").cast("string")))
         ).alias("order_keys"),
+        F.min(F.struct(prio_rank.alias("r"), F.col("o_orderpriority").alias("p")))
+        .getField("p")
+        .alias("preferred_priority"),
+        F.max("o_totalprice").alias("_max_order_total"),
+        F.sort_array(F.collect_set(F.year("o_orderdate"))).alias("_order_years"),
+    )
+
+    # (c) jsonb_agg of typed objects (update_partition.sql:76-81
+    # premis_identifier): per-priority counts as a sorted string array.
+    prio_counts = (
+        orders.groupBy("o_custkey", "o_orderpriority")
+        .count()
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.concat_ws(":", F.col("o_orderpriority"), F.col("count"))
+                )
+            ).alias("priority_counts")
+        )
+        .withColumnRenamed("o_custkey", "_pc_custkey")
+    )
+
+    # (d) MAX over a UNION of two derivations (update_partition.sql:83-103
+    # schema_duration: file-based ∪ fragment-based): the customer's max
+    # item price from the order-total leg ∪ the lineitem leg, plus
+    # (e) distinct-agg over the union of both legs' years.
+    li_leg = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max("l_extendedprice").alias("_max_line_price"),
+            F.sort_array(F.collect_set(F.year("l_shipdate"))).alias("_ship_years"),
+        )
+        .withColumnRenamed("o_custkey", "_li_custkey")
     )
 
     org = customer.join(
         F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
 
-    docs = org.join(
-        order_agg, org.c_custkey == order_agg.o_custkey, "left"
-    ).select(
-        F.col("c_custkey").alias("id"),
-        F.lower(F.col("n_name")).alias("index"),  # partition key, as lower(org_identifier)
-        F.col("c_name").alias("name"),
-        F.col("c_mktsegment").alias("segment"),
-        F.col("n_name").alias("nation"),
-        F.col("r_name").alias("region"),
-        F.coalesce(F.col("order_count"), F.lit(0)).alias("order_count"),
-        F.coalesce(F.col("total_spend"), F.lit(0.0)).alias("total_spend"),
-        F.col("last_order_date"),
-        F.coalesce(F.col("order_keys"), F.lit("")).alias("order_keys"),
+    docs = (
+        org.join(order_agg, org.c_custkey == order_agg.o_custkey, "left")
+        .join(prio_counts, org.c_custkey == F.col("_pc_custkey"), "left")
+        .join(li_leg, org.c_custkey == F.col("_li_custkey"), "left")
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lower(F.col("n_name")).alias("index"),  # partition key, as lower(org_identifier)
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            # nested maintainer object (update_partition.sql:56-60
+            # jsonb_build_object) rendered as a JSON string column.
+            F.to_json(
+                F.struct(
+                    F.lower(F.col("n_name")).alias("schema_identifier"),
+                    F.col("n_name").alias("schema_name"),
+                    F.col("r_name").alias("organization_sector"),
+                )
+            ).alias("maintainer"),
+            F.coalesce(F.col("order_count"), F.lit(0)).alias("order_count"),
+            F.coalesce(F.col("total_spend"), F.lit(0.0)).alias("total_spend"),
+            F.col("last_order_date"),
+            F.coalesce(F.col("order_keys"), F.lit("")).alias("order_keys"),
+            F.col("preferred_priority"),
+            F.coalesce(F.col("priority_counts"), F.array().cast("array<string>")).alias(
+                "priority_counts"
+            ),
+            F.round(
+                F.greatest(
+                    F.coalesce(F.col("_max_order_total"), F.lit(0.0)),
+                    F.coalesce(F.col("_max_line_price"), F.lit(0.0)),
+                ),
+                2,
+            ).alias("max_item_price"),
+            F.coalesce(
+                F.array_sort(
+                    F.array_union(
+                        F.coalesce(F.col("_order_years"), F.array().cast("array<int>")),
+                        F.coalesce(F.col("_ship_years"), F.array().cast("array<int>")),
+                    )
+                ),
+                F.array().cast("array<int>"),
+            ).alias("active_years"),
+        )
     )
     if as_json:
         docs = docs.withColumn(

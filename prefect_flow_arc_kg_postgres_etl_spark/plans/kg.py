@@ -157,7 +157,7 @@ def flow_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         store,
         full_sync=True,
         build_index=False,
-        tables=["region", "nation", "customer", "orders"],
+        tables=["region", "nation", "customer", "orders", "lineitem"],
     )
     return build_index_documents(spark, store, as_json=False)
 
@@ -449,8 +449,27 @@ WITH order_agg AS (
          COUNT(*) AS order_count,
          ROUND(SUM(o_totalprice), 2) AS total_spend,
          MAX(o_orderdate) AS last_order_date,
-         STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys
+         STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys,
+         (ARRAY_AGG(o_orderpriority ORDER BY
+            CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 ELSE 3 END,
+            o_orderpriority))[1] AS preferred_priority,
+         MAX(o_totalprice) AS max_order_total,
+         LIST_SORT(LIST(DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INT))) AS order_years
   FROM orders GROUP BY o_custkey
+),
+prio_counts AS (
+  SELECT o_custkey, LIST_SORT(LIST(p_cnt)) AS priority_counts
+  FROM (
+    SELECT o_custkey, o_orderpriority || ':' || COUNT(*) AS p_cnt
+    FROM orders GROUP BY o_custkey, o_orderpriority
+  ) GROUP BY o_custkey
+),
+li_leg AS (
+  SELECT o_custkey,
+         MAX(l_extendedprice) AS max_line_price,
+         LIST_SORT(LIST(DISTINCT CAST(EXTRACT(year FROM l_shipdate) AS INT))) AS ship_years
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
 )
 SELECT c.c_custkey AS id,
        LOWER(n.n_name) AS index,
@@ -458,14 +477,25 @@ SELECT c.c_custkey AS id,
        c.c_mktsegment AS segment,
        n.n_name AS nation,
        r.r_name AS region,
+       '{"schema_identifier":"' || LOWER(n.n_name) || '","schema_name":"' || n.n_name
+         || '","organization_sector":"' || r.r_name || '"}' AS maintainer,
        COALESCE(oa.order_count, 0) AS order_count,
        COALESCE(oa.total_spend, 0.0) AS total_spend,
        oa.last_order_date,
-       COALESCE(oa.order_keys, '') AS order_keys
+       COALESCE(oa.order_keys, '') AS order_keys,
+       oa.preferred_priority,
+       COALESCE(pc.priority_counts, []) AS priority_counts,
+       ROUND(GREATEST(COALESCE(oa.max_order_total, 0.0),
+                      COALESCE(ll.max_line_price, 0.0)), 2) AS max_item_price,
+       COALESCE(LIST_SORT(LIST_DISTINCT(
+         COALESCE(oa.order_years, []) || COALESCE(ll.ship_years, []))), [])
+         AS active_years
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 LEFT JOIN order_agg oa ON oa.o_custkey = c.c_custkey
+LEFT JOIN prio_counts pc ON pc.o_custkey = c.c_custkey
+LEFT JOIN li_leg ll ON ll.o_custkey = c.c_custkey
 """
 
 

@@ -61,13 +61,13 @@ def test_no_cartesian_product(spark, name):
 
 def test_index_documents_broadcasts_dims_and_prunes(spark):
     plan = build(spark, "index_documents")
-    # nation + region + (AQE may also choose the order_agg side)
+    # nation + region + (AQE may also choose the pre-agg sides)
     assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan
-    # Column pruning: the customer scan must not read c_acctbal/c_address.
+    # Column pruning: the customer scan must not read c_acctbal/c_address,
+    # and the lineitem leg reads only (l_orderkey, l_extendedprice,
+    # l_shipdate) — never the rest of the fact row.
     assert "c_acctbal" not in plan
-    # The orders scan reads only the agg inputs.
-    assert "o_orderpriority" not in plan
+    assert "l_discount" not in plan and "l_returnflag" not in plan
 
 
 def test_q5_star_join_broadcasts_all_dims(spark):
