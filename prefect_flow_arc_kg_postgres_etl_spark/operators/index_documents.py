@@ -65,23 +65,24 @@ def build_index_documents(
         .alias("preferred_priority"),
         F.max("o_totalprice").alias("_max_order_total"),
         F.sort_array(F.collect_set(F.year("o_orderdate"))).alias("_order_years"),
+        F.collect_list("o_orderpriority").alias("_prios"),
     )
-
     # (c) jsonb_agg of typed objects (update_partition.sql:76-81
-    # premis_identifier): per-priority counts as a sorted string array.
-    prio_counts = (
-        orders.groupBy("o_custkey", "o_orderpriority")
-        .count()
-        .groupBy("o_custkey")
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.concat_ws(":", F.col("o_orderpriority"), F.col("count"))
-                )
-            ).alias("priority_counts")
-        )
-        .withColumnRenamed("o_custkey", "_pc_custkey")
-    )
+    # premis_identifier): per-priority counts as a sorted string array —
+    # derived from the already-collected priority list with array
+    # expressions, NOT a second (custkey, prio) aggregation + join (one
+    # shuffle fewer; the per-customer list is bounded by order count).
+    order_agg = order_agg.withColumn(
+        "priority_counts",
+        F.sort_array(
+            F.transform(
+                F.array_distinct("_prios"),
+                lambda p: F.concat_ws(
+                    ":", p, F.size(F.filter("_prios", lambda x: x == p))
+                ),
+            )
+        ),
+    ).drop("_prios")
 
     # (d) MAX over a UNION of two derivations (update_partition.sql:83-103
     # schema_duration: file-based ∪ fragment-based): the customer's max
@@ -106,7 +107,6 @@ def build_index_documents(
 
     docs = (
         org.join(order_agg, org.c_custkey == order_agg.o_custkey, "left")
-        .join(prio_counts, org.c_custkey == F.col("_pc_custkey"), "left")
         .join(li_leg, org.c_custkey == F.col("_li_custkey"), "left")
         .select(
             F.col("c_custkey").alias("id"),
