@@ -71,6 +71,7 @@ QUERIES: dict[str, QuerySpec] = {
     "grouping_sets": QuerySpec(
         relational.grouping_sets, relational.GROUPING_SETS_ORACLE
     ),
+    "distinct_agg_approx": QuerySpec(relational.distinct_agg_approx, None),
     # ---- D-block: training-data pipeline operators
     "dedup_exact": QuerySpec(pipeline.dedup_exact, pipeline.DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(pipeline.dedup_ngram_jaccard, pipeline.DEDUP_JACCARD_ORACLE),
@@ -100,6 +101,7 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_dedup": QuerySpec(
         streaming_plans.stream_dedup, streaming_plans.STREAM_DEDUP_ORACLE
     ),
+    "stream_es_feed": QuerySpec(streaming_plans.stream_es_feed, None),
 }
 
 

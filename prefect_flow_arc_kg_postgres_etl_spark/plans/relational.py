@@ -477,3 +477,18 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
+
+
+# ------------------------------------- B7b approx distinct (HLL sketch)
+def distinct_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts — the sketch tier of
+    B7 for cardinalities where exact distinct's shuffle is the
+    bottleneck. Rows-only for the driver (sketch estimates are
+    engine-specific); relative error vs the exact tier is asserted in
+    tests (rsd=0.02)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+        F.count("*").alias("n_rows"),
+    )

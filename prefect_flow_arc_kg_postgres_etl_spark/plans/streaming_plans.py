@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from prefect_flow_arc_kg_postgres_etl_spark.plans.relational import TUMBLING_ORACLE
 from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
     dedup_stream,
+    es_feed_stream,
     incremental_upsert_stream,
     sessionize_stream,
     windowed_agg_stream,
@@ -60,3 +61,11 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_DEDUP_ORACLE = """
 SELECT event_id, ts, user_id, event_type, value FROM events
 """
+
+
+def stream_es_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: foreachBatch ES bulk feed; the landed NDJSON line count is
+    2x the source rows (action + source line per doc) — asserted in
+    tests; rows-only for the driver."""
+    out = tempfile.mkdtemp(prefix="stream_es_") + "/feed"
+    return es_feed_stream(spark, sf_dir, out)

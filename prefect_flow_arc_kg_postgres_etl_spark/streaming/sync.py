@@ -246,3 +246,37 @@ def dedup_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def es_feed_stream(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> DataFrame:
+    """C5: continuous index feed — every micro-batch renders its rows to
+    ES bulk NDJSON and appends them per organisation partition via
+    foreachBatch (the streaming form of the index flow's
+    truncate/repopulate: append-within-run here, partition-overwrite at
+    the batch boundary in sinks/es_bulk.py).
+
+    Returns the landed feed (batch re-read of the text files)."""
+    from pyspark.sql import functions as FF
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sinks.es_bulk import to_bulk_actions
+
+    ev = events_stream(spark, sf_dir)
+    docs = ev.select(
+        FF.col("event_id").alias("id"),
+        FF.lower(FF.col("event_type")).alias("index"),
+        FF.to_json(FF.struct("user_id", "value")).alias("document"),
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            to_bulk_actions(batch_df)
+            .write.mode("append")
+            .partitionBy("index")
+            .text(out_path)
+        )
+
+    q = docs.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.text(out_path)

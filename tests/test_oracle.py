@@ -40,3 +40,22 @@ def test_query_matches_oracle(spark, duck, name):
     s_ord = [s_cols.index(c) for c in sorted(s_cols)]
     d_ord = [d_cols.index(c) for c in sorted(d_cols)]
     assert table_hash(s_rows, s_ord) == table_hash(d_rows, d_ord), "value hash"
+
+
+def test_approx_distinct_within_rsd(spark):
+    """HLL estimates land within 3x the configured rsd of exact."""
+    from prefect_flow_arc_kg_postgres_etl_spark.plans.relational import (
+        distinct_agg,
+        distinct_agg_approx,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r.l_returnflag: (r.n_parts, r.n_supps) for r in distinct_agg(spark, sf).collect()}
+    approx = {
+        r.l_returnflag: (r.approx_parts, r.approx_supps)
+        for r in distinct_agg_approx(spark, sf).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            assert abs(a - e) / e < 0.06, (k, e, a)

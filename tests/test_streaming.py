@@ -74,3 +74,18 @@ def test_stream_dedup_equals_source(spark):
     assert out.count() == expected.count()
     assert out.exceptAll(expected).count() == 0
     assert expected.exceptAll(out).count() == 0
+
+
+def test_stream_es_feed_lands_bulk_pairs(spark, tmp_path):
+    """Streaming ES feed: 2 NDJSON lines (action+source) per source row,
+    partitioned per index."""
+    import os
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import es_feed_stream
+
+    out = str(tmp_path / "feed")
+    landed = es_feed_stream(spark, SF_SMOKE, out)
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert landed.count() == 2 * n_events
+    assert any(d.startswith("index=") for d in os.listdir(out))
