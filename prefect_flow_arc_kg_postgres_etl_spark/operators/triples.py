@@ -131,6 +131,11 @@ def _bgp(
             t = t.filter(F.col("predicate") == p)
         for term, col in ((s, "subject"), (o, "object")):
             if term.startswith("?"):
+                # '?var@nl' = langMatches constraint on this binding
+                # (person.sparql:81 FILTER langMatches(lang(...), "nl")).
+                if "@" in term:
+                    term, lang = term.split("@", 1)
+                    t = t.filter(F.col("lang") == lang)
                 sel.append(F.col(col).alias(term[1:]))
                 if term in values:  # SPARQL VALUES: an in-list pushed to the scan
                     t = t.filter(F.col(col).isin(values[term]))
@@ -155,6 +160,9 @@ def construct(
     filters: list[Column] | None = None,
     optionals: list[list[tuple[str, str, str]]] | None = None,
     values: dict[str, list[str]] | None = None,
+    unions: list[list[list[tuple[str, str, str]]]] | None = None,
+    not_exists: list[list[tuple[str, str, str]]] | None = None,
+    binds: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Evaluate a SPARQL-shaped WHERE clause and project bound variables
     — the CONSTRUCT core of 1_kg_view_construct.ts.
@@ -173,15 +181,49 @@ def construct(
     ``values``: SPARQL VALUES — variable -> allowed constants, applied
     as an in-list filter at the scans that bind the variable.
 
+    ``unions``: SPARQL group UNION — each entry is a list of BGP
+    branches; the branches are evaluated independently, unioned by
+    name (missing variables become NULL, as SPARQL leaves them
+    unbound), and joined to the base on the shared variables.
+
+    ``not_exists``: FILTER NOT EXISTS groups — each group is a BGP
+    whose matches eliminate base rows (left-anti join on shared vars).
+
+    ``binds``: SPARQL BIND — variable -> Column expression over already
+    bound variables, applied after graph matching.
+
+    An object variable may carry a language constraint: ``?name@nl``
+    binds only language-tagged 'nl' literals (langMatches).
+
     Returns one column per variable (without the '?'); internal
     ``__path``-prefixed sequence variables are dropped.
     """
     out, bound = _bgp(triples, patterns, values)
+    for branches in unions or []:
+        parts = []
+        uvars: set[str] = set()
+        for branch in branches:
+            b, bvars = _bgp(triples, branch, values)
+            parts.append(b)
+            uvars |= bvars
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p, allowMissingColumns=True)
+        keys = sorted(bound & uvars)
+        out = out.join(u, on=keys, how="inner") if keys else out.crossJoin(u)
+        bound |= uvars
     for group in optionals or []:
         g, gvars = _bgp(triples, group, values)
         keys = sorted(bound & gvars)
         out = out.join(g, on=keys, how="left") if keys else out.crossJoin(g)
         bound |= gvars
+    for group in not_exists or []:
+        g, gvars = _bgp(triples, group, values)
+        keys = sorted(bound & gvars)
+        assert keys, "FILTER NOT EXISTS group shares no variable with the base"
+        out = out.join(g.select(*keys).distinct(), on=keys, how="left_anti")
+    for var, expr in (binds or {}).items():
+        out = out.withColumn(var.lstrip("?"), expr)
     if filters:
         for f in filters:
             out = out.filter(f)

@@ -140,6 +140,59 @@ WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
 """
 
 
+# --------------------------- A22 construct: UNION + BIND + NOT EXISTS
+def kg_construct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining SPARQL WHERE forms the reference queries lean on:
+    group UNION (218 uses across queries/*.sparql), BIND (100 uses),
+    FILTER NOT EXISTS. Customers in BUILDING whose contact channel is
+    either an urgent order OR their nation record (UNION), excluding
+    customers that have a LOW-priority order (NOT EXISTS), with a BIND
+    composing a display id."""
+    out = T.construct(
+        _kg_graph(spark, sf_dir),
+        patterns=[("?c", "c_mktsegment", "BUILDING")],
+        unions=[[
+            [("?o", "o_custkey", "?c"), ("?o", "o_orderpriority", "1-URGENT")],
+            [("?c", "c_nationkey", "?nk"), ("?nk", "n_name", "?nation")],
+        ]],
+        not_exists=[[("?lo", "o_custkey", "?c"), ("?lo", "o_orderpriority", "5-LOW")]],
+        binds={"?display": F.concat(F.lit("cust-"), F.col("c"))},
+    )
+    return out.select(
+        F.col("c").alias("cust_id"),
+        F.col("o").alias("urgent_order"),
+        F.col("nation"),
+        F.col("display"),
+    )
+
+
+KG_UNION_ORACLE = """
+WITH base AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS cust_id
+  FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '5-LOW')
+),
+branch_a AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS cust_id,
+         CAST(o_orderkey AS VARCHAR) AS urgent_order,
+         CAST(NULL AS VARCHAR) AS nation
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+branch_b AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS cust_id,
+         CAST(NULL AS VARCHAR) AS urgent_order,
+         n_name AS nation
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+u AS (SELECT * FROM branch_a UNION ALL SELECT * FROM branch_b)
+SELECT b.cust_id, u.urgent_order, u.nation, 'cust-' || b.cust_id AS display
+FROM base b JOIN u ON u.cust_id = b.cust_id
+"""
+
+
 # ----------------------------------------- A21 end-to-end sync flow
 def flow_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sync operators composed end-to-end (flows.py — main_flow.py's

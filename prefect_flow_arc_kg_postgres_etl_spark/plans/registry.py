@@ -36,6 +36,7 @@ QUERIES: dict[str, QuerySpec] = {
     "kg_construct_view": QuerySpec(kg.kg_construct_view, kg.KG_CONSTRUCT_ORACLE),
     "kg_construct_optional": QuerySpec(kg.kg_construct_optional, kg.KG_OPTIONAL_ORACLE),
     "kg_construct_paths": QuerySpec(kg.kg_construct_paths, kg.KG_PATHS_ORACLE),
+    "kg_construct_union": QuerySpec(kg.kg_construct_union, kg.KG_UNION_ORACLE),
     "kg_value_coercion": QuerySpec(kg.kg_value_coercion, kg.KG_COERCION_ORACLE),
     "merge_upsert": QuerySpec(kg.merge_upsert, kg.MERGE_UPSERT_ORACLE),
     "truncate_insert": QuerySpec(kg.truncate_insert, kg.TRUNCATE_INSERT_ORACLE),

@@ -141,3 +141,52 @@ def test_construct_path_alternation(spark):
         ("c1", "alice"), ("c1", "BUILDING"),
         ("c3", "carol"), ("c3", "BUILDING"),
     }
+
+
+def test_construct_union_groups(spark):
+    """{A} UNION {B}: branch results union by name (unbound vars NULL)
+    and join the base on shared vars."""
+    out = construct(
+        _graph(spark),
+        patterns=[("?c", "seg", "BUILDING")],
+        unions=[[
+            [("?o", "cust", "?c"), ("?o", "prio", "URGENT")],
+            [("?c", "nk", "?n")],
+        ]],
+    )
+    rows = {(r.c, getattr(r, "o", None), getattr(r, "n", None)) for r in out.collect()}
+    assert rows == {("c1", "o1", None), ("c1", None, "n1"), ("c3", None, "n2")}
+
+
+def test_construct_not_exists(spark):
+    """FILTER NOT EXISTS removes matches (c1 has an URGENT order)."""
+    out = construct(
+        _graph(spark),
+        patterns=[("?c", "seg", "BUILDING")],
+        not_exists=[[("?o", "cust", "?c"), ("?o", "prio", "URGENT")]],
+    )
+    assert {r.c for r in out.collect()} == {"c3"}
+
+
+def test_construct_bind_expression(spark):
+    out = construct(
+        _graph(spark),
+        patterns=[("?c", "name", "?nm")],
+        binds={"?tag": F.concat(F.lit("person:"), F.col("nm"))},
+    )
+    assert ("c1", "alice", "person:alice") in {
+        (r.c, r.nm, r.tag) for r in out.collect()
+    }
+
+
+def test_construct_lang_constraint(spark):
+    triples = spark.createDataFrame(
+        [
+            ("s1", "label", "english", "en"),
+            ("s1", "label", "nederlands", "nl"),
+            ("s2", "label", "only-en", "en"),
+        ],
+        "subject string, predicate string, object string, lang string",
+    )
+    out = construct(triples, patterns=[("?s", "label", "?l@nl")])
+    assert {(r.s, r.l) for r in out.collect()} == {("s1", "nederlands")}
