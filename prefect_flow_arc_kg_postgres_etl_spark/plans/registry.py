@@ -73,6 +73,10 @@ QUERIES: dict[str, QuerySpec] = {
         relational.grouping_sets, relational.GROUPING_SETS_ORACLE
     ),
     "distinct_agg_approx": QuerySpec(relational.distinct_agg_approx, None),
+    "q7_volume_shipping": QuerySpec(relational.q7_volume_shipping, relational.Q7_ORACLE),
+    "q19_discounted_revenue": QuerySpec(
+        relational.q19_discounted_revenue, relational.Q19_ORACLE
+    ),
     # ---- D-block: training-data pipeline operators
     "dedup_exact": QuerySpec(pipeline.dedup_exact, pipeline.DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(pipeline.dedup_ngram_jaccard, pipeline.DEDUP_JACCARD_ORACLE),
