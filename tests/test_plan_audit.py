@@ -155,3 +155,6 @@ def test_construct_optional_values_pushed_to_scan(spark):
     assert "CartesianProduct" not in plan
     # OPTIONAL group compiles to a left outer join
     assert "LeftOuter" in plan or "left_outer" in plan.lower()
+    # The staged triple store is partitioned by predicate, so every
+    # pattern scan must partition-prune to its posting list.
+    assert "PartitionFilters: [isnotnull(predicate" in plan
