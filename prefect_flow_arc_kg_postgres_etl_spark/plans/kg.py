@@ -109,8 +109,10 @@ def _kg_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Staged once per (sf_dir) and reused across the construct queries."""
     import tempfile
 
+    # The version tag invalidates stale staged graphs when the melt
+    # column set changes (the staging dir can outlive the process).
     key = sf_dir.rstrip("/").replace("/", "_")
-    path = f"{tempfile.gettempdir()}/kg_graph_{key}"
+    path = f"{tempfile.gettempdir()}/kg_graph_v1_{key}"
     try:
         return spark.read.parquet(path)
     except Exception:
