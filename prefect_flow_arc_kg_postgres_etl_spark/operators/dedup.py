@@ -112,17 +112,21 @@ def minhash_signatures(
     codegen, k min-aggregates in ONE groupBy (map-side combine => the
     shuffle carries one row per doc). Returns (id, sig array<long>).
     """
-    grams = _gram_hashes(docs, id_col, text_col, n)
     # k permutations simulated from TWO base hashes per gram
     # (Kirsch–Mitzenmacher double hashing): perm_i = h1 XOR rotl(h2, i).
     # Each perm_i is a uniform bijection of gram space applied
     # identically on both sides of a comparison, so per-permutation
     # min-agreement stays an unbiased Jaccard estimator; cross-i
-    # correlation only widens the estimator variance slightly. All ops
-    # are bitwise (shift/or/xor) — ANSI-safe, and ~20x cheaper per gram
-    # than k independent xxhash64 calls.
+    # correlation only widens the estimator variance slightly. All agg
+    # ops are bitwise (shift/or/xor) — ANSI-safe. The second hash is
+    # MATERIALIZED as a projection column first: aggregate expressions
+    # get no common-subexpression elimination across columns, so an
+    # inline xxhash64 would be re-evaluated k times per gram.
+    grams = _gram_hashes(docs, id_col, text_col, n).withColumn(
+        "g2", F.xxhash64(F.lit(-1), F.col("g"))
+    )
     g1 = F.col("g")
-    g2 = F.xxhash64(F.lit(-1), F.col("g"))
+    g2 = F.col("g2")
 
     def rotl(c, i: int):
         if i == 0:
