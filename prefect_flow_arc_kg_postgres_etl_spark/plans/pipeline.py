@@ -102,6 +102,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(_dup_corpus(spark, sf_dir, near=True), _JAC_T)
 
 
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2+D4 composed: LSH candidates -> exact verify (the 100 TB
+    pipeline). Shares the quadratic tier's oracle — the scale path must
+    reproduce the ground truth exactly."""
+    return D.lsh_verified_pairs(_dup_corpus(spark, sf_dir, near=True), _JAC_T)
+
+
 DEDUP_JACCARD_ORACLE = f"""
 WITH corpus AS ({_NEAR_CORPUS_SQL}),
 words AS (

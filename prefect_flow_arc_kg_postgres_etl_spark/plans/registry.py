@@ -80,6 +80,7 @@ QUERIES: dict[str, QuerySpec] = {
     # ---- D-block: training-data pipeline operators
     "dedup_exact": QuerySpec(pipeline.dedup_exact, pipeline.DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(pipeline.dedup_ngram_jaccard, pipeline.DEDUP_JACCARD_ORACLE),
+    "dedup_lsh_verified": QuerySpec(pipeline.dedup_lsh_verified, pipeline.DEDUP_JACCARD_ORACLE),
     "dedup_embedding_cosine": QuerySpec(pipeline.dedup_embedding_cosine, pipeline.DEDUP_COSINE_ORACLE),
     "ann_bruteforce_topk": QuerySpec(pipeline.ann_bruteforce_topk, pipeline.ANN_BRUTE_ORACLE),
     "text_language_id": QuerySpec(pipeline.text_language_id, pipeline.LANG_ID_ORACLE),
