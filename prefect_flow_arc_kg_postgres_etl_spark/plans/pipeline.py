@@ -341,3 +341,59 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary_payload(_spread(spark, load_table(spark, sf_dir, "documents")))
     return sample_frames(media)
+
+
+# ------------------------------------- D14 composed corpus curation
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data end use, composed: keep a document iff it
+    (a) passes the quality gate (score == 1.0), (b) is identified as
+    English, and (c) is its duplicate-cluster's canonical survivor
+    (smallest doc_id for its fingerprint). All three features compute
+    scan-side; the only shuffle is the dedup hash-agg + the final
+    joins on doc_id (broadcast-sized at any corpus: features are
+    1 row/doc)."""
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    quality = TX.quality_score(docs).select("doc_id", "quality")
+    lang = TX.language_id(docs).select("doc_id", "detected_lang")
+    dedup = D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    return (
+        quality.join(lang, "doc_id")
+        .join(dedup, "doc_id", "left_semi")
+        .filter((F.col("quality") == 1.0) & (F.col("detected_lang") == "en"))
+        .select("doc_id", "quality", "detected_lang")
+    )
+
+
+CURATION_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+              x -> x <> '')) AS BIGINT) AS n_words,
+         CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(LENGTH(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS chars_in_words
+  FROM documents
+), ratios AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_words > 0 THEN chars_in_words * 1.0 / n_words ELSE 0.0 END AS mean_wlen
+  FROM feat
+), quality AS (
+  SELECT doc_id,
+         ROUND((
+           (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN mean_wlen BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+  FROM ratios
+), lang AS ({LANG_ID_ORACLE.replace(';', '')}
+), dedup AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY {_FPR_SQL}
+)
+SELECT q.doc_id, q.quality, l.detected_lang
+FROM quality q
+JOIN lang l ON l.doc_id = q.doc_id
+WHERE q.quality = 1.0 AND l.detected_lang = 'en'
+  AND EXISTS (SELECT 1 FROM dedup d WHERE d.doc_id = q.doc_id)
+"""

@@ -87,6 +87,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality_score": QuerySpec(pipeline.text_quality_score, pipeline.QUALITY_ORACLE),
     "text_token_stats": QuerySpec(pipeline.text_token_stats, pipeline.TOKEN_ORACLE),
     "text_fingerprint": QuerySpec(pipeline.text_fingerprint, pipeline.FINGERPRINT_ORACLE),
+    "corpus_curation": QuerySpec(pipeline.corpus_curation, pipeline.CURATION_ORACLE),
     # rows-only (hash/LSH internals are engine-specific; verified in tests
     # against their exact counterparts instead)
     "dedup_minhash_lsh": QuerySpec(pipeline.dedup_minhash_lsh, None),
