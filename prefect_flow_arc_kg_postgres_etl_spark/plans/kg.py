@@ -473,6 +473,52 @@ WHERE c_custkey NOT IN (
 """
 
 
+# --------------------------------- A9b empty-partition prune (deletes)
+def empty_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arc_db_delete_flow.py:113-122: after delete processing, list the
+    org partitions that no longer hold any record — those partitions
+    get dropped. The record population here is the event-active
+    customers (the entity set the delete flow touches; events whose
+    value < 0.7 flag their user as deleted); a nation partition empties
+    when every one of its event-active customers is flagged. Two
+    semi/anti joins over pre-aggregated (tiny) key sets — all
+    broadcast-sized at any corpus."""
+    cust = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    active = events.select(F.col("user_id").alias("c_custkey")).distinct()
+    flagged = (
+        events.filter(F.col("value") < 0.7)
+        .select(F.col("user_id").alias("c_custkey"))
+        .distinct()
+    )
+    population = cust.join(active, "c_custkey", "left_semi")
+    survivors = population.join(flagged, "c_custkey", "left_anti")
+    nations = load_table(spark, sf_dir, "nation").select(
+        F.lower(F.col("n_name")).alias("partition"), F.col("n_nationkey")
+    )
+    had_records = population.select("c_nationkey").distinct()
+    live = survivors.select("c_nationkey").distinct()
+    return (
+        nations.join(had_records, nations.n_nationkey == had_records.c_nationkey, "left_semi")
+        .join(live, nations.n_nationkey == live.c_nationkey, "left_anti")
+        .select("partition")
+    )
+
+
+EMPTY_PARTITION_ORACLE = """
+SELECT LOWER(n_name) AS partition
+FROM nation
+WHERE n_nationkey IN (
+  SELECT DISTINCT c_nationkey FROM customer
+  WHERE c_custkey IN (SELECT DISTINCT user_id FROM events))
+AND n_nationkey NOT IN (
+  SELECT DISTINCT c_nationkey FROM customer
+  WHERE c_custkey IN (SELECT DISTINCT user_id FROM events)
+    AND c_custkey NOT IN (SELECT DISTINCT user_id FROM events WHERE value < 0.7)
+)
+"""
+
+
 # ---------------------------------------------- A10 incremental since
 _SINCE = "2024-01-20 00:00:00"
 

@@ -43,6 +43,9 @@ QUERIES: dict[str, QuerySpec] = {
     "clear_and_insert": QuerySpec(kg.clear_and_insert, kg.CLEAR_INSERT_ORACLE),
     "orphan_cleanup": QuerySpec(kg.orphan_cleanup, kg.ORPHAN_ORACLE),
     "delete_processing": QuerySpec(kg.delete_processing, kg.DELETE_ORACLE),
+    "empty_partition_prune": QuerySpec(
+        kg.empty_partition_prune, kg.EMPTY_PARTITION_ORACLE
+    ),
     "incremental_since": QuerySpec(kg.incremental_since, kg.SINCE_ORACLE),
     "partition_stats": QuerySpec(kg.partition_stats_q, kg.PARTITION_STATS_ORACLE),
     "index_documents": QuerySpec(kg.index_documents, kg.INDEX_DOC_ORACLE),
