@@ -249,6 +249,65 @@ def embedding_near_dups(
     )
 
 
+def embedding_near_dups_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    bands: int = 12,
+    planes_per_band: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup at scale: banded hyperplane LSH candidate
+    generation followed by EXACT cosine verification of candidates only
+    — never the all-pairs cross join of ``embedding_near_dups``.
+
+    At (bands=12, r=8) a pair at cosine 0.99 is missed with prob
+    < 1e-6, so the output equals the quadratic tier's — that equality
+    is this operator's oracle (same pattern as lsh_verified_pairs vs
+    ngram_jaccard_pairs). Shuffles: one explode+self-join on uniform
+    (band, bucket) keys, a distinct on the id pair, two joins back to
+    the one-row-per-id vector table. Per-bucket fan-in is
+    |corpus|/2^r per band — sub-quadratic at 100 TB."""
+    from prefect_flow_arc_kg_postgres_etl_spark.functions.vectors import dot, norm
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.similarity import (
+        lsh_band_buckets,
+    )
+
+    buckets = lsh_band_buckets(
+        vectors, bands, planes_per_band, dim, id_col, vec_col
+    )
+    left = buckets.select(F.col("id").alias("vec_a"), "band", "bucket")
+    right = buckets.select(F.col("id").alias("vec_b"), "band", "bucket")
+    # Pair dedup BEFORE the vector re-join: a pair colliding in several
+    # bands must be scored once, and the distinct keeps the wide vector
+    # arrays off the pair shuffle (same rationale as MinHash banding).
+    cands = (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = vectors.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("ea"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("eb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def lsh_verified_pairs(
     docs: DataFrame,
     threshold: float,

@@ -68,19 +68,25 @@ def build_index_documents(
         F.collect_list("o_orderpriority").alias("_prios"),
     )
     # (c) jsonb_agg of typed objects (update_partition.sql:76-81
-    # premis_identifier): per-priority counts as a sorted string array —
-    # derived from the already-collected priority list with array
-    # expressions, NOT a second (custkey, prio) aggregation + join (one
-    # shuffle fewer; the per-customer list is bounded by order count).
+    # premis_identifier): per-priority counts as a sorted list — derived
+    # from the already-collected priority list with array expressions,
+    # NOT a second (custkey, prio) aggregation + join (one shuffle
+    # fewer; the per-customer list is bounded by order count). The doc
+    # field is the reference's jsonb_agg *string* (update_partition.sql
+    # emits strings into the document, not SQL arrays), serialized as a
+    # deterministic comma-joined string.
     order_agg = order_agg.withColumn(
         "priority_counts",
-        F.sort_array(
-            F.transform(
-                F.array_distinct("_prios"),
-                lambda p: F.concat_ws(
-                    ":", p, F.size(F.filter("_prios", lambda x: x == p))
-                ),
-            )
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.transform(
+                    F.array_distinct("_prios"),
+                    lambda p: F.concat_ws(
+                        ":", p, F.size(F.filter("_prios", lambda x: x == p))
+                    ),
+                )
+            ),
         ),
     ).drop("_prios")
 
@@ -129,9 +135,7 @@ def build_index_documents(
             F.col("last_order_date"),
             F.coalesce(F.col("order_keys"), F.lit("")).alias("order_keys"),
             F.col("preferred_priority"),
-            F.coalesce(F.col("priority_counts"), F.array().cast("array<string>")).alias(
-                "priority_counts"
-            ),
+            F.coalesce(F.col("priority_counts"), F.lit("")).alias("priority_counts"),
             F.round(
                 F.greatest(
                     F.coalesce(F.col("_max_order_total"), F.lit(0.0)),
@@ -139,14 +143,23 @@ def build_index_documents(
                 ),
                 2,
             ).alias("max_item_price"),
-            F.coalesce(
-                F.array_sort(
-                    F.array_union(
-                        F.coalesce(F.col("_order_years"), F.array().cast("array<int>")),
-                        F.coalesce(F.col("_ship_years"), F.array().cast("array<int>")),
-                    )
+            # active_years as a comma-joined string (doc field, same
+            # serialization rationale as priority_counts above).
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.array_union(
+                            F.coalesce(
+                                F.col("_order_years"), F.array().cast("array<int>")
+                            ),
+                            F.coalesce(
+                                F.col("_ship_years"), F.array().cast("array<int>")
+                            ),
+                        )
+                    ),
+                    lambda y: y.cast("string"),
                 ),
-                F.array().cast("array<int>"),
             ).alias("active_years"),
         )
     )

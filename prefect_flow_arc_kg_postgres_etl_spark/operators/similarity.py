@@ -89,6 +89,44 @@ def lsh_bucket(
     )
 
 
+def lsh_band_buckets(
+    vectors: DataFrame,
+    bands: int = 12,
+    planes_per_band: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded hyperplane LSH: ``bands`` independent bucket keys per
+    vector (band t = sign bits of planes [t*r, t*r+r)). Two vectors at
+    angle theta share a band-bucket with prob (1 - theta/pi)^r; ORed
+    over b bands the miss rate is (1 - (1-theta/pi)^r)^b — for
+    cosine >= 0.99 (theta/pi ~ 0.045) at r=8, b=12 that is < 1e-6, so
+    the candidate set is exhaustive in expectation and exact verify
+    downstream reproduces the all-pairs ground truth.
+
+    All b*r plane dots are JVM fold expressions in ONE projection; the
+    output is exploded to (id, band, bucket) rows — the same banding
+    shape as MinHash-LSH (dedup.minhash_lsh_candidates), uniform join
+    keys by construction."""
+    band_structs = []
+    for t in range(bands):
+        bucket = F.lit(0).cast("long")
+        for j in range(planes_per_band):
+            plane = F.array(
+                *[F.lit(c) for c in _hyperplane(dim, t * planes_per_band + j)]
+            )
+            bit = (dot(F.col(vec_col), plane) > 0).cast("long")
+            bucket = bucket + F.shiftleft(bit, j)
+        band_structs.append(
+            F.struct(F.lit(t).alias("band"), bucket.alias("bucket"))
+        )
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select("id", "bk.band", "bk.bucket")
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -148,15 +186,17 @@ def ivf_centroids(
     return out
 
 
-def _centroid_lit(cents: list[tuple[int, list[float], float]]):
-    return F.array(*[
-        F.struct(
-            F.lit(cid).alias("cid"),
-            F.array(*[F.lit(x) for x in vec]).alias("cv"),
-            F.lit(n).alias("cn"),
-        )
-        for cid, vec, n in cents
-    ])
+def _centroid_frame(spark, cents: list[tuple[int, list[float], float]]):
+    """The centroid table as a ONE-ROW DataFrame holding the whole
+    array<struct> — broadcast-joined to both sides instead of inlined
+    as a literal. An inlined literal's expression tree grows linearly
+    with n_centroids*dim (a Catalyst analysis cliff at 4k+ centroids);
+    a broadcast of one row is constant-size in the plan and still
+    shuffle-free (BroadcastNestedLoopJoin with a single build row)."""
+    return spark.createDataFrame(
+        [(cents,)],
+        "cents array<struct<cid:int,cv:array<double>,cn:double>>",
+    )
 
 
 def ivf_topk(
@@ -172,37 +212,53 @@ def ivf_topk(
     (an inverted file of ``n_centroids`` posting lists); each query
     probes only its ``n_probe`` closest centroids' lists.
 
-    Both assignments are scan-side fold expressions over an inlined
-    centroid literal — NO shuffle to build the index, no UDF. The only
-    shuffle is the equi-join on cluster id, whose fan-in is
-    |corpus|/n_centroids per cluster — the sub-linear candidate path at
-    100 TB (vs the cross join's |Q|x|N|). Recall vs the exact tier is
-    measured in tests. Returns (query_id, neighbor_id, cosine, rank)."""
-    cents = _centroid_lit(ivf_centroids(corpus, n_centroids, id_col, vec_col))
+    Both assignments are scan-side fold expressions over a one-row
+    broadcast centroid table — NO shuffle to build the index, no UDF,
+    and no expression-size cliff as n_centroids grows (the centroids
+    ride in as DATA, not plan literals). The only record shuffle is the
+    equi-join on cluster id, whose fan-in is |corpus|/n_centroids per
+    cluster — the sub-linear candidate path at 100 TB (vs the cross
+    join's |Q|x|N|). Recall vs the exact tier is measured in tests.
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    spark = corpus.sparkSession
+    cent_df = _centroid_frame(
+        spark, ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    )
 
     def scores(vcol, ncol):
         return F.transform(
-            cents,
+            F.col("cents"),
             lambda c: F.struct(
                 (dot(vcol, c.getField("cv")) / (ncol * c.getField("cn"))).alias("s"),
                 c.getField("cid").alias("cid"),
             ),
         )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col)).alias("cn"),
-    ).withColumn(
-        # nearest centroid; ties break on the larger cid, deterministically
-        "cid", F.array_max(scores(F.col("cv"), F.col("cn"))).getField("cid")
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            norm(F.col(vec_col)).alias("cn"),
+        )
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            # nearest centroid; ties break on the larger cid, deterministically
+            "cid", F.array_max(scores(F.col("cv"), F.col("cn"))).getField("cid")
+        )
+        .drop("cents")
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("qn"),
-    ).withColumn(
-        "probe", F.slice(F.sort_array(scores(F.col("qv"), F.col("qn")), False), 1, n_probe)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("qn"),
+        )
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "probe",
+            F.slice(F.sort_array(scores(F.col("qv"), F.col("qn")), False), 1, n_probe),
+        )
+        .drop("cents")
     )
     probes = q.select(
         "query_id", "qv", "qn", F.explode("probe").alias("p")

@@ -577,7 +577,7 @@ WITH order_agg AS (
   FROM orders GROUP BY o_custkey
 ),
 prio_counts AS (
-  SELECT o_custkey, LIST_SORT(LIST(p_cnt)) AS priority_counts
+  SELECT o_custkey, ARRAY_TO_STRING(LIST_SORT(LIST(p_cnt)), ',') AS priority_counts
   FROM (
     SELECT o_custkey, o_orderpriority || ':' || COUNT(*) AS p_cnt
     FROM orders GROUP BY o_custkey, o_orderpriority
@@ -603,11 +603,13 @@ SELECT c.c_custkey AS id,
        oa.last_order_date,
        COALESCE(oa.order_keys, '') AS order_keys,
        oa.preferred_priority,
-       COALESCE(pc.priority_counts, []) AS priority_counts,
+       COALESCE(pc.priority_counts, '') AS priority_counts,
        ROUND(GREATEST(COALESCE(oa.max_order_total, 0.0),
                       COALESCE(ll.max_line_price, 0.0)), 2) AS max_item_price,
-       COALESCE(LIST_SORT(LIST_DISTINCT(
-         COALESCE(oa.order_years, []) || COALESCE(ll.ship_years, []))), [])
+       COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(
+         LIST_SORT(LIST_DISTINCT(
+           COALESCE(oa.order_years, []) || COALESCE(ll.ship_years, []))),
+         y -> CAST(y AS VARCHAR)), ','), '')
          AS active_years
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -708,9 +710,18 @@ _BATCH_SIZE = 100
 
 def batch_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record batching (stream.ts:120-160 RecordBatcher): records routed
-    per target table, numbered deterministically, grouped into batches of
-    BATCH_SIZE. In Spark batching is a window numbering — batches map to
-    write tasks, not driver-side buffers."""
+    per target table, grouped into deterministic bounded-size batches.
+    The reference only needs batch ids that are deterministic and
+    bounded — NOT a global dense numbering — so the id is a uniform
+    hash bucket: ``batch_id = H(record_id) mod ceil(n/BATCH)``.
+
+    Scale shape: a per-table ``row_number`` window would funnel every
+    record of a table through ONE reducer (a global per-table sort); the
+    hash rule needs only a tiny per-table count agg (map-side combine)
+    broadcast back — the batch assignment itself is scan-side, no
+    shuffle of the records at all. The hash is md5-prefix (not
+    xxhash64) because both engines must compute it identically for the
+    oracle."""
     cust = T.to_table_triples(
         load_table(spark, sf_dir, "customer"), "graph.customer", "c_custkey"
     ).select("table_name", "record_id")
@@ -718,10 +729,16 @@ def batch_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"), "graph.orders", "o_orderkey"
     ).select("table_name", "record_id")
     records = cust.unionByName(orders)
-    w = Window.partitionBy("table_name").orderBy("record_id")
-    return records.withColumn(
-        "batch_id",
-        ((F.row_number().over(w) - F.lit(1)) / _BATCH_SIZE).cast("bigint"),
+    n_batches = records.groupBy("table_name").agg(
+        F.ceil(F.count("*") / F.lit(_BATCH_SIZE)).cast("bigint").alias("n_batches")
+    )
+    bucket_hash = F.conv(
+        F.substring(F.md5(F.col("record_id")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        records.join(F.broadcast(n_batches), "table_name")
+        .withColumn("batch_id", (bucket_hash % F.col("n_batches")).cast("bigint"))
+        .select("table_name", "record_id", "batch_id")
     )
 
 
@@ -731,9 +748,15 @@ WITH records AS (
   FROM customer
   UNION ALL
   SELECT 'graph.orders', CAST(o_orderkey AS VARCHAR) FROM orders
+),
+counted AS (
+  SELECT table_name, record_id,
+         CAST(CEIL(COUNT(*) OVER (PARTITION BY table_name) * 1.0 / {_BATCH_SIZE})
+              AS BIGINT) AS n_batches
+  FROM records
 )
 SELECT table_name, record_id,
-       CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY table_name ORDER BY record_id) - 1)
-            / {_BATCH_SIZE}) AS BIGINT) AS batch_id
-FROM records
+       CAST(('0x' || substring(md5(record_id), 1, 8))::UBIGINT % n_batches
+            AS BIGINT) AS batch_id
+FROM counted
 """

@@ -175,6 +175,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dups(_vec_corpus(spark, sf_dir), _COS_T)
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5's 100 TB path: banded hyperplane LSH candidates -> exact
+    cosine verify on candidates only. Shares the quadratic tier's
+    oracle — the scale path must reproduce the ground truth exactly
+    (same pattern as dedup_lsh_verified vs dedup_ngram_jaccard)."""
+    return D.embedding_near_dups_lsh(_vec_corpus(spark, sf_dir), _COS_T)
+
+
 DEDUP_COSINE_ORACLE = f"""
 WITH corpus AS ({_VEC_CORPUS_SQL}),
 pairs AS (

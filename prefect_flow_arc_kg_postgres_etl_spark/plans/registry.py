@@ -29,6 +29,11 @@ class QuerySpec:
     oracle: str | None
 
 
+# Ordering contract: the driver checks the FIRST 50 registry entries, so
+# every oracle-backed entry must come before the rows-only tail. Round-1
+# put 7 rows-only entries mid-list and pushed stream_windowed_agg /
+# stream_dedup (both oracle-backed) past the cap — keep ALL oracle=None
+# entries in the tail section below.
 QUERIES: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
@@ -75,7 +80,6 @@ QUERIES: dict[str, QuerySpec] = {
     "grouping_sets": QuerySpec(
         relational.grouping_sets, relational.GROUPING_SETS_ORACLE
     ),
-    "distinct_agg_approx": QuerySpec(relational.distinct_agg_approx, None),
     "q7_volume_shipping": QuerySpec(relational.q7_volume_shipping, relational.Q7_ORACLE),
     "q19_discounted_revenue": QuerySpec(
         relational.q19_discounted_revenue, relational.Q19_ORACLE
@@ -85,14 +89,24 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(pipeline.dedup_ngram_jaccard, pipeline.DEDUP_JACCARD_ORACLE),
     "dedup_lsh_verified": QuerySpec(pipeline.dedup_lsh_verified, pipeline.DEDUP_JACCARD_ORACLE),
     "dedup_embedding_cosine": QuerySpec(pipeline.dedup_embedding_cosine, pipeline.DEDUP_COSINE_ORACLE),
+    "dedup_embedding_lsh": QuerySpec(pipeline.dedup_embedding_lsh, pipeline.DEDUP_COSINE_ORACLE),
     "ann_bruteforce_topk": QuerySpec(pipeline.ann_bruteforce_topk, pipeline.ANN_BRUTE_ORACLE),
     "text_language_id": QuerySpec(pipeline.text_language_id, pipeline.LANG_ID_ORACLE),
     "text_quality_score": QuerySpec(pipeline.text_quality_score, pipeline.QUALITY_ORACLE),
     "text_token_stats": QuerySpec(pipeline.text_token_stats, pipeline.TOKEN_ORACLE),
     "text_fingerprint": QuerySpec(pipeline.text_fingerprint, pipeline.FINGERPRINT_ORACLE),
     "corpus_curation": QuerySpec(pipeline.corpus_curation, pipeline.CURATION_ORACLE),
-    # rows-only (hash/LSH internals are engine-specific; verified in tests
-    # against their exact counterparts instead)
+    # ---- C-block: Structured Streaming (oracle-backed entries)
+    "stream_windowed_agg": QuerySpec(
+        streaming_plans.stream_windowed_agg, streaming_plans.STREAM_WINDOWED_ORACLE
+    ),
+    "stream_dedup": QuerySpec(
+        streaming_plans.stream_dedup, streaming_plans.STREAM_DEDUP_ORACLE
+    ),
+    # ================= rows-only tail (oracle=None) =================
+    # hash/LSH internals are engine-specific; verified in tests against
+    # their exact counterparts instead. Streaming rows-only by design.
+    "distinct_agg_approx": QuerySpec(relational.distinct_agg_approx, None),
     "dedup_minhash_lsh": QuerySpec(pipeline.dedup_minhash_lsh, None),
     "dedup_simhash": QuerySpec(pipeline.dedup_simhash, None),
     "ann_lsh_topk": QuerySpec(pipeline.ann_lsh_topk, None),
@@ -100,17 +114,10 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_decode": QuerySpec(pipeline.multimodal_decode, None),
     "multimodal_resize": QuerySpec(pipeline.multimodal_resize, None),
     "multimodal_frame_sample": QuerySpec(pipeline.multimodal_frame_sample, None),
-    # ---- C-block: Structured Streaming
-    "stream_windowed_agg": QuerySpec(
-        streaming_plans.stream_windowed_agg, streaming_plans.STREAM_WINDOWED_ORACLE
-    ),
     "stream_incremental_upsert": QuerySpec(
         streaming_plans.stream_incremental_upsert, None
     ),
     "stream_sessionize": QuerySpec(streaming_plans.stream_sessionize, None),
-    "stream_dedup": QuerySpec(
-        streaming_plans.stream_dedup, streaming_plans.STREAM_DEDUP_ORACLE
-    ),
     "stream_es_feed": QuerySpec(streaming_plans.stream_es_feed, None),
 }
 

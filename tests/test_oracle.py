@@ -8,7 +8,7 @@ import pytest
 
 from prefect_flow_arc_kg_postgres_etl_spark.plans.registry import QUERIES
 from tests.conftest import SF_SMOKE
-from tools.check_oracle import norm_cell, table_hash
+from tools.check_oracle import _reject_unhashable, compare
 
 import duckdb
 
@@ -26,20 +26,14 @@ def duck():
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     spec = QUERIES[name]
-    sdf = spec.builder(spark, SF_SMOKE)
-    s_cols = list(sdf.columns)
-    s_rows = [tuple(r) for r in sdf.collect()]
+    s_pd = spec.builder(spark, SF_SMOKE).toPandas()
     if spec.oracle is None:
-        assert s_rows is not None  # rows-only contract: runs, stable schema
+        # rows-only contract: runs, stable schema, and STILL no
+        # list-typed cells (the driver's canonicalizer must not err).
+        assert _reject_unhashable(s_pd, "spark") is None
         return
-    res = duck.sql(spec.oracle)
-    d_cols = list(res.columns)
-    d_rows = res.fetchall()
-    assert len(s_rows) == len(d_rows), f"rowcount {len(s_rows)} != {len(d_rows)}"
-    assert sorted(s_cols) == sorted(d_cols)
-    s_ord = [s_cols.index(c) for c in sorted(s_cols)]
-    d_ord = [d_cols.index(c) for c in sorted(d_cols)]
-    assert table_hash(s_rows, s_ord) == table_hash(d_rows, d_ord), "value hash"
+    d_pd = duck.sql(spec.oracle).df()
+    assert compare(s_pd, d_pd) == []
 
 
 def test_approx_distinct_within_rsd(spark):

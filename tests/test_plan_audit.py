@@ -121,13 +121,38 @@ def test_org_scope_is_broadcast_semi_join(spark):
 
 
 def test_ivf_probe_join_is_broadcast_equi(spark):
-    """IVF: centroid assignment is scan-side (no exchange to build the
-    index); the probe side broadcasts into an equi-join on cluster id —
-    never a cross join of queries x corpus."""
+    """IVF: centroid assignment is scan-side against a ONE-ROW broadcast
+    centroid table (the two BroadcastNestedLoopJoins with a single build
+    row — constant-size, shuffle-free); the probe side broadcasts into
+    an equi-join on cluster id — never a cross join of queries x
+    corpus."""
     plan = build(spark, "ann_ivf_topk")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly the two single-row centroid attaches, nothing data-sized
+    # (detail headers — formatted explain prints each node twice)
+    assert plan.count(") BroadcastNestedLoopJoin") <= 2
     assert "BroadcastHashJoin" in plan
+
+
+def test_batch_stage_no_global_window(spark):
+    """Batch ids are hash buckets: no Window (a per-table row_number
+    would funnel each table through ONE reducer), the only joins are the
+    broadcast of the tiny per-table count."""
+    plan = build(spark, "batch_stage")
+    assert "Window" not in plan, "batch_stage regressed to a global window"
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_embedding_lsh_is_bucketed_not_cross(spark):
+    """The embedding near-dup SCALE path: candidate generation must be
+    an equi-join on (band, bucket) — the whole point vs the quadratic
+    tier — and signatures/vectors must re-attach after the pair
+    distinct."""
+    plan = build(spark, "dedup_embedding_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan  # the pair distinct
 
 
 def test_exists_anti_pushes_filter_and_broadcasts(spark):
