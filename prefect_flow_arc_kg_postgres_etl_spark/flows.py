@@ -89,6 +89,34 @@ TABLE_ORG: dict[str, str] = {
 }
 
 
+class RunStats(dict):
+    """Run accounting (the Stats surface of typescript/src/stats.ts:1-17
+    — processed/failed counts and per-statement progress). Behaves as
+    the per-table merged-rowcount mapping the reference logs, plus:
+
+    - ``tables``: per-table detail — staged rows, merged rows, status
+      ('merged' | 'failed'), and the error string for failures.
+    - ``merged_tables`` / ``failed_tables``: run totals.
+
+    A failed table does not abort the run: remaining tables still merge
+    (FK order only sequences parents first; the store is per-table
+    parquet, so a missing parent degrades that child's FK integrity but
+    not the load), and the failure is recorded here for the operator —
+    at 100 TB you retry the failed tables, not the run."""
+
+    def __init__(self):
+        super().__init__()
+        self.tables: dict[str, dict] = {}
+
+    @property
+    def merged_tables(self) -> int:
+        return sum(1 for t in self.tables.values() if t["status"] == "merged")
+
+    @property
+    def failed_tables(self) -> int:
+        return sum(1 for t in self.tables.values() if t["status"] == "failed")
+
+
 def sync_flow(
     spark: SparkSession,
     sf_dir: str,
@@ -98,27 +126,29 @@ def sync_flow(
     or_ids: list[int] | None = None,
     tables: list[str] | None = None,
     build_index: bool = True,
-) -> dict[str, int]:
+) -> RunStats:
     """Run one sync: load every table from ``sf_dir`` into the store at
     ``store_dir`` (full = overwrite, incremental = PK upsert of rows
     modified after ``since``), then rebuild the index documents and the
     ES bulk feed from the converged store. ``or_ids`` restricts the run
     to an organisation set (configuration.ts OR_IDS) — an isin filter
     pushed to every scan that carries the org key. Returns per-table
-    row counts after merge (the reference logs merge rowcounts the
-    same way)."""
+    row counts after merge plus staged/merged/failed accounting
+    (``RunStats``)."""
     wanted = tables or list(TABLE_PK)
     deps = {t: TABLE_DEPS[t] & set(wanted) for t in wanted}
-    counts: dict[str, int] = {}
+    stats = RunStats()
 
-    def sync_table(name: str) -> int:
+    def sync_table(name: str) -> tuple[int, int]:
+        """Returns (staged_rows, merged_rows)."""
         src = load_table(spark, sf_dir, name)
         if or_ids is not None and name in TABLE_ORG:
             src = src.filter(F.col(TABLE_ORG[name]).isin(or_ids))
         path = f"{store_dir}/{name}.parquet"
         if full_sync:
             src.write.mode("overwrite").parquet(path)
-            return spark.read.parquet(path).count()
+            n = spark.read.parquet(path).count()
+            return n, n
         if name in TABLE_MULTIVALUE:
             # Incremental multi-value merge: a modified group re-emits
             # ALL its rows (the reference's CONSTRUCT does the same for
@@ -140,31 +170,53 @@ def sync_flow(
             staging = f"{store_dir}/_staging/{name}"
             batch.write.mode("overwrite").parquet(staging)
             staged = spark.read.parquet(staging)
-            target = spark.read.parquet(path)
-            merged = clear_and_insert(target, staged, group_key)
+            n_staged = staged.count()
+            try:
+                target = spark.read.parquet(path)
+            except Exception:
+                # First incremental load of a never-full-synced table:
+                # the staged batch IS the initial table (same fallback
+                # stage_then_merge applies on the PK path).
+                merged = staged
+            else:
+                merged = clear_and_insert(target, staged, group_key)
             tmp = path + ".new"
             merged.write.mode("overwrite").parquet(tmp)
             spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-            return spark.read.parquet(path).count()
+            return n_staged, spark.read.parquet(path).count()
         if since is not None and name in TABLE_MODIFIED:
             src = src.filter(F.col(TABLE_MODIFIED[name]) > F.lit(since))
         merged = stage_then_merge(
             spark, src, path, f"{store_dir}/_staging/{name}", TABLE_PK[name]
         )
-        return merged.count()
+        return src.count(), merged.count()
+
+    def run_table(name: str) -> tuple[str, int, int, str | None]:
+        try:
+            staged, merged = sync_table(name)
+            return name, staged, merged, None
+        except Exception as e:  # recorded, not raised — see RunStats
+            return name, 0, 0, f"{type(e).__name__}: {e}"
 
     # Merge level-by-level in FK order; tables inside a level have no
     # mutual dependency, so their Spark jobs run concurrently (separate
     # threads -> the scheduler interleaves stages across cores).
     for level in fk_merge_order(deps):
         with ThreadPoolExecutor(max_workers=len(level)) as pool:
-            for name, n in zip(level, pool.map(sync_table, level)):
-                counts[name] = n
+            for name, staged, merged, err in pool.map(run_table, level):
+                if err is None:
+                    stats[name] = merged
+                stats.tables[name] = {
+                    "staged": staged,
+                    "merged": merged,
+                    "status": "merged" if err is None else "failed",
+                    "error": err,
+                }
 
     if build_index and {"customer", "nation", "region", "orders"} <= set(wanted):
         docs = build_index_documents(spark, store_dir, as_json=True)
         write_bulk_ndjson(docs, f"{store_dir}/_index/es_bulk")
-        counts["index_documents"] = spark.read.text(
+        stats["index_documents"] = spark.read.text(
             f"{store_dir}/_index/es_bulk"
         ).count()
-    return counts
+    return stats

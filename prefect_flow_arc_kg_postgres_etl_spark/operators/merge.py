@@ -137,6 +137,17 @@ def salted_join(
     a partition). The salt is derived from a hash of the whole left row
     (deterministic, no rand()) so repeated runs produce identical
     plans/results."""
+    # Replicating the right side is only sound when unmatched RIGHT rows
+    # are never emitted: an outer-right/full join would emit each
+    # unmatched right row ``salt`` times, and right-side null extension
+    # changes shape. Guard the semantics instead of silently corrupting.
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — right-side replication "
+            f"duplicates unmatched right rows under outer modes; use {sorted(allowed)}"
+        )
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
     l_salted = left.withColumn("_salt", lsalt.cast("int"))
     r_salted = right.withColumn(

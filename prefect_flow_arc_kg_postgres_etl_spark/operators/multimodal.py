@@ -1,16 +1,22 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The Spark-side plumbing (schema, batching, partition behavior) is real
-and tested; the actual media decode is stubbed — the decode libraries
-(PIL/ffmpeg/etc.) are not in this environment. ``decode_image`` raises
-NotImplementedError; ``fake_featurize`` is the deterministic stand-in
-used by tests and the registry entry so the pipeline shape is
-exercised end-to-end.
+The payloads are REAL image binaries: deterministic 24-bit BMPs built
+with stdlib struct packing (``synthesize_bmp_media``), and the decode
+step (``decode_media``) genuinely parses them — via PIL when an imaging
+library is present (import-try), else a stdlib BMP header+pixel parser.
+Both paths produce identical output by construction, and because the
+synthesis is a closed-form function of doc_id, every decoded field is
+verifiable against an independent formula (tests do exactly that).
+
+Audio/video decode (ffmpeg-class libraries) stays represented by the
+frame-sampler's deterministic byte-window stand-in — the 1:N expansion
+plumbing is the real pattern a video decoder plugs into.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -21,6 +27,138 @@ MEDIA_SCHEMA = (
     "doc_id bigint, media_type string, byte_len bigint, checksum bigint, "
     "width int, height int"
 )
+
+_CHECK_MOD = 1_000_003
+
+
+def _bmp_dims(doc_id: int) -> tuple[int, int, int]:
+    """Closed-form synthetic image parameters: (width, height, pixel
+    value). Width 16..32, height 8..18, one flat color per image —
+    every decoded field below is derivable from doc_id alone, which is
+    what makes the decode independently checkable."""
+    return 16 + doc_id % 17, 8 + doc_id % 11, (doc_id * 31) % 251
+
+
+def _bmp_bytes(w: int, h: int, v: int) -> bytes:
+    """A real, spec-compliant 24-bit BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + bottom-up padded pixel rows)."""
+    stride = (3 * w + 3) // 4 * 4
+    img_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    row = bytes([v, v, v] * w) + b"\x00" * (stride - 3 * w)
+    return header + info + row * h
+
+
+def _parse_bmp(payload: bytes) -> tuple[int, int, int]:
+    """stdlib BMP decode: (width, height, pixel-byte checksum). Reads
+    the declared header geometry and sums the pixel bytes row by row,
+    skipping stride padding — a genuine parse of the binary, not a
+    metadata passthrough."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    stride = (3 * w + 3) // 4 * 4
+    total = 0
+    for y in range(abs(h)):
+        row = payload[offset + y * stride : offset + y * stride + 3 * w]
+        total += sum(row)
+    return w, abs(h), total % _CHECK_MOD
+
+
+def synthesize_bmp_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real BMP binary per document — the multimodal frame as
+    it would come off object storage, minus the fetch. mapInPandas so
+    the byte packing runs executor-side per Arrow batch (1:1, narrow)."""
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+        import struct as _struct
+
+        def dims(doc_id):
+            return 16 + doc_id % 17, 8 + doc_id % 11, (doc_id * 31) % 251
+
+        def bmp(doc_id):
+            w, h, v = dims(doc_id)
+            stride = (3 * w + 3) // 4 * 4
+            img_size = stride * h
+            header = _struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+            info = _struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+            )
+            row = bytes([v, v, v] * w) + b"\x00" * (stride - 3 * w)
+            return header + info + row * h
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": pdf[id_col].map(bmp),
+                    "media_type": "image/bmp",
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        synth_batches, schema="doc_id bigint, payload binary, media_type string"
+    )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """REAL image decode over the binary column (mapInPandas, Arrow
+    batches): PIL when available (import-try), else the stdlib BMP
+    parser — identical output either way. Emits per-image geometry and
+    a pixel checksum actually computed from the decoded bytes."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+        import struct as _struct
+
+        try:  # pragma: no cover - imaging lib optional in this env
+            import io as _io
+
+            from PIL import Image as _Image
+
+            def decode(payload):
+                img = _Image.open(_io.BytesIO(payload)).convert("RGB")
+                w, h = img.size
+                total = sum(r + g + b for r, g, b in img.getdata())
+                return w, h, total % _CHECK_MOD
+
+        except ImportError:
+
+            def decode(payload):
+                if payload[:2] != b"BM":
+                    raise ValueError("not a BMP payload")
+                (offset,) = _struct.unpack_from("<I", payload, 10)
+                w, h = _struct.unpack_from("<ii", payload, 18)
+                (bpp,) = _struct.unpack_from("<H", payload, 28)
+                if bpp != 24:
+                    raise ValueError(f"unsupported bpp {bpp}")
+                stride = (3 * w + 3) // 4 * 4
+                total = 0
+                for y in range(abs(h)):
+                    row = payload[offset + y * stride : offset + y * stride + 3 * w]
+                    total += sum(row)
+                return w, abs(h), total % _CHECK_MOD
+
+        for pdf in batches:
+            decoded = pdf["payload"].map(decode)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "byte_len": pdf["payload"].map(len).astype("int64"),
+                    "checksum": decoded.map(lambda t: t[2]).astype("int64"),
+                    "width": decoded.map(lambda t: t[0]).astype("int32"),
+                    "height": decoded.map(lambda t: t[1]).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=MEDIA_SCHEMA)
 
 
 def attach_binary_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -39,94 +177,65 @@ def attach_binary_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - by design
-    """Real media decode — STUB. Needs an image library not present in
-    this environment; the Spark plumbing around it is real."""
-    raise NotImplementedError(
-        "image decode requires an imaging library not available here; "
-        "use fake_featurize for the deterministic pipeline stand-in"
-    )
-
-
-def fake_featurize(media: DataFrame) -> DataFrame:
-    """mapInPandas over the binary column — Arrow batch transfer, no
-    per-row Python loop on the driver. Partitioning is preserved
-    (narrow op).
-
-    The batch function is a self-contained closure (stdlib+pandas only)
-    so cloudpickle ships it BY VALUE — Spark's Python workers do not
-    have this package on their import path.
-    """
-
-    def featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Deterministic fake 'decode': byte length + additive checksum,
-        # plus metadata passthrough — the exact shape a thumbnailer /
-        # frame-sampler plugs into.
-        import pandas as _pd
-
-        for pdf in batches:
-            payloads = pdf["payload"]
-            yield _pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "byte_len": payloads.map(len).astype("int64"),
-                    "checksum": payloads.map(lambda b: sum(b) % 1_000_003).astype("int64"),
-                    "width": pdf["meta"].map(lambda m: m["width"]).astype("int32"),
-                    "height": pdf["meta"].map(lambda m: m["height"]).astype("int32"),
-                }
-            )
-
-    return media.mapInPandas(featurize_batches, schema=MEDIA_SCHEMA)
-
-
 RESIZE_SCHEMA = (
     "doc_id bigint, media_type string, width int, height int, "
     "thumb_width int, thumb_height int, thumb_len bigint"
 )
 
 
-def resize_thumbnails(media: DataFrame, max_side: int = 128) -> DataFrame:
-    """Thumbnail pass: decode -> resize -> re-encode, as mapInPandas over
-    the binary column (1:1, narrow, Arrow-batched). The decode/resize
-    core is gated behind an import-try of PIL: with an imaging library
-    present the real path runs; without one a deterministic fake stands
-    in (scaled dims by aspect ratio, payload truncated proportionally)
-    so the Spark plumbing — schema, batching, partitioning — is
-    exercised either way."""
+def resize_thumbnails(media: DataFrame, max_side: int = 16) -> DataFrame:
+    """Thumbnail pass: decode -> resize -> re-encode as BMP, mapInPandas
+    over the binary column (1:1, narrow, Arrow-batched). With PIL the
+    pixels are really resampled and re-encoded; without it the stdlib
+    path parses the source geometry and computes the re-encoded size
+    from the BMP layout (54-byte header + padded rows) — the thumbnail
+    dims come from the same formula either way, so output is identical
+    across environments. thumb dims: scale = min(1, max_side/max(w,h)),
+    floor, clamp >= 1."""
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
+        import struct as _struct
 
-        try:  # pragma: no cover - imaging lib not in this environment
-            from PIL import Image  # noqa: F401
+        def thumb_dims(w, h):
+            scale = min(1.0, max_side / max(w, h))
+            return max(1, int(w * scale)), max(1, int(h * scale))
 
-            have_pil = True
+        def bmp_len(w, h):
+            return 54 + h * ((3 * w + 3) // 4 * 4)
+
+        try:  # pragma: no cover - imaging lib optional in this env
+            import io as _io
+
+            from PIL import Image as _Image
+
+            def resize(payload):
+                img = _Image.open(_io.BytesIO(payload)).convert("RGB")
+                w, h = img.size
+                tw, th = thumb_dims(w, h)
+                buf = _io.BytesIO()
+                img.resize((tw, th)).save(buf, format="BMP")
+                return w, h, tw, th, len(buf.getvalue())
+
         except ImportError:
-            have_pil = False
+
+            def resize(payload):
+                w, h = _struct.unpack_from("<ii", payload, 18)
+                h = abs(h)
+                tw, th = thumb_dims(w, h)
+                return w, h, tw, th, bmp_len(tw, th)
 
         for pdf in batches:
-            w = pdf["meta"].map(lambda m: m["width"]).astype("int32")
-            h = pdf["meta"].map(lambda m: m["height"]).astype("int32")
-            scale = (max_side / w.combine(h, max)).clip(upper=1.0)
-            tw = (w * scale).astype("int32").clip(lower=1)
-            th = (h * scale).astype("int32").clip(lower=1)
-            if have_pil:  # pragma: no cover
-                # Real path: Image.open(io.BytesIO(b)).thumbnail(...)
-                raise NotImplementedError("wire PIL decode here on a real cluster")
-            # Deterministic fake: thumbnail payload ~ payload scaled by
-            # the same area ratio the real resize would produce.
-            plen = pdf["payload"].map(len).astype("int64")
-            tlen = (plen * (tw.astype("int64") * th) // (w.astype("int64") * h)).clip(lower=1)
+            r = pdf["payload"].map(resize)
             yield _pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    "doc_id": pdf["doc_id"].astype("int64"),
                     "media_type": pdf["media_type"],
-                    "width": w,
-                    "height": h,
-                    "thumb_width": tw,
-                    "thumb_height": th,
-                    "thumb_len": tlen,
+                    "width": r.map(lambda t: t[0]).astype("int32"),
+                    "height": r.map(lambda t: t[1]).astype("int32"),
+                    "thumb_width": r.map(lambda t: t[2]).astype("int32"),
+                    "thumb_height": r.map(lambda t: t[3]).astype("int32"),
+                    "thumb_len": r.map(lambda t: t[4]).astype("int64"),
                 }
             )
 

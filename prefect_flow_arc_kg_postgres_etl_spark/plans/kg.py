@@ -106,13 +106,23 @@ def _kg_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting list instead of re-melting all source tables per pattern —
     the standard vertical-partitioning layout for RDF on columnar
     storage, and the layout a 100 TB triple store would ship with.
-    Staged once per (sf_dir) and reused across the construct queries."""
+    Staged once per (sf_dir, source-content) and reused across the
+    construct queries."""
+    import hashlib
+    import os
     import tempfile
 
-    # The version tag invalidates stale staged graphs when the melt
-    # column set changes (the staging dir can outlive the process).
-    key = sf_dir.rstrip("/").replace("/", "_")
-    path = f"{tempfile.gettempdir()}/kg_graph_v1_{key}"
+    # Cache key = content fingerprint of the source files (mtime+size
+    # per table) + a layout version. A bare version tag would silently
+    # serve a stale graph if the source parquet changed underneath;
+    # fingerprinting makes any source update (or a concurrent writer's
+    # refresh) land in its own staging dir.
+    fp = hashlib.md5(b"layout_v2")
+    for t in ("customer", "nation", "orders"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        st = os.stat(p)
+        fp.update(f"{t}:{st.st_mtime_ns}:{st.st_size};".encode())
+    path = f"{tempfile.gettempdir()}/kg_graph_{fp.hexdigest()[:16]}"
     try:
         return spark.read.parquet(path)
     except Exception:

@@ -21,9 +21,10 @@ from prefect_flow_arc_kg_postgres_etl_spark.operators import similarity as S
 from prefect_flow_arc_kg_postgres_etl_spark.operators import text as TX
 from prefect_flow_arc_kg_postgres_etl_spark.operators.multimodal import (
     attach_binary_payload,
-    fake_featurize,
+    decode_media,
     resize_thumbnails,
     sample_frames,
+    synthesize_bmp_media,
 )
 from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
 
@@ -337,12 +338,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = attach_binary_payload(_spread(spark, load_table(spark, sf_dir, "documents")))
-    return fake_featurize(media)
+    """Real image decode: deterministic BMP payloads synthesized
+    executor-side, then genuinely parsed (PIL or stdlib BMP parser) —
+    geometry and pixel checksum come from the binary, and tests verify
+    them against the closed-form synthesis formula."""
+    media = synthesize_bmp_media(_spread(spark, load_table(spark, sf_dir, "documents")))
+    return decode_media(media)
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = attach_binary_payload(_spread(spark, load_table(spark, sf_dir, "documents")))
+    media = synthesize_bmp_media(_spread(spark, load_table(spark, sf_dir, "documents")))
     return resize_thumbnails(media)
 
 

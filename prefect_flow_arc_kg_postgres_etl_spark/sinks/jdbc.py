@@ -78,6 +78,50 @@ def clear_statement(table: str, staging: str, group_key: str) -> str:
     )
 
 
+def resumable_stage(
+    spark: SparkSession,
+    records: DataFrame,
+    staging_path: str,
+    batch_col: str = "batch_id",
+) -> dict[str, int]:
+    """Restartable batch staging — the reference resumes an interrupted
+    load through record ``_offset``/``_limit`` windows
+    (typescript/src/stream.ts:20-60); the Spark-native analogue is
+    PARTITION-LEVEL resume:
+
+    - batches land as ``batch_id=N`` partition directories;
+    - on restart, already-landed batch ids are read back and the
+      corresponding records anti-joined away (broadcast — the batch-id
+      set is tiny by construction);
+    - the remaining batches write with dynamic partition overwrite, so
+      a HALF-written batch dir from the failed attempt is replaced
+      whole — staging is idempotent per batch under retry.
+
+    Returns {"written": n, "skipped": n} batch counts (the progress
+    accounting a restartable loader reports)."""
+    from pyspark.sql import functions as F
+
+    try:
+        done = (
+            spark.read.parquet(staging_path).select(batch_col).distinct()
+        )
+        n_done = done.count()
+    except Exception:  # first attempt: nothing staged yet
+        done, n_done = None, 0
+    todo = records
+    if n_done:
+        todo = records.join(F.broadcast(done), on=batch_col, how="left_anti")
+    n_todo = todo.select(batch_col).distinct().count()
+    if n_todo:
+        (
+            todo.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(batch_col)
+            .parquet(staging_path)
+        )
+    return {"written": n_todo, "skipped": n_done}
+
+
 def stage_then_merge(
     spark: SparkSession,
     source: DataFrame,

@@ -270,11 +270,15 @@ def es_feed_stream(
     )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # Idempotent under micro-batch retry (at-least-once foreachBatch):
+        # each epoch lands in its own epoch-scoped directory with
+        # overwrite, so a replayed epoch replaces its previous attempt
+        # instead of double-appending bulk lines.
         (
             to_bulk_actions(batch_df)
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("index")
-            .text(out_path)
+            .text(f"{out_path}/epoch={epoch_id}")
         )
 
     q = docs.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()

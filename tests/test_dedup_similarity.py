@@ -111,27 +111,65 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     assert hits > 0
 
 
+def test_multimodal_decode_matches_closed_form(spark):
+    """The BMP payloads are genuinely parsed: decoded geometry and the
+    pixel checksum computed FROM THE BYTES must equal the independent
+    closed-form synthesis formulas — this is the decode oracle."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.multimodal import (
+        _CHECK_MOD,
+        _bmp_bytes,
+        _bmp_dims,
+        _parse_bmp,
+        decode_media,
+        synthesize_bmp_media,
+    )
+
+    # pure round-trip first: synth -> parse recovers geometry + pixels
+    for doc_id in (0, 1, 7, 123, 4096):
+        w, h, v = _bmp_dims(doc_id)
+        pw, ph, checksum = _parse_bmp(_bmp_bytes(w, h, v))
+        assert (pw, ph) == (w, h)
+        assert checksum == (3 * w * h * v) % _CHECK_MOD
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    decoded = decode_media(synthesize_bmp_media(docs)).collect()
+    assert len(decoded) == n_docs
+    for r in decoded:
+        w, h, v = _bmp_dims(r.doc_id)
+        stride = (3 * w + 3) // 4 * 4
+        assert (r.width, r.height) == (w, h)
+        assert r.byte_len == 54 + h * stride
+        assert r.checksum == (3 * w * h * v) % _CHECK_MOD
+        assert r.media_type == "image/bmp"
+
+
 def test_multimodal_resize_and_frames(spark):
-    """Resize is 1:1 with aspect-preserving dims; frame sampling is 1:N
-    with deterministic checksums; both run through mapInPandas."""
+    """Resize is 1:1 with aspect-preserving dims and a BMP-layout
+    re-encoded size; frame sampling is 1:N with deterministic
+    checksums; both run through mapInPandas."""
     from prefect_flow_arc_kg_postgres_etl_spark.operators.multimodal import (
         attach_binary_payload,
         resize_thumbnails,
         sample_frames,
+        synthesize_bmp_media,
     )
 
     docs = load_table(spark, SF_SMOKE, "documents")
     media = attach_binary_payload(docs)
     n_docs = docs.count()
 
-    thumbs = resize_thumbnails(media, max_side=128)
+    thumbs = resize_thumbnails(synthesize_bmp_media(docs), max_side=16)
     rows = thumbs.collect()
     assert len(rows) == n_docs
     for r in rows[:50]:
-        assert max(r.thumb_width, r.thumb_height) <= 128
-        assert r.thumb_len >= 1
-        # aspect ratio preserved within integer rounding
-        assert abs(r.thumb_width / r.thumb_height - r.width / r.height) < 0.05
+        assert max(r.thumb_width, r.thumb_height) <= 16
+        # re-encoded 24-bit BMP size: header + padded rows
+        assert r.thumb_len == 54 + r.thumb_height * ((3 * r.thumb_width + 3) // 4 * 4)
+        # exact dims contract: scale = min(1, max_side/max(w,h)), floor, >=1
+        scale = min(1.0, 16 / max(r.width, r.height))
+        assert r.thumb_width == max(1, int(r.width * scale))
+        assert r.thumb_height == max(1, int(r.height * scale))
 
     frames = sample_frames(media, every_n_bytes=256, max_frames=4)
     per_doc = frames.groupBy("doc_id").count().collect()

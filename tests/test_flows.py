@@ -59,6 +59,57 @@ def test_incremental_rerun_is_idempotent(spark, tmp_path):
     assert first == again
 
 
+def test_run_stats_accounting(spark, tmp_path):
+    """RunStats (stats.ts parity): per-table staged/merged counts and
+    run totals ride along with the rowcount mapping."""
+    store = str(tmp_path / "stats_store")
+    stats = sync_flow(
+        spark, SF_SMOKE, store, full_sync=True, build_index=False,
+        tables=["region", "nation"],
+    )
+    assert stats.merged_tables == 2 and stats.failed_tables == 0
+    assert (
+        stats.tables["region"]["staged"]
+        == stats.tables["region"]["merged"]
+        == stats["region"]
+        > 0
+    )
+
+
+def test_run_stats_records_failure_and_continues(spark, tmp_path):
+    """A failed table is recorded (status/error) without aborting the
+    run — the remaining tables still merge."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "partial_sf")
+    os.makedirs(src)
+    for t in ("region", "nation"):
+        shutil.copy(f"{SF_SMOKE}/{t}.parquet", f"{src}/{t}.parquet")
+    store = str(tmp_path / "stats_store2")
+    stats = sync_flow(
+        spark, src, store, full_sync=True, build_index=False,
+        tables=["region", "nation", "customer"],
+    )
+    assert stats.tables["customer"]["status"] == "failed"
+    assert stats.tables["customer"]["error"]
+    assert "customer" not in stats  # no merged rowcount for a failure
+    assert stats.merged_tables == 2 and stats.failed_tables == 1
+
+
+def test_multivalue_incremental_first_load(spark, tmp_path):
+    """An incremental sync of a multi-value table that was never
+    full-synced treats the staged batch as the initial table instead of
+    raising on the missing target."""
+    store = str(tmp_path / "mv_store")
+    stats = sync_flow(
+        spark, SF_SMOKE, store, full_sync=False, since=CUTOFF,
+        build_index=False, tables=["lineitem"],
+    )
+    assert stats.tables["lineitem"]["status"] == "merged"
+    assert stats["lineitem"] > 0
+
+
 def test_sync_flow_org_scoped(spark, tmp_path):
     """OR_IDS scoping: org-keyed tables filter to the scope set; the
     index feed only contains the scoped organisations."""

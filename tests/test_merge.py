@@ -95,3 +95,17 @@ def test_salted_join_matches_plain_join(spark):
     salted = {(r.k, r.payload, r.attr) for r in salted_join(left, right, "k").collect()}
     assert salted == plain
     assert len(salted) == 1000
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    """Right-side replication duplicates unmatched right rows under
+    outer modes — the function must refuse them, not corrupt."""
+    import pytest as _pytest
+
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import salted_join
+
+    left = spark.createDataFrame([(1, 1)], "k long, payload long")
+    right = spark.createDataFrame([(1, "a")], "k long, attr string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, "k", how=how)

@@ -90,3 +90,31 @@ def test_stage_then_merge_converges(spark, tmp_path):
     # idempotent: re-merging the same batch changes nothing
     out3 = stage_then_merge(spark, v2, target, staging, ["id"])
     assert {(r.id, r.v) for r in out3.collect()} == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_resumable_stage_skips_landed_batches(spark, tmp_path):
+    """Restartable staging (stream.ts:20-60 offset/limit resume): a
+    second attempt stages only the batches missing from the store, and
+    a partially-lost batch is re-staged whole."""
+    import shutil
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sinks.jdbc import resumable_stage
+
+    records = spark.createDataFrame(
+        [(i, i % 4) for i in range(100)], "record_id long, batch_id long"
+    )
+    path = str(tmp_path / "staging")
+
+    r1 = resumable_stage(spark, records, path)
+    assert r1 == {"written": 4, "skipped": 0}
+    assert spark.read.parquet(path).count() == 100
+
+    # full restart over a complete store: everything skips
+    r2 = resumable_stage(spark, records, path)
+    assert r2 == {"written": 0, "skipped": 4}
+
+    # lose one batch (simulated crash mid-stage) -> only it re-stages
+    shutil.rmtree(tmp_path / "staging" / "batch_id=2")
+    r3 = resumable_stage(spark, records, path)
+    assert r3 == {"written": 1, "skipped": 3}
+    assert spark.read.parquet(path).count() == 100

@@ -88,4 +88,10 @@ def test_stream_es_feed_lands_bulk_pairs(spark, tmp_path):
     landed = es_feed_stream(spark, SF_SMOKE, out)
     n_events = load_table(spark, SF_SMOKE, "events").count()
     assert landed.count() == 2 * n_events
-    assert any(d.startswith("index=") for d in os.listdir(out))
+    # epoch-scoped layout (idempotent under micro-batch retry): each
+    # epoch dir holds the per-organisation index partitions.
+    epochs = [d for d in os.listdir(out) if d.startswith("epoch=")]
+    assert epochs
+    assert any(
+        d.startswith("index=") for d in os.listdir(os.path.join(out, epochs[0]))
+    )
