@@ -66,7 +66,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with sf — no broadcast hint; AQE picks the
+        # strategy from runtime size (broadcast at small sf, SMJ at scale).
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -94,8 +96,10 @@ LIMIT 10
 
 # ------------------------------------------------------------- B3 TPC-H Q5
 def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: fact lineitem against broadcast dims; supplier and
-    customer must share the nation (the TPC-H Q5 'local' condition)."""
+    """Star join: fact lineitem against the dims; supplier and customer
+    must share the nation (the TPC-H Q5 'local' condition). Only the
+    fixed-size nation/region dims carry broadcast hints — supplier and
+    customer scale with sf, so AQE picks their join strategy."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
@@ -106,9 +110,11 @@ def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # supplier/customer scale with sf — no broadcast hints; only the
+        # fixed-size nation/region dims below keep theirs.
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
-            F.broadcast(cust),
+            cust,
             (orders.o_custkey == cust.c_custkey)
             & (supp.s_nationkey == cust.c_nationkey),
         )
@@ -141,7 +147,8 @@ GROUP BY n_name
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    # customer scales with sf — AQE chooses the join strategy.
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("o_totalprice"), F.col("o_orderkey")
     )
@@ -499,8 +506,9 @@ def distinct_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nation pairs,
     grouped by supplier nation / customer nation / ship year. The
-    nation-pair disjunction is evaluated AFTER the dim joins (both dims
-    broadcast); the facts shuffle once for the final agg."""
+    nation-pair disjunction is evaluated AFTER the dim joins (only the
+    fixed-size nation aliases are broadcast-hinted); the facts shuffle
+    once for the final agg."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -518,8 +526,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # customer/supplier scale with sf — no broadcast hints; the
+        # fixed-size nation aliases keep theirs.
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
         .filter(pair_ok)
@@ -559,8 +569,8 @@ GROUP BY 1, 2, 3
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs over joined columns. The
     part-side conjuncts (brand x size band) stay evaluable at the part
-    scan; the residual disjunction runs post-join. One broadcast join,
-    one agg shuffle."""
+    scan; the residual disjunction runs post-join. AQE picks the join
+    strategy (part scales with sf); one agg shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     cond = (
@@ -581,7 +591,8 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part scales with sf (200k × sf) — AQE chooses the strategy.
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             F.round(

@@ -29,9 +29,27 @@ TABLES = [
     "embeddings",
 ]
 
-# Dimension tables small enough to broadcast at ANY scale factor (TPC-H
-# dims grow sublinearly or are fixed); fact tables must never broadcast.
-BROADCAST_DIMS = {"region", "nation", "supplier", "customer", "part"}
+# Dimension tables small enough to broadcast at ANY scale factor: only
+# the FIXED-SIZE dims qualify (region = 5 rows, nation = 25 rows,
+# independent of sf). customer/supplier/part grow LINEARLY with scale
+# factor (150k/10k/200k × sf) — a forced broadcast hint on them overrides
+# Catalyst's size check and OOMs executors at cluster scale, so they are
+# deliberately NOT in this set: AQE picks broadcast for them at small sf
+# and sort-merge/shuffle-hash at scale.
+BROADCAST_DIMS = {"region", "nation"}
+
+# Tables that scale linearly with sf — never hint-broadcast these; let
+# AQE decide from runtime sizes.
+SF_SCALED_TABLES = {
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+}
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

@@ -70,12 +70,45 @@ def test_index_documents_broadcasts_dims_and_prunes(spark):
     assert "l_discount" not in plan and "l_returnflag" not in plan
 
 
-def test_q5_star_join_broadcasts_all_dims(spark):
+def test_q5_star_join_broadcasts_fixed_dims(spark):
     plan = build(spark, "q5_local_volume")
-    # 6-way star: every dim side must broadcast; the only exchanges are
-    # for aggregation, never a shuffle-hash/sort-merge join of lineitem.
-    assert plan.count("BroadcastHashJoin") >= 4
-    assert "SortMergeJoin" not in plan
+    # The fixed-size dims (nation, region) are hint-broadcast; at smoke
+    # sf Catalyst's size estimates broadcast the rest too, so >= 2.
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+# Queries that join sf-scaled tables (customer/supplier/part) → the
+# number of broadcast joins their plan may contain when size-based
+# broadcasting is DISABLED: exactly the explicit fixed-dim hints.
+_FIXED_DIM_HINTS = {
+    "q3_shipping_priority": 0,
+    "q5_local_volume": 2,  # nation + region
+    "topk_per_group": 0,
+    "q7_volume_shipping": 2,  # the two nation aliases
+    "q19_discounted_revenue": 0,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_FIXED_DIM_HINTS))
+def test_no_forced_broadcast_of_sf_scaled_tables(spark, name):
+    """With autoBroadcastJoinThreshold=-1 a BroadcastHashJoin can only
+    come from an explicit hint. sf-scaled tables (customer/supplier/
+    part — they grow linearly with scale factor) must never be
+    hint-broadcast: a hint overrides Catalyst's size check and OOMs
+    executors at 100×. Only the fixed-size dims (nation=25, region=5
+    rows) may keep hints."""
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = build(spark, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    got = plan.count(") BroadcastHashJoin")
+    want = _FIXED_DIM_HINTS[name]
+    assert got == want, (
+        f"{name}: {got} hinted broadcast joins, expected {want} "
+        f"(a forced broadcast of an sf-scaled table crept back in)\n{plan}"
+    )
 
 
 def test_q1_pushes_filter_to_scan(spark):
