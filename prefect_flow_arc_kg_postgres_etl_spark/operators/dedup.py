@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 
 from prefect_flow_arc_kg_postgres_etl_spark.functions.text import (
     fingerprint,
-    ngrams_from_tokens,
     words,
 )
 
@@ -38,17 +37,18 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def doc_ngrams(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-grams per doc: (id, gram).
+    """Distinct word n-grams per doc: (id, gram) with gram = xxhash64 of
+    the token slice.
 
-    Tokenization is materialized into its own projection before the
-    gram transform — inlining it re-evaluates the split per gram
-    element (quadratic in doc length)."""
-    toks = docs.select(F.col(id_col).alias("id"), words(F.lower(F.col(text_col))).alias("w"))
-    return (
-        toks.select("id", ngrams_from_tokens(F.col("w"), n).alias("grams"))
-        .select("id", F.explode("grams").alias("gram"))
-        .distinct()
-    )
+    Hashed gram identity, not gram strings: Jaccard needs only set
+    membership, and 8-byte longs shuffle/join ~5x cheaper than built
+    gram strings (which also cost an interpreted array_join per gram to
+    construct). Tokens never contain whitespace (words() splits on it),
+    so slice identity == joined-string identity; a 64-bit collision on a
+    corpus would need ~2^32 distinct grams to be likely."""
+    return _gram_hashes(docs, id_col, text_col, n).select(
+        "id", F.col("g").alias("gram")
+    ).distinct()
 
 
 def _gram_hashes(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -122,22 +122,22 @@ def minhash_signatures(
     # MATERIALIZED as a projection column first: aggregate expressions
     # get no common-subexpression elimination across columns, so an
     # inline xxhash64 would be re-evaluated k times per gram.
+    #
+    # The k min-aggregates are generated as ONE SQL expression string
+    # parsed JVM-side: building them as nested Column objects costs
+    # hundreds of py4j round-trips (~1 s of driver time per call) for
+    # the exact same plan.
     grams = _gram_hashes(docs, id_col, text_col, n).withColumn(
         "g2", F.xxhash64(F.lit(-1), F.col("g"))
     )
-    g1 = F.col("g")
-    g2 = F.col("g2")
 
-    def rotl(c, i: int):
+    def rotl(c: str, i: int) -> str:
         if i == 0:
             return c
-        return F.shiftleft(c, i).bitwiseOR(F.shiftrightunsigned(c, 64 - i))
+        return f"(shiftleft({c}, {i}) | shiftrightunsigned({c}, {64 - i}))"
 
-    mins = [
-        F.min(g1.bitwiseXOR(rotl(g2, i % 64))).alias(f"h{i}") for i in range(k)
-    ]
-    sig = grams.groupBy("id").agg(*mins)
-    return sig.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+    mins = ", ".join(f"min(g ^ {rotl('g2', i % 64)})" for i in range(k))
+    return grams.groupBy("id").agg(F.expr(f"array({mins}) AS sig"))
 
 
 def minhash_lsh_candidates(
@@ -155,18 +155,15 @@ def minhash_lsh_candidates(
     the signature agreement fraction."""
     r = k // bands
     sig = minhash_signatures(docs, k, id_col, text_col, n)
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[F.element_at("sig", b * r + j + 1) for j in range(r)]).alias("bh"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bh")
+    # Band keys generated as one inline() expression string (JVM-parsed;
+    # sig[i] is 0-based — identical to element_at(sig, i+1)).
+    structs = ", ".join(
+        "struct({b} AS band, xxhash64({cols}) AS bh)".format(
+            b=b, cols=", ".join(f"sig[{b * r + j}]" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    banded = sig.selectExpr("id", f"inline(array({structs}))")
     left = banded.select(F.col("id").alias("doc_a"), "band", "bh")
     right = banded.select(F.col("id").alias("doc_b"), "band", "bh")
     # Dedup candidate pairs on the id pair ONLY (a doc pair can collide
@@ -205,18 +202,26 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(words(F.lower(F.col(text_col)))).alias("tok")
     )
-    h = F.xxhash64("tok")
-    votes = [
-        F.sum(
-            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1).otherwise(-1)
-        ).alias(f"b{b}")
+    # Token hash materialized ONCE as a projection column (aggregate
+    # expressions get no cross-column CSE — an inline xxhash64 would be
+    # re-evaluated 64 times per token); the 64 bit-votes and the bit
+    # string are generated as SQL strings parsed JVM-side (two py4j
+    # calls instead of hundreds, same plan).
+    hashed = toks.selectExpr("id", "xxhash64(tok) AS h")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h & shiftleft(CAST(1 AS BIGINT), {b})) != 0"
+        " THEN 1 ELSE -1 END)"
         for b in range(64)
-    ]
-    agg = toks.groupBy("id").agg(F.count("*").cast("bigint").alias("n_tokens"), *votes)
-    bits = F.concat(*[
-        F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(63, -1, -1)
-    ])
-    return agg.select("id", bits.alias("simhash"), "n_tokens")
+    )
+    agg = hashed.groupBy("id").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_tokens"),
+        F.expr(f"array({votes}) AS votes"),
+    )
+    bits = "concat(" + ", ".join(
+        f"CASE WHEN votes[{b}] > 0 THEN '1' ELSE '0' END"
+        for b in range(63, -1, -1)
+    ) + ")"
+    return agg.selectExpr("id", f"{bits} AS simhash", "n_tokens")
 
 
 def embedding_near_dups(
@@ -224,26 +229,33 @@ def embedding_near_dups(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
     Direct pairwise form (correctness tier). The scale path buckets both
     sides with random-hyperplane LSH first (similarity.lsh_bucket) and
-    only scores within buckets."""
-    from prefect_flow_arc_kg_postgres_etl_spark.functions.vectors import dot, norm
-
-    # Norms computed once per row pre-join; per pair only the dot fold
-    # remains (identical arithmetic to cosine(), so oracle-stable).
-    a = vectors.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"), norm(F.col(vec_col)).alias("na")
+    only scores within buckets. Dots/norms are dim-unrolled SQL
+    arithmetic (functions.vectors.dot_sql) — bit-identical to the fold
+    form and the DuckDB oracle, but whole-stage-codegen fast."""
+    from prefect_flow_arc_kg_postgres_etl_spark.functions.vectors import (
+        dot_sql,
+        norm_sql,
     )
-    b = vectors.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"), norm(F.col(vec_col)).alias("nb")
+
+    # Norms computed once per row pre-join; per pair only the dot
+    # remains (identical arithmetic to cosine(), so oracle-stable).
+    a = vectors.selectExpr(
+        f"{id_col} AS vec_a", f"{vec_col} AS ea", f"{norm_sql(vec_col, dim)} AS na"
+    )
+    b = vectors.selectExpr(
+        f"{id_col} AS vec_b", f"{vec_col} AS eb", f"{norm_sql(vec_col, dim)} AS nb"
     )
     pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
-    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        pairs.withColumn("cosine", cos)
+        pairs.selectExpr(
+            "vec_a", "vec_b", f"{dot_sql('ea', 'eb', dim)} / (na * nb) AS cosine"
+        )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
@@ -252,8 +264,8 @@ def embedding_near_dups(
 def embedding_near_dups_lsh(
     vectors: DataFrame,
     threshold: float,
-    bands: int = 12,
-    planes_per_band: int = 8,
+    bands: int = 24,
+    planes_per_band: int = 16,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -262,14 +274,22 @@ def embedding_near_dups_lsh(
     generation followed by EXACT cosine verification of candidates only
     — never the all-pairs cross join of ``embedding_near_dups``.
 
-    At (bands=12, r=8) a pair at cosine 0.99 is missed with prob
-    < 1e-6, so the output equals the quadratic tier's — that equality
-    is this operator's oracle (same pattern as lsh_verified_pairs vs
-    ngram_jaccard_pairs). Shuffles: one explode+self-join on uniform
-    (band, bucket) keys, a distinct on the id pair, two joins back to
-    the one-row-per-id vector table. Per-bucket fan-in is
-    |corpus|/2^r per band — sub-quadratic at 100 TB."""
-    from prefect_flow_arc_kg_postgres_etl_spark.functions.vectors import dot, norm
+    At (bands=24, r=16) a pair at cosine 0.99 is missed with prob
+    ~1.6e-7, while an unrelated (near-orthogonal) pair is a false
+    candidate with prob 24/2^16 ~ 4e-4 — two orders of magnitude fewer
+    false candidates than the old (12, 8) setting for the same miss
+    bound (the plane projections are a vectorized matmul, so the extra
+    planes are effectively free). The output equals the quadratic
+    tier's — that equality is this operator's oracle (same pattern as
+    lsh_verified_pairs vs ngram_jaccard_pairs). Shuffles: one
+    explode+self-join on uniform (band, bucket) keys, a distinct on the
+    id pair, two joins back to the one-row-per-id vector table.
+    Per-bucket fan-in is |corpus|/2^r per band — sub-quadratic at
+    100 TB."""
+    from prefect_flow_arc_kg_postgres_etl_spark.functions.vectors import (
+        dot_sql,
+        norm_sql,
+    )
     from prefect_flow_arc_kg_postgres_etl_spark.operators.similarity import (
         lsh_band_buckets,
     )
@@ -288,21 +308,18 @@ def embedding_near_dups_lsh(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    va = vectors.select(
-        F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("ea"),
-        norm(F.col(vec_col)).alias("na"),
+    va = vectors.selectExpr(
+        f"{id_col} AS vec_a", f"{vec_col} AS ea", f"{norm_sql(vec_col, dim)} AS na"
     )
-    vb = vectors.select(
-        F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("eb"),
-        norm(F.col(vec_col)).alias("nb"),
+    vb = vectors.selectExpr(
+        f"{id_col} AS vec_b", f"{vec_col} AS eb", f"{norm_sql(vec_col, dim)} AS nb"
     )
-    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         cands.join(va, "vec_a")
         .join(vb, "vec_b")
-        .withColumn("cosine", cos)
+        .selectExpr(
+            "vec_a", "vec_b", f"{dot_sql('ea', 'eb', dim)} / (na * nb) AS cosine"
+        )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )

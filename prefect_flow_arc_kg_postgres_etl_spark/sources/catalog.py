@@ -13,6 +13,7 @@ At cluster scale the same catalog fronts object-store paths; only
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -54,7 +55,22 @@ SF_SCALED_TABLES = {
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Per-session memo of table DataFrames. The catalog dirs are immutable
+# for a session's lifetime, and DataFrames are immutable logical plans,
+# so reuse is safe — and it skips the per-call file listing + parquet
+# footer schema read + py4j chatter that otherwise costs ~50-150 ms per
+# table per query build. Keyed weakly on the session so a stopped
+# session's plans are collectable.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    memo = _TABLE_MEMO.setdefault(spark, {})
+    df = memo.get((sf_dir, name))
+    if df is not None:
+        return df
     # The harness may hand us a session we didn't build; pin the confs
     # correctness depends on (both are runtime-settable SQL confs).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -63,11 +79,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # nanos timestamp type. Read nanos as long, truncate to micros
         # (what DuckDB/Arrow do when casting ns -> us timestamps).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    memo[(sf_dir, name)] = df
+    return df
 
 
 def discover_tables(sf_dir: str) -> list[str]:
