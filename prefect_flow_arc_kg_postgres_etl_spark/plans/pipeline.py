@@ -351,6 +351,50 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_thumbnails(media)
 
 
+# The decode/resize outputs are closed-form functions of doc_id (the BMP
+# synthesis formulas in operators/multimodal.py): width = 16 + id%17,
+# height = 8 + id%11, flat pixel value v = (id*31)%251, so the pixel
+# checksum is 3*w*h*v mod 1000003 and byte_len follows the BMP layout
+# (54-byte header + stride-padded rows). That makes both fully
+# SQL-oracle-able even though the Spark side genuinely parses the
+# binary: the oracle recomputes what the decoder must find.
+MM_DECODE_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         16 + doc_id % 17 AS w,
+         8 + doc_id % 11 AS h,
+         (doc_id * 31) % 251 AS v
+  FROM documents
+)
+SELECT doc_id,
+       'image/bmp' AS media_type,
+       CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS byte_len,
+       CAST((3 * w * v * h) % 1000003 AS BIGINT) AS checksum,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height
+FROM p
+"""
+
+# Thumbnail: scale = min(1, 16/max(w,h)); dims floor then clamp >= 1;
+# re-encoded length follows the same BMP layout at thumb dims. FLOOR on
+# float64 products mirrors Python's int() truncation (all positive).
+MM_RESIZE_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 16 + doc_id % 17 AS w, 8 + doc_id % 11 AS h FROM documents
+), t AS (
+  SELECT doc_id, w, h,
+         GREATEST(1, CAST(FLOOR(w * LEAST(1.0, 16.0 / GREATEST(w, h))) AS INT)) AS tw,
+         GREATEST(1, CAST(FLOOR(h * LEAST(1.0, 16.0 / GREATEST(w, h))) AS INT)) AS th
+  FROM p
+)
+SELECT doc_id, 'image/bmp' AS media_type,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       tw AS thumb_width, th AS thumb_height,
+       CAST(54 + th * ((3 * tw + 3) // 4 * 4) AS BIGINT) AS thumb_len
+FROM t
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary_payload(_spread(spark, load_table(spark, sf_dir, "documents")))
     return sample_frames(media)
