@@ -32,12 +32,17 @@ def melt(
     key: str,
     columns: list[str] | None = None,
     subject_prefix: str = "",
+    graph: str | None = None,
 ) -> DataFrame:
-    """Wide table -> (subject, predicate, object string, lang) triples.
+    """Wide table -> (subject, predicate, object string, lang, graph)
+    quads.
 
     Inverse of the reference's record pivot; lang is NULL (testdata has
-    no language-tagged literals). stack() is a generator expression —
-    no shuffle, runs fused with the parquet scan.
+    no language-tagged literals). ``graph`` names the named graph these
+    triples live in (SPARQL ``GRAPH ?g { ... }`` scoping — the
+    reference's TriplyDB store is quad-shaped, person.sparql:51); NULL
+    means the default graph. stack() is a generator expression — no
+    shuffle, runs fused with the parquet scan.
     """
     cols = columns or [c for c in df.columns if c != key]
     pairs = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
@@ -48,6 +53,7 @@ def melt(
             F.expr(f"stack({len(cols)}, {pairs}) as (predicate, object)"),
         )
         .withColumn("lang", F.lit(None).cast("string"))
+        .withColumn("graph", F.lit(graph).cast("string"))
         .filter(F.col("object").isNotNull())
     )
 
@@ -79,9 +85,7 @@ def pivot_records(
 _PATH_VAR = 0
 
 
-def _expand_paths(
-    patterns: list[tuple[str, str, str]]
-) -> list[tuple[str, str, str]]:
+def _expand_paths(patterns: list[tuple]) -> list[tuple]:
     """Rewrite SPARQL property paths into plain patterns:
       - sequence  ``p1/p2``  -> two patterns through a fresh variable
         (a join through the intermediate node);
@@ -89,38 +93,52 @@ def _expand_paths(
     Alternation ``p1|p2`` is handled at scan time (predicate isin).
     The reference queries use all three (e.g. person.sparql:
     ``(schema:license|(rel:isp/schema:license))``, ``^schema:mentions``).
+
+    A pattern may be a 4-tuple (s, p, o, graph); the graph term is
+    carried through every expansion (a path inside ``GRAPH ?g {...}``
+    keeps all its hops in that graph).
     """
     global _PATH_VAR
-    out: list[tuple[str, str, str]] = []
-    for s, p, o in patterns:
+    out: list[tuple] = []
+    for pat in patterns:
+        s, p, o = pat[0], pat[1], pat[2]
+        g = pat[3:]  # () for triple patterns, (graph_term,) for quads
         if not p.startswith("?") and "/" in p:
             hops = p.split("/")
             prev = s
             for i, hop in enumerate(hops):
                 if i == len(hops) - 1:
-                    out.extend(_expand_paths([(prev, hop, o)]))
+                    out.extend(_expand_paths([(prev, hop, o, *g)]))
                 else:
                     _PATH_VAR += 1
                     mid = f"?__path{_PATH_VAR}"
-                    out.extend(_expand_paths([(prev, hop, mid)]))
+                    out.extend(_expand_paths([(prev, hop, mid, *g)]))
                     prev = mid
         elif p.startswith("^"):
-            out.append((o, p[1:], s))
+            out.append((o, p[1:], s, *g))
         else:
-            out.append((s, p, o))
+            out.append((s, p, o, *g))
     return out
 
 
 def _bgp(
     triples: DataFrame,
-    patterns: list[tuple[str, str, str]],
+    patterns: list[tuple],
     values: dict[str, list[str]] | None = None,
 ) -> tuple[DataFrame, set[str]]:
-    """Evaluate one basic graph pattern group; returns (df, bound vars)."""
+    """Evaluate one basic graph pattern group; returns (df, bound vars).
+
+    Patterns are (s, p, o) triples or (s, p, o, graph) quads; the graph
+    term scopes the pattern to one named graph (constant) or binds the
+    graph id (?variable) — SPARQL ``GRAPH ?g { ... }`` semantics
+    (person.sparql:51 org-graph scoping). A constant/VALUES-constrained
+    graph term is a plain filter on the quad scan, so it prunes at the
+    source like any other predicate."""
     values = values or {}
     out: DataFrame | None = None
     bound: set[str] = set()
-    for s, p, o in _expand_paths(patterns):
+    for pat in _expand_paths(patterns):
+        s, p, o = pat[0], pat[1], pat[2]
         t = triples
         sel = []
         if p.startswith("?"):
@@ -129,7 +147,10 @@ def _bgp(
             t = t.filter(F.col("predicate").isin(p.split("|")))
         else:
             t = t.filter(F.col("predicate") == p)
-        for term, col in ((s, "subject"), (o, "object")):
+        terms = [(s, "subject"), (o, "object")]
+        if len(pat) > 3:
+            terms.append((pat[3], "graph"))
+        for term, col in terms:
             if term.startswith("?"):
                 # '?var@nl' = langMatches constraint on this binding
                 # (person.sparql:81 FILTER langMatches(lang(...), "nl")).
@@ -167,12 +188,16 @@ def construct(
     """Evaluate a SPARQL-shaped WHERE clause and project bound variables
     — the CONSTRUCT core of 1_kg_view_construct.ts.
 
-    ``patterns``: (subject_var, predicate, object_var) entries; names
-    starting with '?' are variables, anything else is a constant. The
-    predicate slot accepts property paths: ``p1/p2`` sequence, ``p1|p2``
-    alternation, ``^p`` inverse (the forms the reference queries use).
-    Each pattern is a predicate-filtered scan of the triples DataFrame;
-    shared variables across patterns become equi-join keys.
+    ``patterns``: (subject_var, predicate, object_var) entries — or
+    (subject, predicate, object, graph) quads, where the graph term
+    scopes the pattern to a named graph (constant) or binds the graph
+    id (?variable), i.e. SPARQL ``GRAPH ?g { ... }``
+    (person.sparql:51). Names starting with '?' are variables, anything
+    else is a constant. The predicate slot accepts property paths:
+    ``p1/p2`` sequence, ``p1|p2`` alternation, ``^p`` inverse (the
+    forms the reference queries use). Each pattern is a
+    predicate-filtered scan of the triples DataFrame; shared variables
+    across patterns become equi-join keys.
 
     ``optionals``: SPARQL OPTIONAL groups — each group is evaluated as
     its own BGP and LEFT-joined on the shared variables (unmatched rows

@@ -117,7 +117,7 @@ def _kg_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # serve a stale graph if the source parquet changed underneath;
     # fingerprinting makes any source update (or a concurrent writer's
     # refresh) land in its own staging dir.
-    fp = hashlib.md5(b"layout_v2")
+    fp = hashlib.md5(b"layout_v3")
     for t in ("customer", "nation", "orders"):
         p = os.path.join(sf_dir, f"{t}.parquet")
         st = os.stat(p)
@@ -130,10 +130,34 @@ def _kg_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
+    # Quad layout: entity data and org data live in separate NAMED
+    # GRAPHS (the reference store keeps organizations in their own
+    # graph — person.sparql:51 GRAPH ?ORGraph). graph:staging holds a
+    # draft copy of the org names so that GRAPH-scoped queries are
+    # discriminating: an unscoped n_name pattern matches both copies.
+    nat_draft = nat.select(
+        "n_nationkey",
+        F.concat(F.col("n_name"), F.lit(" (draft)")).alias("n_name"),
+    )
     graph = (
-        T.melt(cust, "c_custkey", ["c_name", "c_mktsegment", "c_nationkey"])
-        .unionByName(T.melt(nat, "n_nationkey", ["n_name"]))
-        .unionByName(T.melt(orders, "o_orderkey", ["o_custkey", "o_orderpriority"]))
+        T.melt(
+            cust,
+            "c_custkey",
+            ["c_name", "c_mktsegment", "c_nationkey"],
+            graph="graph:entities",
+        )
+        .unionByName(T.melt(nat, "n_nationkey", ["n_name"], graph="graph:orgs"))
+        .unionByName(
+            T.melt(nat_draft, "n_nationkey", ["n_name"], graph="graph:staging")
+        )
+        .unionByName(
+            T.melt(
+                orders,
+                "o_orderkey",
+                ["o_custkey", "o_orderpriority"],
+                graph="graph:entities",
+            )
+        )
     )
     graph.write.mode("overwrite").partitionBy("predicate").parquet(path)
     return spark.read.parquet(path)
@@ -183,7 +207,9 @@ def kg_construct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         patterns=[("?c", "c_mktsegment", "BUILDING")],
         unions=[[
             [("?o", "o_custkey", "?c"), ("?o", "o_orderpriority", "1-URGENT")],
-            [("?c", "c_nationkey", "?nk"), ("?nk", "n_name", "?nation")],
+            # the org-name lookup is GRAPH-scoped: graph:staging holds a
+            # draft copy of n_name that must NOT leak into results
+            [("?c", "c_nationkey", "?nk"), ("?nk", "n_name", "?nation", "graph:orgs")],
         ]],
         not_exists=[[("?lo", "o_custkey", "?c"), ("?lo", "o_orderpriority", "5-LOW")]],
         binds={"?display": F.concat(F.lit("cust-"), F.col("c"))},
@@ -220,6 +246,75 @@ branch_b AS (
 u AS (SELECT * FROM branch_a UNION ALL SELECT * FROM branch_b)
 SELECT b.cust_id, u.urgent_order, u.nation, 'cust-' || b.cust_id AS display
 FROM base b JOIN u ON u.cust_id = b.cust_id
+"""
+
+
+# ------------------------------- A23 construct: GRAPH ?g scoping
+def kg_construct_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-graph scoping, the person.sparql:51 shape: ``GRAPH
+    ?ORGraph { ?org ... }`` with the graph VARIABLE constrained by
+    VALUES — this is how org scoping actually works in the reference
+    (the org graph id is an input parameter). The pattern binds ?g from
+    the quad's graph column and the VALUES in-list prunes the scan to
+    that graph's partition. Discriminating: graph:staging carries a
+    draft copy of every n_name, so an unscoped query would return two
+    bindings per customer; the GRAPH constraint must keep exactly the
+    org-graph one."""
+    out = T.construct(
+        _kg_graph(spark, sf_dir),
+        patterns=[
+            ("?c", "c_name", "?name"),
+            ("?c", "c_nationkey", "?nk"),
+            ("?nk", "n_name", "?nation", "?g"),
+        ],
+        values={"?g": ["graph:orgs"]},
+    )
+    return out.select(
+        F.col("c").alias("id"),
+        F.col("name").alias("cust_name"),
+        F.col("nation"),
+        F.col("g").alias("org_graph"),
+    )
+
+
+KG_GRAPH_ORACLE = """
+SELECT CAST(c_custkey AS VARCHAR) AS id,
+       c_name AS cust_name,
+       n_name AS nation,
+       'graph:orgs' AS org_graph
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+# --------------------------- A24 construct: FILTER over OPTIONAL (!BOUND)
+def kg_construct_filter_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conditional-since shape (av-audio.sparql:220):
+    ``OPTIONAL { ... ?x } FILTER (!BOUND(?x) || <condition on ?x>)`` —
+    keep rows where the optional binding is absent OR satisfies the
+    condition. In the triple model an unbound variable is a NULL
+    column, so !BOUND(?o) is ``isNull`` and the disjunction is an
+    ordinary Column filter applied after graph matching
+    (construct(filters=...))."""
+    out = T.construct(
+        _kg_graph(spark, sf_dir),
+        patterns=[("?c", "c_name", "?name")],
+        optionals=[[("?o", "o_custkey", "?c"), ("?o", "o_orderpriority", "1-URGENT")]],
+        filters=[F.col("o").isNull() | (F.col("o").cast("bigint") % 2 == 0)],
+    )
+    return out.select(
+        F.col("c").alias("id"),
+        F.col("name").alias("cust_name"),
+        F.col("o").alias("urgent_order"),
+    )
+
+
+KG_FILTER_BOUND_ORACLE = """
+SELECT CAST(c_custkey AS VARCHAR) AS id,
+       c_name AS cust_name,
+       CAST(o_orderkey AS VARCHAR) AS urgent_order
+FROM customer LEFT JOIN orders
+  ON o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+WHERE o_orderkey IS NULL OR o_orderkey % 2 = 0
 """
 
 
@@ -291,16 +386,19 @@ FROM docs
 # --------------------------------- A18 construct: property paths
 def kg_construct_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL property paths: inverse (^o_custkey), sequence
-    (c_nationkey/n_name), alternation (c_name|c_mktsegment) — the forms
-    the reference queries use (person.sparql:57
+    (o_custkey/c_nationkey, GRAPH-scoped — every hop of a path inside
+    GRAPH g stays in g, per SPARQL), alternation (c_name|c_mktsegment)
+    — the forms the reference queries use (person.sparql:57
     ``schema:license|(rel:isp/schema:license)``, person.sparql:79
-    ``^schema:mentions``)."""
+    ``^schema:mentions``). The org-name lookup is scoped to graph:orgs
+    (graph:staging carries a draft n_name copy that must not match)."""
     out = T.construct(
         _kg_graph(spark, sf_dir),
         patterns=[
             ("?c", "^o_custkey", "?o"),
             ("?o", "o_orderpriority", "1-URGENT"),
-            ("?c", "c_nationkey/n_name", "?nation"),
+            ("?o", "o_custkey/c_nationkey", "?nk", "graph:entities"),
+            ("?nk", "n_name", "?nation", "graph:orgs"),
             ("?c", "c_name|c_mktsegment", "?label"),
         ],
     )

@@ -42,15 +42,16 @@ QUERIES: dict[str, QuerySpec] = {
     "kg_construct_optional": QuerySpec(kg.kg_construct_optional, kg.KG_OPTIONAL_ORACLE),
     "kg_construct_paths": QuerySpec(kg.kg_construct_paths, kg.KG_PATHS_ORACLE),
     "kg_construct_union": QuerySpec(kg.kg_construct_union, kg.KG_UNION_ORACLE),
+    "kg_construct_graph": QuerySpec(kg.kg_construct_graph, kg.KG_GRAPH_ORACLE),
+    "kg_construct_filter_bound": QuerySpec(
+        kg.kg_construct_filter_bound, kg.KG_FILTER_BOUND_ORACLE
+    ),
     "kg_value_coercion": QuerySpec(kg.kg_value_coercion, kg.KG_COERCION_ORACLE),
     "merge_upsert": QuerySpec(kg.merge_upsert, kg.MERGE_UPSERT_ORACLE),
     "truncate_insert": QuerySpec(kg.truncate_insert, kg.TRUNCATE_INSERT_ORACLE),
     "clear_and_insert": QuerySpec(kg.clear_and_insert, kg.CLEAR_INSERT_ORACLE),
     "orphan_cleanup": QuerySpec(kg.orphan_cleanup, kg.ORPHAN_ORACLE),
     "delete_processing": QuerySpec(kg.delete_processing, kg.DELETE_ORACLE),
-    "empty_partition_prune": QuerySpec(
-        kg.empty_partition_prune, kg.EMPTY_PARTITION_ORACLE
-    ),
     "incremental_since": QuerySpec(kg.incremental_since, kg.SINCE_ORACLE),
     "partition_stats": QuerySpec(kg.partition_stats_q, kg.PARTITION_STATS_ORACLE),
     "index_documents": QuerySpec(kg.index_documents, kg.INDEX_DOC_ORACLE),
@@ -64,7 +65,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q5_local_volume": QuerySpec(relational.q5_local_volume, relational.Q5_ORACLE),
     "topk_per_group": QuerySpec(relational.topk_per_group, relational.TOPK_ORACLE),
     "windowed_running": QuerySpec(relational.windowed_running, relational.RUNNING_ORACLE),
-    "rollup_agg": QuerySpec(relational.rollup_agg, relational.ROLLUP_ORACLE),
     "distinct_agg": QuerySpec(relational.distinct_agg, relational.DISTINCT_ORACLE),
     "events_tumbling": QuerySpec(relational.events_tumbling, relational.TUMBLING_ORACLE),
     "sessionize": QuerySpec(relational.sessionize, relational.SESSIONIZE_ORACLE),
@@ -103,14 +103,20 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # ---- oracle-backed entries past the driver's 50-entry window:
     # still fully checked by tools/check_oracle.py + tests/test_oracle.py
-    # locally. These two are metadata-level ops (catalog intersection,
-    # driver-side toposort) whose semantics are pinned by dedicated unit
-    # tests — displaced to make window room for the multimodal decode/
-    # resize promotions above (whose checks exercise real data paths).
+    # locally. Displaced to make window room for the round-3 promotions
+    # (multimodal decode/resize oracles, GRAPH ?g scoping, FILTER
+    # !BOUND): table_intersection and fk_merge_order are metadata-level
+    # ops pinned by dedicated unit tests; rollup_agg's agg shapes are a
+    # strict subset of grouping_sets (in-window); empty_partition_prune
+    # is covered by the delete-flow convergence tests.
     "table_intersection": QuerySpec(
         kg.table_intersection_q, kg.TABLE_INTERSECTION_ORACLE
     ),
     "fk_merge_order": QuerySpec(kg.fk_merge_order_q, kg.FK_ORDER_ORACLE),
+    "rollup_agg": QuerySpec(relational.rollup_agg, relational.ROLLUP_ORACLE),
+    "empty_partition_prune": QuerySpec(
+        kg.empty_partition_prune, kg.EMPTY_PARTITION_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

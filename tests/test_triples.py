@@ -190,3 +190,84 @@ def test_construct_lang_constraint(spark):
     )
     out = construct(triples, patterns=[("?s", "label", "?l@nl")])
     assert {(r.s, r.l) for r in out.collect()} == {("s1", "nederlands")}
+
+
+def _quads(spark):
+    """A quad store with the same predicate in two named graphs: the
+    'real' org names in graph:orgs and a draft copy in graph:staging —
+    graph scoping must discriminate between them."""
+    return spark.createDataFrame(
+        [
+            ("c1", "nk", "n1", None, "graph:entities"),
+            ("c2", "nk", "n2", None, "graph:entities"),
+            ("n1", "nname", "BE", None, "graph:orgs"),
+            ("n2", "nname", "NL", None, "graph:orgs"),
+            ("n1", "nname", "BE (draft)", None, "graph:staging"),
+            ("n2", "nname", "NL (draft)", None, "graph:staging"),
+        ],
+        "subject string, predicate string, object string, lang string, graph string",
+    )
+
+
+def test_construct_graph_constant_scopes_pattern(spark):
+    """GRAPH <g> { pattern }: a constant graph term restricts the
+    pattern to that graph's quads (person.sparql:51 shape)."""
+    out = construct(
+        _quads(spark),
+        patterns=[("?c", "nk", "?n"), ("?n", "nname", "?nm", "graph:orgs")],
+    )
+    assert {(r.c, r.nm) for r in out.collect()} == {("c1", "BE"), ("c2", "NL")}
+
+
+def test_construct_graph_unscoped_matches_all_graphs(spark):
+    """Without a graph term the pattern spans every graph (SPARQL's
+    default-graph-as-union store mode) — both copies match."""
+    out = construct(_quads(spark), patterns=[("?n", "nname", "?nm")])
+    assert out.count() == 4
+
+
+def test_construct_graph_variable_binds_and_values_prunes(spark):
+    """GRAPH ?g binds the graph id as a variable; VALUES on ?g prunes
+    to the allowed graphs (the reference's parameterized org graph)."""
+    out = construct(
+        _quads(spark),
+        patterns=[("?n", "nname", "?nm", "?g")],
+        values={"?g": ["graph:staging"]},
+    )
+    rows = {(r.nm, r.g) for r in out.collect()}
+    assert rows == {
+        ("BE (draft)", "graph:staging"),
+        ("NL (draft)", "graph:staging"),
+    }
+
+
+def test_construct_path_in_graph_scopes_every_hop(spark):
+    """A property path inside GRAPH g keeps all expanded hops in g
+    (SPARQL scoping); a hop whose triple lives elsewhere must not
+    match."""
+    out = construct(
+        _quads(spark),
+        patterns=[("?c", "nk/nname", "?nm", "graph:entities")],
+    )
+    assert out.count() == 0  # nname lives in graph:orgs, not entities
+
+
+def test_construct_filter_unbound_disjunction(spark):
+    """FILTER (!BOUND(?x) || cond(?x)) over an OPTIONAL binding
+    (av-audio.sparql:220 conditional-since shape): rows with no binding
+    pass, bound rows pass only when the condition holds."""
+    out = construct(
+        _graph(spark),
+        patterns=[("?c", "name", "?nm")],
+        optionals=[[("?o", "cust", "?c"), ("?o", "prio", "URGENT")]],
+        filters=[F.col("o").isNull() | (F.col("o") == "o1")],
+    )
+    rows = {(r.c, r.o) for r in out.collect()}
+    assert rows == {("c1", "o1"), ("c2", None), ("c3", None)}
+
+
+def test_melt_graph_column(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    t = melt(df, "id", ["name"], graph="graph:test")
+    assert t.columns == ["subject", "predicate", "object", "lang", "graph"]
+    assert t.first().graph == "graph:test"
