@@ -33,6 +33,7 @@ from prefect_flow_arc_kg_postgres_etl_spark.operators.index_documents import (
 from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import fk_merge_order
 from prefect_flow_arc_kg_postgres_etl_spark.sinks.es_bulk import write_bulk_ndjson
 from prefect_flow_arc_kg_postgres_etl_spark.sinks.jdbc import stage_then_merge
+from prefect_flow_arc_kg_postgres_etl_spark.sources import store
 from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
 
 # Primary keys (merge keys) per harness table.
@@ -146,8 +147,8 @@ def sync_flow(
             src = src.filter(F.col(TABLE_ORG[name]).isin(or_ids))
         path = f"{store_dir}/{name}.parquet"
         if full_sync:
-            src.write.mode("overwrite").parquet(path)
-            n = spark.read.parquet(path).count()
+            store.write_table(src, path)
+            n = store.read_table(spark, path).count()
             return n, n
         if name in TABLE_MULTIVALUE:
             # Incremental multi-value merge: a modified group re-emits
@@ -172,18 +173,27 @@ def sync_flow(
             staged = spark.read.parquet(staging)
             n_staged = staged.count()
             try:
-                target = spark.read.parquet(path)
+                target = store.read_table(spark, path)
             except Exception:
                 # First incremental load of a never-full-synced table:
                 # the staged batch IS the initial table (same fallback
                 # stage_then_merge applies on the PK path).
                 merged = staged
             else:
-                merged = clear_and_insert(target, staged, group_key)
-            tmp = path + ".new"
-            merged.write.mode("overwrite").parquet(tmp)
-            spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-            return n_staged, spark.read.parquet(path).count()
+                from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import (
+                    conform_to_schema,
+                )
+
+                # Column-level intersection (get_table_columns.sql):
+                # project the batch onto the target's columns before
+                # the clear-then-insert.
+                merged = clear_and_insert(
+                    target, conform_to_schema(staged, target.schema), group_key
+                )
+            # One write: the merge lands as the next table version and
+            # the pointer swaps (sources/store.py) — no tmp-rewrite.
+            store.write_table(merged, path)
+            return n_staged, store.read_table(spark, path).count()
         if since is not None and name in TABLE_MODIFIED:
             src = src.filter(F.col(TABLE_MODIFIED[name]) > F.lit(since))
         merged = stage_then_merge(

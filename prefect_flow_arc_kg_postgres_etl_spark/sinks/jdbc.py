@@ -135,18 +135,26 @@ def stage_then_merge(
 
     Returns the merged DataFrame (read back from the landed target).
     One shuffle on the PKs; at 100 TB the target should be bucketed on
-    ``keys`` so repeated merges co-locate."""
+    ``keys`` so repeated merges co-locate. The target is a versioned
+    table (sources/store.py): the merge reads version N and lands
+    version N+1 with ONE data write + an atomic pointer swap — no
+    write-tmp-read-rewrite double I/O."""
     from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import upsert
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import (
+        conform_to_schema,
+    )
 
     source.write.mode("overwrite").parquet(staging_path)
     staged = spark.read.parquet(staging_path)
     try:
-        target = spark.read.parquet(target_path)
-        merged = upsert(target, staged, keys)
+        target = store.read_table(spark, target_path)
+        # Column-level intersection (get_table_columns.sql analogue):
+        # the staged batch is projected onto the target's columns, so a
+        # drifted source schema (extra / missing / retyped columns)
+        # still merges — extra columns drop, missing ones land NULL.
+        merged = upsert(target, conform_to_schema(staged, target.schema), keys)
     except Exception:  # first load: nothing to merge into
         merged = staged
-    out_path = target_path.rstrip("/") + ".new"
-    merged.write.mode("overwrite").parquet(out_path)
-    landed = spark.read.parquet(out_path)
-    landed.write.mode("overwrite").parquet(target_path)
-    return spark.read.parquet(target_path)
+    store.write_table(merged, target_path)
+    return store.read_table(spark, target_path)

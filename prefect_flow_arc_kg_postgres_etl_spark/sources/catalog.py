@@ -67,25 +67,37 @@ _TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+
+    path = f"{sf_dir}/{name}.parquet"
+    # Versioned store tables (sources/store.py) resolve their pointer
+    # first; keying the memo on the version keeps it correct for
+    # MUTABLE store dirs (a re-synced table gets a new version, so a
+    # stale cached file listing can never be served).
+    version = store.current_version(path)
     memo = _TABLE_MEMO.setdefault(spark, {})
-    df = memo.get((sf_dir, name))
+    df = memo.get((sf_dir, name, version))
     if df is not None:
         return df
     # The harness may hand us a session we didn't build; pin the confs
     # correctness depends on (both are runtime-settable SQL confs).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
+    if version is not None:
+        df = spark.read.parquet(store.version_dir(path, version))
+    elif name == "events":
         # events.parquet stores TIMESTAMP(NANOS); Spark's reader has no
         # nanos timestamp type. Read nanos as long, truncate to micros
         # (what DuckDB/Arrow do when casting ns -> us timestamps).
+        # (Catalog-only: a store copy of events was landed post-
+        # conversion and takes the versioned branch above.)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        raw = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
         df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    memo[(sf_dir, name)] = df
+        df = spark.read.parquet(path)
+    memo[(sf_dir, name, version)] = df
     return df
 
 
@@ -105,6 +117,34 @@ def table_intersection(source_tables: list[str], target_tables: list[str]) -> li
     typescript/src/database.ts:35-45 getIntersectingTables) — a catalog
     metadata op; order is deterministic (sorted)."""
     return sorted(set(source_tables) & set(target_tables))
+
+
+def column_intersection(source_cols: list[str], target_cols: list[str]) -> list[str]:
+    """Columns present in BOTH schemas, in TARGET order (reference:
+    queries/sql/get_table_columns.sql lists the target's columns and
+    database.ts:121-144 maps each record value per target column) —
+    the column-level twin of ``table_intersection``."""
+    src = set(source_cols)
+    return [c for c in target_cols if c in src]
+
+
+def conform_to_schema(df: DataFrame, target_schema) -> DataFrame:
+    """Project a staged batch onto the TARGET's column set — the Spark
+    analogue of the reference's per-target-column record mapping
+    (database.ts:121-144: for every column of the target table, take
+    the record's value or NULL). Extra source columns are dropped,
+    columns missing from the source become typed NULLs, and shared
+    columns are cast to the target's type. A pure projection — stays in
+    the scan/codegen stage, no shuffle."""
+    from pyspark.sql import functions as F
+
+    src = set(df.columns)
+    return df.select(
+        *[
+            (F.col(f.name) if f.name in src else F.lit(None)).cast(f.dataType).alias(f.name)
+            for f in target_schema.fields
+        ]
+    )
 
 
 class Catalog:

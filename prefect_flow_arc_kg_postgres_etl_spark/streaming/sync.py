@@ -187,9 +187,11 @@ def incremental_upsert_stream(
         from pyspark.sql import Window
         from pyspark.sql import functions as FF
 
+        from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+
         sp = batch_df.sparkSession
         try:
-            target = sp.read.parquet(target_path)
+            target = store.read_table(sp, target_path)
         except Exception:
             target = None
         if target is None:
@@ -207,15 +209,16 @@ def incremental_upsert_stream(
                 .filter(FF.col("_rn") == 1)
                 .drop("_src", "_rn")
             )
-        # Write-then-swap keeps the read-modify-write safe (the source
-        # of the read is replaced only after materialization).
-        tmp = target_path + ".staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        sp.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        # Versioned landing (sources/store.py): the merge reads version
+        # N and writes version N+1 once, then the pointer swaps — the
+        # read-modify-write is safe with a single data write per epoch.
+        store.write_table(merged, target_path)
 
     q = ev.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
     q.awaitTermination()
-    return spark.read.parquet(target_path)
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+
+    return store.read_table(spark, target_path)
 
 
 def dedup_stream(

@@ -9,6 +9,7 @@ import datetime
 from pyspark.sql import functions as F
 
 from prefect_flow_arc_kg_postgres_etl_spark.flows import TABLE_PK, sync_flow
+from prefect_flow_arc_kg_postgres_etl_spark.sources import store as tstore
 from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
 from tests.conftest import SF_SMOKE
 
@@ -16,7 +17,7 @@ CUTOFF = datetime.date(1995, 1, 1)
 
 
 def _table_rows(spark, store, name):
-    df = spark.read.parquet(f"{store}/{name}.parquet")
+    df = tstore.read_table(spark, f"{store}/{name}.parquet")
     return {tuple(str(v) for v in r) for r in df.select(sorted(df.columns)).collect()}
 
 
@@ -115,10 +116,61 @@ def test_sync_flow_org_scoped(spark, tmp_path):
     index feed only contains the scoped organisations."""
     store = str(tmp_path / "scoped")
     counts = sync_flow(spark, SF_SMOKE, store, full_sync=True, or_ids=[0, 1, 2])
-    cust = spark.read.parquet(f"{store}/customer.parquet")
+    cust = tstore.read_table(spark, f"{store}/customer.parquet")
     assert {r.c_nationkey for r in cust.select("c_nationkey").distinct().collect()} <= {0, 1, 2}
-    nations = spark.read.parquet(f"{store}/nation.parquet")
+    nations = tstore.read_table(spark, f"{store}/nation.parquet")
     assert nations.count() == 3
     assert counts["index_documents"] > 0
     docs = spark.read.text(f"{store}/_index/es_bulk")
     assert docs.count() == 2 * cust.count()  # action + source line per customer
+
+
+def test_versioned_store_single_write_per_merge(spark, tmp_path):
+    """Each merge lands EXACTLY ONE new version directory (the
+    single-write contract that replaced write-tmp-read-rewrite), the
+    pointer tracks it, and superseded versions are pruned."""
+    import os
+
+    path = str(tmp_path / "t.parquet")
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    df2 = spark.createDataFrame([(1, "b"), (2, "c")], "id long, v string")
+
+    assert tstore.write_table(df1, path) == 1
+    assert tstore.current_version(path) == 1
+    assert tstore.write_table(df2, path) == 2
+    # one live version dir, no tmp/.new artifacts, pointer = 2
+    entries = sorted(e for e in os.listdir(path) if not e.startswith("."))
+    assert entries == ["_current", "v_2"]
+    rows = {(r.id, r.v) for r in tstore.read_table(spark, path).collect()}
+    assert rows == {(1, "b"), (2, "c")}
+
+
+def test_versioned_store_legacy_flat_read_and_convert(spark, tmp_path):
+    """A flat pre-versioning table reads as-is; its first merge converts
+    it to the versioned layout without losing data."""
+    path = str(tmp_path / "legacy.parquet")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    assert tstore.current_version(path) is None
+    assert tstore.read_table(spark, path).count() == 1
+    merged = tstore.read_table(spark, path).unionByName(
+        spark.createDataFrame([(2, "b")], "id long, v string")
+    )
+    assert tstore.write_table(merged, path) == 1
+    assert tstore.read_table(spark, path).count() == 2
+
+
+def test_incremental_store_has_single_version_after_rerun(spark, tmp_path):
+    """sync_flow merges leave one pruned version per table and never a
+    '.new' twin directory (the old double-write artifact)."""
+    import os
+
+    store = str(tmp_path / "vstore")
+    sync_flow(spark, SF_SMOKE, store, full_sync=True, build_index=False,
+              tables=["orders", "customer", "nation", "region"])
+    sync_flow(spark, SF_SMOKE, store, full_sync=False, since=CUTOFF,
+              build_index=False, tables=["orders", "customer", "nation", "region"])
+    for name in ("orders", "customer"):
+        tdir = f"{store}/{name}.parquet"
+        versions = [e for e in os.listdir(tdir) if e.startswith("v_")]
+        assert len(versions) == 1, versions
+        assert not os.path.exists(tdir + ".new")

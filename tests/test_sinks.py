@@ -118,3 +118,40 @@ def test_resumable_stage_skips_landed_batches(spark, tmp_path):
     r3 = resumable_stage(spark, records, path)
     assert r3 == {"written": 1, "skipped": 3}
     assert spark.read.parquet(path).count() == 100
+
+
+def test_column_intersection_order_and_sets():
+    """get_table_columns.sql analogue: intersection in TARGET order."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import (
+        column_intersection,
+    )
+
+    assert column_intersection(["b", "x", "a"], ["a", "b", "c"]) == ["a", "b"]
+    assert column_intersection([], ["a"]) == []
+
+
+def test_stage_then_merge_drifted_schema_converges(spark, tmp_path):
+    """Column-level intersection (database.ts:121-144): a source batch
+    with an EXTRA column, a MISSING column and a retyped shared column
+    still merges — extra drops, missing lands NULL, types conform to
+    the target."""
+    target = str(tmp_path / "t.parquet")
+    staging = str(tmp_path / "staging")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, v string, score double"
+    )
+    stage_then_merge(spark, v1, target, staging, ["id"])
+
+    # drifted batch: no `score`, extra `junk`, `id` arrives as int
+    drifted = spark.createDataFrame(
+        [(2, "B", "zzz"), (3, "c", "zzz")], "id int, v string, junk string"
+    )
+    out = stage_then_merge(spark, drifted, target, staging, ["id"])
+    assert [f.name for f in out.schema.fields] == ["id", "v", "score"]
+    assert dict(out.dtypes)["id"] == "bigint"
+    rows = {(r.id, r.v, r.score) for r in out.collect()}
+    assert rows == {(1, "a", 10.0), (2, "B", None), (3, "c", None)}
+
+    # idempotent under the drifted schema too
+    again = stage_then_merge(spark, drifted, target, staging, ["id"])
+    assert {(r.id, r.v, r.score) for r in again.collect()} == rows
