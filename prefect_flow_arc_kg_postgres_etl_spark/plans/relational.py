@@ -276,7 +276,11 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # ts is timestamp_ntz (catalog-normalized); ntz has no direct long
+    # cast, so route through ltz (exact under the catalog's pinned UTC
+    # session tz) to get epoch seconds.
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
     new_sess = F.when(gap.isNull() | (gap > _GAP_MIN * 60), 1).otherwise(0)
     sess = ev.withColumn(
         "session_id",
@@ -340,7 +344,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # into the events' January-2024 window deterministically.
         F.timestamp_seconds(
             F.lit(1704067200) + F.pmod(F.col("o_orderkey") * 977, 2592000)
-        ).alias("t"),
+        ).cast("timestamp_ntz").alias("t"),
         F.lit(1).alias("is_order"),
         F.lit(None).cast("long").alias("event_id"),
         F.col("o_orderkey"),

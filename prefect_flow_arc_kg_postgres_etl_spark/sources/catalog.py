@@ -66,6 +66,78 @@ _TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+# Columns that carry event-time. Harness regenerations have stored these
+# as TIMESTAMP(NANOS) (reads as bigint under the legacy conf), plain
+# timestamp[us] (reads as timestamp_ntz), and could plausibly ship
+# tz-tagged micros (reads as TIMESTAMP ltz) — normalization is
+# schema-driven, not filename-driven, so any of those load identically.
+EPOCH_COLS = {"ts"}
+
+# Epoch-magnitude thresholds for int64 time columns: values for dates in
+# the plausible data range (1990..2100) are ~1e17..4e18 in nanos,
+# ~1e14..4e15 in micros, ~1e11..4e12 in millis, ~1e8..4e9 in seconds.
+# The bands are >4 orders of magnitude apart, so one sample classifies.
+_EPOCH_BANDS = [(10**17, "ns"), (10**14, "us"), (10**11, "ms"), (0, "s")]
+
+
+def epoch_conversions(probe_df: DataFrame) -> dict:
+    """Classify which columns of a BATCH-read table need int64-epoch ->
+    timestamp conversion, probing one non-null value per column for the
+    unit. Returns {col: unit} ('ns'|'us'|'ms'|'s'|'ltz'); timestamp_ntz
+    columns need nothing and are absent. The probe is a LocalLimit(1)
+    scan — one row of one file, regardless of table size."""
+    conv: dict = {}
+    dtypes = dict(probe_df.dtypes)
+    for c in EPOCH_COLS & set(probe_df.columns):
+        dt = dtypes[c]
+        if dt == "bigint":
+            row = (
+                probe_df.select(c)
+                .where(f"{c} is not null")
+                .limit(1)
+                .collect()
+            )
+            if not row:
+                continue
+            v = abs(int(row[0][0]))
+            conv[c] = next(u for lo, u in _EPOCH_BANDS if v >= lo)
+        elif dt == "timestamp":
+            # tz-tagged micros: rebase to ntz under the UTC session tz so
+            # every variant lands on the same type the oracles compare.
+            conv[c] = "ltz"
+    return conv
+
+
+def apply_epoch_conversions(df: DataFrame, conv: dict) -> DataFrame:
+    """Apply ``epoch_conversions`` output to a DataFrame — batch OR
+    streaming (pure column expressions; no actions). All converted
+    columns land as timestamp_ntz (micros precision; nanos truncate,
+    matching DuckDB/Arrow ns->us casts)."""
+    from pyspark.sql import functions as F
+
+    exprs = {
+        "ns": lambda c: F.timestamp_micros(F.expr(f"{c} div 1000")),
+        "us": lambda c: F.timestamp_micros(F.col(c)),
+        "ms": lambda c: F.timestamp_millis(F.col(c)),
+        "s": lambda c: F.col(c).cast("timestamp"),
+        "ltz": lambda c: F.col(c),
+    }
+    for c, unit in conv.items():
+        df = df.withColumn(c, exprs[unit](c).cast("timestamp_ntz"))
+    return df
+
+
+def read_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read a parquet path with the confs a correct read depends
+    on pinned. ``nanosAsLong`` is a no-op for non-nanos files but is the
+    only way a TIMESTAMP(NANOS) file can be read at all, so it is set
+    BEFORE the read unconditionally (probing dtype first is impossible —
+    the read itself would raise)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from prefect_flow_arc_kg_postgres_etl_spark.sources import store
 
@@ -79,24 +151,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = memo.get((sf_dir, name, version))
     if df is not None:
         return df
-    # The harness may hand us a session we didn't build; pin the confs
-    # correctness depends on (both are runtime-settable SQL confs).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if version is not None:
-        df = spark.read.parquet(store.version_dir(path, version))
-    elif name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); Spark's reader has no
-        # nanos timestamp type. Read nanos as long, truncate to micros
-        # (what DuckDB/Arrow do when casting ns -> us timestamps).
-        # (Catalog-only: a store copy of events was landed post-
-        # conversion and takes the versioned branch above.)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        raw = read_raw(spark, store.version_dir(path, version))
     else:
-        df = spark.read.parquet(path)
+        raw = read_raw(spark, path)
+    df = apply_epoch_conversions(raw, epoch_conversions(raw))
     memo[(sf_dir, name, version)] = df
     return df
 

@@ -18,23 +18,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Schema of events.parquet with nanosecond ts read as long
-# (see sources/catalog.py — the nanos workaround applies to streams too).
-EVENTS_RAW_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """File-source stream over the events table.
+
+    The raw schema and any int64-epoch -> timestamp conversion are
+    DERIVED from a batch read of the same file (sources/catalog.py
+    read_raw + epoch_conversions), so batch and streaming can never
+    disagree about what ``ts`` is — whichever physical type the harness
+    regenerates (nanos-int64, micros timestamp, tz-tagged micros), both
+    paths normalize it identically to timestamp_ntz."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import catalog
+
+    path = f"{sf_dir}/events.parquet"
+    probe = catalog.read_raw(spark, path)
+    conv = catalog.epoch_conversions(probe)
     # The file-stream source needs a directory or glob, not a bare file
     # path; the single-char glob makes it treat the file as a match set.
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
+    raw = spark.readStream.schema(probe.schema).parquet(
         f"{sf_dir}/events.[p]arquet"
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return catalog.apply_epoch_conversions(raw, conv)
 
 
 def windowed_agg_stream(
@@ -233,13 +236,21 @@ def dedup_stream(
 
     Final table equals the plain events table — the batch-SQL oracle.
     """
+    # Watermarks track event time on TIMESTAMP (ltz) only; round-trip
+    # the ntz column through ltz for the stateful op (value-exact under
+    # the catalog's pinned UTC session tz) and back for the output the
+    # oracle compares.
     ev = events_stream(spark, sf_dir).select(
-        "event_id", "ts", "user_id", "event_type", "value"
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
     )
     doubled = ev.unionByName(ev)
     deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
-    )
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     q = (
         deduped.writeStream.outputMode("append")
         .format("memory")
