@@ -127,6 +127,7 @@ def sync_flow(
     or_ids: list[int] | None = None,
     tables: list[str] | None = None,
     build_index: bool = True,
+    collect_stats: bool = True,
 ) -> RunStats:
     """Run one sync: load every table from ``sf_dir`` into the store at
     ``store_dir`` (full = overwrite, incremental = PK upsert of rows
@@ -135,20 +136,30 @@ def sync_flow(
     to an organisation set (configuration.ts OR_IDS) — an isin filter
     pushed to every scan that carries the org key. Returns per-table
     row counts after merge plus staged/merged/failed accounting
-    (``RunStats``)."""
+    (``RunStats``).
+
+    ``collect_stats=False`` skips the driver-side ``.count()`` passes
+    that only feed RunStats (row counts report as -1; merged/failed
+    status is still exact). Each count is an extra scan of the staged
+    or merged table — negligible at harness scale, a redundant full
+    pass per table at 100 TB, so production runs at scale should turn
+    it off."""
     wanted = tables or list(TABLE_PK)
     deps = {t: TABLE_DEPS[t] & set(wanted) for t in wanted}
     stats = RunStats()
 
+    def count(df) -> int:
+        return df.count() if collect_stats else -1
+
     def sync_table(name: str) -> tuple[int, int]:
-        """Returns (staged_rows, merged_rows)."""
+        """Returns (staged_rows, merged_rows); -1 when stats are off."""
         src = load_table(spark, sf_dir, name)
         if or_ids is not None and name in TABLE_ORG:
             src = src.filter(F.col(TABLE_ORG[name]).isin(or_ids))
         path = f"{store_dir}/{name}.parquet"
         if full_sync:
             store.write_table(src, path)
-            n = store.read_table(spark, path).count()
+            n = count(store.read_table(spark, path))
             return n, n
         if name in TABLE_MULTIVALUE:
             # Incremental multi-value merge: a modified group re-emits
@@ -171,7 +182,7 @@ def sync_flow(
             staging = f"{store_dir}/_staging/{name}"
             batch.write.mode("overwrite").parquet(staging)
             staged = spark.read.parquet(staging)
-            n_staged = staged.count()
+            n_staged = count(staged)
             try:
                 target = store.read_table(spark, path)
             except Exception:
@@ -193,13 +204,13 @@ def sync_flow(
             # One write: the merge lands as the next table version and
             # the pointer swaps (sources/store.py) — no tmp-rewrite.
             store.write_table(merged, path)
-            return n_staged, store.read_table(spark, path).count()
+            return n_staged, count(store.read_table(spark, path))
         if since is not None and name in TABLE_MODIFIED:
             src = src.filter(F.col(TABLE_MODIFIED[name]) > F.lit(since))
         merged = stage_then_merge(
             spark, src, path, f"{store_dir}/_staging/{name}", TABLE_PK[name]
         )
-        return src.count(), merged.count()
+        return count(src), count(merged)
 
     def run_table(name: str) -> tuple[str, int, int, str | None]:
         try:
@@ -226,7 +237,7 @@ def sync_flow(
     if build_index and {"customer", "nation", "region", "orders"} <= set(wanted):
         docs = build_index_documents(spark, store_dir, as_json=True)
         write_bulk_ndjson(docs, f"{store_dir}/_index/es_bulk")
-        stats["index_documents"] = spark.read.text(
-            f"{store_dir}/_index/es_bulk"
-        ).count()
+        stats["index_documents"] = count(
+            spark.read.text(f"{store_dir}/_index/es_bulk")
+        )
     return stats

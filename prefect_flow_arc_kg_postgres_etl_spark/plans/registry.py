@@ -85,7 +85,6 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(pipeline.dedup_ngram_jaccard, pipeline.DEDUP_JACCARD_ORACLE),
     "dedup_lsh_verified": QuerySpec(pipeline.dedup_lsh_verified, pipeline.DEDUP_JACCARD_ORACLE),
     "dedup_embedding_cosine": QuerySpec(pipeline.dedup_embedding_cosine, pipeline.DEDUP_COSINE_ORACLE),
-    "dedup_embedding_lsh": QuerySpec(pipeline.dedup_embedding_lsh, pipeline.DEDUP_COSINE_ORACLE),
     "ann_bruteforce_topk": QuerySpec(pipeline.ann_bruteforce_topk, pipeline.ANN_BRUTE_ORACLE),
     "text_language_id": QuerySpec(pipeline.text_language_id, pipeline.LANG_ID_ORACLE),
     "text_quality_score": QuerySpec(pipeline.text_quality_score, pipeline.QUALITY_ORACLE),
@@ -101,6 +100,13 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_dedup": QuerySpec(
         streaming_plans.stream_dedup, streaming_plans.STREAM_DEDUP_ORACLE
     ),
+    # Round-4 promotion: the closed-session set of the stateful
+    # sessionizer is deterministic on a bounded source (every session
+    # except each user's last), so C3 is driver-checkable against SQL.
+    "stream_sessionize": QuerySpec(
+        streaming_plans.stream_sessionize,
+        streaming_plans.STREAM_SESSIONIZE_ORACLE,
+    ),
     # ---- oracle-backed entries past the driver's 50-entry window:
     # still fully checked by tools/check_oracle.py + tests/test_oracle.py
     # locally. Displaced to make window room for the round-3 promotions
@@ -108,7 +114,10 @@ QUERIES: dict[str, QuerySpec] = {
     # !BOUND): table_intersection and fk_merge_order are metadata-level
     # ops pinned by dedicated unit tests; rollup_agg's agg shapes are a
     # strict subset of grouping_sets (in-window); empty_partition_prune
-    # is covered by the delete-flow convergence tests.
+    # is covered by the delete-flow convergence tests;
+    # dedup_embedding_lsh (displaced r4 for stream_sessionize) shares
+    # its oracle with in-window dedup_embedding_cosine and is
+    # bench-timed + recall-tested.
     "table_intersection": QuerySpec(
         kg.table_intersection_q, kg.TABLE_INTERSECTION_ORACLE
     ),
@@ -116,6 +125,9 @@ QUERIES: dict[str, QuerySpec] = {
     "rollup_agg": QuerySpec(relational.rollup_agg, relational.ROLLUP_ORACLE),
     "empty_partition_prune": QuerySpec(
         kg.empty_partition_prune, kg.EMPTY_PARTITION_ORACLE
+    ),
+    "dedup_embedding_lsh": QuerySpec(
+        pipeline.dedup_embedding_lsh, pipeline.DEDUP_COSINE_ORACLE
     ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
@@ -129,7 +141,6 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_incremental_upsert": QuerySpec(
         streaming_plans.stream_incremental_upsert, None
     ),
-    "stream_sessionize": QuerySpec(streaming_plans.stream_sessionize, None),
     "stream_es_feed": QuerySpec(streaming_plans.stream_es_feed, None),
 }
 

@@ -41,14 +41,43 @@ def stream_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3: custom stateful operator via applyInPandasWithState. Rows-only
-    for the driver (emits CLOSED sessions; each user's final session
-    stays in state); tests/test_streaming.py checks exact equivalence
-    with the batch sessionize operator on the closed set."""
+    """C3: custom stateful operator via applyInPandasWithState. Emits
+    CLOSED sessions; each user's final session stays in state. On a
+    bounded source the closed set is deterministic — every session
+    except the per-user last — so this is oracle-backed: the batch
+    sessionization minus each user's final session."""
     _COUNTER["n"] += 1
     return sessionize_stream(
         spark, sf_dir, query_name=f"stream_sessionize_{_COUNTER['n']}"
     )
+
+
+# Batch sessionization (relational.SESSIONIZE_ORACLE semantics) minus
+# each user's LAST session (still open in stream state at end-of-input).
+STREAM_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+), agg AS (
+  SELECT user_id, session_id,
+         MIN(ts) AS session_start, MAX(ts) AS session_end,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, session_start, session_end, n_events
+FROM agg
+QUALIFY session_id < MAX(session_id) OVER (PARTITION BY user_id)
+"""
 
 
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,8 +45,11 @@ def windowed_agg_stream(
 ) -> DataFrame:
     """Tumbling 1-hour aggregation maintained by the stream (complete
     mode => the final table equals the batch events_tumbling result —
-    that equivalence is the oracle check). Watermarking is exercised in
-    tests; complete mode here so the memory sink holds every window."""
+    that equivalence is the oracle check). Complete mode + memory sink
+    is the ORACLE HARNESS configuration for a bounded source; the
+    production path at scale is ``windowed_agg_stream_watermarked``
+    (append + watermark => bounded state, windows finalized and flushed
+    to the sink as the watermark passes them)."""
     ev = events_stream(spark, sf_dir)
     agg = ev.groupBy(
         F.window("ts", "1 hour").getField("start").alias("window_start"),
@@ -68,6 +71,57 @@ def windowed_agg_stream(
     return spark.table(query_name).select(
         "window_start", "event_type", "n", "total_value"
     )
+
+
+def windowed_agg_stream_watermarked(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """PRODUCTION variant of the tumbling aggregation: append output
+    mode with an event-time watermark into a file sink. State is
+    BOUNDED — a window's aggregate is dropped (and emitted exactly
+    once) when the watermark passes its end, so at 100 TB the state
+    store holds |open windows x event types| rows, not history; the
+    complete-mode oracle variant above would grow without bound.
+
+    On a bounded source the emitted set is every window whose end <=
+    final watermark (max event time - delay) — the no-data micro-batch
+    after the last file advances the watermark and flushes them; still-
+    open windows are not emitted (they would flush on the next trigger
+    in a continuous run). Returns the landed result (batch re-read).
+    """
+    ev = events_stream(spark, sf_dir)
+    # Watermarks track TIMESTAMP (ltz) event time only; UTC round-trip
+    # as in dedup_stream.
+    agg = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window").getField("start")
+            .cast("timestamp_ntz")
+            .alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", f"{out_path}_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)
 
 
 SESSION_GAP_MIN = 30

@@ -174,3 +174,25 @@ def test_incremental_store_has_single_version_after_rerun(spark, tmp_path):
         versions = [e for e in os.listdir(tdir) if e.startswith("v_")]
         assert len(versions) == 1, versions
         assert not os.path.exists(tdir + ".new")
+
+
+def test_sync_flow_collect_stats_off(spark, tmp_path):
+    """collect_stats=False skips the accounting-only .count() passes:
+    the store still lands identically, statuses are exact, and all row
+    counts report -1 (100 TB mode — no redundant scans)."""
+    store_on = str(tmp_path / "stats_on")
+    store_off = str(tmp_path / "stats_off")
+    tables = ["region", "nation", "customer"]
+    stats_on = sync_flow(
+        spark, SF_SMOKE, store_on, full_sync=True, tables=tables,
+        build_index=False,
+    )
+    stats_off = sync_flow(
+        spark, SF_SMOKE, store_off, full_sync=True, tables=tables,
+        build_index=False, collect_stats=False,
+    )
+    assert stats_off.merged_tables == stats_on.merged_tables == len(tables)
+    assert all(stats_off[t] == -1 for t in tables)
+    assert all(stats_on[t] > 0 for t in tables)
+    for t in tables:
+        assert _table_rows(spark, store_off, t) == _table_rows(spark, store_on, t)

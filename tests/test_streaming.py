@@ -95,3 +95,35 @@ def test_stream_es_feed_lands_bulk_pairs(spark, tmp_path):
     assert any(
         d.startswith("index=") for d in os.listdir(os.path.join(out, epochs[0]))
     )
+
+
+def test_watermarked_append_agg_matches_batch_below_watermark(spark, tmp_path):
+    """Production windowed-agg variant (append + watermark + file sink):
+    the emitted set is exactly the batch tumbling result for windows the
+    final watermark (max event time - delay) has passed — bounded state,
+    no complete-mode history."""
+    import pyspark.sql.functions as F
+
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        windowed_agg_stream_watermarked,
+    )
+
+    out = windowed_agg_stream_watermarked(
+        spark, SF_SMOKE, str(tmp_path / "agg_out")
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    batch = events_tumbling(spark, SF_SMOKE).collect()
+    import datetime
+
+    watermark = max_ts - datetime.timedelta(hours=1)
+    expected = {
+        (r.window_start, r.event_type, r.n, r.total_value)
+        for r in batch
+        if r.window_start + datetime.timedelta(hours=1) <= watermark
+    }
+    got = {
+        (r.window_start, r.event_type, r.n, r.total_value) for r in out.collect()
+    }
+    assert expected, "test data must span more than the watermark delay"
+    assert got == expected
