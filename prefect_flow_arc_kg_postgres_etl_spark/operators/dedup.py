@@ -45,21 +45,57 @@ def doc_ngrams(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
     gram strings (which also cost an interpreted array_join per gram to
     construct). Tokens never contain whitespace (words() splits on it),
     so slice identity == joined-string identity; a 64-bit collision on a
-    corpus would need ~2^32 distinct grams to be likely."""
-    return _gram_hashes(docs, id_col, text_col, n).select(
-        "id", F.col("g").alias("gram")
-    ).distinct()
+    corpus would need ~2^32 distinct grams to be likely.
+
+    Dedup is PER-DOCUMENT, so it's ``array_distinct`` on the per-doc
+    hash array before the explode — scan-side in codegen, ZERO shuffle.
+    (A global ``.distinct()`` here would shuffle every gram row; the
+    verify pipeline references this subtree three times, so that was
+    three full gram shuffles per run.)"""
+    toks, hashes = _gram_expr(docs, id_col, text_col, n)
+    return toks.select("id", F.explode(F.array_distinct(hashes)).alias("gram"))
 
 
-def _gram_hashes(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, g): one xxhash64 per word n-gram, hashed straight off the
-    sliced token array — no gram strings are ever built, and no
-    distinct (MinHash's min is duplicate-insensitive)."""
+def doc_ngram_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, n_grams = |distinct grams|): groupBy over the scan-side-
+    distinct gram stream. Deliberately NOT a scan-side
+    size(array_distinct(...)) projection: that plan's tiny size estimate
+    makes the downstream per-doc joins broadcast it, and each broadcast
+    re-executes the whole tokenize+hash subtree (measured 2.7x slower
+    than this one-shuffle aggregate at sf0.1, A/B'd in-session)."""
+    return (
+        doc_ngrams(docs, id_col, text_col, n)
+        .groupBy("id")
+        .agg(F.count("*").alias("n_grams"))
+    )
+
+
+def _gram_expr(docs: DataFrame, id_col: str, text_col: str, n: int):
+    """(tokens df, per-doc gram-hash array COLUMN): one xxhash64 per
+    word n-gram, hashed straight off the sliced token array — no gram
+    strings are ever built.
+
+    Returned as an un-projected Column on purpose: callers explode the
+    EXPRESSION directly (``explode(hashes)``), never a projected alias
+    of it. Exploding a projected column triggers
+    InferFiltersFromGenerate + projection collapse, which inlines this
+    whole tokenize+hash expression into a pre-Generate Filter and
+    re-evaluates it ~3x per row (measured 8x slowdown on the minhash
+    signature build)."""
     toks = docs.select(F.col(id_col).alias("id"), words(F.lower(F.col(text_col))).alias("w"))
     idx = F.sequence(F.lit(1), F.size("w") - (n - 1))
     hashes = F.when(
         F.size("w") >= n, F.transform(idx, lambda i: F.xxhash64(F.slice("w", i, n)))
     ).otherwise(F.array().cast("array<long>"))
+    return toks, hashes
+
+
+def _gram_hashes(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, g): exploded gram hashes, duplicates kept (MinHash's min is
+    duplicate-insensitive, so no distinct is spent here)."""
+    toks, hashes = _gram_expr(docs, id_col, text_col, n)
     return toks.select("id", F.explode(hashes).alias("g"))
 
 
@@ -78,7 +114,7 @@ def ngram_jaccard_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
     grams = doc_ngrams(docs, id_col, text_col, n)
-    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    sizes = doc_ngram_counts(docs, id_col, text_col, n)
     a = grams.select(F.col("id").alias("doc_a"), "gram")
     b = grams.select(F.col("id").alias("doc_b"), "gram")
     common = (
@@ -147,12 +183,21 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    include_estimate: bool = True,
 ) -> DataFrame:
     """LSH banding over MinHash signatures: docs agreeing on ALL rows of
     any band become a candidate pair. Join key is (band, xxhash64(band
     slice)) — uniformly distributed by construction, so the self-join
     can't skew. Returns (doc_a, doc_b, est_jaccard) where est_jaccard is
-    the signature agreement fraction."""
+    the signature agreement fraction.
+
+    ``include_estimate=False`` returns (doc_a, doc_b) only and SKIPS the
+    two signature re-joins that compute the agreement fraction. Spark
+    re-executes each occurrence of the signature subtree (no cross-
+    branch reuse without materialization), so every sig reference costs
+    a full corpus scan + gram build + k-min aggregation — callers that
+    verify candidates exactly (lsh_verified_pairs) never read the
+    estimate and save two of the three corpus passes by opting out."""
     r = k // bands
     sig = minhash_signatures(docs, k, id_col, text_col, n)
     # Band keys generated as one inline() expression string (JVM-parsed;
@@ -175,6 +220,8 @@ def minhash_lsh_candidates(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    if not include_estimate:
+        return pairs
     sig_a = sig.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sig_b = sig.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"))
     agree = F.size(
@@ -347,11 +394,11 @@ def lsh_verified_pairs(
     (ngram_jaccard_pairs) — the equality is this operator's oracle.
     Returns (doc_a, doc_b, jaccard >= threshold).
     """
-    cands = minhash_lsh_candidates(docs, k, bands, id_col, text_col, n).select(
-        "doc_a", "doc_b"
+    cands = minhash_lsh_candidates(
+        docs, k, bands, id_col, text_col, n, include_estimate=False
     )
     grams = doc_ngrams(docs, id_col, text_col, n)
-    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    sizes = doc_ngram_counts(docs, id_col, text_col, n)
     ga = grams.select(F.col("id").alias("doc_a"), "gram")
     gb = grams.select(F.col("id").alias("doc_b"), "gram")
     common = (
