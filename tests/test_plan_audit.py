@@ -216,3 +216,51 @@ def test_construct_optional_values_pushed_to_scan(spark):
     # The staged triple store is partitioned by predicate, so every
     # pattern scan must partition-prune to its posting list.
     assert "PartitionFilters: [isnotnull(predicate" in plan
+
+
+def test_incremental_since_ts_filter_reaches_parquet_scan(spark):
+    """The SINCE timestamp filter must be in PushedFilters — possible
+    only because the catalog passes a native timestamp column through
+    unwrapped (any conversion expression around ts would block pushdown
+    and force a full scan of the 100 TB event log)."""
+    plan = build(spark, "incremental_since")
+    assert "GreaterThan(ts" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_gram_build_evaluated_once_no_inferred_filter(spark):
+    """The tokenize+gram-hash expression must appear EXACTLY once in the
+    signature plan and never inside a Filter. Exploding a projected gram
+    column lets InferFiltersFromGenerate clone the whole subtree into a
+    pre-Generate filter (~3x per-row re-evaluation; measured 8x wall
+    slowdown on the signature build) — this pins the direct-expression
+    explode shape that avoids the rule."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    plan = plan_of(minhash_signatures(load_table(spark, SF_SMOKE, "documents")))
+    assert plan.count("transform(sequence") == 1
+    assert not any(
+        "xxhash64" in line for line in plan.splitlines() if "Filter" in line
+    )
+
+
+def test_dedup_scan_budgets(spark):
+    """Corpus-pass budget for the dedup pipelines: every occurrence of
+    the documents scan in the plan is a full 100 TB read at scale. The
+    verified pipeline skips the unused est_jaccard signature re-joins
+    (include_estimate=False), so it must stay at/below the standalone
+    candidate generator's scan count, and neither may regress past its
+    audited shape (explain lists each scan twice: tree + detail)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import (
+        lsh_verified_pairs,
+        minhash_lsh_candidates,
+    )
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    verified = plan_of(lsh_verified_pairs(docs, 0.8)).count("documents.parquet")
+    with_est = plan_of(minhash_lsh_candidates(docs)).count("documents.parquet")
+    assert verified <= 6, f"verified pipeline scans grew: {verified}"
+    assert with_est <= 12, f"estimate path scans grew: {with_est}"
