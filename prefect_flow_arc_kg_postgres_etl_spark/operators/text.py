@@ -5,7 +5,7 @@ curation, all scan-side JVM expressions (no UDFs in the hot path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from prefect_flow_arc_kg_postgres_etl_spark.functions.text import (
@@ -109,6 +109,52 @@ def fingerprint_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def tf_idf_top_terms(
+    docs: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the standard
+    corpus-statistics pass of a training-data pipeline (keyword
+    extraction / topic fingerprinting).
+
+    Shuffle shape at 100 TB: one groupBy on (doc, term) with map-side
+    combine (the term explosion never shuffles raw tokens), a by-term
+    aggregate whose output is |vocabulary| rows (AQE broadcasts it back
+    when small), the corpus size as a one-row broadcast cross join, and
+    one window on doc_id for the top-k. Heavy-hitter terms can't skew
+    the by-term join: the tf side carries one row per (doc, term), and
+    document frequency is pre-aggregated before joining.
+
+    Ranking uses the ROUNDED score (6 dp) with the term as tiebreak so
+    the selected set is reproducible across engines — raw double
+    ordering would make the top-k depend on last-ulp differences in
+    ln() between runtimes. Returns (doc_id, term, tf, tfidf)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 __all__ = [
     "LANG_MARKERS",
     "STOPWORDS",
@@ -116,4 +162,5 @@ __all__ = [
     "quality_score",
     "token_stats",
     "fingerprint_docs",
+    "tf_idf_top_terms",
 ]

@@ -868,3 +868,23 @@ SELECT table_name, record_id,
             AS BIGINT) AS batch_id
 FROM counted
 """
+
+
+# ------------------------------------- A25 N-Triples round trip (RDF IO)
+def kg_nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF interchange: melt customer to quads, serialize to N-Triples
+    lines (sources/rdf.to_ntriples), parse the lines back
+    (parse_ntriples) — the identity on the triple model, which the melt
+    oracle checks. This is the engine's bulk path for the reference's
+    native data format (its CONSTRUCT queries emit RDF triple streams —
+    queries/*.sparql, stream.ts): a splittable text dump in, quads out,
+    all scan-side JVM string expressions."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import rdf
+
+    cust = load_table(spark, sf_dir, "customer")
+    triples = T.melt(cust, "c_custkey", CUSTOMER_COLS, subject_prefix="customer:")
+    lines = rdf.to_ntriples(triples)
+    return rdf.parse_ntriples(lines).select("subject", "predicate", "object")
+
+
+KG_NT_ROUNDTRIP_ORACLE = KG_MELT_ORACLE

@@ -454,3 +454,34 @@ JOIN lang l ON l.doc_id = q.doc_id
 WHERE q.quality = 1.0 AND l.detected_lang = 'en'
   AND EXISTS (SELECT 1 FROM dedup d WHERE d.doc_id = q.doc_id)
 """
+
+
+# ---------------------------------------------- D15 TF-IDF top terms
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by TF-IDF (rounded-score
+    ranking with term tiebreak — reproducible across engines)."""
+    return TX.tf_idf_top_terms(
+        _spread(spark, load_table(spark, sf_dir, "documents")), k=5
+    )
+
+
+TFIDF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(LOWER(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, tf,
+         ROUND(tf * LN(n_docs / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 5
+"""

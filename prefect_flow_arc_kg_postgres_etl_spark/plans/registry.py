@@ -129,6 +129,10 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_embedding_lsh": QuerySpec(
         pipeline.dedup_embedding_lsh, pipeline.DEDUP_COSINE_ORACLE
     ),
+    # Round-4 surface additions (oracle-backed, locally checked):
+    # RDF N-Triples serialize->parse round trip and TF-IDF top terms.
+    "kg_nt_roundtrip": QuerySpec(kg.kg_nt_roundtrip, kg.KG_NT_ROUNDTRIP_ORACLE),
+    "text_tfidf": QuerySpec(pipeline.text_tfidf, pipeline.TFIDF_ORACLE),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.
