@@ -1,0 +1,132 @@
+"""Corpus curation operators a large-scale training-data pipeline needs
+beyond dedup: benchmark decontamination, deterministic stratified
+sampling, and token-budget sequence packing.
+
+These compose with the dedup/quality operators (operators/dedup.py,
+operators/text.py) into the full curation flow; each is expressed in
+built-in DataFrame ops with the shuffle shape a 100 TB corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import doc_ngrams
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop training documents that share ANY word ``n``-gram with a
+    benchmark/eval document — the standard n-gram decontamination pass
+    run before LLM training (the eval set must not leak into the
+    training corpus).
+
+    Shape at 100 TB: the benchmark side is tiny (eval sets are
+    thousands of docs, the corpus is billions), so its distinct gram
+    set broadcasts; the train side streams scan-side grams through a
+    broadcast LEFT SEMI probe to find contaminated ids (one small
+    distinct), and survivors come off a broadcast anti join — the
+    train corpus is never shuffled. Gram identity is the same hashed
+    8-byte slice as the dedup family (doc_ngrams), so the probe carries
+    longs, not strings.
+
+    Returns the surviving train rows unchanged.
+    """
+    train_grams = doc_ngrams(train, id_col, text_col, n)
+    bench_grams = doc_ngrams(benchmark, id_col, text_col, n).select("gram").distinct()
+    contaminated = (
+        train_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("id")
+        .distinct()
+    )
+    return train.join(
+        F.broadcast(contaminated),
+        train[id_col] == contaminated["id"],
+        "left_anti",
+    )
+
+
+# Multiplier/increment from the classic Lehmer/glibc LCG family: pure
+# integer arithmetic both Spark and any SQL oracle compute identically
+# (inputs stay far below 2^63 — no overflow divergence), unlike
+# engine-specific hash builtins (xxhash64 exists only on the Spark side).
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2147483648  # 2^31
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff the LCG hash
+    of its id falls under the stratum's fraction. Unlike
+    ``DataFrame.sampleBy`` (seeded RNG over partition order) the kept
+    set is a pure function of (id, stratum fraction) — stable across
+    runs, partitionings and engines, which is what makes a training-mix
+    spec reproducible. Scan-side filter: no shuffle, no sort.
+
+    ``fractions`` maps stratum value -> keep fraction in [0, 1];
+    unlisted strata are dropped.
+    """
+    # Pre-mod the id so (id % M) * A + C stays < 2^62 for ANY bigint id —
+    # no overflow, so Spark longs and a SQL oracle's wider ints agree.
+    bucket = ((F.col(id_col) % _LCG_M) * _LCG_A + _LCG_C) % _LCG_M
+    keep = F.lit(False)
+    for value, frac in sorted(fractions.items()):
+        keep = keep | (
+            (F.col(strata_col) == value) & (bucket < int(frac * _LCG_M))
+        )
+    return df.filter(keep)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "est_tokens",
+    part_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to token-budget packs (sequence packing for
+    training batches) by contiguous token offset: lay documents out in
+    deterministic id order, concatenate their token counts into one
+    stream, and give each document the pack whose budget-width window
+    its START offset falls in — ``pack = floor(prefix_sum / budget)``.
+
+    This is the pad-free contiguous packing used for pretraining
+    shards, minus document splitting: a document straddling a boundary
+    stays whole in the pack where it starts, so a pack overflows by at
+    most one document (strict capacity packing is inherently
+    sequential; offset binning is the closed form a single window pass
+    — and a SQL oracle — can express exactly).
+
+    A global ordering would serialize at 100 TB, so ``part_col`` (a
+    date / shard key) scopes the ordering and packs build independently
+    per shard — which is how training shards are laid out anyway. One
+    shuffle (the window partition).
+
+    Output: (id, tokens, pack_id[, part]); pack ids are dense within a
+    scope."""
+    part_keys = [part_col] if part_col else []
+    w = (
+        Window.partitionBy(*part_keys)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    out = [
+        F.col(id_col),
+        F.col(tokens_col).alias("tokens"),
+        F.floor(prefix / F.lit(budget_tokens)).cast("bigint").alias("pack_id"),
+    ]
+    if part_col:
+        out.append(F.col(part_col))
+    return docs.select(*out)

@@ -485,3 +485,126 @@ WITH toks AS (
 SELECT doc_id, term, tf, tfidf FROM scored
 QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 5
 """
+
+
+# ------------------------------------------- D16 decontamination
+_BENCH_MOD = 10       # every 10th doc acts as the held-out eval set
+_CONTAM_OFF = 3_000_000
+_CONTAM_TAIL = " appended trailing tokens"
+_DECON_N = 8
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination: training docs sharing any
+    8-gram with the (synthesized) eval split are dropped. The corpus
+    has no real eval leakage, so contaminated rows are PLANTED
+    deterministically (benchmark texts + a tail) — identically in the
+    oracle — keeping the hash check meaningful. The benchmark gram set
+    broadcasts; the train corpus is never shuffled."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.curation import (
+        decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    clean = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    planted = bench.select(
+        (F.col("doc_id") + _CONTAM_OFF).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_CONTAM_TAIL)).alias("text"),
+    )
+    train = _spread(spark, clean.unionByName(planted))
+    return decontaminate(train, bench, n=_DECON_N).select("doc_id")
+
+
+DECONTAMINATE_ORACLE = rf"""
+WITH train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {_BENCH_MOD} <> 0
+  UNION ALL
+  SELECT doc_id + {_CONTAM_OFF} AS doc_id, text || '{_CONTAM_TAIL}' AS text
+  FROM documents WHERE doc_id % {_BENCH_MOD} = 0
+), bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {_BENCH_MOD} = 0
+), tg AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(w) - {_DECON_N - 2}),
+                               i -> array_to_string(w[i:i+{_DECON_N - 1}], ' '))) AS g
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(LOWER(text), '\s+'), x -> x <> '') AS w
+        FROM train)
+  WHERE len(w) >= {_DECON_N}
+), bg AS (
+  SELECT DISTINCT array_to_string(w[i:i+{_DECON_N - 1}], ' ') AS g
+  FROM (SELECT list_filter(string_split_regex(LOWER(text), '\s+'), x -> x <> '') AS w
+        FROM bench), UNNEST(range(1, len(w) - {_DECON_N - 2})) AS t(i)
+  WHERE len(w) >= {_DECON_N}
+)
+SELECT doc_id FROM train
+WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tg WHERE g IN (SELECT g FROM bg))
+"""
+
+
+# ------------------------------------------- D17 stratified sampling
+_MIX = {"en": 0.5, "de": 1.0, "zh": 0.2}
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix sampling: per-language keep fractions
+    applied via an engine-independent LCG hash of doc_id (stable across
+    runs/partitionings — a reproducible mix spec, unlike seeded RNG
+    sampling). Unlisted languages drop."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.curation import (
+        sample_stratified,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sample_stratified(docs, "lang", _MIX)
+
+
+_LCG = "((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648"
+SAMPLE_STRATIFIED_ORACLE = (
+    "SELECT doc_id, lang, source FROM documents WHERE "
+    + " OR ".join(
+        f"(lang = '{v}' AND {_LCG} < {int(f * 2147483648)})"
+        for v, f in sorted(_MIX.items())
+    )
+)
+
+
+# ------------------------------------------- D18 sequence packing
+_PACK_BUDGET = 2048
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing per source shard: BPE-estimate
+    token counts (text_token_stats' estimator), then contiguous-offset
+    packs of 2048 tokens within each source (the shard key scopes the
+    ordering so no global sort exists at 100 TB)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.curation import (
+        pack_sequences,
+    )
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.text import token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = token_stats(docs).select("doc_id", F.col("est_bpe_tokens").alias("est_tokens"))
+    with_shard = toks.join(docs.select("doc_id", "source"), "doc_id")
+    return pack_sequences(
+        with_shard, _PACK_BUDGET, tokens_col="est_tokens", part_col="source"
+    )
+
+
+PACK_SEQUENCES_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(COALESCE(list_sum(list_transform(
+             list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+             x -> CAST(CEIL(LENGTH(x) / 4.0) AS BIGINT))), 0) AS BIGINT) AS tokens
+  FROM documents
+)
+SELECT doc_id, tokens,
+       CAST(FLOOR(CAST(COALESCE(SUM(tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+       source
+FROM toks
+"""

@@ -133,6 +133,15 @@ QUERIES: dict[str, QuerySpec] = {
     # RDF N-Triples serialize->parse round trip and TF-IDF top terms.
     "kg_nt_roundtrip": QuerySpec(kg.kg_nt_roundtrip, kg.KG_NT_ROUNDTRIP_ORACLE),
     "text_tfidf": QuerySpec(pipeline.text_tfidf, pipeline.TFIDF_ORACLE),
+    "corpus_decontaminate": QuerySpec(
+        pipeline.corpus_decontaminate, pipeline.DECONTAMINATE_ORACLE
+    ),
+    "corpus_sample_stratified": QuerySpec(
+        pipeline.corpus_sample_stratified, pipeline.SAMPLE_STRATIFIED_ORACLE
+    ),
+    "corpus_pack_sequences": QuerySpec(
+        pipeline.corpus_pack_sequences, pipeline.PACK_SEQUENCES_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

@@ -1,0 +1,94 @@
+"""Curation operators (operators/curation.py): decontamination removes
+exactly the overlapping docs, stratified sampling is a deterministic
+pure function of (id, fraction), packing respects the offset-bin
+contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_kg_postgres_etl_spark.operators.curation import (
+    decontaminate,
+    pack_sequences,
+    sample_stratified,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_decontaminate_drops_overlap_keeps_rest(spark):
+    bench = _df(
+        spark,
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id bigint, text string",
+    )
+    train = _df(
+        spark,
+        [
+            # shares the full 8-gram window with the benchmark doc
+            (10, "x alpha beta gamma delta epsilon zeta eta theta y"),
+            # 7-gram overlap only — must survive at n=8
+            (11, "alpha beta gamma delta epsilon zeta eta DIFFERENT"),
+            (12, "completely unrelated text with enough tokens to form grams ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    kept = {r.doc_id for r in decontaminate(train, bench, n=8).collect()}
+    assert kept == {11, 12}
+
+
+def test_sample_stratified_deterministic_subset(spark):
+    docs = _df(
+        spark,
+        [(i, "en" if i % 2 == 0 else "de") for i in range(1000)],
+        "doc_id bigint, lang string",
+    )
+    frac = {"en": 0.4}
+    a = {r.doc_id for r in sample_stratified(docs, "lang", frac).collect()}
+    b = {
+        r.doc_id
+        for r in sample_stratified(
+            docs.repartition(7), "lang", frac
+        ).collect()
+    }
+    assert a == b, "kept set must not depend on partitioning"
+    assert all(i % 2 == 0 for i in a), "unlisted strata must drop"
+    # LCG buckets are near-uniform: 40% +/- a loose tolerance of 500 docs
+    assert 0.25 <= len(a) / 500 <= 0.55
+    # fraction monotonicity: a smaller fraction keeps a subset
+    smaller = {
+        r.doc_id
+        for r in sample_stratified(docs, "lang", {"en": 0.2}).collect()
+    }
+    assert smaller <= a
+
+
+def test_pack_sequences_offset_bins(spark):
+    docs = _df(
+        spark,
+        [(i, 40, "s") for i in range(10)] + [(100, 500, "s")],
+        "doc_id bigint, est_tokens bigint, source string",
+    )
+    out = pack_sequences(docs, 100, tokens_col="est_tokens", part_col="source")
+    rows = sorted(
+        ((r.doc_id, r.pack_id) for r in out.collect()), key=lambda t: t[0]
+    )
+    # prefix sums 0,40,80,120,... -> packs 0,0,0,1,1,2,2,2,3,3; the
+    # 500-token doc starts at offset 400 -> pack 4, and the straddling
+    # doc (start 80) stays whole in pack 0 (offset-bin contract).
+    assert [p for _, p in rows] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3, 4]
+
+
+def test_pack_sequences_scoped_per_partition(spark):
+    docs = _df(
+        spark,
+        [(1, 60, "a"), (2, 60, "a"), (3, 60, "b"), (4, 60, "b")],
+        "doc_id bigint, est_tokens bigint, source string",
+    )
+    out = pack_sequences(docs, 100, tokens_col="est_tokens", part_col="source")
+    packs = {(r.source, r.doc_id): r.pack_id for r in out.collect()}
+    # each shard starts its own pack numbering at 0
+    assert packs[("a", 1)] == 0 and packs[("b", 3)] == 0
+    assert packs[("a", 2)] == 0 and packs[("b", 4)] == 0
