@@ -49,6 +49,11 @@ HEADLINE = [
     # 20-query set so r1/r2/r3 totals stay comparable on the prefix.
     "dedup_lsh_verified",
     "dedup_embedding_lsh",
+    # Round-4 additions (appended — prefix stays comparable): benchmark
+    # decontamination and TF-IDF, the corpus-statistics passes of the
+    # training-data pipeline.
+    "corpus_decontaminate",
+    "text_tfidf",
 ]
 
 
