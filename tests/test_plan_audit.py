@@ -264,3 +264,39 @@ def test_dedup_scan_budgets(spark):
     with_est = plan_of(minhash_lsh_candidates(docs)).count("documents.parquet")
     assert verified <= 6, f"verified pipeline scans grew: {verified}"
     assert with_est <= 12, f"estimate path scans grew: {with_est}"
+
+
+def test_sample_stratified_is_pure_scan_filter(spark):
+    """The sampling decision is a scan-side filter — zero exchanges, so
+    at 100 TB it is one pass with no shuffle at all."""
+    plan = build(spark, "corpus_sample_stratified")
+    assert n_shuffles(plan) == 0
+    assert "BroadcastExchange" not in plan
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    """Packing = one window pass partitioned by the shard key; anything
+    beyond the single hash exchange (plus the token-stats projection)
+    would mean a global sort crept in."""
+    plan = build(spark, "corpus_pack_sequences")
+    assert n_shuffles(plan) <= 2, plan  # window partition (+ join w/ shard col)
+    assert "rangepartitioning" not in plan.lower(), "global sort in pack plan"
+
+
+def test_decontaminate_never_shuffles_train_corpus(spark):
+    """Both the contamination probe (semi) and the survivor filter
+    (anti) must reach the train side as BROADCAST joins — a sort-merge
+    or shuffled-hash join would shuffle the full 100 TB corpus. The
+    only hash exchanges allowed are the tiny broadcast-side distincts
+    (eval gram set, contaminated id set)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.curation import (
+        decontaminate,
+    )
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    bench = docs.filter("doc_id % 10 = 0")
+    train = docs.filter("doc_id % 10 <> 0")
+    plan = plan_of(decontaminate(train, bench, n=8))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2  # semi probe + anti filter
