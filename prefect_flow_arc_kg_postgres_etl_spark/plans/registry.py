@@ -142,6 +142,9 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_pack_sequences": QuerySpec(
         pipeline.corpus_pack_sequences, pipeline.PACK_SEQUENCES_ORACLE
     ),
+    "stream_enrich": QuerySpec(
+        streaming_plans.stream_enrich, streaming_plans.STREAM_ENRICH_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

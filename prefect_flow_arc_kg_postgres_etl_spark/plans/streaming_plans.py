@@ -98,3 +98,19 @@ def stream_es_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests; rows-only for the driver."""
     out = tempfile.mkdtemp(prefix="stream_es_") + "/feed"
     return es_feed_stream(spark, sf_dir, out)
+
+
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: stream-static lookup join — events enriched with the static
+    customer dim per micro-batch (stateless; dim broadcasts). Final
+    table equals the batch LEFT join, which is the SQL oracle."""
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import enrich_stream
+
+    _COUNTER["n"] += 1
+    return enrich_stream(spark, sf_dir, query_name=f"stream_enrich_{_COUNTER['n']}")
+
+
+STREAM_ENRICH_ORACLE = """
+SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_name, c.c_nationkey
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+"""

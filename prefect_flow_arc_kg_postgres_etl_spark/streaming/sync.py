@@ -352,3 +352,36 @@ def es_feed_stream(
     q = docs.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.read.text(out_path)
+
+
+def enrich_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_enrich"
+) -> DataFrame:
+    """C6: stream-static enrichment — each micro-batch of events joins
+    the static customer dimension (the standard lookup-join of a
+    continuous ingest path; the reference's record constructor does the
+    same entity attach per triple batch, stream.ts:51-116).
+
+    Stream-static joins are STATELESS (the static side is re-planned
+    per micro-batch, broadcast when small): no watermark, no state
+    store, so at 100 TB the cost is the batch join cost per
+    micro-batch. LEFT join keeps events with no matching entity —
+    exactly the batch SQL the oracle runs."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    ev = events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey, "left"
+    ).select("event_id", "user_id", "event_type", "value", "c_name", "c_nationkey")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -127,3 +127,21 @@ def test_watermarked_append_agg_matches_batch_below_watermark(spark, tmp_path):
     }
     assert expected, "test data must span more than the watermark delay"
     assert got == expected
+
+
+def test_stream_enrich_equals_batch_join(spark):
+    """Stream-static enrichment == the batch left join (stateless
+    per-micro-batch join; no rows lost or duplicated)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import enrich_stream
+
+    out = enrich_stream(spark, SF_SMOKE, query_name="t_enrich")
+    ev = load_table(spark, SF_SMOKE, "events")
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    expected = ev.join(cust, ev.user_id == cust.c_custkey, "left").select(
+        "event_id", "user_id", "event_type", "value", "c_name", "c_nationkey"
+    )
+    assert out.count() == expected.count()
+    assert out.exceptAll(expected).count() == 0
+    assert expected.exceptAll(out).count() == 0
