@@ -608,3 +608,40 @@ SELECT doc_id, tokens,
        source
 FROM toks
 """
+
+
+# ------------------------------------------- D19 int8 quantization
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embeddings table,
+    exploded to (vec_id, pos, q, scale) rows so the driver's tabular
+    hash compare applies (list cells don't sort)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings_int8(vecs)
+    return q.select(
+        F.col("id").alias("vec_id"),
+        F.round("scale", 6).alias("scale"),
+        F.posexplode("qs").alias("pos", "q"),
+    ).select("vec_id", "pos", F.col("q").cast("bigint").alias("q"), "scale")
+
+
+EMBEDDING_QUANTIZE_ORACLE = r"""
+WITH scaled AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                                 x -> ABS(CAST(x AS DOUBLE)))) AS absmax,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id,
+       i - 1 AS pos,
+       CAST(CASE WHEN absmax > 0
+                 THEN FLOOR(CAST(list_extract(embedding, i) AS DOUBLE)
+                            / absmax * 127.0 + 0.5)
+                 ELSE 0 END AS BIGINT) AS q,
+       ROUND(CASE WHEN absmax > 0 THEN absmax ELSE 0.0 END, 6) AS scale
+FROM scaled, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+"""

@@ -145,6 +145,9 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_enrich": QuerySpec(
         streaming_plans.stream_enrich, streaming_plans.STREAM_ENRICH_ORACLE
     ),
+    "embedding_quantize": QuerySpec(
+        pipeline.embedding_quantize, pipeline.EMBEDDING_QUANTIZE_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

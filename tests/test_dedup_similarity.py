@@ -182,3 +182,48 @@ def test_multimodal_resize_and_frames(spark):
         for r in sample_frames(media, every_n_bytes=256, max_frames=4).collect()
     }
     assert a == b
+
+
+def test_int8_quantization_reconstruction_bound(spark):
+    """Symmetric int8 quantization contract: q in [-127, 127], the
+    dequantized value q*scale/127 reconstructs each component within
+    half a quantization step (scale/254), and zero vectors quantize to
+    all-zero with scale 0."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    vecs = load_table(spark, SF_SMOKE, "embeddings")
+    q = quantize_embeddings_int8(vecs)
+    joined = q.join(
+        vecs.select(F.col("vec_id").alias("id"), "embedding"), "id"
+    ).select(
+        "id",
+        "scale",
+        F.arrays_zip("qs", "embedding").alias("z"),
+    )
+    stats = joined.select(
+        F.array_max(
+            F.transform(
+                "z",
+                lambda p: F.abs(
+                    p.getField("qs").cast("double") * F.col("scale") / 127.0
+                    - p.getField("embedding").cast("double")
+                ),
+            )
+        ).alias("max_err"),
+        (F.col("scale") / 254.0 + F.lit(1e-9)).alias("bound"),
+        F.array_max(F.transform("z", lambda p: F.abs(p.getField("qs")))).alias(
+            "max_q"
+        ),
+    )
+    bad = stats.filter(
+        (F.col("max_err") > F.col("bound")) | (F.col("max_q") > 127)
+    ).count()
+    assert bad == 0
+
+    zero = spark.createDataFrame(
+        [(1, [0.0] * 4)], "vec_id bigint, embedding array<float>"
+    )
+    row = quantize_embeddings_int8(zero).first()
+    assert row.scale == 0.0 and list(row.qs) == [0, 0, 0, 0]
