@@ -645,3 +645,26 @@ SELECT vec_id,
        ROUND(CASE WHEN absmax > 0 THEN absmax ELSE 0.0 END, 6) AS scale
 FROM scaled, UNNEST(range(1, len(embedding) + 1)) AS t(i)
 """
+
+
+# The frame sampler's payload is the utf-8 text bytes (ASCII corpus, so
+# characters == bytes) and the stub checksum is a 64-byte rolling sum —
+# both closed-form in (doc_id, text), so the 1:N expansion is fully
+# SQL-oracle-able: frame count, offsets and checksums all recompute in
+# DuckDB. Promoted from rows-only in r4.
+MM_FRAME_ORACLE = r"""
+WITH f AS (
+  SELECT doc_id, text, LEAST(8, GREATEST(1, LENGTH(text) // 4096)) AS n
+  FROM documents
+), idx AS (
+  SELECT doc_id, text, UNNEST(range(0, n)) AS i FROM f
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(i * 4096 AS BIGINT) AS frame_offset,
+       CAST(COALESCE(list_sum(list_transform(
+            range(1, LEAST(64, LENGTH(text) - i * 4096) + 1),
+            j -> ascii(substring(text, i * 4096 + j, 1)))), 0) % 1000003
+         AS BIGINT) AS frame_checksum
+FROM idx
+"""

@@ -148,6 +148,16 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_quantize": QuerySpec(
         pipeline.embedding_quantize, pipeline.EMBEDDING_QUANTIZE_ORACLE
     ),
+    # r4 promotions out of the rows-only tail: the frame sampler's stub
+    # checksum is closed-form in (doc_id, text) and the CDC upsert's
+    # final state converges to the source table — both SQL-checkable.
+    "multimodal_frame_sample": QuerySpec(
+        pipeline.multimodal_frame_sample, pipeline.MM_FRAME_ORACLE
+    ),
+    "stream_incremental_upsert": QuerySpec(
+        streaming_plans.stream_incremental_upsert,
+        streaming_plans.STREAM_UPSERT_ORACLE,
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.
@@ -156,10 +166,6 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(pipeline.dedup_simhash, None),
     "ann_lsh_topk": QuerySpec(pipeline.ann_lsh_topk, None),
     "ann_ivf_topk": QuerySpec(pipeline.ann_ivf_topk, None),
-    "multimodal_frame_sample": QuerySpec(pipeline.multimodal_frame_sample, None),
-    "stream_incremental_upsert": QuerySpec(
-        streaming_plans.stream_incremental_upsert, None
-    ),
     "stream_es_feed": QuerySpec(streaming_plans.stream_es_feed, None),
 }
 

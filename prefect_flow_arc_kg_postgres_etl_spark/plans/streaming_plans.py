@@ -114,3 +114,11 @@ STREAM_ENRICH_ORACLE = """
 SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_name, c.c_nationkey
 FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
 """
+
+
+# The CDC upsert's FINAL state is deterministic on a bounded source:
+# event ids are unique, so continuously upserting the stream converges
+# to exactly the source table. Promoted from rows-only in r4.
+STREAM_UPSERT_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
