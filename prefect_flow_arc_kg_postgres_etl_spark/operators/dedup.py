@@ -184,6 +184,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     n: int = 3,
     include_estimate: bool = True,
+    materialize_signatures: bool = False,
 ) -> DataFrame:
     """LSH banding over MinHash signatures: docs agreeing on ALL rows of
     any band become a candidate pair. Join key is (band, xxhash64(band
@@ -197,9 +198,21 @@ def minhash_lsh_candidates(
     branch reuse without materialization), so every sig reference costs
     a full corpus scan + gram build + k-min aggregation — callers that
     verify candidates exactly (lsh_verified_pairs) never read the
-    estimate and save two of the three corpus passes by opting out."""
+    estimate and save two of the three corpus passes by opting out.
+
+    ``materialize_signatures=True`` computes the signature table ONCE
+    (eager localCheckpoint) and reuses it across the banding + both
+    estimate joins — on the estimate path that turns three corpus
+    scans into one, which is the right trade at 100 TB where a corpus
+    scan dominates everything (on a real cluster, land the signatures
+    to reliable storage instead: localCheckpoint truncates lineage, so
+    a lost executor cannot recompute its blocks). Default off: the
+    pure-recompute plan is fully fault-tolerant and fastest at small
+    scale."""
     r = k // bands
     sig = minhash_signatures(docs, k, id_col, text_col, n)
+    if materialize_signatures:
+        sig = sig.localCheckpoint(eager=True)
     # Band keys generated as one inline() expression string (JVM-parsed;
     # sig[i] is 0-based — identical to element_at(sig, i+1)).
     structs = ", ".join(

@@ -227,3 +227,19 @@ def test_int8_quantization_reconstruction_bound(spark):
     )
     row = quantize_embeddings_int8(zero).first()
     assert row.scale == 0.0 and list(row.qs) == [0, 0, 0, 0]
+
+
+def test_minhash_candidates_materialized_equals_recompute(spark):
+    """materialize_signatures must not change results — same candidate
+    pairs and estimates whether the signature table is checkpointed
+    once or recomputed per branch."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    a = {
+        tuple(r)
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    b = {
+        tuple(r)
+        for r in minhash_lsh_candidates(docs, materialize_signatures=True).collect()
+    }
+    assert a == b and a
