@@ -888,3 +888,24 @@ def kg_nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KG_NT_ROUNDTRIP_ORACLE = KG_MELT_ORACLE
+
+
+# --------------------------------- A26 CSV bulk source/sink round trip
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk text interchange: the customer table lands as quoted CSV
+    (splittable text) and reads back with the catalog schema — value-
+    exact including doubles (full-precision serialization) and comment
+    strings with embedded delimiters. The identity on the table is the
+    oracle (sources/text_formats.py; NDJSON twin tested in
+    tests/test_text_formats.py)."""
+    import tempfile
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import text_formats
+
+    cust = load_table(spark, sf_dir, "customer")
+    out = tempfile.mkdtemp(prefix="csv_rt_") + "/customer"
+    text_formats.write_csv(cust, out)
+    return text_formats.read_csv(spark, out, cust.schema)
+
+
+SOURCE_CSV_ROUNDTRIP_ORACLE = "SELECT * FROM customer"

@@ -158,6 +158,9 @@ QUERIES: dict[str, QuerySpec] = {
         streaming_plans.stream_incremental_upsert,
         streaming_plans.STREAM_UPSERT_ORACLE,
     ),
+    "source_csv_roundtrip": QuerySpec(
+        kg.source_csv_roundtrip, kg.SOURCE_CSV_ROUNDTRIP_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.
