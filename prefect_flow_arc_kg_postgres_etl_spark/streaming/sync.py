@@ -354,6 +354,32 @@ def es_feed_stream(
     return spark.read.text(out_path)
 
 
+def enrich_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNSTARTED stream-static enrichment plan (separate from the
+    runner so the plan audit can explain it). The static side is the
+    sf-scaled ``customer`` table, so it carries NO broadcast hint —
+    customer grows 150k x sf (catalog.BROADCAST_DIMS rationale,
+    sources/catalog.py:33-40) and a forced hint would override
+    Catalyst's size check and OOM executors at cluster scale. AQE /
+    size-based planning picks broadcast at small sf and shuffled join
+    at scale; fixed-size dims would be hinted via
+    ``catalog.BROADCAST_DIMS`` membership."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import (
+        BROADCAST_DIMS,
+        load_table,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    if "customer" in BROADCAST_DIMS:  # pragma: no cover — customer is sf-scaled
+        cust = F.broadcast(cust)
+    return ev.join(cust, ev.user_id == cust.c_custkey, "left").select(
+        "event_id", "user_id", "event_type", "value", "c_name", "c_nationkey"
+    )
+
+
 def enrich_stream(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_enrich"
 ) -> DataFrame:
@@ -367,15 +393,7 @@ def enrich_stream(
     store, so at 100 TB the cost is the batch join cost per
     micro-batch. LEFT join keeps events with no matching entity —
     exactly the batch SQL the oracle runs."""
-    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
-
-    ev = events_stream(spark, sf_dir)
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey"
-    )
-    joined = ev.join(
-        F.broadcast(cust), ev.user_id == cust.c_custkey, "left"
-    ).select("event_id", "user_id", "event_type", "value", "c_name", "c_nationkey")
+    joined = enrich_plan(spark, sf_dir)
     q = (
         joined.writeStream.outputMode("append")
         .format("memory")

@@ -111,6 +111,52 @@ def test_no_forced_broadcast_of_sf_scaled_tables(spark, name):
     )
 
 
+def _stream_plan_builders():
+    """Every UNSTARTED streaming plan builder exposed by streaming/sync
+    (functions named ``*_plan``) — the streaming half of the forced-
+    broadcast sweep. Discovery is by naming convention so a new
+    stream-static join cannot be added without entering this sweep
+    (the r4 C6 defect — a hinted broadcast of sf-scaled customer —
+    got through because only batch registry entries were swept)."""
+    import inspect
+
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming import sync
+
+    return {
+        name: fn
+        for name, fn in inspect.getmembers(sync, inspect.isfunction)
+        if name.endswith("_plan")
+    }
+
+
+def test_streaming_module_exposes_plan_builders():
+    # The sweep below is only meaningful if the convention holds.
+    assert "enrich_plan" in _stream_plan_builders()
+
+
+@pytest.mark.parametrize("name", sorted(_stream_plan_builders()))
+def test_no_forced_broadcast_in_streaming_plans(spark, name):
+    """Streaming twin of the batch sweep above: with size-based
+    broadcasting disabled, a BroadcastHashJoin in a streaming plan can
+    only come from an explicit hint — and no streaming builder joins a
+    fixed-size dim today, so the allowed hint count is zero. The static
+    side of a stream-static join is re-planned per micro-batch, so a
+    forced broadcast of an sf-scaled table OOMs exactly like the batch
+    case, once per micro-batch."""
+    builder = _stream_plan_builders()[name]
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(builder(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    got = plan.count(") BroadcastHashJoin")
+    assert got == 0, (
+        f"{name}: {got} hinted broadcast joins in a streaming plan "
+        f"(forced broadcast of an sf-scaled static side)\n{plan}"
+    )
+
+
 def test_q1_pushes_filter_to_scan(spark):
     plan = build(spark, "q1_pricing_summary")
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
