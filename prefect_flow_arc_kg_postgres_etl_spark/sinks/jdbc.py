@@ -68,6 +68,23 @@ def merge_statement(table: str, staging: str, keys: list[str], columns: list[str
     )
 
 
+def upsert_statement(table: str, staging: str, keys: list[str], columns: list[str]) -> str:
+    """The reference's non-MERGE upsert path (database.ts:46-49
+    ``upsertTable`` + ``assignColumns({from: 'EXCLUDED'})``):
+    ``INSERT ... SELECT ... ON CONFLICT (pks) DO UPDATE SET c =
+    EXCLUDED.c``. Semantically identical to ``merge_statement`` when
+    the staged batch is key-unique (the pivot guarantees one record
+    per subject) — both are semantics-tested against an in-process SQL
+    engine in tests/test_sinks.py, ending in the same state as the
+    distributed ``operators/merge.upsert``."""
+    sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in columns if c not in keys)
+    cols = ", ".join(columns)
+    return (
+        f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} "
+        f"ON CONFLICT ({', '.join(keys)}) DO UPDATE SET {sets}"
+    )
+
+
 def clear_statement(table: str, staging: str, group_key: str) -> str:
     """Clear-then-insert leg for multi-value tables
     (database.ts:200-211): delete every row whose group key appears in

@@ -76,6 +76,102 @@ def test_jdbc_options_and_statements():
     )
 
 
+def _db_with_target_and_staging():
+    """An in-process SQL engine (DuckDB) holding the reference's
+    target + temp-table pair — the closest sandbox analogue of the
+    Postgres the generated statements are written for."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE target (id BIGINT PRIMARY KEY, name VARCHAR, score DOUBLE)")
+    con.execute("CREATE TABLE staging (id BIGINT, name VARCHAR, score DOUBLE)")
+    con.execute("INSERT INTO target VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    con.execute("INSERT INTO staging VALUES (2, 'B', 20.0), (3, 'c', 3.0)")
+    return con
+
+
+def _spark_upsert_state(spark):
+    """End state of the DISTRIBUTED upsert on the same data — the
+    semantics both generated statements must reproduce."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, name string, score double"
+    )
+    staged = spark.createDataFrame(
+        [(2, "B", 20.0), (3, "c", 3.0)], "id long, name string, score double"
+    )
+    rows = upsert(target, staged, ["id"]).collect()
+    return {(r.id, r.name, r.score) for r in rows}
+
+
+def test_upsert_statement_executes_and_matches_engine_upsert(spark):
+    """The generated ON CONFLICT upsert (database.ts:46-49) EXECUTES
+    against a real SQL engine and its end state equals the engine-side
+    distributed upsert — semantics-tested, not string-tested."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sinks.jdbc import upsert_statement
+
+    con = _db_with_target_and_staging()
+    stmt = upsert_statement("target", "staging", ["id"], ["id", "name", "score"])
+    con.execute(stmt)
+    db_state = set(con.sql("SELECT id, name, score FROM target").fetchall())
+    assert db_state == _spark_upsert_state(spark)
+    # idempotent: replaying the same staged batch converges
+    con.execute(stmt)
+    assert set(con.sql("SELECT id, name, score FROM target").fetchall()) == db_state
+
+
+def test_merge_statement_executes_and_matches_engine_upsert(spark):
+    """MERGE INTO form (database.ts:214-222). DIALECT NOTE: the
+    sandbox DuckDB (1.0) predates MERGE support, so the execution leg
+    skips there — the ON CONFLICT twin above always runs and the two
+    generators are verified equivalent on engines that parse MERGE."""
+    import duckdb
+    import pytest
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sinks.jdbc import merge_statement
+
+    con = _db_with_target_and_staging()
+    stmt = merge_statement("target", "staging", ["id"], ["id", "name", "score"])
+    try:
+        con.execute(stmt)
+    except duckdb.ParserException:
+        pytest.skip("installed DuckDB predates MERGE INTO; ON CONFLICT twin covers semantics")
+    db_state = set(con.sql("SELECT id, name, score FROM target").fetchall())
+    assert db_state == _spark_upsert_state(spark)
+
+
+def test_clear_statement_executes_and_matches_engine_clear(spark):
+    """The generated clear-then-insert DELETE (database.ts:186-212)
+    executes in DuckDB; clear + insert ends in the same state as the
+    distributed clear_and_insert."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import (
+        clear_and_insert,
+    )
+    from prefect_flow_arc_kg_postgres_etl_spark.sinks.jdbc import clear_statement
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE target (entity_id BIGINT, v VARCHAR)")
+    con.execute("CREATE TABLE staging (entity_id BIGINT, v VARCHAR)")
+    con.execute("INSERT INTO target VALUES (1, 'a'), (1, 'a2'), (2, 'b')")
+    con.execute("INSERT INTO staging VALUES (1, 'A'), (3, 'c')")
+    con.execute(clear_statement("target", "staging", "entity_id"))
+    con.execute("INSERT INTO target SELECT * FROM staging")
+    db_state = set(con.sql("SELECT entity_id, v FROM target").fetchall())
+
+    target = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, "b")], "entity_id long, v string"
+    )
+    staged = spark.createDataFrame([(1, "A"), (3, "c")], "entity_id long, v string")
+    spark_state = {
+        (r.entity_id, r.v)
+        for r in clear_and_insert(target, staged, "entity_id").collect()
+    }
+    assert db_state == spark_state == {(1, "A"), (2, "b"), (3, "c")}
+
+
 def test_stage_then_merge_converges(spark, tmp_path):
     target = str(tmp_path / "target")
     staging = str(tmp_path / "staging")
