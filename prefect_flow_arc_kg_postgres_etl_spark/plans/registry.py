@@ -34,6 +34,21 @@ class QuerySpec:
 # put 7 rows-only entries mid-list and pushed stream_windowed_agg /
 # stream_dedup (both oracle-backed) past the cap — keep ALL oracle=None
 # entries in the tail section below.
+#
+# ROUND-5 ROTATION (VERDICT r4 next-round #3): 16 oracle-backed entries
+# had never had a driver CORRECTNESS row because they sat past the
+# window. This round they are IN-window: table_intersection,
+# fk_merge_order, empty_partition_prune, kg_nt_roundtrip,
+# source_csv_roundtrip, rollup_agg, stream_incremental_upsert,
+# stream_enrich, stream_windowed_watermarked (new r5),
+# dedup_embedding_lsh, multimodal_frame_sample, text_tfidf,
+# corpus_decontaminate, corpus_sample_stratified, corpus_pack_sequences,
+# embedding_quantize. Displaced to the past-window section (each with
+# 4 driver-pass rows r1-r4 and still green under the local mirror):
+# truncate_insert, clear_and_insert, orphan_cleanup, org_scope,
+# partition_stats, batch_stage, es_bulk_feed, q3_shipping_priority,
+# topk_per_group, windowed_running, distinct_agg, grouping_sets,
+# exists_anti, correlated_subquery, text_token_stats, text_fingerprint.
 QUERIES: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
@@ -48,54 +63,73 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "kg_value_coercion": QuerySpec(kg.kg_value_coercion, kg.KG_COERCION_ORACLE),
     "merge_upsert": QuerySpec(kg.merge_upsert, kg.MERGE_UPSERT_ORACLE),
-    "truncate_insert": QuerySpec(kg.truncate_insert, kg.TRUNCATE_INSERT_ORACLE),
-    "clear_and_insert": QuerySpec(kg.clear_and_insert, kg.CLEAR_INSERT_ORACLE),
-    "orphan_cleanup": QuerySpec(kg.orphan_cleanup, kg.ORPHAN_ORACLE),
     "delete_processing": QuerySpec(kg.delete_processing, kg.DELETE_ORACLE),
     "incremental_since": QuerySpec(kg.incremental_since, kg.SINCE_ORACLE),
-    "partition_stats": QuerySpec(kg.partition_stats_q, kg.PARTITION_STATS_ORACLE),
     "index_documents": QuerySpec(kg.index_documents, kg.INDEX_DOC_ORACLE),
-    "org_scope": QuerySpec(kg.org_scope, kg.ORG_SCOPE_ORACLE),
-    "batch_stage": QuerySpec(kg.batch_stage, kg.BATCH_STAGE_ORACLE),
-    "es_bulk_feed": QuerySpec(kg.es_bulk_feed, kg.ES_BULK_ORACLE),
     "flow_full_sync": QuerySpec(kg.flow_full_sync, kg.INDEX_DOC_ORACLE),
+    "table_intersection": QuerySpec(
+        kg.table_intersection_q, kg.TABLE_INTERSECTION_ORACLE
+    ),
+    "fk_merge_order": QuerySpec(kg.fk_merge_order_q, kg.FK_ORDER_ORACLE),
+    "empty_partition_prune": QuerySpec(
+        kg.empty_partition_prune, kg.EMPTY_PARTITION_ORACLE
+    ),
+    "kg_nt_roundtrip": QuerySpec(kg.kg_nt_roundtrip, kg.KG_NT_ROUNDTRIP_ORACLE),
+    "source_csv_roundtrip": QuerySpec(
+        kg.source_csv_roundtrip, kg.SOURCE_CSV_ROUNDTRIP_ORACLE
+    ),
     # ---- B-block: relational query layer
     "q1_pricing_summary": QuerySpec(relational.q1_pricing_summary, relational.Q1_ORACLE),
-    "q3_shipping_priority": QuerySpec(relational.q3_shipping_priority, relational.Q3_ORACLE),
     "q5_local_volume": QuerySpec(relational.q5_local_volume, relational.Q5_ORACLE),
-    "topk_per_group": QuerySpec(relational.topk_per_group, relational.TOPK_ORACLE),
-    "windowed_running": QuerySpec(relational.windowed_running, relational.RUNNING_ORACLE),
-    "distinct_agg": QuerySpec(relational.distinct_agg, relational.DISTINCT_ORACLE),
-    "events_tumbling": QuerySpec(relational.events_tumbling, relational.TUMBLING_ORACLE),
-    "sessionize": QuerySpec(relational.sessionize, relational.SESSIONIZE_ORACLE),
-    "asof_join": QuerySpec(relational.asof_join, relational.ASOF_ORACLE),
-    "exists_anti": QuerySpec(relational.exists_anti, relational.EXISTS_ANTI_ORACLE),
-    "correlated_subquery": QuerySpec(
-        relational.correlated_subquery, relational.CORRELATED_ORACLE
-    ),
-    "grouping_sets": QuerySpec(
-        relational.grouping_sets, relational.GROUPING_SETS_ORACLE
-    ),
     "q7_volume_shipping": QuerySpec(relational.q7_volume_shipping, relational.Q7_ORACLE),
     "q19_discounted_revenue": QuerySpec(
         relational.q19_discounted_revenue, relational.Q19_ORACLE
     ),
+    "events_tumbling": QuerySpec(relational.events_tumbling, relational.TUMBLING_ORACLE),
+    "sessionize": QuerySpec(relational.sessionize, relational.SESSIONIZE_ORACLE),
+    "asof_join": QuerySpec(relational.asof_join, relational.ASOF_ORACLE),
+    "rollup_agg": QuerySpec(relational.rollup_agg, relational.ROLLUP_ORACLE),
     # ---- D-block: training-data pipeline operators
     "dedup_exact": QuerySpec(pipeline.dedup_exact, pipeline.DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(pipeline.dedup_ngram_jaccard, pipeline.DEDUP_JACCARD_ORACLE),
     "dedup_lsh_verified": QuerySpec(pipeline.dedup_lsh_verified, pipeline.DEDUP_JACCARD_ORACLE),
     "dedup_embedding_cosine": QuerySpec(pipeline.dedup_embedding_cosine, pipeline.DEDUP_COSINE_ORACLE),
+    "dedup_embedding_lsh": QuerySpec(
+        pipeline.dedup_embedding_lsh, pipeline.DEDUP_COSINE_ORACLE
+    ),
     "ann_bruteforce_topk": QuerySpec(pipeline.ann_bruteforce_topk, pipeline.ANN_BRUTE_ORACLE),
     "text_language_id": QuerySpec(pipeline.text_language_id, pipeline.LANG_ID_ORACLE),
     "text_quality_score": QuerySpec(pipeline.text_quality_score, pipeline.QUALITY_ORACLE),
-    "text_token_stats": QuerySpec(pipeline.text_token_stats, pipeline.TOKEN_ORACLE),
-    "text_fingerprint": QuerySpec(pipeline.text_fingerprint, pipeline.FINGERPRINT_ORACLE),
     "corpus_curation": QuerySpec(pipeline.corpus_curation, pipeline.CURATION_ORACLE),
     "multimodal_decode": QuerySpec(pipeline.multimodal_decode, pipeline.MM_DECODE_ORACLE),
     "multimodal_resize": QuerySpec(pipeline.multimodal_resize, pipeline.MM_RESIZE_ORACLE),
+    "multimodal_frame_sample": QuerySpec(
+        pipeline.multimodal_frame_sample, pipeline.MM_FRAME_ORACLE
+    ),
+    "text_tfidf": QuerySpec(pipeline.text_tfidf, pipeline.TFIDF_ORACLE),
+    "corpus_decontaminate": QuerySpec(
+        pipeline.corpus_decontaminate, pipeline.DECONTAMINATE_ORACLE
+    ),
+    "corpus_sample_stratified": QuerySpec(
+        pipeline.corpus_sample_stratified, pipeline.SAMPLE_STRATIFIED_ORACLE
+    ),
+    "corpus_pack_sequences": QuerySpec(
+        pipeline.corpus_pack_sequences, pipeline.PACK_SEQUENCES_ORACLE
+    ),
+    "embedding_quantize": QuerySpec(
+        pipeline.embedding_quantize, pipeline.EMBEDDING_QUANTIZE_ORACLE
+    ),
     # ---- C-block: Structured Streaming (oracle-backed entries)
     "stream_windowed_agg": QuerySpec(
         streaming_plans.stream_windowed_agg, streaming_plans.STREAM_WINDOWED_ORACLE
+    ),
+    # Round-5 promotion: the PRODUCTION append+watermark windowed plan —
+    # on a bounded source the emitted set (windows with end <= final
+    # watermark) is deterministic, so the production path is the graded
+    # one, not just the complete-mode harness.
+    "stream_windowed_watermarked": QuerySpec(
+        streaming_plans.stream_windowed_watermarked,
+        streaming_plans.STREAM_WINDOWED_WM_ORACLE,
     ),
     "stream_dedup": QuerySpec(
         streaming_plans.stream_dedup, streaming_plans.STREAM_DEDUP_ORACLE
@@ -107,60 +141,37 @@ QUERIES: dict[str, QuerySpec] = {
         streaming_plans.stream_sessionize,
         streaming_plans.STREAM_SESSIONIZE_ORACLE,
     ),
-    # ---- oracle-backed entries past the driver's 50-entry window:
-    # still fully checked by tools/check_oracle.py + tests/test_oracle.py
-    # locally. Displaced to make window room for the round-3 promotions
-    # (multimodal decode/resize oracles, GRAPH ?g scoping, FILTER
-    # !BOUND): table_intersection and fk_merge_order are metadata-level
-    # ops pinned by dedicated unit tests; rollup_agg's agg shapes are a
-    # strict subset of grouping_sets (in-window); empty_partition_prune
-    # is covered by the delete-flow convergence tests;
-    # dedup_embedding_lsh (displaced r4 for stream_sessionize) shares
-    # its oracle with in-window dedup_embedding_cosine and is
-    # bench-timed + recall-tested.
-    "table_intersection": QuerySpec(
-        kg.table_intersection_q, kg.TABLE_INTERSECTION_ORACLE
-    ),
-    "fk_merge_order": QuerySpec(kg.fk_merge_order_q, kg.FK_ORDER_ORACLE),
-    "rollup_agg": QuerySpec(relational.rollup_agg, relational.ROLLUP_ORACLE),
-    "empty_partition_prune": QuerySpec(
-        kg.empty_partition_prune, kg.EMPTY_PARTITION_ORACLE
-    ),
-    "dedup_embedding_lsh": QuerySpec(
-        pipeline.dedup_embedding_lsh, pipeline.DEDUP_COSINE_ORACLE
-    ),
-    # Round-4 surface additions (oracle-backed, locally checked):
-    # RDF N-Triples serialize->parse round trip and TF-IDF top terms.
-    "kg_nt_roundtrip": QuerySpec(kg.kg_nt_roundtrip, kg.KG_NT_ROUNDTRIP_ORACLE),
-    "text_tfidf": QuerySpec(pipeline.text_tfidf, pipeline.TFIDF_ORACLE),
-    "corpus_decontaminate": QuerySpec(
-        pipeline.corpus_decontaminate, pipeline.DECONTAMINATE_ORACLE
-    ),
-    "corpus_sample_stratified": QuerySpec(
-        pipeline.corpus_sample_stratified, pipeline.SAMPLE_STRATIFIED_ORACLE
-    ),
-    "corpus_pack_sequences": QuerySpec(
-        pipeline.corpus_pack_sequences, pipeline.PACK_SEQUENCES_ORACLE
-    ),
     "stream_enrich": QuerySpec(
         streaming_plans.stream_enrich, streaming_plans.STREAM_ENRICH_ORACLE
-    ),
-    "embedding_quantize": QuerySpec(
-        pipeline.embedding_quantize, pipeline.EMBEDDING_QUANTIZE_ORACLE
-    ),
-    # r4 promotions out of the rows-only tail: the frame sampler's stub
-    # checksum is closed-form in (doc_id, text) and the CDC upsert's
-    # final state converges to the source table — both SQL-checkable.
-    "multimodal_frame_sample": QuerySpec(
-        pipeline.multimodal_frame_sample, pipeline.MM_FRAME_ORACLE
     ),
     "stream_incremental_upsert": QuerySpec(
         streaming_plans.stream_incremental_upsert,
         streaming_plans.STREAM_UPSERT_ORACLE,
     ),
-    "source_csv_roundtrip": QuerySpec(
-        kg.source_csv_roundtrip, kg.SOURCE_CSV_ROUNDTRIP_ORACLE
+    # ---- oracle-backed entries past the driver's 50-entry window:
+    # still fully checked by tools/check_oracle.py + tests/test_oracle.py
+    # locally. These are the r5 rotation's displaced veterans — every one
+    # carries 4 all-true driver rows (CORRECTNESS_r01-r04).
+    "truncate_insert": QuerySpec(kg.truncate_insert, kg.TRUNCATE_INSERT_ORACLE),
+    "clear_and_insert": QuerySpec(kg.clear_and_insert, kg.CLEAR_INSERT_ORACLE),
+    "orphan_cleanup": QuerySpec(kg.orphan_cleanup, kg.ORPHAN_ORACLE),
+    "org_scope": QuerySpec(kg.org_scope, kg.ORG_SCOPE_ORACLE),
+    "partition_stats": QuerySpec(kg.partition_stats_q, kg.PARTITION_STATS_ORACLE),
+    "batch_stage": QuerySpec(kg.batch_stage, kg.BATCH_STAGE_ORACLE),
+    "es_bulk_feed": QuerySpec(kg.es_bulk_feed, kg.ES_BULK_ORACLE),
+    "q3_shipping_priority": QuerySpec(relational.q3_shipping_priority, relational.Q3_ORACLE),
+    "topk_per_group": QuerySpec(relational.topk_per_group, relational.TOPK_ORACLE),
+    "windowed_running": QuerySpec(relational.windowed_running, relational.RUNNING_ORACLE),
+    "distinct_agg": QuerySpec(relational.distinct_agg, relational.DISTINCT_ORACLE),
+    "grouping_sets": QuerySpec(
+        relational.grouping_sets, relational.GROUPING_SETS_ORACLE
     ),
+    "exists_anti": QuerySpec(relational.exists_anti, relational.EXISTS_ANTI_ORACLE),
+    "correlated_subquery": QuerySpec(
+        relational.correlated_subquery, relational.CORRELATED_ORACLE
+    ),
+    "text_token_stats": QuerySpec(pipeline.text_token_stats, pipeline.TOKEN_ORACLE),
+    "text_fingerprint": QuerySpec(pipeline.text_fingerprint, pipeline.FINGERPRINT_ORACLE),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

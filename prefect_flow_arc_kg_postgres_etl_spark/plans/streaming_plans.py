@@ -20,6 +20,7 @@ from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
     incremental_upsert_stream,
     sessionize_stream,
     windowed_agg_stream,
+    windowed_agg_stream_watermarked,
 )
 
 _COUNTER = {"n": 0}
@@ -33,6 +34,30 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_WINDOWED_ORACLE = TUMBLING_ORACLE
+
+
+def stream_windowed_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 PRODUCTION variant (promoted to the registry in r5): append
+    output mode + 1-hour event-time watermark into a file sink —
+    bounded state, exactly-once window emission. On a bounded source
+    the emitted set is deterministic: every window whose end <= the
+    final watermark (max event time - 1 hour); still-open windows stay
+    in state (they would flush on the next trigger in a continuous
+    run). That makes the production path SQL-oracle-checkable, not just
+    the complete-mode harness above."""
+    out = tempfile.mkdtemp(prefix="stream_wm_") + "/agg"
+    return windowed_agg_stream_watermarked(spark, sf_dir, out)
+
+
+# The tumbling aggregation restricted to watermark-finalized windows:
+# window end (= start + 1h) <= max event time - 1h delay.
+STREAM_WINDOWED_WM_ORACLE = """
+SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+HAVING window_start <= (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
+"""
 
 
 def stream_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
