@@ -80,12 +80,32 @@ EPOCH_COLS = {"ts"}
 _EPOCH_BANDS = [(10**17, "ns"), (10**14, "us"), (10**11, "ms"), (0, "s")]
 
 
+# Rows sampled when classifying an int64 epoch column. LocalLimit keeps
+# the probe bounded at any table size (it short-circuits after the first
+# partitions produce enough rows); min AND max over the sample are
+# band-checked so a mixed-unit column or an epoch outside the plausible
+# date range fails LOUDLY instead of being silently misconverted
+# (r4 ADVICE — a single-value probe classified blind).
+_EPOCH_PROBE_ROWS = 100_000
+
+
+def _epoch_band(v: int) -> str:
+    return next(u for lo, u in _EPOCH_BANDS if abs(v) >= lo)
+
+
 def epoch_conversions(probe_df: DataFrame) -> dict:
     """Classify which columns of a BATCH-read table need int64-epoch ->
-    timestamp conversion, probing one non-null value per column for the
-    unit. Returns {col: unit} ('ns'|'us'|'ms'|'s'|'ltz'); timestamp_ntz
-    columns need nothing and are absent. The probe is a LocalLimit(1)
-    scan — one row of one file, regardless of table size."""
+    timestamp conversion. Returns {col: unit} ('ns'|'us'|'ms'|'s'|'ltz');
+    timestamp_ntz columns need nothing and are absent.
+
+    int64 columns are classified by epoch magnitude over the MIN and MAX
+    of a bounded LocalLimit sample (one cheap scan, size-independent);
+    if min and max land in different magnitude bands the column is
+    ambiguous (mixed units, or values outside the ~1990-2100 range the
+    bands are valid for) and classification raises rather than
+    misconverting."""
+    from pyspark.sql import functions as F
+
     conv: dict = {}
     dtypes = dict(probe_df.dtypes)
     for c in EPOCH_COLS & set(probe_df.columns):
@@ -94,13 +114,21 @@ def epoch_conversions(probe_df: DataFrame) -> dict:
             row = (
                 probe_df.select(c)
                 .where(f"{c} is not null")
-                .limit(1)
+                .limit(_EPOCH_PROBE_ROWS)
+                .agg(F.min(c).alias("lo"), F.max(c).alias("hi"))
                 .collect()
-            )
-            if not row:
+            )[0]
+            if row.lo is None:
                 continue
-            v = abs(int(row[0][0]))
-            conv[c] = next(u for lo, u in _EPOCH_BANDS if v >= lo)
+            lo_band, hi_band = _epoch_band(int(row.lo)), _epoch_band(int(row.hi))
+            if lo_band != hi_band:
+                raise ValueError(
+                    f"epoch column '{c}' is ambiguous: sampled min {row.lo} "
+                    f"classifies as '{lo_band}' but max {row.hi} as "
+                    f"'{hi_band}' — mixed units or out-of-range epochs; "
+                    "refusing to guess a conversion"
+                )
+            conv[c] = lo_band
         elif dt == "timestamp":
             # tz-tagged micros: rebase to ntz under the UTC session tz so
             # every variant lands on the same type the oracles compare.

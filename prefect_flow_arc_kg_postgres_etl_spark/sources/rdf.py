@@ -23,10 +23,6 @@ from pyspark.sql import functions as F
 SUBJECT_BASE = "urn:arc:s:"
 PREDICATE_BASE = "urn:arc:p:"
 
-# Out-of-band sentinel for order-safe unescaping (see _unescape).
-_SENTINEL = ""
-
-
 def _escape(col: Column) -> Column:
     """Literal-escape: backslash FIRST (so later escapes aren't
     double-escaped), then quote and control characters."""
@@ -40,15 +36,27 @@ def _escape(col: Column) -> Column:
 def _unescape(col: Column) -> Column:
     """Inverse of ``_escape``. Chained replaces alone mis-parse
     sequences like ``\\\\n`` (an escaped backslash followed by a
-    literal n), so ``\\\\`` is parked on a sentinel character first,
-    the single-char escapes decoded, then the sentinel restored to a
-    real backslash."""
-    out = F.replace(col, F.lit("\\\\"), F.lit(_SENTINEL))
-    out = F.replace(out, F.lit('\\"'), F.lit('"'))
-    out = F.replace(out, F.lit("\\n"), F.lit("\n"))
-    out = F.replace(out, F.lit("\\r"), F.lit("\r"))
-    out = F.replace(out, F.lit("\\t"), F.lit("\t"))
-    return F.replace(out, F.lit(_SENTINEL), F.lit("\\"))
+    literal n), and any in-band sentinel character can collide with
+    literal content (a U+0001 sentinel corrupted literals containing
+    that byte — r4 ADVICE). Sentinel-free instead: SPLIT on the
+    escaped-backslash pair (the pieces then contain only single-char
+    escapes, decoded unambiguously) and ARRAY_JOIN the decoded pieces
+    back with a real backslash. Still pure scan-side expressions."""
+    pieces = F.split(col, r"\\\\", -1)  # regex for the literal pair \\
+    decode = lambda p: F.replace(
+        F.replace(
+            F.replace(
+                F.replace(p, F.lit('\\"'), F.lit('"')),
+                F.lit("\\n"),
+                F.lit("\n"),
+            ),
+            F.lit("\\r"),
+            F.lit("\r"),
+        ),
+        F.lit("\\t"),
+        F.lit("\t"),
+    )
+    return F.array_join(F.transform(pieces, decode), "\\")
 
 
 def to_ntriples(

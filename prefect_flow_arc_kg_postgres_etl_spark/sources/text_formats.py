@@ -37,13 +37,6 @@ _CSV_OPTS = {
     **_TS_OPTS,
 }
 
-# Quoted embedded newlines are legal CSV but force multiLine parsing,
-# and multiLine CSV files are NOT splittable — each file parses on one
-# task. Fine for dims/interchange; for 100 TB content with newlines use
-# NDJSON (escaped \n inside JSON strings keeps files line-splittable).
-_CSV_READ_OPTS = {**_CSV_OPTS, "multiLine": "true"}
-
-
 def write_csv(df: DataFrame, path: str) -> None:
     w = df.write.mode("overwrite")
     for k, v in _CSV_OPTS.items():
@@ -51,9 +44,18 @@ def write_csv(df: DataFrame, path: str) -> None:
     w.csv(path)
 
 
-def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+def read_csv(
+    spark: SparkSession, path: str, schema, multi_line: bool = False
+) -> DataFrame:
+    """DEFAULT plan is line-splittable: every 100 TB dump reads with
+    ordinary partition parallelism. Quoted embedded newlines are legal
+    CSV but require ``multi_line=True``, which parses each file on ONE
+    task — opt in only for data that actually contains them (dims,
+    small interchange); for newline-bearing content at scale use NDJSON
+    (escaped \\n inside JSON strings keeps files splittable)."""
     r = spark.read.schema(schema)
-    for k, v in _CSV_READ_OPTS.items():
+    opts = {**_CSV_OPTS, "multiLine": "true"} if multi_line else _CSV_OPTS
+    for k, v in opts.items():
         r = r.option(k, v)
     return r.csv(path)
 

@@ -109,6 +109,23 @@ def test_stream_schema_matches_batch_for_each_variant(spark, tmp_path):
         assert got == EXPECTED, variant
 
 
+def test_mixed_unit_epoch_column_fails_loudly(spark, tmp_path):
+    """A bigint ts column whose sampled min and max land in different
+    magnitude bands (here: one epoch-seconds value among micros) must
+    RAISE, not silently convert with one unit (r4 ADVICE — the
+    single-value probe would have classified by whichever row it saw)."""
+    us = [
+        int(t.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        if t
+        else None
+        for t in TS_VALUES
+    ]
+    us[1] = us[1] // 1_000_000  # one value drifts to epoch-seconds
+    sf_dir = _write_events(str(tmp_path), pa.int64(), us)
+    with pytest.raises(ValueError, match="ambiguous"):
+        catalog.load_table(spark, sf_dir, "events")
+
+
 def test_probe_handles_all_null_epoch_column(spark, tmp_path):
     sf_dir = _write_events(str(tmp_path), pa.int64(), [None, None, None])
     df = catalog.load_table(spark, sf_dir, "events")

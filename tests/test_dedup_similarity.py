@@ -243,3 +243,23 @@ def test_minhash_candidates_materialized_equals_recompute(spark):
         for r in minhash_lsh_candidates(docs, materialize_signatures=True).collect()
     }
     assert a == b and a
+
+
+def test_frame_oracle_ascii_assumption_holds(spark):
+    """MM_FRAME_ORACLE recomputes byte offsets/checksums in DuckDB via
+    LENGTH()/ascii(substring()) — character-level functions that equal
+    the byte view ONLY for ASCII text (r4 ADVICE: a non-ASCII corpus
+    regeneration would silently diverge Spark's byte math from the
+    oracle's char math). This guard makes the assumption explicit:
+    every document in the oracle-compared corpus must be pure ASCII.
+    If this ever fails, rewrite the oracle over an explicit byte view
+    (octet_length/encode) instead of weakening the check."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    non_ascii = docs.filter(~F.col("text").rlike(r"^[\x00-\x7F]*$")).count()
+    assert non_ascii == 0, (
+        f"{non_ascii} non-ASCII documents: MM_FRAME_ORACLE's chars==bytes "
+        "assumption no longer holds — rewrite it over a byte view"
+    )

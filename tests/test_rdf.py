@@ -16,6 +16,14 @@ NASTY = [
     "escaped-looking \\n literal backslash-n",
     'mix "\\" \n end',
     "",
+    # control characters — the r4-ADVICE case: a U+0001 in-band sentinel
+    # corrupted literals containing that byte; the sentinel-free
+    # split/decode/join unescape must round-trip them exactly, also when
+    # adjacent to real escape sequences.
+    "ctl \x01 byte",
+    "ctl pair \x01\x02 and backslash \\ after",
+    "\x01\\n\x02 sentinel-adjacent escapes",
+    "\\\x01\\\\n trailing trap \\\\",
 ]
 
 

@@ -30,7 +30,10 @@ def test_ndjson_round_trip_events_with_timestamps(spark, tmp_path):
     )
 
 
-def test_csv_round_trip_hostile_strings(spark, tmp_path):
+def test_csv_round_trip_hostile_strings_multiline_opt_in(spark, tmp_path):
+    """Quoted embedded newlines need the multi_line opt-in (per-file
+    parsing); everything else round-trips in the default splittable
+    mode — both modes stay covered."""
     df = spark.createDataFrame(
         [
             (1, 'comma, separated'),
@@ -43,5 +46,25 @@ def test_csv_round_trip_hostile_strings(spark, tmp_path):
         "id bigint, s string",
     )
     out = str(tmp_path / "hostile_csv")
+    text_formats.write_csv(df, out)
+    _assert_equal(
+        text_formats.read_csv(spark, out, df.schema, multi_line=True), df
+    )
+
+
+def test_csv_round_trip_hostile_strings_default_splittable(spark, tmp_path):
+    """The DEFAULT (line-splittable) mode round-trips every hostile
+    case except embedded newlines — quotes, delimiters, empty-vs-null."""
+    df = spark.createDataFrame(
+        [
+            (1, 'comma, separated'),
+            (2, 'quote " inside'),
+            (3, 'tab \t ok'),
+            (4, ""),
+            (5, None),
+        ],
+        "id bigint, s string",
+    )
+    out = str(tmp_path / "hostile_csv_splittable")
     text_formats.write_csv(df, out)
     _assert_equal(text_formats.read_csv(spark, out, df.schema), df)
