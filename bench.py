@@ -54,6 +54,14 @@ HEADLINE = [
     # training-data pipeline.
     "corpus_decontaminate",
     "text_tfidf",
+    # Round-5 additions (appended — prefix stays comparable): the SCD2
+    # temporal merge, the Q2-shape decorrelated min, the time-range
+    # sliding window, PII redaction and the quantized-rescore ANN.
+    "merge_scd2",
+    "q2_min_cost_supplier",
+    "window_range_interval",
+    "text_pii_redact",
+    "ann_quantized_topk",
 ]
 
 

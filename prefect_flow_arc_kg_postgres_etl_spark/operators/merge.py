@@ -100,6 +100,52 @@ def delete_flagged(
     return ents, frags
 
 
+def scd2_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    effective: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """History-preserving merge (slowly-changing-dimension type 2) —
+    the temporal form of the reference's MERGE (database.ts:214-222)
+    for stores that must keep superseded versions instead of
+    overwriting them (the reference tracks ``updated_at`` per row; SCD2
+    is what that becomes when history is retained).
+
+    Contract: ``target`` rows carry [cols..., valid_from, valid_to]
+    with ``valid_to IS NULL`` marking the current version; ``source``
+    rows carry [cols..., valid_from] (their effective date). Per key:
+
+    - current target rows matched by the source CLOSE (valid_to :=
+      source effective date);
+    - historical target rows (valid_to already set) pass through;
+    - every source row INSERTS as the new current version.
+
+    One shuffle (the join on the PKs); the conditional close is a
+    projection. At 100 TB the target should be bucketed on ``keys`` so
+    repeated merges co-locate — same layout advice as ``upsert``."""
+    eff = source.select(
+        *[F.col(k) for k in keys],
+        F.col(effective).alias("_eff"),
+    )
+    closed = (
+        target.join(eff, on=keys, how="left")
+        .withColumn(
+            valid_to,
+            F.when(
+                F.col(valid_to).isNull() & F.col("_eff").isNotNull(),
+                F.col("_eff"),
+            ).otherwise(F.col(valid_to)),
+        )
+        .drop("_eff")
+    )
+    new_current = source.withColumn(valid_to, F.lit(None).cast(
+        dict(target.dtypes)[valid_to]
+    )).select(*target.columns)
+    return closed.unionByName(new_current)
+
+
 def fk_merge_order(dependencies: dict[str, set[str]]) -> list[list[str]]:
     """Topological merge levels over the FK graph
     (2_database_load.ts / get_dependent_tables.sql): each level's tables

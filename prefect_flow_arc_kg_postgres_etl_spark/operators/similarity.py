@@ -338,3 +338,102 @@ def quantize_embeddings_int8(
         F.coalesce(scale, F.lit(0.0)).alias("scale"),
         q.alias("qs"),
     )
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    rescore_m: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over int8-quantized vectors with exact rescoring — the
+    standard two-stage retrieval at corpus scale: the 4x-smaller
+    quantized index serves the broad candidate pass, full-precision
+    vectors re-score only the ``rescore_m`` survivors per query.
+
+    The quantized score is scale-free: cos_q = q.c / (|q||c|) over the
+    INT codes (the per-vector scales cancel in the cosine), so stage 1
+    is pure integer dot products — deterministic across engines, which
+    is what makes the whole pipeline SQL-oracle-checkable. Integer
+    norms compute once per side; candidate selection is a per-query
+    window over the broadcast-cross scores (the bucketed variants —
+    lsh_topk / ivf_topk — replace the cross join at 100 TB; this
+    operator demonstrates the quantize+rescore stage they feed).
+
+    Returns (query_id, neighbor_id, qcos, cosine, rank) — rank by the
+    EXACT score within the quantized candidate set."""
+    from prefect_flow_arc_kg_postgres_etl_spark.functions.vectors import dot, norm
+
+    def quant(df, prefix):
+        q = quantize_embeddings_int8(df, id_col=id_col, vec_col=vec_col)
+        qn = F.sqrt(
+            F.aggregate(
+                F.col("qs"),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + (x.cast("bigint") * x.cast("bigint")),
+            ).cast("double")
+        )
+        return q.select(
+            F.col("id").alias(f"{prefix}_id"),
+            F.col("qs").alias(f"{prefix}_qs"),
+            qn.alias(f"{prefix}_qn"),
+        )
+
+    qq = quant(queries, "query")
+    cq = quant(corpus, "neighbor")
+    int_dot = F.aggregate(
+        F.zip_with(
+            F.col("query_qs"),
+            F.col("neighbor_qs"),
+            lambda a, b: a.cast("bigint") * b.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos_raw"), F.col("neighbor_id")
+    )
+    candidates = (
+        F.broadcast(qq)
+        .crossJoin(cq)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "qcos_raw",
+            int_dot.cast("double") / (F.col("query_qn") * F.col("neighbor_qn")),
+        )
+        .withColumn("qrank", F.row_number().over(cand_w))
+        .filter(F.col("qrank") <= rescore_m)
+        .select("query_id", "neighbor_id", "qcos_raw")
+    )
+    # Exact rescore: re-attach full-precision vectors to candidates only.
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    rescored = (
+        candidates.join(F.broadcast(qv), on="query_id")
+        .join(cv, on="neighbor_id")
+        .withColumn(
+            "cos_raw", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("qcos_raw", 6).alias("qcos"),
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )

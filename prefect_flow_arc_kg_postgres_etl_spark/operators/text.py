@@ -164,3 +164,73 @@ __all__ = [
     "fingerprint_docs",
     "tf_idf_top_terms",
 ]
+
+
+# PII patterns kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing for training corpora: replace email addresses and
+    phone numbers with typed placeholder tokens, reporting per-document
+    match counts. Everything is scan-side regexp expressions (zero
+    shuffle, one corpus pass at any scale); the pattern set is the
+    extension point — each new PII class is one more (count, replace)
+    expression pair fused into the same projection.
+
+    Returns (id, n_emails, n_phones, redacted_len, redacted_fpr) —
+    the fingerprint proves the replacement text itself, not just the
+    counts, and keeps the output narrow (no second copy of the corpus
+    in the result)."""
+    c = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(c, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(c, F.lit(PHONE_RE)).alias("n_phones"),
+        F.length(red).alias("redacted_len"),
+        F.md5(red.cast("binary")).alias("redacted_fpr"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition features — the boilerplate/spam signal
+    quality filters threshold on (high duplicate-token or duplicate-
+    bigram fractions mark low-entropy text). Token and bigram distinct
+    ratios compute scan-side from one split (array expressions; no
+    explode, no shuffle).
+
+    Returns (id, n_tokens, n_distinct_tokens, token_rep_ratio,
+    bigram_rep_ratio)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    nbd = F.size(F.array_distinct(bigrams))
+    ratio = lambda tot, dis: F.when(
+        tot > 0, F.round(1.0 - dis.cast("double") / tot, 6)
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        nd.cast("bigint").alias("n_distinct_tokens"),
+        ratio(n, nd).alias("token_rep_ratio"),
+        ratio(nb, nbd).alias("bigram_rep_ratio"),
+    )

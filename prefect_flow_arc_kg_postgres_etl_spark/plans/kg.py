@@ -909,3 +909,58 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SOURCE_CSV_ROUNDTRIP_ORACLE = "SELECT * FROM customer"
+
+
+# ------------------------------------- A27 SCD2 history-preserving merge
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal upsert (slowly-changing-dimension type 2): the same
+    update batch merge_upsert applies, but superseded versions are
+    CLOSED (valid_to := effective date) instead of overwritten and the
+    updated rows insert as the new current versions — the
+    history-retaining form of the reference's MERGE + updated_at
+    tracking (database.ts:214-222). One shuffle on the PK
+    (operators/merge.scd2_upsert)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ts_type = dict(orders.dtypes)["o_orderdate"]
+    base_cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    ]
+    target = orders.select(
+        *base_cols,
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(None).cast(ts_type).alias("valid_to"),
+    )
+    src = (
+        orders.filter(F.col("o_orderdate") >= "1996-01-01")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .select(
+            *base_cols,
+            F.lit("1997-01-01 00:00:00").cast(ts_type).alias("valid_from"),
+        )
+    )
+    return M.scd2_upsert(target, src, keys=["o_orderkey"])
+
+
+MERGE_SCD2_ORACLE = """
+WITH target AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+         o_orderdate AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM orders
+), src AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice, o_orderpriority,
+         TIMESTAMP '1997-01-01 00:00:00' AS valid_from
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+)
+SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice,
+       t.o_orderpriority, t.valid_from,
+       CASE WHEN t.valid_to IS NULL AND s.o_orderkey IS NOT NULL
+            THEN s.valid_from ELSE t.valid_to END AS valid_to
+FROM target t LEFT JOIN src s USING (o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+       valid_from, CAST(NULL AS TIMESTAMP)
+FROM src
+"""

@@ -668,3 +668,146 @@ SELECT doc_id,
          AS BIGINT) AS frame_checksum
 FROM idx
 """
+
+
+# ------------------------------------------------ D20 PII redaction
+# Deterministic planted PII (same trick as decontamination's planted
+# contamination): the synthetic corpus contains no emails/phones, so
+# each doc gets one of each appended — closed-form in doc_id, rebuilt
+# identically in the oracle, keeping the redaction check meaningful.
+def _plant_pii(col, doc_id):
+    return F.concat(
+        col,
+        F.lit(" contact user"),
+        doc_id.cast("string"),
+        F.lit("@example.com or call +1-"),
+        F.lpad((doc_id % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+    )
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", _plant_pii(F.col("text"), F.col("doc_id")).alias("text")
+    )
+    return TX.pii_redact(docs)
+
+
+_PII_PLANT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or call +1-'"
+    " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+PII_REDACT_ORACLE = rf"""
+WITH planted AS (
+  SELECT doc_id, {_PII_PLANT_SQL} AS text FROM documents
+), red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{TX.EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(text, '{TX.PHONE_RE}')) AS n_phones,
+         regexp_replace(regexp_replace(text, '{TX.EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{TX.PHONE_RE}', '<PHONE>', 'g') AS r
+  FROM planted
+)
+SELECT doc_id, n_emails, n_phones,
+       LENGTH(r) AS redacted_len, md5(r) AS redacted_fpr
+FROM red
+"""
+
+
+# ------------------------------------------- D21 intra-doc repetition
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.repetition_stats(
+        _spread(spark, load_table(spark, sf_dir, "documents"))
+    )
+
+
+REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+), feat AS (
+  SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(generate_series(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1])
+              ELSE [] END AS bg
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(nd AS BIGINT) AS n_distinct_tokens,
+       CASE WHEN n > 0
+            THEN ROUND(1.0 - CAST(nd AS DOUBLE) / n, 6) ELSE 0.0 END
+         AS token_rep_ratio,
+       CASE WHEN len(bg) > 0
+            THEN ROUND(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+            ELSE 0.0 END AS bigram_rep_ratio
+FROM feat
+"""
+
+
+# --------------------------------- D22 quantized ANN with exact rescore
+_RESCORE_M = 20
+
+
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval over the int8-quantized index (D19's output
+    put to work): integer-dot candidate pass, exact rescore of the
+    top-M survivors. The quantized cosine is scale-free (per-vector
+    scales cancel), so stage 1 is pure integer arithmetic — identical
+    in any engine, which is what lets this carry a full SQL oracle
+    unlike the float-hash LSH tiers."""
+    emb = _spread(spark, load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.quantized_topk(queries, emb, k=_K, rescore_m=_RESCORE_M)
+
+
+_QS_SQL = """
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> CAST(
+           CASE WHEN list_max(list_transform(embedding,
+                     y -> ABS(CAST(y AS DOUBLE)))) > 0
+                THEN FLOOR(CAST(x AS DOUBLE)
+                     / list_max(list_transform(embedding,
+                               y -> ABS(CAST(y AS DOUBLE)))) * 127.0 + 0.5)
+                ELSE 0 END AS BIGINT)) AS qs
+  FROM embeddings
+"""
+
+ANN_QUANTIZED_ORACLE = f"""
+WITH q AS ({_QS_SQL}),
+qn AS (
+  SELECT vec_id, embedding, qs,
+         SQRT(CAST(list_reduce(list_transform(qs, x -> x * x),
+                               (a, b) -> a + b) AS DOUBLE)) AS qnorm
+  FROM q
+), cand AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_reduce(list_transform(generate_series(1, len(a.qs)),
+                                         i -> a.qs[i] * b.qs[i]),
+                          (x, y) -> x + y) AS DOUBLE)
+           / (a.qnorm * b.qnorm) AS qcos_raw,
+         a.embedding AS qv, b.embedding AS cv
+  FROM qn a, qn b
+  WHERE a.vec_id < {_N_QUERIES} AND b.vec_id <> a.vec_id
+), top AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY qcos_raw DESC, neighbor_id) AS qrank
+  FROM cand
+), resc AS (
+  SELECT query_id, neighbor_id, qcos_raw,
+         {_cos_sql("qv", "cv")} AS cos_raw
+  FROM top WHERE qrank <= {_RESCORE_M}
+)
+SELECT query_id, neighbor_id, ROUND(qcos_raw, 6) AS qcos,
+       ROUND(cos_raw, 6) AS cosine, CAST(rn AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_raw DESC, neighbor_id) AS rn
+      FROM resc)
+WHERE rn <= {_K}
+"""

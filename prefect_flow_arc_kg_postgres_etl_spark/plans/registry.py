@@ -172,6 +172,32 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "text_token_stats": QuerySpec(pipeline.text_token_stats, pipeline.TOKEN_ORACLE),
     "text_fingerprint": QuerySpec(pipeline.text_fingerprint, pipeline.FINGERPRINT_ORACLE),
+    # Round-5 surface additions (oracle-backed, locally checked; they
+    # rotate into the driver window in a future round): SCD2 temporal
+    # merge, four relational shapes (Q2/Q4/Q12 + time-range window),
+    # PII redaction, intra-doc repetition, quantized ANN w/ rescore.
+    "merge_scd2": QuerySpec(kg.merge_scd2, kg.MERGE_SCD2_ORACLE),
+    "q2_min_cost_supplier": QuerySpec(
+        relational.q2_min_cost_supplier, relational.Q2_ORACLE
+    ),
+    "q4_order_priority": QuerySpec(
+        relational.q4_order_priority, relational.Q4_ORACLE
+    ),
+    "q12_priority_lines": QuerySpec(
+        relational.q12_priority_lines, relational.Q12_ORACLE
+    ),
+    "window_range_interval": QuerySpec(
+        relational.window_range_interval, relational.WINDOW_RANGE_ORACLE
+    ),
+    "text_pii_redact": QuerySpec(
+        pipeline.text_pii_redact, pipeline.PII_REDACT_ORACLE
+    ),
+    "text_repetition": QuerySpec(
+        pipeline.text_repetition, pipeline.REPETITION_ORACLE
+    ),
+    "ann_quantized_topk": QuerySpec(
+        pipeline.ann_quantized_topk, pipeline.ANN_QUANTIZED_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

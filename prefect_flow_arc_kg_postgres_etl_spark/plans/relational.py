@@ -615,3 +615,159 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20)
 """
+
+
+# ---------------------------------------------- B16 TPC-H Q2 shape
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: for each small part, the supplier(s) achieving the
+    MINIMUM observed unit cost — a correlated-min subquery decorrelated
+    into [per-(part,supplier) agg] -> [per-part min] -> equality join
+    back, then dim attach. Two hash aggs reuse the SAME partitioning
+    (partkey is a prefix of the first agg's keys, so the per-part min
+    needs no second full shuffle of the fact); nation broadcasts.
+    Double equality on the join is sound: both sides carry the
+    identical IEEE division results."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    unit = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    part_min = unit.groupBy(
+        F.col("l_partkey").alias("pm_partkey")
+    ).agg(F.min("cost").alias("min_cost"))
+    winners = unit.join(
+        part_min,
+        (unit.l_partkey == part_min.pm_partkey) & (unit.cost == part_min.min_cost),
+    ).select("l_partkey", "l_suppkey", "min_cost")
+    return (
+        winners.join(part, winners.l_partkey == part.p_partkey)
+        .join(supp, winners.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.round("min_cost", 4).alias("min_cost"),
+        )
+    )
+
+
+Q2_ORACLE = """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY 1, 2
+), part_min AS (
+  SELECT l_partkey, MIN(cost) AS min_cost FROM unit GROUP BY 1
+)
+SELECT p.p_partkey, p.p_name, s.s_name, n.n_name AS nation,
+       ROUND(pm.min_cost, 4) AS min_cost
+FROM unit u
+JOIN part_min pm ON pm.l_partkey = u.l_partkey AND u.cost = pm.min_cost
+JOIN part p ON p.p_partkey = u.l_partkey AND p.p_size < 15
+JOIN supplier s ON s.s_suppkey = u.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+"""
+
+
+# ---------------------------------------------- B17 TPC-H Q4 shape
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: orders in a quarter with at least one late-shipping line
+    (EXISTS -> left-semi join), counted per priority. The date filter
+    pushes to the orders scan; the semi join shrinks to matching keys
+    before the agg."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------- B18 TPC-H Q12 shape
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12: conditional aggregation after the fact join — one shuffle
+    for the join (AQE may broadcast the filtered year of lineitem),
+    one for the tiny group-by; the CASE sums compute map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+# ------------------------------- B19 time-interval range-frame window
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 1-hour aggregate over event TIME (RANGE
+    frame), not row count — the sliding-window shape tumbling windows
+    can't express. One shuffle on event_type; the frame bound is on
+    epoch micros so Spark's numeric rangeBetween and the SQL INTERVAL
+    frame agree exactly (RANGE frames include all ts peers, so ties
+    need no ordering tiebreak — the result is deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+    )
+
+
+WINDOW_RANGE_ORACLE = """
+SELECT event_id, event_type,
+       COUNT(*) OVER w AS n_1h,
+       ROUND(SUM(value) OVER w, 4) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""

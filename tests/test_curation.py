@@ -92,3 +92,62 @@ def test_pack_sequences_scoped_per_partition(spark):
     # each shard starts its own pack numbering at 0
     assert packs[("a", 1)] == 0 and packs[("b", 3)] == 0
     assert packs[("a", 2)] == 0 and packs[("b", 4)] == 0
+
+
+def test_pii_redact_counts_and_replaces(spark):
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.text import (
+        EMAIL_RE,
+        PHONE_RE,
+        pii_redact,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org and x@y.io call +1-555-0123 done"),
+            (2, "no pii here"),
+            (3, "+1-000-9999 only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert (out[1].n_emails, out[1].n_phones) == (2, 1)
+    assert (out[2].n_emails, out[2].n_phones) == (0, 0)
+    assert (out[3].n_emails, out[3].n_phones) == (0, 1)
+    # and the redacted text truly contains no remaining matches
+    red = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("r"),
+    )
+    leftover = red.filter(
+        F.col("r").rlike(EMAIL_RE) | F.col("r").rlike(PHONE_RE)
+    ).count()
+    assert leftover == 0
+    assert red.filter("doc_id = 1").first().r == (
+        "mail <EMAIL> and <EMAIL> call <PHONE> done"
+    )
+
+
+def test_repetition_stats_known_ratios(spark):
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.text import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 4 tokens, 1 distinct; bigrams "a a" x3
+            (2, "w x y z"),          # no repetition at all
+            (3, "one"),              # single token: no bigrams
+            (4, ""),                 # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert (out[1].n_tokens, out[1].n_distinct_tokens) == (4, 1)
+    assert out[1].token_rep_ratio == 0.75
+    assert out[1].bigram_rep_ratio == round(1 - 1 / 3, 6)
+    assert out[2].token_rep_ratio == 0.0 and out[2].bigram_rep_ratio == 0.0
+    assert out[3].n_tokens == 1 and out[3].bigram_rep_ratio == 0.0
+    assert out[4].n_tokens == 0 and out[4].token_rep_ratio == 0.0

@@ -263,3 +263,28 @@ def test_frame_oracle_ascii_assumption_holds(spark):
         f"{non_ascii} non-ASCII documents: MM_FRAME_ORACLE's chars==bytes "
         "assumption no longer holds — rewrite it over a byte view"
     )
+
+
+def test_quantized_topk_recall_and_exact_rescore(spark):
+    """Two-stage quantized ANN: rescored cosines must EQUAL the exact
+    tier's cosines for every (query, neighbor) both return, and
+    recall@5 vs brute force stays high (int8 keeps ~2 decimal digits
+    of the score, far finer than typical neighbor gaps)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, emb, k=5).collect()
+    quant = quantized_topk(queries, emb, k=5, rescore_m=20).collect()
+
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    quant_cos = {(r.query_id, r.neighbor_id): r.cosine for r in quant}
+    shared = set(exact_cos) & set(quant_cos)
+    assert shared, "no overlap at all — quantized tier is broken"
+    assert all(exact_cos[p] == quant_cos[p] for p in shared)
+
+    recall = len(shared) / len(exact_cos)
+    assert recall >= 0.9, f"recall@5 collapsed: {recall}"

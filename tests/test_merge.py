@@ -109,3 +109,63 @@ def test_salted_join_rejects_outer_modes(spark):
     for how in ("right", "full", "full_outer", "right_outer"):
         with _pytest.raises(ValueError, match="salted_join"):
             salted_join(left, right, "k", how=how)
+
+
+def test_scd2_upsert_closes_and_inserts(spark):
+    """SCD2: matched current rows close at the effective date, history
+    rows pass through untouched, source rows become the new current
+    versions, unmatched keys are untouched."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import scd2_upsert
+
+    target = spark.createDataFrame(
+        [
+            # key 1: one history row + one current row
+            (1, "old", "2020-01-01", "2021-01-01"),
+            (1, "cur", "2021-01-01", None),
+            # key 2: current only, not in source
+            (2, "keep", "2020-06-01", None),
+        ],
+        "id long, v string, valid_from string, valid_to string",
+    )
+    source = spark.createDataFrame(
+        [(1, "new", "2022-01-01"), (3, "ins", "2022-01-01")],
+        "id long, v string, valid_from string",
+    )
+    out = {
+        (r.id, r.v, r.valid_from, r.valid_to)
+        for r in scd2_upsert(target, source, ["id"]).collect()
+    }
+    assert out == {
+        (1, "old", "2020-01-01", "2021-01-01"),   # history untouched
+        (1, "cur", "2021-01-01", "2022-01-01"),   # closed at effective
+        (2, "keep", "2020-06-01", None),          # unmatched untouched
+        (1, "new", "2022-01-01", None),           # new current
+        (3, "ins", "2022-01-01", None),           # brand-new key
+    }
+
+
+def test_scd2_upsert_repeated_merge_extends_history(spark):
+    """Re-merging a LATER batch for the same key grows the version
+    chain: exactly one current row per key, earlier versions closed in
+    order."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import scd2_upsert
+
+    t0 = spark.createDataFrame(
+        [(1, "v1", "2020-01-01", None)],
+        "id long, v string, valid_from string, valid_to string",
+    )
+    s1 = spark.createDataFrame(
+        [(1, "v2", "2021-01-01")], "id long, v string, valid_from string"
+    )
+    s2 = spark.createDataFrame(
+        [(1, "v3", "2022-01-01")], "id long, v string, valid_from string"
+    )
+    out = scd2_upsert(scd2_upsert(t0, s1, ["id"]), s2, ["id"])
+    rows = {(r.v, r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows == {
+        ("v1", "2020-01-01", "2021-01-01"),
+        ("v2", "2021-01-01", "2022-01-01"),
+        ("v3", "2022-01-01", None),
+    }
+    current = [r for r in out.collect() if r.valid_to is None]
+    assert len(current) == 1 and current[0].v == "v3"
