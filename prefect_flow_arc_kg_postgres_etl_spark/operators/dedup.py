@@ -430,3 +430,62 @@ def lsh_verified_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def cluster_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Canonicalize duplicate PAIRS into CLUSTERS: connected components
+    over the dup-pair graph by iterative min-label propagation — the
+    step between pair detection (lsh_verified_pairs) and survivorship
+    (keep one doc per component). Returns (node, component) where
+    component = the smallest doc id reachable through dup edges.
+
+    Each iteration is ONE hash shuffle of the edge list joined to the
+    current labels (Pregel-lite); labels decrease monotonically, so
+    convergence is detected by an exact bigint label-sum fixpoint (one
+    scalar agg per iteration — no row-level diff join). Near-dup
+    graphs are unions of near-cliques, so the diameter (= iteration
+    count) is small regardless of corpus size; ``max_iter`` bounds the
+    pathological chain case. ``localCheckpoint`` truncates the
+    per-iteration lineage — on a cluster prefer ``checkpoint`` with a
+    reliable dir if executor loss during the loop must be survivable.
+    """
+    # Materialize the edge list ONCE: the pair generator upstream is the
+    # whole LSH-verify pipeline, and without this every propagation
+    # iteration would re-run it (measured 3x wall at sf0.01).
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("component")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("pnode"))
+            .agg(F.min("component").alias("pcomp"))
+        )
+        labels = (
+            labels.join(prop, labels.node == prop.pnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("pcomp", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

@@ -811,3 +811,50 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM resc)
 WHERE rn <= {_K}
 """
+
+
+# -------------------------------- D23 dup-pair -> cluster components
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pairs->clusters canonicalization step: connected components
+    over the verified dup-pair graph (operators/dedup.py
+    cluster_components — Pregel-lite min-label propagation, one shuffle
+    per iteration, iterations = graph diameter). The oracle recomputes
+    the components independently with a recursive CTE over the
+    quadratic ground-truth pair set."""
+    corpus = _dup_corpus(spark, sf_dir, near=True)
+    pairs = D.lsh_verified_pairs(corpus, _JAC_T)
+    return D.cluster_components(pairs, corpus.select("doc_id"))
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE corpus AS ({_NEAR_CORPUS_SQL}),
+words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM corpus
+),
+grams AS ({_GRAMS_SQL}),
+sizes AS (SELECT id, COUNT(*) AS n FROM grams GROUP BY 1),
+pairs AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS common
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sizes sa ON sa.id = doc_a
+  JOIN sizes sb ON sb.id = doc_b
+  WHERE common * 1.0 / (sa.n + sb.n - common) >= {_JAC_T}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jac
+  UNION ALL
+  SELECT doc_b, doc_a FROM jac
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node, MIN(label) AS component FROM reach GROUP BY node
+"""

@@ -198,6 +198,12 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_quantized_topk": QuerySpec(
         pipeline.ann_quantized_topk, pipeline.ANN_QUANTIZED_ORACLE
     ),
+    "events_funnel": QuerySpec(relational.events_funnel, relational.FUNNEL_ORACLE),
+    # pairs -> clusters canonicalization; oracle = recursive-CTE
+    # connected components over the quadratic ground-truth pair set.
+    "dedup_cluster_components": QuerySpec(
+        pipeline.dedup_cluster_components, pipeline.DEDUP_CLUSTERS_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

@@ -771,3 +771,53 @@ FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """
+
+
+# ------------------------------------- B20 funnel / sequence detection
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user A->B conversion detection (view followed by purchase
+    within 1 hour) WITHOUT a self-join: a running MAX over the
+    preceding rows carries each user's latest view time to every later
+    event, and purchases filter on the gap — one shuffle on user_id,
+    no range join, no state blowup (the MATCH_RECOGNIZE shape funnels
+    actually need at scale). The (ts, event_id) ordering is a total
+    order per user, so the ROWS frame is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.max(F.when(F.col("event_type") == "view", us)).over(w)
+    return (
+        ev.withColumn("us", us)
+        .withColumn("last_view_us", last_view)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_view_us").isNotNull()
+            & (F.col("us") - F.col("last_view_us") <= 3_600_000_000)
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event"),
+            (F.col("us") - F.col("last_view_us")).alias("gap_us"),
+        )
+    )
+
+
+FUNNEL_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_view_us
+  FROM events
+)
+SELECT user_id, event_id AS purchase_event,
+       CAST(us - last_view_us AS BIGINT) AS gap_us
+FROM seq
+WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
+  AND us - last_view_us <= 3600000000
+"""

@@ -288,3 +288,30 @@ def test_quantized_topk_recall_and_exact_rescore(spark):
 
     recall = len(shared) / len(exact_cos)
     assert recall >= 0.9, f"recall@5 collapsed: {recall}"
+
+
+def test_cluster_components_known_graph(spark):
+    """Min-label propagation must find exact components: a 4-node
+    chain (worst diameter case), a triangle, and a singleton."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import (
+        cluster_components,
+    )
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (listed backwards so labels need >1 hop),
+        # triangle 10-11-12
+        [(3, 4), (2, 3), (1, 2), (10, 11), (11, 12), (10, 12)],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], "doc_id long"
+    )
+    got = {
+        (r.node, r.component)
+        for r in cluster_components(pairs, nodes).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (99, 99),
+    }
