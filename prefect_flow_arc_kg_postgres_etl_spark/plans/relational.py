@@ -621,12 +621,13 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 shape: for each small part, the supplier(s) achieving the
     MINIMUM observed unit cost — a correlated-min subquery decorrelated
-    into [per-(part,supplier) agg] -> [per-part min] -> equality join
-    back, then dim attach. Two hash aggs reuse the SAME partitioning
-    (partkey is a prefix of the first agg's keys, so the per-part min
-    needs no second full shuffle of the fact); nation broadcasts.
-    Double equality on the join is sound: both sides carry the
-    identical IEEE division results."""
+    into [per-(part,supplier) agg] -> [per-part window min] -> filter.
+    The window formulation (not a second agg + self-join) matters for
+    the plan: Spark does not reuse a subplan across branches, so the
+    agg+join form scans the 100 TB fact TWICE; the window min scans it
+    once (one agg shuffle + one window exchange on the much smaller
+    aggregated set) — pinned by the plan audit. Double equality on the
+    filter is sound: both columns carry identical IEEE results."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 15)
     supp = load_table(spark, sf_dir, "supplier")
@@ -635,13 +636,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
     )
-    part_min = unit.groupBy(
-        F.col("l_partkey").alias("pm_partkey")
-    ).agg(F.min("cost").alias("min_cost"))
-    winners = unit.join(
-        part_min,
-        (unit.l_partkey == part_min.pm_partkey) & (unit.cost == part_min.min_cost),
-    ).select("l_partkey", "l_suppkey", "min_cost")
+    w = Window.partitionBy("l_partkey")
+    winners = (
+        unit.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .select("l_partkey", "l_suppkey", "min_cost")
+    )
     return (
         winners.join(part, winners.l_partkey == part.p_partkey)
         .join(supp, winners.l_suppkey == supp.s_suppkey)

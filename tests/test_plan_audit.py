@@ -362,3 +362,40 @@ def test_decontaminate_never_shuffles_train_corpus(spark):
     plan = plan_of(decontaminate(train, bench, n=8))
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2  # semi probe + anti filter
+
+
+def test_pii_and_repetition_are_scan_side(spark):
+    """The per-doc text features are pure scan projections — the only
+    exchange allowed is the corpus _spread round-robin (a test-data
+    artifact; at scale the scan has thousands of splits and it
+    disappears). Nothing may aggregate or join."""
+    for name in ("text_pii_redact", "text_repetition"):
+        plan = build(spark, name)
+        assert n_shuffles(plan) <= 1, f"{name} grew a shuffle:\n{plan}"
+        assert "Join" not in plan and "HashAggregate" not in plan, name
+
+
+def test_funnel_single_window_shuffle_no_join(spark):
+    """The funnel must stay a window pass — a regression to a range
+    self-join would be O(events x events) per user at scale."""
+    plan = build(spark, "events_funnel")
+    assert "Join" not in plan, "funnel regressed to a self-join"
+    assert n_shuffles(plan) == 1, plan
+
+
+def test_q4_pushes_date_filter_to_orders_scan(spark):
+    plan = build(spark, "q4_order_priority")
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+    assert "LeftSemi" in plan
+
+
+def test_q2_scans_fact_once(spark):
+    """The decorrelated min must be a WINDOW over the aggregated set,
+    not a second agg + self-join: Spark doesn't reuse subplans across
+    branches, so the agg+join form scans the fact twice — at 100 TB
+    that is a doubled read of the largest table."""
+    plan = build(spark, "q2_min_cost_supplier")
+    assert plan.count("lineitem.parquet") == 1, (
+        "q2 regressed to a double fact scan\n" + plan
+    )
