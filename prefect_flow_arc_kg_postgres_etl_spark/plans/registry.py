@@ -204,6 +204,11 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_cluster_components": QuerySpec(
         pipeline.dedup_cluster_components, pipeline.DEDUP_CLUSTERS_ORACLE
     ),
+    # C7: stateful streaming funnel — deterministic on a bounded source,
+    # shares the batch funnel's oracle.
+    "stream_funnel": QuerySpec(
+        streaming_plans.stream_funnel, streaming_plans.STREAM_FUNNEL_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

@@ -13,7 +13,10 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-from prefect_flow_arc_kg_postgres_etl_spark.plans.relational import TUMBLING_ORACLE
+from prefect_flow_arc_kg_postgres_etl_spark.plans.relational import (
+    FUNNEL_ORACLE,
+    TUMBLING_ORACLE,
+)
 from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
     dedup_stream,
     es_feed_stream,
@@ -147,3 +150,19 @@ FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
 STREAM_UPSERT_ORACLE = """
 SELECT event_id, ts, user_id, event_type, value, props FROM events
 """
+
+
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: stateful streaming funnel (applyInPandasWithState; state =
+    one bigint per user). On a bounded source the emitted set equals
+    the batch running-max funnel exactly, so it shares B20's SQL
+    oracle."""
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import funnel_stream
+
+    _COUNTER["n"] += 1
+    return funnel_stream(spark, sf_dir, query_name=f"stream_funnel_{_COUNTER['n']}")
+
+
+# On a bounded source the stateful funnel's emitted set equals the
+# batch running-max funnel — B20's oracle verbatim.
+STREAM_FUNNEL_ORACLE = FUNNEL_ORACLE

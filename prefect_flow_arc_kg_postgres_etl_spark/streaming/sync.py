@@ -403,3 +403,66 @@ def enrich_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+_FUNNEL_OUT_SCHEMA = "user_id bigint, purchase_event bigint, gap_us bigint"
+_FUNNEL_STATE_SCHEMA = "last_view_us bigint"
+_FUNNEL_GAP_US = 3_600_000_000
+
+
+def _funnel_group(key, pdfs, state):
+    """Stateful per-user funnel (runs inside applyInPandasWithState):
+    state = the latest view's event time. Events process in event-time
+    order within the batch; a purchase emits when the tracked view is
+    within the hour. The streaming form of the batch running-max window
+    (plans/relational.events_funnel) — state is ONE bigint per user, so
+    at 100 TB the state store holds |users| rows."""
+    import pandas as pd
+
+    (user_id,) = key
+    last = state.get[0] if state.exists else None
+    out_events, out_gaps = [], []
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    us = pdf["ts"].astype("int64") // 1000  # ns -> us
+    for t, etype, eid in zip(us, pdf["event_type"], pdf["event_id"]):
+        if etype == "view":
+            last = t if last is None else max(last, t)
+        elif etype == "purchase" and last is not None and t - last <= _FUNNEL_GAP_US:
+            out_events.append(eid)
+            out_gaps.append(t - last)
+    if last is not None:
+        state.update((int(last),))
+    if out_events:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_events),
+                "purchase_event": out_events,
+                "gap_us": out_gaps,
+            }
+        )
+
+
+def funnel_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_funnel"
+) -> DataFrame:
+    """C7: streaming conversion funnel — view -> purchase within 1 hour
+    per user, detected incrementally with per-user state instead of the
+    batch window pass. One hash exchange on user_id per micro-batch;
+    emits conversions as they are seen."""
+    ev = events_stream(spark, sf_dir).select("user_id", "ts", "event_type", "event_id")
+    conv = ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_group,
+        outputStructType=_FUNNEL_OUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    q = (
+        conv.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).select("user_id", "purchase_event", "gap_us")

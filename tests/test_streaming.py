@@ -145,3 +145,22 @@ def test_stream_enrich_equals_batch_join(spark):
     assert out.count() == expected.count()
     assert out.exceptAll(expected).count() == 0
     assert expected.exceptAll(out).count() == 0
+
+
+def test_stream_funnel_equals_batch_funnel(spark):
+    """C7: the stateful funnel's emitted conversions equal the batch
+    running-max funnel exactly on a bounded source."""
+    from prefect_flow_arc_kg_postgres_etl_spark.plans.relational import events_funnel
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import funnel_stream
+
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r.user_id, r.purchase_event, r.gap_us)
+        for r in funnel_stream(spark, SF_SMOKE, "funnel_eq_test").collect()
+    }
+    want = {
+        (r.user_id, r.purchase_event, r.gap_us)
+        for r in events_funnel(spark, SF_SMOKE).collect()
+    }
+    assert got == want and want
