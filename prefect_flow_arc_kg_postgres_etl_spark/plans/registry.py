@@ -209,6 +209,28 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_funnel": QuerySpec(
         streaming_plans.stream_funnel, streaming_plans.STREAM_FUNNEL_ORACLE
     ),
+    # B21-B26: the remaining distinct TPC-H plan shapes (Q9 multi-join
+    # expression profit, Q10 top-returned, Q14 conditional ratio, Q16
+    # distinct-count + NOT IN, Q18 having/join-back, Q11 global-threshold
+    # scalar subquery).
+    "q9_product_profit": QuerySpec(
+        relational.q9_product_profit, relational.Q9_ORACLE
+    ),
+    "q10_returned_items": QuerySpec(
+        relational.q10_returned_items, relational.Q10_ORACLE
+    ),
+    "q14_promo_revenue": QuerySpec(
+        relational.q14_promo_revenue, relational.Q14_ORACLE
+    ),
+    "q16_supplier_count": QuerySpec(
+        relational.q16_supplier_count, relational.Q16_ORACLE
+    ),
+    "q18_large_orders": QuerySpec(
+        relational.q18_large_orders, relational.Q18_ORACLE
+    ),
+    "q11_important_parts": QuerySpec(
+        relational.q11_important_parts, relational.Q11_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

@@ -821,3 +821,238 @@ FROM seq
 WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
   AND us - last_view_us <= 3600000000
 """
+
+
+# ---------------------------------------------- B21 TPC-H Q9 shape
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit by nation and order year over a 5-way join
+    (lineitem x part x supplier x orders x nation). The testdata has no
+    partsupp, so unit cost is proxied as 60% of p_retailprice — the
+    expression shape (revenue minus cost*quantity, aggregated two
+    levels up) is what Q9 exercises, not the cost source. The p_name
+    filter prunes part BEFORE the join; nation broadcasts (fixed 25
+    rows); supplier/orders scale with sf so AQE picks their strategy.
+    One shuffle per join plus the final tiny group-by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+Q9_ORACLE = """
+SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------- B22 TPC-H Q10 shape
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: customers ranked by revenue lost to returned items in a
+    quarter — fact join shrunk by BOTH pushed filters (returnflag on
+    lineitem, quarter on orders) before touching customer; top-20 with
+    a deterministic custkey tiebreak."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            )
+            .cast("long")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------- B23 TPC-H Q14 shape
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: promo revenue share — a conditional-sum RATIO computed in
+    ONE aggregation over the month's lineitem x part join (two CASE
+    sums, no second scan). The month filter pushes to the lineitem
+    scan; part is the smaller side and AQE broadcasts it at low sf."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+Q14_ORACLE = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+# ---------------------------------------------- B24 TPC-H Q16 shape
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per part attribute group,
+    EXCLUDING a suppliers-with-complaints set (the NOT IN subquery;
+    negative account balance stands in for the comment scan). The
+    exclusion set is tiny -> broadcast anti join BEFORE the fact join;
+    count distinct shuffles once on the group keys. The part/supplier
+    relation is derived from lineitem (the testdata has no partsupp) —
+    same shape: fact-derived pairs, dim attributes, distinct agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = li.select("l_partkey", "l_suppkey").join(
+        F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+    )
+    return (
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------- B25 TPC-H Q18 shape
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: orders whose total quantity exceeds a threshold (the
+    HAVING-on-agg -> join-back shape). The qualifying keys come from
+    ONE lineitem aggregation (map-side partial sums shrink the
+    shuffle); the join back to orders/customer attaches attributes
+    only for qualifying orders — at 100 TB the qualifying set is tiny,
+    so AQE broadcasts it into both attach joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+Q18_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(total_qty, 2) AS total_qty
+FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING ROUND(SUM(l_quantity), 2) > 150) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------- B26 TPC-H Q11 shape
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: groups exceeding a GLOBAL-aggregate threshold — the
+    scalar subquery over the whole fact, decorrelated into [per-part
+    agg] x [1-row global agg broadcast cross join]. The global side is
+    derived FROM the per-part aggregate (an avg over it), so the fact
+    is scanned once and the second pass runs over the ~million-row
+    aggregate, not the 100 TB fact. Threshold = 1.5x the mean per-part
+    revenue — scale-free, unlike Q11's literal fraction (which pins
+    the result count to one SF)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("part_rev"))
+    threshold = per_part.agg(
+        (F.lit(1.5) * F.avg("part_rev")).alias("cutoff")
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("part_rev") > F.col("cutoff"))
+        .select("l_partkey", F.round("part_rev", 2).alias("part_rev"))
+    )
+
+
+Q11_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS part_rev
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, ROUND(part_rev, 2) AS part_rev
+FROM per_part
+WHERE part_rev > (SELECT 1.5 * AVG(part_rev) FROM per_part)
+"""
