@@ -130,3 +130,77 @@ def pack_sequences(
     if part_col:
         out.append(F.col(part_col))
     return docs.select(*out)
+
+
+def sample_to_mixture(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Down-sample a multi-source corpus to a TARGET MIXTURE: given
+    relative weights per source, keep the largest subset whose source
+    proportions match the weights. The binding source (smallest
+    count/weight ratio) is kept whole; every other source keeps
+    ``T * w_s / count_s`` of its rows, ``T = min_s(count_s / w_s)``.
+
+    Everything stays in-plan: per-source counts are one tiny aggregate,
+    the global T is a 1-row aggregate over THAT (never over the corpus),
+    and both broadcast back into a scan-side filter — the corpus itself
+    is never shuffled or collected. Membership uses the same
+    engine-independent LCG as sample_stratified, with per-source
+    thresholds computed as floor(frac * 2^31) in DOUBLE — identical
+    IEEE operation order on both engines, so the kept set is exactly
+    reproducible in the SQL oracle.
+
+    Unlisted strata are dropped. Returns surviving rows unchanged."""
+    w_expr = F.lit(None).cast("double")
+    for value, wt in sorted(weights.items()):
+        w_expr = F.when(F.col(strata_col) == value, F.lit(float(wt))).otherwise(
+            w_expr
+        )
+    weighted = df.withColumn("_w", w_expr).filter(F.col("_w").isNotNull())
+    counts = weighted.groupBy(strata_col, "_w").agg(F.count("*").alias("_n"))
+    t_row = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_t"))
+    thresh = counts.join(F.broadcast(t_row)).select(
+        F.col(strata_col).alias("_s"),
+        F.floor(
+            (F.col("_t") * F.col("_w") / F.col("_n")) * F.lit(float(_LCG_M))
+        )
+        .cast("bigint")
+        .alias("_cut"),
+    )
+    bucket = ((F.col(id_col) % _LCG_M) * _LCG_A + _LCG_C) % _LCG_M
+    return (
+        weighted.join(
+            F.broadcast(thresh), weighted[strata_col] == F.col("_s"), "inner"
+        )
+        .filter(bucket < F.col("_cut"))
+        .drop("_w", "_s", "_cut")
+    )
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-shard layout: every row gets a shard
+    (LCG hash of the id modulo ``n_shards`` — decorrelated from any
+    id-range skew, reproducible in any engine) and a dense position
+    within its shard (row_number ordered by (hash, id) — a stable
+    pseudo-random within-shard order, which is what a training loader
+    wants instead of source order).
+
+    One shuffle: the per-shard window partition. No global sort — the
+    order is defined within each shard only, so shards build
+    independently and the plan is embarrassingly parallel at any
+    corpus size. Returns (id, shard, pos)."""
+    bucket = ((F.col(id_col) % _LCG_M) * _LCG_A + _LCG_C) % _LCG_M
+    w = Window.partitionBy("shard").orderBy("bucket", id_col)
+    return (
+        df.select(F.col(id_col), bucket.alias("bucket"))
+        .withColumn("shard", (F.col("bucket") % n_shards).cast("bigint"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select(id_col, "shard", "pos")
+    )

@@ -163,6 +163,8 @@ __all__ = [
     "token_stats",
     "fingerprint_docs",
     "tf_idf_top_terms",
+    "vocabulary",
+    "bigram_lm",
 ]
 
 
@@ -233,4 +235,86 @@ def repetition_stats(
         nd.cast("bigint").alias("n_distinct_tokens"),
         ratio(n, nd).alias("token_rep_ratio"),
         ratio(nb, nbd).alias("bigram_rep_ratio"),
+    )
+
+
+def vocabulary(
+    docs: DataFrame,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary with dense id assignment: one row per distinct
+    term with its total occurrence count, document frequency, and rank
+    (1 = most frequent; ties broken by term) — the tokenizer-training /
+    vocab-building pass of an LLM data pipeline.
+
+    Shuffle shape at 100 TB: term totals aggregate with map-side
+    combine straight off the exploded scan (raw tokens never shuffle —
+    partial aggs ship |local vocab| rows per task); document frequency
+    reuses the (doc, term) distinct agg. Both shuffles key on the term.
+    The final rank is a single-partition window — over the VOCABULARY
+    (millions of rows after min_count), not the corpus, which is the
+    standard contiguous-id assignment and is bounded by |vocab| no
+    matter how large the corpus grows.
+
+    Returns (term, total_count, doc_freq, term_rank)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+    )
+    per_doc = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    vocab = per_doc.groupBy("term").agg(
+        F.sum("tf").alias("total_count"), F.count("*").alias("doc_freq")
+    )
+    w = Window.orderBy(F.desc("total_count"), F.asc("term"))
+    return (
+        vocab.filter(F.col("total_count") >= min_count)
+        .withColumn("term_rank", F.row_number().over(w).cast("bigint"))
+    )
+
+
+def bigram_lm(
+    docs: DataFrame,
+    min_pair_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model statistics: pair counts and conditional
+    probability P(w2 | w1) — the n-gram LM / collocation pass (quality
+    scoring against a corpus LM, tokenizer merges, phrase mining).
+
+    Bigrams are built SCAN-SIDE as an array zip of the token list with
+    its tail (no self-join of an exploded token table — the classic
+    formulation that shuffles the corpus twice and explodes on join).
+    One aggregation on (w1, w2) with map-side combine; the per-w1
+    totals come off a window over the AGGREGATED pair table (partitioned
+    by w1 — parallel, and |pairs| << |tokens|). The conditional
+    probability divides longs cast to double in one deterministic
+    per-row op, rounded identically in the SQL oracle.
+
+    Returns (w1, w2, pair_n, cond_p) for pairs seen >= min_pair_count."""
+    w = words(F.lower(F.col(text_col)))
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("pair_n"))
+    total_w = Window.partitionBy("w1")
+    return (
+        counts.withColumn("w1_total", F.sum("pair_n").over(total_w))
+        .filter(F.col("pair_n") >= min_pair_count)
+        .select(
+            "w1",
+            "w2",
+            "pair_n",
+            F.round(
+                F.col("pair_n").cast("double") / F.col("w1_total").cast("double"), 6
+            ).alias("cond_p"),
+        )
     )

@@ -858,3 +858,146 @@ reach(node, label) AS (
 )
 SELECT node, MIN(label) AS component FROM reach GROUP BY node
 """
+
+
+# ------------------------------------------- D24 corpus vocabulary
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with dense rank ids (tokenizer-training /
+    vocab-building pass). Term totals aggregate with map-side combine;
+    the only ordered window runs over the VOCABULARY, not the corpus."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.text import vocabulary
+
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    return vocabulary(docs, min_count=2)
+
+
+VOCABULARY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(LOWER(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS total_count,
+         COUNT(*) AS doc_freq
+  FROM per_doc GROUP BY 1
+)
+SELECT term, total_count, doc_freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY total_count DESC, term)
+            AS BIGINT) AS term_rank
+FROM vocab
+WHERE total_count >= 2
+"""
+
+
+# ------------------------------------------- D25 bigram LM statistics
+def corpus_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM statistics: scan-side pair construction (zip of the
+    token list with its tail — no exploded-token self-join), one pair
+    aggregation, conditional probabilities off a w1-partitioned window
+    over the aggregated set."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.text import bigram_lm
+
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    return bigram_lm(docs, min_pair_count=3)
+
+
+BIGRAM_LM_ORACLE = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(LOWER(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), bi AS (
+  SELECT UNNEST(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i + 1])) AS pair
+  FROM toks
+), counts AS (
+  SELECT split_part(pair, ' ', 1) AS w1,
+         split_part(pair, ' ', 2) AS w2,
+         COUNT(*) AS pair_n
+  FROM bi GROUP BY 1, 2
+)
+SELECT w1, w2, pair_n,
+       ROUND(CAST(pair_n AS DOUBLE)
+             / CAST(SUM(pair_n) OVER (PARTITION BY w1) AS DOUBLE),
+             6) AS cond_p
+FROM counts
+QUALIFY pair_n >= 3
+"""
+
+
+# ------------------------------------------- D26 mixture sampling
+# Unequal weights so the binding-source math is exercised: src1 is
+# kept whole, src2 keeps ~1/2, src3 keeps ~1/4, everything else drops.
+_MIX_WEIGHTS = {"src1": 4.0, "src2": 2.0, "src3": 1.0}
+
+
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture down-sampling: keep the largest subset whose
+    source proportions match the weight spec. Fully in-plan (per-source
+    counts + the 1-row binding ratio broadcast back); membership is the
+    engine-independent LCG, so the kept set reproduces exactly in the
+    oracle."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.curation import (
+        sample_to_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return sample_to_mixture(docs, "source", _MIX_WEIGHTS)
+
+
+_MIX_CASE = " ".join(
+    f"WHEN '{s}' THEN {w}" for s, w in sorted(_MIX_WEIGHTS.items())
+)
+MIX_SAMPLE_ORACLE = f"""
+WITH weighted AS (
+  SELECT doc_id, lang, source,
+         CASE source {_MIX_CASE} END AS w
+  FROM documents
+  WHERE CASE source {_MIX_CASE} END IS NOT NULL
+), counts AS (
+  SELECT source, w, COUNT(*) AS n FROM weighted GROUP BY 1, 2
+), t AS (
+  SELECT MIN(CAST(n AS DOUBLE) / w) AS t FROM counts
+), thresh AS (
+  SELECT source,
+         CAST(FLOOR(((t.t * w) / CAST(n AS DOUBLE)) * 2147483648.0)
+              AS BIGINT) AS cut
+  FROM counts, t
+)
+SELECT d.doc_id, d.lang, d.source
+FROM weighted d JOIN thresh USING (source)
+WHERE {_LCG} < cut
+"""
+
+
+# ------------------------------------------- D27 shard layout
+_N_SHARDS = 8
+
+
+def corpus_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export layout: LCG shard assignment
+    plus a dense within-shard position. One shuffle (the per-shard
+    window); no global sort at any corpus size."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.curation import (
+        assign_shards,
+    )
+
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    return assign_shards(docs.select("doc_id"), _N_SHARDS)
+
+
+SHARD_LAYOUT_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, {_LCG} AS bucket FROM documents
+)
+SELECT doc_id,
+       CAST(bucket % {_N_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY bucket % {_N_SHARDS}
+                               ORDER BY bucket, doc_id) AS BIGINT) AS pos
+FROM b
+"""

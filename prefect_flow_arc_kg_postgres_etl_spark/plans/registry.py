@@ -231,6 +231,20 @@ QUERIES: dict[str, QuerySpec] = {
     "q11_important_parts": QuerySpec(
         relational.q11_important_parts, relational.Q11_ORACLE
     ),
+    # D24-D27: corpus statistics + training-export layout (vocabulary
+    # building, bigram LM, target-mixture sampling, shard layout).
+    "corpus_vocabulary": QuerySpec(
+        pipeline.corpus_vocabulary, pipeline.VOCABULARY_ORACLE
+    ),
+    "corpus_bigram_lm": QuerySpec(
+        pipeline.corpus_bigram_lm, pipeline.BIGRAM_LM_ORACLE
+    ),
+    "corpus_mix_sample": QuerySpec(
+        pipeline.corpus_mix_sample, pipeline.MIX_SAMPLE_ORACLE
+    ),
+    "corpus_shard_layout": QuerySpec(
+        pipeline.corpus_shard_layout, pipeline.SHARD_LAYOUT_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.
