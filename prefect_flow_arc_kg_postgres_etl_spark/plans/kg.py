@@ -964,3 +964,63 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
        valid_from, CAST(NULL AS TIMESTAMP)
 FROM src
 """
+
+
+# ----------------------------------------- A28 transitive property path
+def kg_path_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ``p+`` over the store's containment hierarchy
+    (order -> customer -> nation -> region, as a typed edge relation):
+    every entity paired with ALL its ancestors, any number of hops up.
+    The reference's queries use no transitive paths (verified across
+    typescript/queries/*.sparql), so this completes the path algebra
+    beyond the reference surface rather than mirroring a query.
+
+    Pointer doubling (operators/triples.transitive_closure): depth 3
+    converges in 2 doubling joins; at 100 TB each iteration is one
+    keyed self-join shuffle of the PAIR set, never a corpus re-scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    edges = (
+        orders.select(
+            tag("O", "o_orderkey").alias("child"),
+            tag("C", "o_custkey").alias("parent"),
+        )
+        .unionByName(
+            cust.select(
+                tag("C", "c_custkey").alias("child"),
+                tag("N", "c_nationkey").alias("parent"),
+            )
+        )
+        .unionByName(
+            nat.select(
+                tag("N", "n_nationkey").alias("child"),
+                tag("R", "n_regionkey").alias("parent"),
+            )
+        )
+    )
+    return T.transitive_closure(edges)
+
+
+KG_PATH_TRANSITIVE_ORACLE = """
+WITH RECURSIVE edges AS (
+  SELECT 'O' || CAST(o_orderkey AS VARCHAR) AS child,
+         'C' || CAST(o_custkey AS VARCHAR) AS parent
+  FROM orders
+  UNION ALL
+  SELECT 'C' || CAST(c_custkey AS VARCHAR),
+         'N' || CAST(c_nationkey AS VARCHAR)
+  FROM customer
+  UNION ALL
+  SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+         'R' || CAST(n_regionkey AS VARCHAR)
+  FROM nation
+), closure AS (
+  SELECT child AS node, parent AS ancestor FROM edges
+  UNION
+  SELECT c.node, e.parent
+  FROM closure c JOIN edges e ON c.ancestor = e.child
+)
+SELECT node, ancestor FROM closure
+"""

@@ -231,6 +231,10 @@ QUERIES: dict[str, QuerySpec] = {
     "q11_important_parts": QuerySpec(
         relational.q11_important_parts, relational.Q11_ORACLE
     ),
+    # A28: SPARQL p+ transitive property path (pointer doubling).
+    "kg_path_transitive": QuerySpec(
+        kg.kg_path_transitive, kg.KG_PATH_TRANSITIVE_ORACLE
+    ),
     # D24-D27: corpus statistics + training-export layout (vocabulary
     # building, bigram LM, target-mixture sampling, shard layout).
     "corpus_vocabulary": QuerySpec(

@@ -151,3 +151,44 @@ def test_repetition_stats_known_ratios(spark):
     assert out[2].token_rep_ratio == 0.0 and out[2].bigram_rep_ratio == 0.0
     assert out[3].n_tokens == 1 and out[3].bigram_rep_ratio == 0.0
     assert out[4].n_tokens == 0 and out[4].token_rep_ratio == 0.0
+
+
+def test_sample_to_mixture_binding_source_kept_whole(spark):
+    """The binding source (smallest count/weight) survives intact and
+    the others are down-sampled toward the target ratio; the kept set
+    is a pure function of ids (re-run identical)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.curation import (
+        sample_to_mixture,
+    )
+
+    rows = [(i, "a") for i in range(100)] + [(i + 1000, "b") for i in range(400)]
+    df = _df(spark, rows, "doc_id long, src string")
+    out = sample_to_mixture(df, "src", {"a": 1.0, "b": 1.0}, id_col="doc_id")
+    by_src = {r["src"]: r["n"] for r in out.groupBy("src").agg(
+        F.count("*").alias("n")).collect()}
+    assert by_src["a"] == 100          # binding source kept whole
+    assert 80 <= by_src["b"] <= 120    # ~100 of 400 at the LCG threshold
+    again = sample_to_mixture(df, "src", {"a": 1.0, "b": 1.0}, id_col="doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_assign_shards_dense_positions_cover_all_rows(spark):
+    """Every row lands in exactly one shard; positions are dense
+    1..count(shard); the layout is id-determined (stable re-run)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.curation import (
+        assign_shards,
+    )
+
+    df = _df(spark, [(i,) for i in range(97)], "doc_id long")
+    out = assign_shards(df, 4).collect()
+    assert len(out) == 97
+    assert {r.shard for r in out} <= {0, 1, 2, 3}
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in out:
+        per[r.shard].append(r.pos)
+    for shard, ps in per.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))

@@ -271,3 +271,41 @@ def test_melt_graph_column(spark):
     t = melt(df, "id", ["name"], graph="graph:test")
     assert t.columns == ["subject", "predicate", "object", "lang", "graph"]
     assert t.first().graph == "graph:test"
+
+
+def test_transitive_closure_chain_diamond_cycle(spark):
+    """p+ semantics on known graphs: a worst-case chain (forces the
+    doubling loop past one iteration), a diamond (duplicate paths
+    collapse), and a 2-cycle (terminates; both nodes become their own
+    ancestors through the cycle)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.triples import (
+        transitive_closure,
+    )
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(6)], "child string, parent string"
+    )
+    got = {
+        (r.node, r.ancestor) for r in transitive_closure(chain).collect()
+    }
+    want = {(f"n{i}", f"n{j}") for i in range(6) for j in range(i + 1, 7)}
+    assert got == want
+
+    diamond = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")],
+        "child string, parent string",
+    )
+    got = {
+        (r.node, r.ancestor) for r in transitive_closure(diamond).collect()
+    }
+    assert got == {
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "d"), ("c", "d")
+    }
+
+    cycle = spark.createDataFrame(
+        [("x", "y"), ("y", "x")], "child string, parent string"
+    )
+    got = {
+        (r.node, r.ancestor) for r in transitive_closure(cycle).collect()
+    }
+    assert got == {("x", "y"), ("y", "x"), ("x", "x"), ("y", "y")}
