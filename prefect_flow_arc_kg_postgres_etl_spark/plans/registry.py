@@ -231,6 +231,11 @@ QUERIES: dict[str, QuerySpec] = {
     "q11_important_parts": QuerySpec(
         relational.q11_important_parts, relational.Q11_ORACLE
     ),
+    # C8: stream-stream time-interval join (bounded state, full oracle).
+    "stream_interval_join": QuerySpec(
+        streaming_plans.stream_interval_join,
+        streaming_plans.STREAM_INTERVAL_JOIN_ORACLE,
+    ),
     # A28: SPARQL p+ transitive property path (pointer doubling).
     "kg_path_transitive": QuerySpec(
         kg.kg_path_transitive, kg.KG_PATH_TRANSITIVE_ORACLE

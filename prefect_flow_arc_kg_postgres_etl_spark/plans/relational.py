@@ -953,8 +953,12 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16 shape: distinct-supplier counts per part attribute group,
     EXCLUDING a suppliers-with-complaints set (the NOT IN subquery;
     negative account balance stands in for the comment scan). The
-    exclusion set is tiny -> broadcast anti join BEFORE the fact join;
-    count distinct shuffles once on the group keys. The part/supplier
+    exclusion set is a FILTER of the sf-scaled supplier table, so it
+    carries no broadcast hint (the repo rule: hints only on fixed-size
+    dims) — AQE broadcasts the anti join while the set is small and
+    falls back to a shuffled anti join if it ever is not. The anti
+    join runs BEFORE the fact join; count distinct shuffles once on
+    the group keys. The part/supplier
     relation is derived from lineitem (the testdata has no partsupp) —
     same shape: fact-derived pairs, dim attributes, distinct agg."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -965,7 +969,7 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     pairs = li.select("l_partkey", "l_suppkey").join(
-        F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+        bad, li.l_suppkey == bad.s_suppkey, "left_anti"
     )
     return (
         pairs.join(part, pairs.l_partkey == part.p_partkey)

@@ -166,3 +166,33 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # On a bounded source the stateful funnel's emitted set equals the
 # batch running-max funnel — B20's oracle verbatim.
 STREAM_FUNNEL_ORACLE = FUNNEL_ORACLE
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: stream-stream time-interval self-join (views x purchases
+    within 1 hour per user), watermarked both sides — bounded state
+    derived from the interval condition. Emits every qualifying pair,
+    so the batch interval join is the full SQL oracle."""
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        interval_join_stream,
+    )
+
+    _COUNTER["n"] += 1
+    return interval_join_stream(
+        spark, sf_dir, query_name=f"stream_interval_join_{_COUNTER['n']}"
+    )
+
+
+STREAM_INTERVAL_JOIN_ORACLE = """
+SELECT v.user_id,
+       v.event_id AS view_event,
+       p.event_id AS purchase_event,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND p.event_type = 'purchase'
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""

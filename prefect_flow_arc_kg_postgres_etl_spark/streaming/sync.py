@@ -466,3 +466,78 @@ def funnel_stream(
     )
     q.awaitTermination()
     return spark.table(query_name).select("user_id", "purchase_event", "gap_us")
+
+
+def interval_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNSTARTED stream-stream interval self-join plan (``*_plan``
+    so the forced-broadcast audit sweeps it). Views and purchases are
+    two filters over the SAME source stream; the join keys on user_id
+    with a time-interval condition (purchase within 1 hour after the
+    view), watermarked on BOTH sides.
+
+    State shape at scale: each side's state store holds only rows
+    younger than [watermark - interval] — Spark derives the state
+    eviction bound from the interval condition plus the watermarks, so
+    state is O(events per hour), not O(stream history). This is the
+    stream-shaped version of the asof/range join family: every
+    qualifying (view, purchase) pair is emitted exactly once (append
+    mode is the only mode stream-stream inner joins support).
+
+    Delay choice: the watermark delay must be >= the join interval or
+    in-order late pairs get dropped; 1 hour matches the interval."""
+    ev = events_stream(spark, sf_dir)
+    # Watermarks track TIMESTAMP (ltz) event time; UTC round-trip as in
+    # dedup_stream. Both branches re-derive from one source stream —
+    # Spark plans this as a self-join of the scan, not two sources.
+    base = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    views = (
+        base.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_event"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_event",
+        "purchase_event",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )
+
+
+def interval_join_stream(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_interval_join"
+) -> DataFrame:
+    """C8: stream-stream time-interval join. On a bounded source every
+    qualifying pair is emitted (inner join emits on arrival; state
+    eviction only discards rows that can no longer match), so the
+    result hash-equals the batch interval self-join — the full SQL
+    oracle, unlike most stream-stream setups."""
+    joined = interval_join_plan(spark, sf_dir)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

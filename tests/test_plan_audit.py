@@ -86,6 +86,14 @@ _FIXED_DIM_HINTS = {
     "topk_per_group": 0,
     "q7_volume_shipping": 2,  # the two nation aliases
     "q19_discounted_revenue": 0,
+    "q9_product_profit": 1,   # nation (25 rows, fixed)
+    "q10_returned_items": 1,  # nation
+    "q14_promo_revenue": 0,
+    "q16_supplier_count": 0,  # exclusion set is sf-scaled: no hint
+    "q18_large_orders": 0,
+    # q11's only hint is the 1-row global-threshold aggregate, which
+    # plans as BroadcastNestedLoopJoin (keyless cross join), not BHJ.
+    "q11_important_parts": 0,
 }
 
 
