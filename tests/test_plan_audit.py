@@ -407,3 +407,45 @@ def test_q2_scans_fact_once(spark):
     assert plan.count("lineitem.parquet") == 1, (
         "q2 regressed to a double fact scan\n" + plan
     )
+
+
+def test_q11_threshold_branch_reuses_fact_exchange(spark):
+    """The global-threshold branch must read the REUSED per-part
+    shuffle, not re-scan the fact: both branches hang off the same
+    hashpartitioning(l_partkey) exchange and Spark's ReuseExchange
+    dedupes them at execution. Checked on the EXECUTED plan (the
+    static plan prints both subtrees; reuse is applied physically)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.plans.registry import QUERIES
+
+    df = QUERIES["q11_important_parts"].builder(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, (
+        "q11 lost exchange reuse — the fact is scanned twice\n" + plan
+    )
+
+
+def test_q9_pushes_part_filter_and_broadcasts_nation_only(spark):
+    plan = build(spark, "q9_product_profit")
+    assert "StringContains(p_name,red)" in plan
+    # exactly one hinted fixed-size dim (checked in the sweep above) and
+    # the p_name prune must reach the part scan, not a post-join filter.
+
+
+def test_bigram_lm_no_token_self_join(spark):
+    """Bigrams must come from the scan-side list zip — a regression to
+    exploded-token self-join doubles the corpus shuffle and explodes
+    skewed tokens quadratically."""
+    plan = build(spark, "corpus_bigram_lm")
+    assert "Join" not in plan, "bigram_lm regressed to a token self-join"
+
+
+def test_mix_sample_corpus_never_shuffled_by_thresholds(spark):
+    """The mixture filter must apply via broadcast of the tiny
+    per-source threshold table: the corpus side of the final join may
+    not hash-shuffle (counts and the 1-row binding ratio are the only
+    aggregates)."""
+    plan = build(spark, "corpus_mix_sample")
+    # the corpus appears once under a BroadcastHashJoin probe side; a
+    # SortMergeJoin would mean the corpus was shuffled on source.
+    assert "SortMergeJoin" not in plan, plan
