@@ -231,6 +231,20 @@ QUERIES: dict[str, QuerySpec] = {
     "q11_important_parts": QuerySpec(
         relational.q11_important_parts, relational.Q11_ORACLE
     ),
+    # B27-B30: analytics shapes — wide pivot, cohort retention,
+    # histogram profiling, exact interpolated quantiles.
+    "events_pivot_wide": QuerySpec(
+        relational.events_pivot_wide, relational.EVENTS_PIVOT_ORACLE
+    ),
+    "orders_cohort_retention": QuerySpec(
+        relational.orders_cohort_retention, relational.COHORT_RETENTION_ORACLE
+    ),
+    "orders_value_histogram": QuerySpec(
+        relational.orders_value_histogram, relational.VALUE_HISTOGRAM_ORACLE
+    ),
+    "events_quantiles": QuerySpec(
+        relational.events_quantiles, relational.EVENTS_QUANTILES_ORACLE
+    ),
     # C8: stream-stream time-interval join (bounded state, full oracle).
     "stream_interval_join": QuerySpec(
         streaming_plans.stream_interval_join,

@@ -1060,3 +1060,139 @@ SELECT l_partkey, ROUND(part_rev, 2) AS part_rev
 FROM per_part
 WHERE part_rev > (SELECT 1.5 * AVG(part_rev) FROM per_part)
 """
+
+
+# ---------------------------------------------- B27 wide pivot
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot: per-user event-type count matrix (the inverse
+    of A1's unpivot/melt). The pivot values are DECLARED, not
+    discovered — with an explicit list Spark skips the extra distinct
+    pass over the fact AND the plan stays a single hash aggregation
+    (pivot compiles to one agg with |values| conditional counts, no
+    per-value shuffle). Missing cells fill 0 like the SQL CASE sums."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [*_EVENT_TYPES])
+        .select(
+            "user_id",
+            *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES],
+        )
+    )
+
+
+EVENTS_PIVOT_ORACLE = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------- B28 cohort retention
+def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers grouped by first-order month, then
+    distinct actives per (cohort, months-since). The cohort month rides
+    a WINDOW MIN over the customer partition (one shuffle on custkey,
+    fact scanned once — same single-scan discipline as q2/q11), and the
+    retention matrix is one more aggregation on the tiny (cohort,
+    offset) key space. Month arithmetic is integer (y*12+m), identical
+    in the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    return (
+        orders.withColumn("order_ym", ym)
+        .withColumn("cohort_ym", F.min("order_ym").over(w))
+        .groupBy(
+            F.col("cohort_ym").cast("bigint").alias("cohort_ym"),
+            (F.col("order_ym") - F.col("cohort_ym"))
+            .cast("bigint")
+            .alias("months_since"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("active_customers"))
+    )
+
+
+COHORT_RETENTION_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS order_ym,
+         MIN(YEAR(o_orderdate) * 12 + MONTH(o_orderdate))
+           OVER (PARTITION BY o_custkey) AS cohort_ym
+  FROM orders
+)
+SELECT CAST(cohort_ym AS BIGINT) AS cohort_ym,
+       CAST(order_ym - cohort_ym AS BIGINT) AS months_since,
+       COUNT(DISTINCT o_custkey) AS active_customers
+FROM o
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------- B29 histogram profiling
+_HIST_WIDTH = 25000.0
+
+
+def orders_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (data-profiling shape):
+    bin assignment is a scan-side floor division, so the whole
+    histogram is ONE map-side-combining aggregation — no sort, no
+    window, bounded output (|bins| rows) at any scale. Bin edges use
+    exact double division + floor, identical IEEE ops in the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / F.lit(_HIST_WIDTH)).cast("bigint")
+    return (
+        orders.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+    )
+
+
+VALUE_HISTOGRAM_ORACLE = f"""
+SELECT CAST(FLOOR(o_totalprice / {_HIST_WIDTH}) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 2) AS bin_min,
+       ROUND(MAX(o_totalprice), 2) AS bin_max
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------- B30 exact quantiles
+def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles of event value per type —
+    percentile() in Spark and quantile_cont() in DuckDB implement the
+    same linear-interpolation definition, so the results agree to
+    rounding. Exact percentile sorts within each group; the APPROX
+    path at 100 TB is distinct_agg_approx's sketch tier
+    (approx_percentile), which trades exactness for one pass —
+    this entry is the ground-truth twin."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+EVENTS_QUANTILES_ORACLE = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+"""
