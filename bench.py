@@ -62,6 +62,15 @@ HEADLINE = [
     "window_range_interval",
     "text_pii_redact",
     "ann_quantized_topk",
+    # Round-5 second wave (appended — prefix stays comparable): the Q9
+    # five-way profit join, the transitive property path (iterative
+    # pointer doubling), vocabulary building and bigram LM statistics,
+    # and the cohort-retention window+agg.
+    "q9_product_profit",
+    "kg_path_transitive",
+    "corpus_vocabulary",
+    "corpus_bigram_lm",
+    "orders_cohort_retention",
 ]
 
 
