@@ -1024,3 +1024,104 @@ WITH RECURSIVE edges AS (
 )
 SELECT node, ancestor FROM closure
 """
+
+
+# ----------------------------------------- A29 snapshot diff (CDC)
+def table_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: classify every key as added / removed / changed
+    between two table versions — the change-data-capture step a
+    sync pipeline runs when the source cannot stream deltas (the
+    reference's incremental path assumes dcterms/modified exists;
+    diffing is the fallback when it does not).
+
+    ONE full-outer join on the PK (single shuffle each side), change
+    detection on a content hash computed SCAN-SIDE (md5 of the
+    concatenated row image) so the join carries two narrow columns per
+    side, not the whole row width — at 100 TB the shuffle moves
+    (key, 32-byte hash), never the payload. Unchanged rows are dropped
+    BEFORE any downstream work. The 'new' snapshot here is the orders
+    table with a deterministic mutation set (same recipe in the
+    oracle): every 7th order re-priced (changed), every 13th dropped
+    (removed), and a +10M-key echo of every 11th added."""
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders
+    new = (
+        orders.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.round(F.col("o_totalprice") * 1.05, 2),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            )
+        )
+    )
+
+    def keyed(df: DataFrame, side: str) -> DataFrame:
+        img = F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.format_number(F.col("o_totalprice"), 2),
+                F.col("o_orderdate").cast("string"),
+                F.col("o_orderpriority"),
+            )
+        )
+        return df.select(
+            F.col("o_orderkey").alias(f"{side}_key"), img.alias(f"{side}_img")
+        )
+
+    o = keyed(old, "old")
+    n = keyed(new, "new")
+    joined = o.join(n, o.old_key == n.new_key, "full_outer")
+    return (
+        joined.select(
+            F.coalesce("old_key", "new_key").alias("o_orderkey"),
+            F.when(F.col("old_key").isNull(), "added")
+            .when(F.col("new_key").isNull(), "removed")
+            .when(F.col("old_img") != F.col("new_img"), "changed")
+            .alias("change"),
+        )
+        .filter(F.col("change").isNotNull())
+    )
+
+
+TABLE_DIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey,
+         md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+             format('{:.2f}', o_totalprice) || '|' ||
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+             o_orderpriority) AS img
+  FROM orders
+), new AS (
+  SELECT o_orderkey,
+         md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+             format('{:.2f}', CASE WHEN o_orderkey % 7 = 0
+                                    THEN ROUND(o_totalprice * 1.05, 2)
+                                    ELSE o_totalprice END) || '|' ||
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+             o_orderpriority) AS img
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000,
+         md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+             format('{:.2f}', o_totalprice) || '|' ||
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+             o_orderpriority)
+  FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.img <> n.img THEN 'changed' END AS change
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+           WHEN n.o_orderkey IS NULL THEN 'removed'
+           WHEN o.img <> n.img THEN 'changed' END IS NOT NULL
+"""

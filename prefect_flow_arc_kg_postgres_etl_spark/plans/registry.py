@@ -245,6 +245,11 @@ QUERIES: dict[str, QuerySpec] = {
     "events_quantiles": QuerySpec(
         relational.events_quantiles, relational.EVENTS_QUANTILES_ORACLE
     ),
+    # A29: CDC snapshot diff; B31: three-step funnel composition.
+    "table_diff_cdc": QuerySpec(kg.table_diff_cdc, kg.TABLE_DIFF_ORACLE),
+    "events_funnel3": QuerySpec(
+        relational.events_funnel3, relational.FUNNEL3_ORACLE
+    ),
     # C8: stream-stream time-interval join (bounded state, full oracle).
     "stream_interval_join": QuerySpec(
         streaming_plans.stream_interval_join,

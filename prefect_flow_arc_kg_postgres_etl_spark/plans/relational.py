@@ -1196,3 +1196,70 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+# ------------------------------- B31 three-step funnel composition
+def events_funnel3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step funnel (view -> click -> purchase, each hop within
+    24 hours — sized to the testdata's event cadence so every sf has
+    conversions) by COMPOSING running windows instead of self-joining:
+    window 1 carries the latest view time to every later event, which
+    qualifies clicks; window 2 carries the latest QUALIFIED click time
+    to every later event, which qualifies purchases. Both windows share
+    the (user_id, ts, event_id) sort, so Spark plans ONE shuffle and
+    ONE sort — the k-step generalization stays linear in steps while
+    the join formulation is O(events^k) per user."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hour = 24 * 3_600_000_000
+    last_view = F.max(F.when(F.col("event_type") == "view", us)).over(w)
+    base = ev.withColumn("us", us).withColumn("last_view_us", last_view)
+    qual_click = F.when(
+        (F.col("event_type") == "click")
+        & F.col("last_view_us").isNotNull()
+        & (F.col("us") - F.col("last_view_us") <= hour),
+        F.col("us"),
+    )
+    staged = base.withColumn(
+        "last_qual_click_us", F.max(qual_click).over(w)
+    )
+    return staged.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("last_qual_click_us").isNotNull()
+        & (F.col("us") - F.col("last_qual_click_us") <= hour)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_event"),
+        (F.col("us") - F.col("last_qual_click_us")).alias("click_gap_us"),
+    )
+
+
+FUNNEL3_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_view_us
+  FROM events
+), staged AS (
+  SELECT user_id, event_id, event_type, us,
+         MAX(CASE WHEN event_type = 'click' AND last_view_us IS NOT NULL
+                       AND us - last_view_us <= 86400000000
+                  THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_qual_click_us
+  FROM seq
+)
+SELECT user_id, event_id AS purchase_event,
+       CAST(us - last_qual_click_us AS BIGINT) AS click_gap_us
+FROM staged
+WHERE event_type = 'purchase' AND last_qual_click_us IS NOT NULL
+  AND us - last_qual_click_us <= 86400000000
+"""
