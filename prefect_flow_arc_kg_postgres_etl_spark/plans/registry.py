@@ -277,6 +277,9 @@ QUERIES: dict[str, QuerySpec] = {
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.
     "distinct_agg_approx": QuerySpec(relational.distinct_agg_approx, None),
+    "events_quantiles_approx": QuerySpec(
+        relational.events_quantiles_approx, None
+    ),
     "dedup_minhash_lsh": QuerySpec(pipeline.dedup_minhash_lsh, None),
     "dedup_simhash": QuerySpec(pipeline.dedup_simhash, None),
     "ann_lsh_topk": QuerySpec(pipeline.ann_lsh_topk, None),

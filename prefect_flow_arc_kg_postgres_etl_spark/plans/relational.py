@@ -1263,3 +1263,18 @@ FROM staged
 WHERE event_type = 'purchase' AND last_qual_click_us IS NOT NULL
   AND us - last_qual_click_us <= 86400000000
 """
+
+
+# ------------------------- B30b approx quantiles (sketch tier of B30)
+def events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass mergeable-sketch quantiles (approx_percentile /
+    KLL-style) — the 100 TB path: exact percentile sorts every group,
+    the sketch streams and merges map-side. Engine-specific sketch
+    internals => rows-only entry; the error bound vs the exact twin
+    (B30) is pinned in tests/test_relational_extras.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 4).alias("p50"),
+        F.round(F.expr("approx_percentile(value, 0.9, 10000)"), 4).alias("p90"),
+        F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 4).alias("p99"),
+    )
