@@ -250,6 +250,10 @@ QUERIES: dict[str, QuerySpec] = {
     "events_funnel3": QuerySpec(
         relational.events_funnel3, relational.FUNNEL3_ORACLE
     ),
+    # B32: semi-structured JSON payload extraction (scan-side from_json).
+    "events_json_extract": QuerySpec(
+        relational.events_json_extract, relational.EVENTS_JSON_ORACLE
+    ),
     # C8: stream-stream time-interval join (bounded state, full oracle).
     "stream_interval_join": QuerySpec(
         streaming_plans.stream_interval_join,

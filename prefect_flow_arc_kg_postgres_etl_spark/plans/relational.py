@@ -1278,3 +1278,44 @@ def events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("approx_percentile(value, 0.9, 10000)"), 4).alias("p90"),
         F.round(F.expr("approx_percentile(value, 0.99, 10000)"), 4).alias("p99"),
     )
+
+
+# ------------------------------- B32 semi-structured JSON extraction
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload parsing: the events table carries a JSON
+    properties string; extract a typed field SCAN-SIDE (from_json with
+    an explicit schema — JVM-parsed, fused into the scan projection,
+    no UDF) and aggregate it per event type and value decile. At 100 TB
+    the JSON never reaches a shuffle: parsing, field extraction and the
+    decile bucket are all map-side, and the agg ships |types x 10|
+    partial rows. Explicit schema beats schema_of_json discovery
+    (a driver-side sample pass) and get_json_object re-parsing per
+    field."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k", F.from_json("props", "k BIGINT").getField("k")
+    )
+    return (
+        parsed.groupBy(
+            "event_type",
+            (F.floor(F.col("k") / 10) * 10).cast("bigint").alias("k_decade"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+EVENTS_JSON_ORACLE = """
+SELECT event_type,
+       CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10)
+            * 10 AS BIGINT) AS k_decade,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
