@@ -194,8 +194,11 @@ def assign_shards(
 
     One shuffle: the per-shard window partition. No global sort — the
     order is defined within each shard only, so shards build
-    independently and the plan is embarrassingly parallel at any
-    corpus size. Returns (id, shard, pos)."""
+    independently. Parallelism equals ``n_shards``: size shards like
+    training shards are sized anyway (corpus_bytes / ~1 GB), which
+    puts shard count in the thousands at 100 TB — at or above cluster
+    task width, with each per-shard row_number a bounded local sort.
+    Returns (id, shard, pos)."""
     bucket = ((F.col(id_col) % _LCG_M) * _LCG_A + _LCG_C) % _LCG_M
     w = Window.partitionBy("shard").orderBy("bucket", id_col)
     return (

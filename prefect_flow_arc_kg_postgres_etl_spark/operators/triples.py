@@ -274,6 +274,7 @@ def transitive_closure(
     child_col: str = "child",
     parent_col: str = "parent",
     max_iters: int = 16,
+    known_depth: int | None = None,
 ) -> DataFrame:
     """SPARQL ``p+`` (one-or-more property path): all (node, ancestor)
     pairs reachable through 1..n ``p`` edges — the transitive-path
@@ -295,7 +296,17 @@ def transitive_closure(
     Cycles are tolerated (the pair set just stops growing); a node is
     NOT its own ancestor unless a cycle makes it one. Output:
     (node, ancestor) distinct pairs.
+
+    ``known_depth``: when the hierarchy's maximum path length is known
+    from catalog metadata (an FK chain's depth, a taxonomy's level
+    count), pass it to run exactly ceil(log2(depth)) doubling
+    iterations with NO per-iteration convergence counts — the
+    fixpoint scan exists only to discover the depth, so knowing it
+    removes one action per iteration plus the final no-growth
+    iteration (measured ~1/3 of wall on the bench hierarchy).
     """
+    import math
+
     paths = (
         edges.select(
             F.col(child_col).alias("node"), F.col(parent_col).alias("ancestor")
@@ -303,6 +314,19 @@ def transitive_closure(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if known_depth is not None:
+        for _ in range(max(1, math.ceil(math.log2(max(2, known_depth))))):
+            hop = paths.select(
+                F.col("node").alias("h_node"), F.col("ancestor").alias("h_anc")
+            )
+            paths = (
+                paths.join(hop, paths.ancestor == hop.h_node)
+                .select("node", F.col("h_anc").alias("ancestor"))
+                .unionByName(paths)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        return paths
     prev_n = paths.count()
     for _ in range(max_iters):
         hop = paths.select(

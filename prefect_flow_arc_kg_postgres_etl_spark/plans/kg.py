@@ -975,9 +975,11 @@ def kg_path_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     typescript/queries/*.sparql), so this completes the path algebra
     beyond the reference surface rather than mirroring a query.
 
-    Pointer doubling (operators/triples.transitive_closure): depth 3
-    converges in 2 doubling joins; at 100 TB each iteration is one
-    keyed self-join shuffle of the PAIR set, never a corpus re-scan."""
+    Pointer doubling (operators/triples.transitive_closure): the
+    hierarchy depth (3 hops) is catalog metadata, so ``known_depth``
+    runs exactly ceil(log2(3)) = 2 doubling joins with no convergence
+    counts; at 100 TB each iteration is one keyed self-join shuffle of
+    the PAIR set, never a corpus re-scan."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
@@ -1000,7 +1002,7 @@ def kg_path_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return T.transitive_closure(edges)
+    return T.transitive_closure(edges, known_depth=3)
 
 
 KG_PATH_TRANSITIVE_ORACLE = """

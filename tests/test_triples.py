@@ -309,3 +309,23 @@ def test_transitive_closure_chain_diamond_cycle(spark):
         (r.node, r.ancestor) for r in transitive_closure(cycle).collect()
     }
     assert got == {("x", "y"), ("y", "x"), ("x", "x"), ("y", "y")}
+
+
+def test_transitive_closure_known_depth_equals_fixpoint(spark):
+    """The metadata-depth fast path (no convergence counts) must return
+    the same closure as fixpoint detection, including when known_depth
+    is an over-estimate."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.triples import (
+        transitive_closure,
+    )
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(6)], "child string, parent string"
+    )
+    fix = {(r.node, r.ancestor) for r in transitive_closure(chain).collect()}
+    for depth in (6, 9):
+        fast = {
+            (r.node, r.ancestor)
+            for r in transitive_closure(chain, known_depth=depth).collect()
+        }
+        assert fast == fix
