@@ -62,3 +62,127 @@ def test_table_diff_cdc_classification_counts(spark):
     assert all(k >= 10_000_000 and (k - 10_000_000) % 11 == 0 for k in by["added"])
     assert all(k % 13 == 0 for k in by["removed"])
     assert all(k % 7 == 0 and k % 13 != 0 for k in by["changed"])
+
+
+def test_funnel3_matches_bruteforce_reference(spark):
+    """Randomized cross-check: the two-window funnel must equal a
+    direct per-purchase reference computed row-at-a-time in Python
+    (for each purchase: the latest click that itself had a view within
+    the hop window, both hops bounded). Three seeds, dense event mixes
+    so every branch (no view, stale view, stale click, conversion)
+    occurs."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    HOP = 100  # work in small integer "us" units
+
+    def reference(rows):
+        out = []
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r[0], []).append(r)
+        for uid, evs in by_user.items():
+            evs.sort(key=lambda r: (r[3], r[1]))
+            for i, (u, eid, et, us) in enumerate(evs):
+                if et != "purchase":
+                    continue
+                last_qual_click = None
+                for (u2, eid2, et2, us2) in evs[:i]:
+                    if et2 != "click":
+                        continue
+                    last_view = max(
+                        (us3 for (_, eid3, et3, us3) in evs
+                         if et3 == "view" and (us3, eid3) < (us2, eid2)),
+                        default=None,
+                    )
+                    if last_view is not None and us2 - last_view <= HOP:
+                        if last_qual_click is None or us2 > last_qual_click:
+                            last_qual_click = us2
+                if last_qual_click is not None and us - last_qual_click <= HOP:
+                    out.append((uid, eid, us - last_qual_click))
+        return sorted(out)
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        rows = [
+            (
+                rng.randrange(4),                      # user
+                eid,                                   # event id
+                rng.choice(["view", "click", "purchase", "other"]),
+                rng.randrange(500),                    # time
+            )
+            for eid in range(120)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, us long"
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        last_view = F.max(
+            F.when(F.col("event_type") == "view", F.col("us"))
+        ).over(w)
+        staged = df.withColumn("lv", last_view).withColumn(
+            "lqc",
+            F.max(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & F.col("lv").isNotNull()
+                    & (F.col("us") - F.col("lv") <= HOP),
+                    F.col("us"),
+                )
+            ).over(w),
+        )
+        got = sorted(
+            (r.user_id, r.event_id, r.us - r.lqc)
+            for r in staged.filter(
+                (F.col("event_type") == "purchase")
+                & F.col("lqc").isNotNull()
+                & (F.col("us") - F.col("lqc") <= HOP)
+            ).collect()
+        )
+        assert got == reference(rows), f"seed {seed}"
+
+
+def test_transitive_closure_matches_bruteforce_reachability(spark):
+    """Randomized cross-check on arbitrary digraphs (cycles included):
+    the pointer-doubled closure must equal BFS reachability."""
+    import random
+
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.triples import (
+        transitive_closure,
+    )
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        nodes = [f"v{i}" for i in range(14)]
+        edges = sorted(
+            {
+                (rng.choice(nodes), rng.choice(nodes))
+                for _ in range(25)
+            }
+        )
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+        want = set()
+        for start in nodes:
+            seen, frontier = set(), {start}
+            while frontier:
+                nxt = set()
+                for x in frontier:
+                    for y in adj.get(x, ()):
+                        if y not in seen:
+                            seen.add(y)
+                            nxt.add(y)
+                frontier = nxt
+            want |= {(start, t) for t in seen}
+        df = spark.createDataFrame(edges, "child string, parent string")
+        got = {
+            (r.node, r.ancestor) for r in transitive_closure(df).collect()
+        }
+        assert got == want, f"seed {seed}"
