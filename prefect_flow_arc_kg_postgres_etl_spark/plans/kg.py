@@ -1127,3 +1127,23 @@ WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
            WHEN n.o_orderkey IS NULL THEN 'removed'
            WHEN o.img <> n.img THEN 'changed' END IS NOT NULL
 """
+
+
+# ----------------------------------------- A30 ORC columnar round trip
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-interchange parity beyond parquet: the customer table
+    lands as ORC (Spark's second built-in columnar format — splittable,
+    predicate-pushdown-capable, the common interchange with Hive/Trino
+    estates) and reads back value-exact with the catalog schema. Same
+    identity oracle as the CSV/NDJSON round trips; the format-specific
+    risk this pins is type fidelity (decimal/timestamp/double widths),
+    not parsing."""
+    import tempfile
+
+    cust = load_table(spark, sf_dir, "customer")
+    out = tempfile.mkdtemp(prefix="orc_rt_") + "/customer"
+    cust.write.mode("overwrite").orc(out)
+    return spark.read.schema(cust.schema).orc(out)
+
+
+SOURCE_ORC_ROUNDTRIP_ORACLE = "SELECT * FROM customer"

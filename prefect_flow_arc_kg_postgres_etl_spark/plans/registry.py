@@ -245,6 +245,10 @@ QUERIES: dict[str, QuerySpec] = {
     "events_quantiles": QuerySpec(
         relational.events_quantiles, relational.EVENTS_QUANTILES_ORACLE
     ),
+    # A30: ORC columnar round trip (identity oracle).
+    "source_orc_roundtrip": QuerySpec(
+        kg.source_orc_roundtrip, kg.SOURCE_ORC_ROUNDTRIP_ORACLE
+    ),
     # A29: CDC snapshot diff; B31: three-step funnel composition.
     "table_diff_cdc": QuerySpec(kg.table_diff_cdc, kg.TABLE_DIFF_ORACLE),
     "events_funnel3": QuerySpec(
