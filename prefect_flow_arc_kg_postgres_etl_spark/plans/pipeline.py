@@ -1001,3 +1001,41 @@ SELECT doc_id,
                                ORDER BY bucket, doc_id) AS BIGINT) AS pos
 FROM b
 """
+
+
+# ------------------------------------------- D28 filtered ANN search
+_ANN_FILTER_LABELS = (1, 3, 5)
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (the vector-DB "filtered ANN"
+    shape): top-k cosine neighbors restricted to candidates whose
+    label passes a predicate. PRE-filtering is the right plan when the
+    filter is selective — the predicate pushes to the candidate SCAN
+    (parquet row-group pruning on the label column), the scored set
+    shrinks by the selectivity BEFORE the top-k window, and recall is
+    exact by construction (post-filtering an unfiltered top-k loses
+    matches when fewer than k survivors pass). The LSH/IVF tiers
+    compose the same way: filter candidates inside each bucket."""
+    emb = _spread(spark, load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    cands = emb.filter(F.col("label").isin(*_ANN_FILTER_LABELS))
+    return S.brute_force_topk(queries, cands, k=_K)
+
+
+ANN_FILTERED_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+      WHERE label IN {_ANN_FILTER_LABELS}),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql("qv", "cv")} AS cos_raw
+  FROM q, c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_raw DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {_K}
+"""

@@ -245,6 +245,10 @@ QUERIES: dict[str, QuerySpec] = {
     "events_quantiles": QuerySpec(
         relational.events_quantiles, relational.EVENTS_QUANTILES_ORACLE
     ),
+    # D28: metadata-filtered ANN (pre-filter pushed to the scan).
+    "ann_filtered_topk": QuerySpec(
+        pipeline.ann_filtered_topk, pipeline.ANN_FILTERED_ORACLE
+    ),
     # A30: ORC columnar round trip (identity oracle).
     "source_orc_roundtrip": QuerySpec(
         kg.source_orc_roundtrip, kg.SOURCE_ORC_ROUNDTRIP_ORACLE
