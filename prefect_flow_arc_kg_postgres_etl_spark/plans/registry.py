@@ -245,6 +245,10 @@ QUERIES: dict[str, QuerySpec] = {
     "events_quantiles": QuerySpec(
         relational.events_quantiles, relational.EVENTS_QUANTILES_ORACLE
     ),
+    # A31: stats-driven incremental index partition refresh.
+    "index_partition_refresh": QuerySpec(
+        kg.index_partition_refresh, kg.INDEX_REFRESH_ORACLE
+    ),
     # D28: metadata-filtered ANN (pre-filter pushed to the scan).
     "ann_filtered_topk": QuerySpec(
         pipeline.ann_filtered_topk, pipeline.ANN_FILTERED_ORACLE
