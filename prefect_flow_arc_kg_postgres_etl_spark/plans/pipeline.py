@@ -318,7 +318,15 @@ FINGERPRINT_ORACLE = f"SELECT doc_id, {_FPR_SQL} AS fingerprint FROM documents"
 
 # ----------------------------------- rows-only entries (non-SQL ops)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_lsh_candidates(_dup_corpus(spark, sf_dir, near=True))
+    # The registered entry keeps the estimate column (the self-check
+    # reads it), which references the signature subtree three times —
+    # materialize the signatures once instead of re-scanning the corpus
+    # per reference (dedup.py:203-215; the scan-dominated regime this
+    # entry is in. lsh_verified_pairs takes the other fork: estimate
+    # opt-out, no materialization, fully recomputable lineage).
+    return D.minhash_lsh_candidates(
+        _dup_corpus(spark, sf_dir, near=True), materialize_signatures=True
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
