@@ -1,0 +1,64 @@
+"""Grouped numeric model fitting via Arrow-batched ``applyInPandas`` —
+the grouped-map custom-operator route (the third Pandas API surface
+next to ``mapInPandas`` for per-row binary work, multimodal.py, and
+``applyInPandasWithState`` for streaming state, streaming/sync.py).
+
+Use this route when the per-group computation is a genuine numeric
+algorithm (model fit, solver, scipy call) rather than an expression —
+for anything expressible in ``pyspark.sql.functions`` the JVM path
+wins (the trend below HAS a built-in twin, ``regr_slope``, which the
+tests use to cross-check the pandas path; it exists here as the
+documented pattern for fits that have no builtin)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TREND_SCHEMA = (
+    "event_type string, n bigint, slope double, intercept double"
+)
+
+
+def _fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Least-squares value-vs-time line per group (numpy closed form).
+    Centering x first keeps the normal equations well-conditioned for
+    epoch-scale abscissae."""
+    import numpy as np
+
+    x = pdf["x_hours"].to_numpy(dtype="float64")
+    y = pdf["value"].to_numpy(dtype="float64")
+    xc = x - x.mean()
+    denom = float((xc * xc).sum())
+    slope = float((xc * y).sum() / denom) if denom > 0 else 0.0
+    intercept = float(y.mean() - slope * x.mean())
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n": [len(pdf)],
+            "slope": [slope],
+            "intercept": [intercept],
+        }
+    )
+
+
+def grouped_trend(events: DataFrame) -> DataFrame:
+    """Per-event-type value trend: ONE shuffle on the group key, then
+    each group fits in a single Arrow batch executor-side. Grouped-map
+    semantics at scale: a group must fit in one task's memory — right
+    for per-entity/per-type fits (bounded groups), wrong for fitting
+    over the whole corpus (use the built-in regr_* aggregates, which
+    compute as distributed partial sums, for that).
+
+    Returns (event_type, n, slope, intercept); slope in value-units
+    per hour of event time."""
+    prepped = events.select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 3.6e9).alias("x_hours"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return prepped.groupBy("event_type").applyInPandas(
+        _fit_group, schema=_TREND_SCHEMA
+    )

@@ -1047,3 +1047,32 @@ FROM (
   FROM scored
 ) WHERE rn <= {_K}
 """
+
+
+# ---------------------------- D29 grouped-map model fit (applyInPandas)
+def events_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map custom operator: per-event-type least-squares trend
+    fit in an Arrow batch per group (operators/stats.grouped_trend) —
+    the applyInPandas route for numeric algorithms with no builtin.
+    This particular fit HAS a builtin twin (regr_slope), which is both
+    the DuckDB oracle and a Spark-side cross-check in tests — the
+    strongest correctness statement available for a Pandas-UDF path."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.stats import grouped_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    out = grouped_trend(ev)
+    return out.select(
+        "event_type",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+    )
+
+
+EVENTS_TREND_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(regr_slope(value, epoch_us(ts) / 3.6e9), 6) AS slope,
+       ROUND(regr_intercept(value, epoch_us(ts) / 3.6e9), 4) AS intercept
+FROM events
+GROUP BY 1
+"""

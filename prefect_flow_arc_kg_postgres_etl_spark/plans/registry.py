@@ -245,6 +245,10 @@ QUERIES: dict[str, QuerySpec] = {
     "events_quantiles": QuerySpec(
         relational.events_quantiles, relational.EVENTS_QUANTILES_ORACLE
     ),
+    # D29: grouped-map applyInPandas model fit (regr_* oracle twin).
+    "events_trend_fit": QuerySpec(
+        pipeline.events_trend_fit, pipeline.EVENTS_TREND_ORACLE
+    ),
     # A31: stats-driven incremental index partition refresh.
     "index_partition_refresh": QuerySpec(
         kg.index_partition_refresh, kg.INDEX_REFRESH_ORACLE

@@ -186,3 +186,33 @@ def test_transitive_closure_matches_bruteforce_reachability(spark):
             (r.node, r.ancestor) for r in transitive_closure(df).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_grouped_trend_matches_builtin_regression(spark):
+    """The applyInPandas fit must agree with Spark's own distributed
+    regr_slope/regr_intercept aggregates to rounding — a JVM-side
+    cross-check independent of the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.stats import grouped_trend
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    pandas_fit = {
+        r.event_type: r for r in grouped_trend(ev).collect()
+    }
+    x = F.unix_micros(F.col("ts").cast("timestamp")) / 3.6e9
+    builtin = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("regr_slope(value, unix_micros(cast(ts as timestamp)) / 3.6e9)").alias("slope"),
+            F.expr("regr_intercept(value, unix_micros(cast(ts as timestamp)) / 3.6e9)").alias("intercept"),
+        )
+        .collect()
+    }
+    assert pandas_fit.keys() == builtin.keys()
+    for et, p in pandas_fit.items():
+        b = builtin[et]
+        assert abs(p.slope - b.slope) < 1e-6, (et, p.slope, b.slope)
+        assert abs(p.intercept - b.intercept) < 1e-3, (et, p.intercept, b.intercept)
