@@ -282,3 +282,43 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 4096, max_frames: int =
                 out_ids, out_idx, out_off, out_sum = [], [], [], []
 
     return media.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
+def land_media_files(media: DataFrame, out_dir: str, id_col: str = "doc_id") -> None:
+    """Land each payload as an individual media FILE (<id>.bmp) —
+    executor-side writes from foreachPartition, the shape of an object-
+    storage export (one PUT per asset). Local mode shares a filesystem,
+    so the landing dir is directly readable back; on a cluster the same
+    code targets a fuse mount or swaps the open() for a storage client."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        for row in rows:
+            with open(os.path.join(out_dir, f"{row[id_col]}.bmp"), "wb") as f:
+                f.write(bytes(row["payload"]))
+
+    media.foreachPartition(write_partition)
+
+
+def read_media_files(spark, in_dir: str) -> DataFrame:
+    """Ingest a directory of media assets through Spark's binaryFile
+    source — the standard entry point for image/audio corpora on object
+    storage: each file becomes (path, modificationTime, length,
+    content) with NO parsing on the scan; decode stays a downstream
+    Arrow-batched step (decode_media). The asset id rides the file
+    name, recovered scan-side with a regexp (zero-cost projection).
+
+    binaryFile partitions by files (maxPartitionBytes applies), so a
+    billion-asset corpus parallelizes by file count; pair with
+    wholeText-style small-file compaction upstream when assets are
+    tiny."""
+    raw = spark.read.format("binaryFile").load(in_dir)
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bmp$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.lit("image/bmp").alias("media_type"),
+    )

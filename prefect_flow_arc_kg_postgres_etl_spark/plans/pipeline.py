@@ -1076,3 +1076,28 @@ SELECT event_type, COUNT(*) AS n,
 FROM events
 GROUP BY 1
 """
+
+
+# --------------------------- D30 binaryFile multimodal ingest path
+def multimodal_binary_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The object-storage ingest path end-to-end: payloads land as
+    individual .bmp FILES (executor-side writes), come back through
+    Spark's binaryFile source (no parsing at the scan; the asset id
+    rides the file name), and decode in the same Arrow-batched step as
+    the in-plan variant — so the decode oracle (closed-form in doc_id)
+    checks the whole file round trip byte-for-byte."""
+    import tempfile
+
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.multimodal import (
+        decode_media,
+        land_media_files,
+        read_media_files,
+        synthesize_bmp_media,
+    )
+
+    media = synthesize_bmp_media(
+        _spread(spark, load_table(spark, sf_dir, "documents"))
+    )
+    out = tempfile.mkdtemp(prefix="media_land_") + "/assets"
+    land_media_files(media, out)
+    return decode_media(read_media_files(spark, out))

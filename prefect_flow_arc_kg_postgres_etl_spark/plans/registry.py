@@ -245,6 +245,10 @@ QUERIES: dict[str, QuerySpec] = {
     "events_quantiles": QuerySpec(
         relational.events_quantiles, relational.EVENTS_QUANTILES_ORACLE
     ),
+    # D30: binaryFile multimodal ingest (shares the decode oracle).
+    "multimodal_binary_source": QuerySpec(
+        pipeline.multimodal_binary_source, pipeline.MM_DECODE_ORACLE
+    ),
     # D29: grouped-map applyInPandas model fit (regr_* oracle twin).
     "events_trend_fit": QuerySpec(
         pipeline.events_trend_fit, pipeline.EVENTS_TREND_ORACLE
