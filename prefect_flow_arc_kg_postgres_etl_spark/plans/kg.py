@@ -1255,3 +1255,75 @@ WITH with_org AS (
 )
 SELECT * FROM rebuilt UNION ALL SELECT * FROM kept
 """
+
+
+# ------------------------------------- A28b zero-or-more property path
+def kg_path_zero_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ``p*``: the reflexive-transitive closure — ``p+`` plus
+    the identity pair for every node of the graph (subjects and
+    objects both; SPARQL's p* matches every term in the graph to
+    itself). One distinct over the union of the two edge endpoints
+    computes the node universe; the closure itself is A28's pointer
+    doubling, shared."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
+    edges = (
+        orders.select(
+            tag("O", "o_orderkey").alias("child"),
+            tag("C", "o_custkey").alias("parent"),
+        )
+        .unionByName(
+            cust.select(
+                tag("C", "c_custkey").alias("child"),
+                tag("N", "c_nationkey").alias("parent"),
+            )
+        )
+        .unionByName(
+            nat.select(
+                tag("N", "n_nationkey").alias("child"),
+                tag("R", "n_regionkey").alias("parent"),
+            )
+        )
+    )
+    plus = T.transitive_closure(edges, known_depth=3)
+    nodes = (
+        edges.select(F.col("child").alias("node"))
+        .unionByName(edges.select(F.col("parent").alias("node")))
+        .distinct()
+    )
+    return plus.unionByName(
+        nodes.select("node", F.col("node").alias("ancestor"))
+    )
+
+
+KG_PATH_ZERO_OR_MORE_ORACLE = """
+WITH RECURSIVE edges AS (
+  SELECT 'O' || CAST(o_orderkey AS VARCHAR) AS child,
+         'C' || CAST(o_custkey AS VARCHAR) AS parent
+  FROM orders
+  UNION ALL
+  SELECT 'C' || CAST(c_custkey AS VARCHAR),
+         'N' || CAST(c_nationkey AS VARCHAR)
+  FROM customer
+  UNION ALL
+  SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+         'R' || CAST(n_regionkey AS VARCHAR)
+  FROM nation
+), closure AS (
+  SELECT child AS node, parent AS ancestor FROM edges
+  UNION
+  SELECT c.node, e.parent
+  FROM closure c JOIN edges e ON c.ancestor = e.child
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT child AS node FROM edges
+    UNION ALL
+    SELECT parent FROM edges
+  )
+)
+SELECT node, ancestor FROM closure
+UNION ALL
+SELECT node, node AS ancestor FROM nodes
+"""

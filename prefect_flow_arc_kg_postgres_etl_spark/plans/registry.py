@@ -245,6 +245,10 @@ QUERIES: dict[str, QuerySpec] = {
     "events_quantiles": QuerySpec(
         relational.events_quantiles, relational.EVENTS_QUANTILES_ORACLE
     ),
+    # A28b: SPARQL p* (reflexive-transitive closure, shares A28's core).
+    "kg_path_zero_or_more": QuerySpec(
+        kg.kg_path_zero_or_more, kg.KG_PATH_ZERO_OR_MORE_ORACLE
+    ),
     # D30: binaryFile multimodal ingest (shares the decode oracle).
     "multimodal_binary_source": QuerySpec(
         pipeline.multimodal_binary_source, pipeline.MM_DECODE_ORACLE
