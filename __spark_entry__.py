@@ -27,6 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
         build_index_documents,
     )
 
+    registry._ensure_package_on_workers(spark)
     return build_index_documents(spark, "/root/testdata/sf0.001", as_json=True)
 
 

@@ -316,8 +316,55 @@ QUERIES: dict[str, QuerySpec] = {
 }
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_package_on_workers(spark: SparkSession) -> None:
+    """Python workers import this package by NAME (closures in module
+    code pickle by reference), so a driver launched outside the repo
+    root — different cwd, no PYTHONPATH — leaves executors unable to
+    import it and every mapInPandas/applyInPandas/foreachPartition
+    entry dies with ModuleNotFoundError. Shipping the package as a zip
+    via addPyFile (the canonical Spark mechanism for code
+    distribution; on a real cluster this is exactly how the package
+    reaches remote executors) makes the registry self-contained for
+    ANY driver. Once per SparkContext; pure-JVM queries pay nothing
+    beyond the one-time zip."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo_root = os.path.dirname(pkg_root)
+    zip_path = os.path.join(
+        tempfile.mkdtemp(prefix="pkg_ship_"),
+        "prefect_flow_arc_kg_postgres_etl_spark.zip",
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for base, _dirs, files in os.walk(pkg_root):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(base, fn)
+                    zf.write(full, os.path.relpath(full, repo_root))
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
+
+def _self_shipping(builder: Builder) -> Builder:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_package_on_workers(spark)
+        return builder(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Builder]:
-    return {name: spec.builder for name, spec in QUERIES.items()}
+    return {
+        name: _self_shipping(spec.builder) for name, spec in QUERIES.items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
