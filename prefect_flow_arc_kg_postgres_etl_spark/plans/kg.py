@@ -1327,3 +1327,39 @@ SELECT node, ancestor FROM closure
 UNION ALL
 SELECT node, node AS ancestor FROM nodes
 """
+
+
+# ------------------------------- A32 schema-evolution read
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet file generations: generation 1
+    lands without the account-balance column, generation 2 adds it;
+    ``mergeSchema`` unifies the footprints at read time and the missing
+    column back-fills NULL for gen-1 rows — the append-only schema
+    drift every long-lived 100 TB dataset accumulates. (Schema
+    merging is a footer-level union; the data pages are untouched, so
+    the read cost is per-FILE footer metadata, not a rewrite.)"""
+    import tempfile
+
+    cust = load_table(spark, sf_dir, "customer")
+    out = tempfile.mkdtemp(prefix="schema_evo_") + "/customer"
+    gen1 = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    gen2 = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    gen1.write.mode("overwrite").parquet(f"{out}/gen=1")
+    gen2.write.mode("overwrite").parquet(f"{out}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/gen=1", f"{out}/gen=2"
+    )
+    return merged.select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+
+
+SCHEMA_EVOLUTION_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+       CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS c_acctbal
+FROM customer
+"""

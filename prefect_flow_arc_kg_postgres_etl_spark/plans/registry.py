@@ -245,6 +245,13 @@ QUERIES: dict[str, QuerySpec] = {
     "events_quantiles": QuerySpec(
         relational.events_quantiles, relational.EVENTS_QUANTILES_ORACLE
     ),
+    # B33 multiset set ops; A32 schema-evolution read.
+    "orders_except_intersect": QuerySpec(
+        relational.orders_except_intersect, relational.SET_OPS_ORACLE
+    ),
+    "source_schema_evolution": QuerySpec(
+        kg.source_schema_evolution, kg.SCHEMA_EVOLUTION_ORACLE
+    ),
     # A28b: SPARQL p* (reflexive-transitive closure, shares A28's core).
     "kg_path_zero_or_more": QuerySpec(
         kg.kg_path_zero_or_more, kg.KG_PATH_ZERO_OR_MORE_ORACLE

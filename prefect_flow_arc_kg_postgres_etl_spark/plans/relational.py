@@ -1319,3 +1319,44 @@ SELECT event_type,
 FROM events
 GROUP BY 1, 2
 """
+
+
+# ------------------------------- B33 multiset set operations
+def orders_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-preserving set algebra (EXCEPT ALL / INTERSECT ALL)
+    over two order-priority projections — the bag semantics
+    reconciliation queries rely on (row-count-sensitive diffs, unlike
+    the DISTINCT set ops). Spark plans both as a single aggregation of
+    signed counts per row value (no sort); the two branches union into
+    one labeled result so the whole comparison is one query."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_totalprice") > 50_000).select(
+        "o_custkey", "o_orderpriority"
+    )
+    b = orders.filter(F.col("o_orderdate") >= "1996-01-01").select(
+        "o_custkey", "o_orderpriority"
+    )
+    ex = a.exceptAll(b).withColumn("op", F.lit("except_all"))
+    ix = a.intersectAll(b).withColumn("op", F.lit("intersect_all"))
+    return (
+        ex.unionByName(ix)
+        .groupBy("op", "o_custkey", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SET_OPS_ORACLE = """
+WITH a AS (
+  SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 50000
+), b AS (
+  SELECT o_custkey, o_orderpriority FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+), ex AS (
+  SELECT 'except_all' AS op, * FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+), ix AS (
+  SELECT 'intersect_all' AS op, * FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+)
+SELECT op, o_custkey, o_orderpriority, COUNT(*) AS n
+FROM (SELECT * FROM ex UNION ALL SELECT * FROM ix)
+GROUP BY 1, 2, 3
+"""

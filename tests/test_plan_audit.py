@@ -15,6 +15,7 @@ from contextlib import redirect_stdout
 
 import pytest
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from prefect_flow_arc_kg_postgres_etl_spark.plans.registry import QUERIES
 from tests.conftest import SF_SMOKE
@@ -449,3 +450,24 @@ def test_mix_sample_corpus_never_shuffled_by_thresholds(spark):
     # the corpus appears once under a BroadcastHashJoin probe side; a
     # SortMergeJoin would mean the corpus was shuffled on source.
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_partitioned_write_read_prunes_partitions(spark, tmp_path):
+    """Partition-layout discipline: a filtered read over a
+    partitionBy() dataset must show PartitionFilters at the scan (file
+    pruning by directory), not a post-scan filter over every file —
+    at 100 TB the difference is reading one org's files vs all of
+    them. Pins the layout contract batch_stage/es_bulk_feed rely on."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    out = str(tmp_path / "orders_by_priority")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    got = spark.read.parquet(out).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plan = plan_of(got)
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "o_orderpriority" in seg and "1-URGENT" in seg, plan
+    n = got.count()
+    assert n > 0
