@@ -1363,3 +1363,27 @@ SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
        CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS c_acctbal
 FROM customer
 """
+
+
+# ------------------------------- A33 small-files compaction
+def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-sink maintenance pass end-to-end: a deliberately
+    fragmented landing (64 micro-batch-sized files of the customer
+    table) compacts to ceil(bytes/target) files via one round-robin
+    shuffle; sizing reads FILE METADATA only. Content is untouched —
+    the identity oracle — and the post-compaction file count contract
+    is pinned in tests/test_sinks.py."""
+    import tempfile
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.store import compact_files
+
+    cust = load_table(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="compact_")
+    frag = f"{root}/fragmented"
+    cust.repartition(64).write.mode("overwrite").parquet(frag)
+    return compact_files(
+        spark, frag, f"{root}/compacted", target_file_bytes=4 * 1024 * 1024
+    ).select(*cust.columns)
+
+
+MAINTENANCE_COMPACTION_ORACLE = "SELECT * FROM customer"

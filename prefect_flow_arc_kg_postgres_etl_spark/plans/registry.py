@@ -245,6 +245,10 @@ QUERIES: dict[str, QuerySpec] = {
     "events_quantiles": QuerySpec(
         relational.events_quantiles, relational.EVENTS_QUANTILES_ORACLE
     ),
+    # A33: small-files compaction (identity oracle + file-count test).
+    "maintenance_compaction": QuerySpec(
+        kg.maintenance_compaction, kg.MAINTENANCE_COMPACTION_ORACLE
+    ),
     # B33 multiset set ops; A32 schema-evolution read.
     "orders_except_intersect": QuerySpec(
         relational.orders_except_intersect, relational.SET_OPS_ORACLE

@@ -71,3 +71,35 @@ def write_table(df: DataFrame, table_path: str, prune: bool = True) -> int:
         for k in range(1, prev + 1):
             shutil.rmtree(version_dir(table_path, k), ignore_errors=True)
     return v
+
+
+def compact_files(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+):
+    """Small-files compaction — the maintenance pass every streaming
+    sink needs: micro-batches land one-file-per-trigger, and a 100 TB
+    table accumulates millions of KB-sized files whose per-file open
+    and listing cost dominates scans. Rewrite to
+    ceil(total_bytes / target) files (one round-robin shuffle; 128 MB
+    default matches the scan split size, so post-compaction file count
+    == scan task count). Returns the compacted DataFrame reader.
+
+    Sizing reads FILE METADATA only (the JVM FileSystem listing — no
+    data scan); the rewrite is the unavoidable one full read+write,
+    which is why compaction runs as scheduled maintenance, not inline.
+    """
+    import math
+
+    df = spark.read.parquet(in_path)
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = path.getFileSystem(conf)
+    total = fs.getContentSummary(path).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

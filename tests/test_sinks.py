@@ -6,6 +6,8 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from prefect_flow_arc_kg_postgres_etl_spark.sinks.es_bulk import (
     to_bulk_actions,
     write_bulk_ndjson,
@@ -251,3 +253,30 @@ def test_stage_then_merge_drifted_schema_converges(spark, tmp_path):
     # idempotent under the drifted schema too
     again = stage_then_merge(spark, drifted, target, staging, ["id"])
     assert {(r.id, r.v, r.score) for r in again.collect()} == rows
+
+
+def test_compaction_reduces_file_count_preserves_rows(spark, tmp_path):
+    """64 fragment files must compact to ceil(total/target) parquet
+    files with identical content."""
+    import glob
+    import math
+    import os
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.store import compact_files
+
+    df = spark.range(0, 20_000).withColumn("v", F.col("id") * 2)
+    frag = str(tmp_path / "frag")
+    df.repartition(64).write.mode("overwrite").parquet(frag)
+    n_frag = len(glob.glob(f"{frag}/part-*.parquet"))
+    assert n_frag == 64
+    total = sum(
+        os.path.getsize(p) for p in glob.glob(f"{frag}/part-*.parquet")
+    )
+    target = 64 * 1024
+    out = str(tmp_path / "compact")
+    got = compact_files(spark, frag, out, target_file_bytes=target)
+    n_out = len(glob.glob(f"{out}/part-*.parquet"))
+    assert n_out <= math.ceil(total / target) + 1
+    assert n_out < n_frag
+    assert got.count() == 20_000
+    assert got.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
