@@ -245,6 +245,10 @@ QUERIES: dict[str, QuerySpec] = {
     "events_quantiles": QuerySpec(
         relational.events_quantiles, relational.EVENTS_QUANTILES_ORACLE
     ),
+    # B34: Q13 distribution-of-counts (left-outer + double agg).
+    "q13_order_distribution": QuerySpec(
+        relational.q13_order_distribution, relational.Q13_ORACLE
+    ),
     # A33: small-files compaction (identity oracle + file-count test).
     "maintenance_compaction": QuerySpec(
         kg.maintenance_compaction, kg.MAINTENANCE_COMPACTION_ORACLE

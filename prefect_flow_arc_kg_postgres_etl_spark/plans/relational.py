@@ -1360,3 +1360,40 @@ SELECT op, o_custkey, o_orderpriority, COUNT(*) AS n
 FROM (SELECT * FROM ex UNION ALL SELECT * FROM ix)
 GROUP BY 1, 2, 3
 """
+
+
+# ---------------------------------------------- B34 TPC-H Q13 shape
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: the distribution of customers by order count, INCLUDING
+    zero-order customers — the left-outer + double-aggregation shape
+    (per-customer counts off the outer join, then a histogram of those
+    counts). The outer join preserves customerless rows as NULL order
+    keys, which count() correctly scores as 0; both aggregations
+    shuffle on shrinking key spaces (custkey, then the tiny count
+    domain). The order filter (non-urgent only, Q13's comment-pattern
+    exclusion analogue) applies BEFORE the join at the orders scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
