@@ -68,3 +68,36 @@ def test_csv_round_trip_hostile_strings_default_splittable(spark, tmp_path):
     out = str(tmp_path / "hostile_csv_splittable")
     text_formats.write_csv(df, out)
     _assert_equal(text_formats.read_csv(spark, out, df.schema), df)
+
+
+def test_csv_corrupt_records_are_isolated_not_fatal(spark, tmp_path):
+    """Production ingest robustness: a malformed line must neither
+    kill the read (FAILFAST) nor silently corrupt neighbors —
+    PERMISSIVE mode yields the well-formed rows intact and surfaces
+    the broken line in the corrupt-record column for quarantine."""
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "1,alice,10.5\n"
+        "not,enough\n"          # wrong arity
+        "2,bob,oops\n"          # bad double
+        "3,carol,30.25\n"
+    )
+    schema = (
+        "id bigint, name string, amount double, _corrupt_record string"
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+        .cache()
+    )
+    good = df.filter("_corrupt_record IS NULL").collect()
+    bad = df.filter("_corrupt_record IS NOT NULL").collect()
+    assert {(r.id, r.name, r.amount) for r in good} == {
+        (1, "alice", 10.5),
+        (3, "carol", 30.25),
+    }
+    assert len(bad) == 2
+    assert {r._corrupt_record for r in bad} == {"not,enough", "2,bob,oops"}
+    df.unpersist()
