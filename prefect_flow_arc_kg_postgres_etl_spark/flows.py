@@ -260,16 +260,24 @@ def curation_flow(
         -> PII redaction stats -> optional target-mixture sampling
         -> sequence packing -> shard layout
 
-    Every stage is the registry operator (no re-implementations), so
-    stage semantics are already oracle-checked individually; this flow
-    pins the COMPOSITION: stages chain as DataFrame transformations
-    in one lazy plan per output, shuffles only where the member
-    operators shuffle, and per-stage survivor accounting rides
-    RunStats (count passes gated by ``collect_stats`` exactly like
-    sync_flow — at 100 TB turn it off and read sink metrics instead).
+    The scan-side stages (quality, language, token estimate) compose
+    as COLUMN EXPRESSIONS on one corpus scan (operators/text.py
+    exposes quality_expr/language_expr/bpe_estimate_expr exactly so a
+    flow never join-backs a pure projection — three corpus scans and
+    three doc_id shuffles saved vs composing the feature FRAMES); the
+    shuffling stages (dedup survivorship, mixture counts, packing
+    window, shard window) keep their member operators' shapes. Stage
+    semantics are the oracle-checked operators'; per-stage survivor
+    accounting rides RunStats (count passes gated by
+    ``collect_stats`` exactly like sync_flow — at 100 TB turn it off
+    and read sink metrics instead).
 
     Returns (curated docs with pack/shard assignment, stats)."""
-    from prefect_flow_arc_kg_postgres_etl_spark.operators import text as TX
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.text import (
+        bpe_estimate_expr,
+        language_expr,
+        quality_expr,
+    )
     from prefect_flow_arc_kg_postgres_etl_spark.operators.curation import (
         assign_shards,
         pack_sequences,
@@ -291,15 +299,14 @@ def curation_flow(
     docs = load_table(spark, sf_dir, "documents")
     note("input", docs)
 
-    quality = TX.quality_score(docs).select("doc_id", "quality")
-    gated = docs.join(quality, "doc_id").filter(
-        F.col("quality") >= quality_min
-    )
-    lang = TX.language_id(gated.select("doc_id", "text")).select(
-        "doc_id", "detected_lang"
-    )
-    kept = gated.join(lang, "doc_id").filter(
-        F.col("detected_lang").isin(*languages)
+    score, *_ = quality_expr("text")
+    kept = (
+        docs.withColumn("quality", score)
+        .withColumn("detected_lang", language_expr("text"))
+        .filter(
+            (F.col("quality") >= quality_min)
+            & F.col("detected_lang").isin(*languages)
+        )
     )
     note("quality_lang", kept)
 
@@ -311,11 +318,10 @@ def curation_flow(
         survivors = sample_to_mixture(survivors, "source", mixture)
         note("mixture", survivors)
 
-    toks = TX.token_stats(survivors.select("doc_id", "text")).select(
-        "doc_id", F.col("est_bpe_tokens").alias("est_tokens")
-    )
     packed = pack_sequences(
-        survivors.select("doc_id", "source").join(toks, "doc_id"),
+        survivors.select(
+            "doc_id", "source", bpe_estimate_expr("text").alias("est_tokens")
+        ),
         pack_budget,
         tokens_col="est_tokens",
         part_col="source",

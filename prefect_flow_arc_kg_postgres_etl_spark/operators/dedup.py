@@ -468,6 +468,7 @@ def cluster_components(
         F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("component")
     ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("component")).first()[0]
+    converged = False
     for _ in range(max_iter):
         prop = (
             edges.join(labels, edges.src == labels.node)
@@ -486,6 +487,16 @@ def cluster_components(
         )
         cur_sum = labels.agg(F.sum("component")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Unconverged labels look valid but split one component across
+        # several "canonical" ids — survivorship would then keep
+        # multiple copies of the same dup cluster with no signal. Fail
+        # loudly instead; the caller raises max_iter (diameter bound).
+        raise RuntimeError(
+            f"cluster_components did not converge in {max_iter} "
+            "iterations — raise max_iter (graph diameter exceeds it)"
+        )
     return labels

@@ -122,12 +122,22 @@ def scd2_upsert(
     - historical target rows (valid_to already set) pass through;
     - every source row INSERTS as the new current version.
 
-    One shuffle (the join on the PKs); the conditional close is a
-    projection. At 100 TB the target should be bucketed on ``keys`` so
-    repeated merges co-locate — same layout advice as ``upsert``."""
-    eff = source.select(
-        *[F.col(k) for k in keys],
-        F.col(effective).alias("_eff"),
+    A source batch may stage SEVERAL versions of one key (e.g. two
+    effective dates in one sync window): a bare key join would then
+    attach every source row to every target row and duplicate the
+    history (SQL MERGE rejects exactly this). Per key the EARLIEST
+    staged effective date closes the current row (the moment its
+    validity actually ended), and every staged version inserts with
+    each non-final version closed by its successor — the emitted
+    chain is gap-free and overlap-free history.
+
+    One shuffle (the join on the PKs; the per-key window shares its
+    partitioning); the conditional close is a projection. At 100 TB
+    the target should be bucketed on ``keys`` so repeated merges
+    co-locate — same layout advice as ``upsert``."""
+    eff = (
+        source.groupBy(*[F.col(k) for k in keys])
+        .agg(F.min(effective).alias("_eff"))
     )
     closed = (
         target.join(eff, on=keys, how="left")
@@ -140,10 +150,15 @@ def scd2_upsert(
         )
         .drop("_eff")
     )
-    new_current = source.withColumn(valid_to, F.lit(None).cast(
-        dict(target.dtypes)[valid_to]
-    )).select(*target.columns)
-    return closed.unionByName(new_current)
+    to_type = dict(target.dtypes)[valid_to]
+    succ = Window.partitionBy(*keys).orderBy(F.col(effective))
+    new_versions = (
+        source.withColumn("_next_eff", F.lead(effective).over(succ))
+        .withColumn(valid_to, F.col("_next_eff").cast(to_type))
+        .drop("_next_eff")
+        .select(*target.columns)
+    )
+    return closed.unionByName(new_versions)
 
 
 def fk_merge_order(dependencies: dict[str, set[str]]) -> list[list[str]]:

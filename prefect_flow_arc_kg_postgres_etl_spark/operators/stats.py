@@ -32,14 +32,21 @@ def _fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
     y = pdf["value"].to_numpy(dtype="float64")
     xc = x - x.mean()
     denom = float((xc * xc).sum())
-    slope = float((xc * y).sum() / denom) if denom > 0 else 0.0
-    intercept = float(y.mean() - slope * x.mean())
+    if denom > 0:
+        slope = float((xc * y).sum() / denom)
+        intercept = float(y.mean() - slope * x.mean())
+    else:
+        # Degenerate group (single point / identical abscissae): the
+        # line is undefined. Emit true NULLs — matching regr_slope /
+        # regr_intercept (both the DuckDB oracle and the Spark
+        # cross-check return NULL here, not 0).
+        slope = intercept = pd.NA
     return pd.DataFrame(
         {
             "event_type": [pdf["event_type"].iloc[0]],
             "n": [len(pdf)],
-            "slope": [slope],
-            "intercept": [intercept],
+            "slope": pd.array([slope], dtype="Float64"),
+            "intercept": pd.array([intercept], dtype="Float64"),
         }
     )
 

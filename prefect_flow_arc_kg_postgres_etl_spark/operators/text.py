@@ -28,9 +28,16 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: count marker-word hits per language, pick
-    the best scorer (ties broken alphabetically); no hits -> 'und'."""
+def language_expr(text_col):
+    """The language-ID decision as a single Column expression —
+    composable onto any scan (curation_flow fuses it with the quality
+    and token expressions in ONE pass over the corpus; the operator
+    below wraps it for the standalone feature frame)."""
+    detected, _hits = _language_exprs(text_col)
+    return detected
+
+
+def _language_exprs(text_col):
     w = words(F.lower(F.col(text_col)))
     scores = []
     for lang, markers in sorted(LANG_MARKERS.items()):
@@ -51,15 +58,21 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         )
     )
     detected = F.when(max_hits > 0, best).otherwise(F.lit("und"))
+    return detected, max_hits
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language, pick
+    the best scorer (ties broken alphabetically); no hits -> 'und'."""
+    detected, max_hits = _language_exprs(text_col)
     return docs.select(
         F.col(id_col), detected.alias("detected_lang"), max_hits.cast("bigint").alias("marker_hits")
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-document quality features + a composite score in [0,1]:
-    length band, punctuation ratio, stopword ratio, mean word length —
-    the standard cheap quality gates for corpus filtering."""
+def quality_expr(text_col):
+    """The composite quality score as one Column expression (see
+    language_expr for why these exist separately from the operators)."""
     t = F.col(text_col)
     n_chars = F.length(t).cast("bigint")
     n_words = token_count(t)
@@ -73,6 +86,16 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     wlen_ok = ((mean_wlen >= 2.0) & (mean_wlen <= 12.0)).cast("double")
     punct_ok = (punct_ratio <= 0.2).cast("double")
     score = F.round((len_ok + wlen_ok + punct_ok) / 3.0, 6)
+    return score, stop_ratio, punct_ratio, mean_wlen, n_chars, n_words
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score in [0,1]:
+    length band, punctuation ratio, stopword ratio, mean word length —
+    the standard cheap quality gates for corpus filtering."""
+    score, stop_ratio, punct_ratio, mean_wlen, n_chars, n_words = quality_expr(
+        text_col
+    )
     return docs.select(
         F.col(id_col),
         n_chars.alias("n_chars_computed"),
@@ -84,17 +107,22 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def bpe_estimate_expr(text_col):
+    """BPE-ish subword estimate as one Column expression."""
+    w = words(F.col(text_col))
+    return F.aggregate(
+        F.transform(w, lambda x: F.ceil(F.length(x) / 4.0).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens plus a BPE-ish subword estimate
     (word-length based: ceil(len/4) per word, the common chars/4 rule
     computed exactly per word)."""
     t = F.col(text_col)
-    w = words(t)
-    subwords = F.aggregate(
-        F.transform(w, lambda x: F.ceil(F.length(x) / 4.0).cast("bigint")),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    subwords = bpe_estimate_expr(text_col)
     return docs.select(
         F.col(id_col),
         token_count(t).alias("ws_tokens"),
@@ -159,7 +187,10 @@ __all__ = [
     "LANG_MARKERS",
     "STOPWORDS",
     "language_id",
+    "language_expr",
     "quality_score",
+    "quality_expr",
+    "bpe_estimate_expr",
     "token_stats",
     "fingerprint_docs",
     "tf_idf_top_terms",

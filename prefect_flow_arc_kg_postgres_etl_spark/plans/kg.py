@@ -967,24 +967,16 @@ FROM src
 
 
 # ----------------------------------------- A28 transitive property path
-def kg_path_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SPARQL ``p+`` over the store's containment hierarchy
-    (order -> customer -> nation -> region, as a typed edge relation):
-    every entity paired with ALL its ancestors, any number of hops up.
-    The reference's queries use no transitive paths (verified across
-    typescript/queries/*.sparql), so this completes the path algebra
-    beyond the reference surface rather than mirroring a query.
-
-    Pointer doubling (operators/triples.transitive_closure): the
-    hierarchy depth (3 hops) is catalog metadata, so ``known_depth``
-    runs exactly ceil(log2(3)) = 2 doubling joins with no convergence
-    counts; at 100 TB each iteration is one keyed self-join shuffle of
-    the PAIR set, never a corpus re-scan."""
+def _hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store's containment hierarchy as a typed (child, parent)
+    edge relation — order -> customer -> nation -> region. Shared by
+    the p+ and p* path entries so the two closures can never diverge
+    over different edge sets."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
     tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
-    edges = (
+    return (
         orders.select(
             tag("O", "o_orderkey").alias("child"),
             tag("C", "o_custkey").alias("parent"),
@@ -1002,7 +994,22 @@ def kg_path_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return T.transitive_closure(edges, known_depth=3)
+
+
+def kg_path_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ``p+`` over the store's containment hierarchy
+    (order -> customer -> nation -> region, as a typed edge relation):
+    every entity paired with ALL its ancestors, any number of hops up.
+    The reference's queries use no transitive paths (verified across
+    typescript/queries/*.sparql), so this completes the path algebra
+    beyond the reference surface rather than mirroring a query.
+
+    Pointer doubling (operators/triples.transitive_closure): the
+    hierarchy depth (3 hops) is catalog metadata, so ``known_depth``
+    runs exactly ceil(log2(3)) = 2 doubling joins with no convergence
+    counts; at 100 TB each iteration is one keyed self-join shuffle of
+    the PAIR set, never a corpus re-scan."""
+    return T.transitive_closure(_hierarchy_edges(spark, sf_dir), known_depth=3)
 
 
 KG_PATH_TRANSITIVE_ORACLE = """
@@ -1263,30 +1270,9 @@ def kg_path_zero_or_more(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identity pair for every node of the graph (subjects and
     objects both; SPARQL's p* matches every term in the graph to
     itself). One distinct over the union of the two edge endpoints
-    computes the node universe; the closure itself is A28's pointer
-    doubling, shared."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    nat = load_table(spark, sf_dir, "nation")
-    tag = lambda p, c: F.concat(F.lit(p), F.col(c).cast("string"))  # noqa: E731
-    edges = (
-        orders.select(
-            tag("O", "o_orderkey").alias("child"),
-            tag("C", "o_custkey").alias("parent"),
-        )
-        .unionByName(
-            cust.select(
-                tag("C", "c_custkey").alias("child"),
-                tag("N", "c_nationkey").alias("parent"),
-            )
-        )
-        .unionByName(
-            nat.select(
-                tag("N", "n_nationkey").alias("child"),
-                tag("R", "n_regionkey").alias("parent"),
-            )
-        )
-    )
+    computes the node universe; the closure and the edge derivation
+    are A28's, shared (_hierarchy_edges), so p+ and p* cannot diverge."""
+    edges = _hierarchy_edges(spark, sf_dir)
     plus = T.transitive_closure(edges, known_depth=3)
     nodes = (
         edges.select(F.col("child").alias("node"))

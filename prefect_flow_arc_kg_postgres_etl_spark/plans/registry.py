@@ -331,7 +331,7 @@ QUERIES: dict[str, QuerySpec] = {
 }
 
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 
 def _ensure_package_on_workers(spark: SparkSession) -> None:
@@ -344,8 +344,10 @@ def _ensure_package_on_workers(spark: SparkSession) -> None:
     distribution; on a real cluster this is exactly how the package
     reaches remote executors) makes the registry self-contained for
     ANY driver. Once per SparkContext; pure-JVM queries pay nothing
-    beyond the one-time zip."""
-    key = id(spark.sparkContext)
+    beyond the one-time zip. Keyed by applicationId — unique per
+    context, unlike id() (a stopped context's address can be reused
+    by the next one, which would silently skip the ship)."""
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED:
         return
     import os

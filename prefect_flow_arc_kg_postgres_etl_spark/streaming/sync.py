@@ -427,7 +427,16 @@ def _funnel_group(key, pdfs, state):
     for t, etype, eid in zip(us, pdf["event_type"], pdf["event_id"]):
         if etype == "view":
             last = t if last is None else max(last, t)
-        elif etype == "purchase" and last is not None and t - last <= _FUNNEL_GAP_US:
+        elif (
+            etype == "purchase"
+            and last is not None
+            # Lower bound matters across micro-batches: a late purchase
+            # whose event time PRECEDES the tracked view (possible —
+            # inter-batch arrival order is not event-time order) must
+            # not convert with a negative gap; the batch twin only
+            # counts views strictly preceding the purchase.
+            and 0 <= t - last <= _FUNNEL_GAP_US
+        ):
             out_events.append(eid)
             out_gaps.append(t - last)
     if last is not None:

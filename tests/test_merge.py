@@ -169,3 +169,30 @@ def test_scd2_upsert_repeated_merge_extends_history(spark):
     }
     current = [r for r in out.collect() if r.valid_to is None]
     assert len(current) == 1 and current[0].v == "v3"
+
+
+def test_scd2_upsert_multi_version_batch_builds_consistent_chain(spark):
+    """A source batch staging TWO versions of one key must not
+    duplicate history: the EARLIEST staged effective date closes the
+    current target row (no interval overlap), each staged version is
+    closed by its successor, and exactly one row per key remains
+    current."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import scd2_upsert
+
+    target = spark.createDataFrame(
+        [(1, "v0", "2020-01-01", None)],
+        "k long, val string, valid_from string, valid_to string",
+    )
+    source = spark.createDataFrame(
+        [(1, "v1", "2021-01-01"), (1, "v2", "2022-01-01")],
+        "k long, val string, valid_from string",
+    )
+    rows = {
+        (r.val, r.valid_from, r.valid_to)
+        for r in scd2_upsert(target, source, keys=["k"]).collect()
+    }
+    assert rows == {
+        ("v0", "2020-01-01", "2021-01-01"),  # closed by the EARLIEST staged
+        ("v1", "2021-01-01", "2022-01-01"),  # closed by its successor
+        ("v2", "2022-01-01", None),          # the one current version
+    }
