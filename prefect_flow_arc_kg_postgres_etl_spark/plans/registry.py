@@ -49,6 +49,25 @@ class QuerySpec:
 # partition_stats, batch_stage, es_bulk_feed, q3_shipping_priority,
 # topk_per_group, windowed_running, distinct_agg, grouping_sets,
 # exists_anti, correlated_subquery, text_token_stats, text_fingerprint.
+#
+# NEXT ROTATION (r6): the r5-new oracle-backed entries have no driver
+# row yet — swap these into the window, displacing veterans that will
+# then hold 5 all-true rows: merge_scd2, q2_min_cost_supplier,
+# q9_product_profit, q13_order_distribution, events_funnel,
+# events_funnel3, dedup_cluster_components, stream_funnel,
+# stream_interval_join, kg_path_transitive, kg_path_zero_or_more,
+# table_diff_cdc, index_partition_refresh, corpus_vocabulary,
+# corpus_bigram_lm, corpus_mix_sample, corpus_shard_layout,
+# events_trend_fit, multimodal_binary_source, ann_filtered_topk,
+# maintenance_compaction, source_schema_evolution,
+# orders_except_intersect, events_json_extract, events_pivot_wide,
+# orders_cohort_retention, orders_value_histogram, events_quantiles,
+# window_range_interval, text_pii_redact, text_repetition,
+# ann_quantized_topk, q4_order_priority, q12_priority_lines,
+# q10_returned_items, q14_promo_revenue, q16_supplier_count,
+# q18_large_orders, q11_important_parts, source_orc_roundtrip
+# (40 candidates for ~40 slots — keep the 10 never-rotated r4
+# promotions in-window one more round only if red-risk is a concern).
 QUERIES: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
