@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from prefect_flow_arc_kg_postgres_etl_spark.operators.index_documents import (
@@ -247,7 +247,7 @@ def curation_flow(
     spark: SparkSession,
     sf_dir: str,
     quality_min: float = 0.3,
-    languages: tuple[str, ...] = ("en", "de", "zh"),
+    languages: tuple[str, ...] = ("en", "de"),
     mixture: dict[str, float] | None = None,
     pack_budget: int = 2048,
     n_shards: int = 8,
@@ -286,13 +286,29 @@ def curation_flow(
     from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import exact_dedup
     from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
 
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.text import LANG_MARKERS
+
+    # The allowlist must be drawn from what the detector can emit —
+    # an undetectable code (say 'zh' with Latin-marker language ID)
+    # would silently drop that whole language partition from the
+    # curated set, the worst kind of training-mix bug.
+    unknown = set(languages) - set(LANG_MARKERS) - {"und"}
+    if unknown:
+        raise ValueError(
+            f"languages {sorted(unknown)} are not detectable by "
+            f"language_expr (markers exist for {sorted(LANG_MARKERS)})"
+        )
+
     stats = RunStats()
 
     def note(stage: str, df: DataFrame) -> None:
+        # Distinct status vocabulary: nothing here is 'merged' into a
+        # store table, and RunStats.merged_tables must stay 0 for a
+        # curation run (it counts status == 'merged').
         stats.tables[stage] = {
             "staged": df.count() if collect_stats else -1,
             "merged": -1,
-            "status": "merged",
+            "status": "curated",
             "error": None,
         }
 
@@ -317,6 +333,13 @@ def curation_flow(
     if mixture:
         survivors = sample_to_mixture(survivors, "source", mixture)
         note("mixture", survivors)
+
+    # The final join references the survivor subtree three times
+    # (select side, packing, sharding) and each note() is an action —
+    # materialize ONCE so the corpus scan + dedup agg + semi-join
+    # don't recompute per reference (same reasoning as
+    # dedup.cluster_components' edge materialization).
+    survivors = survivors.localCheckpoint(eager=True)
 
     packed = pack_sequences(
         survivors.select(

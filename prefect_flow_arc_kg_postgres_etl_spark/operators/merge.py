@@ -129,7 +129,15 @@ def scd2_upsert(
     staged effective date closes the current row (the moment its
     validity actually ended), and every staged version inserts with
     each non-final version closed by its successor — the emitted
-    chain is gap-free and overlap-free history.
+    chain is gap-free and overlap-free history. Equal effective
+    dates within a key break ties deterministically on the row-image
+    hash (arbitrary but stable: the merge stays idempotent across
+    runs and partitionings). PRECONDITION (the incremental-sync
+    invariant): staged effectives postdate the matched current
+    version's valid_from — a staged date at-or-before it is a
+    bitemporal correction this operator does not attempt; the close
+    clamps to valid_from (never an inverted interval) and such
+    batches belong to a history-repair flow.
 
     One shuffle (the join on the PKs; the per-key window shares its
     partitioning); the conditional close is a projection. At 100 TB
@@ -145,13 +153,14 @@ def scd2_upsert(
             valid_to,
             F.when(
                 F.col(valid_to).isNull() & F.col("_eff").isNotNull(),
-                F.col("_eff"),
+                F.greatest(F.col("_eff"), F.col(effective)),
             ).otherwise(F.col(valid_to)),
         )
         .drop("_eff")
     )
     to_type = dict(target.dtypes)[valid_to]
-    succ = Window.partitionBy(*keys).orderBy(F.col(effective))
+    tiebreak = F.xxhash64(*[F.col(c) for c in source.columns])
+    succ = Window.partitionBy(*keys).orderBy(F.col(effective), tiebreak)
     new_versions = (
         source.withColumn("_next_eff", F.lead(effective).over(succ))
         .withColumn(valid_to, F.col("_next_eff").cast(to_type))

@@ -416,7 +416,18 @@ def _funnel_group(key, pdfs, state):
     order within the batch; a purchase emits when the tracked view is
     within the hour. The streaming form of the batch running-max window
     (plans/relational.events_funnel) — state is ONE bigint per user, so
-    at 100 TB the state store holds |users| rows."""
+    at 100 TB the state store holds |users| rows.
+
+    CONTRACT: output equals the batch funnel when micro-batches
+    arrive in event-time order (incl. the driver's bounded
+    single-batch source). Under cross-batch disorder the single-value
+    state cannot look back — an equal-timestamp view/purchase pair
+    split across batches can convert where batch tie-order would not,
+    and a late purchase older than the tracked view is dropped even
+    if an earlier in-window view existed. Exact parity under disorder
+    needs bounded event buffering in state behind a watermark (state
+    grows to |events in the lateness window| per user) — the
+    documented production extension, not this operator."""
     import pandas as pd
 
     (user_id,) = key
@@ -430,11 +441,10 @@ def _funnel_group(key, pdfs, state):
         elif (
             etype == "purchase"
             and last is not None
-            # Lower bound matters across micro-batches: a late purchase
-            # whose event time PRECEDES the tracked view (possible —
-            # inter-batch arrival order is not event-time order) must
-            # not convert with a negative gap; the batch twin only
-            # counts views strictly preceding the purchase.
+            # Lower bound: a late purchase whose event time PRECEDES
+            # the tracked view must not convert with a negative gap.
+            # NOTE this makes disorder SAFE, not batch-identical —
+            # see the contract note in _funnel_group's docstring.
             and 0 <= t - last <= _FUNNEL_GAP_US
         ):
             out_events.append(eid)
