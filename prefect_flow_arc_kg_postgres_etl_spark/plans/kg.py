@@ -956,8 +956,12 @@ WITH target AS (
 )
 SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice,
        t.o_orderpriority, t.valid_from,
+       -- the close clamps to valid_from (operators/merge.scd2_upsert):
+       -- a staged effective at-or-before the current version's start
+       -- must not emit an inverted interval
        CASE WHEN t.valid_to IS NULL AND s.o_orderkey IS NOT NULL
-            THEN s.valid_from ELSE t.valid_to END AS valid_to
+            THEN GREATEST(s.valid_from, t.valid_from)
+            ELSE t.valid_to END AS valid_to
 FROM target t LEFT JOIN src s USING (o_orderkey)
 UNION ALL
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
