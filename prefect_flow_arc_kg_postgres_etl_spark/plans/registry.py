@@ -264,6 +264,11 @@ QUERIES: dict[str, QuerySpec] = {
     "events_quantiles": QuerySpec(
         relational.events_quantiles, relational.EVENTS_QUANTILES_ORACLE
     ),
+    # C7b: watermark-buffered disorder-correct funnel.
+    "stream_funnel_buffered": QuerySpec(
+        streaming_plans.stream_funnel_buffered,
+        streaming_plans.STREAM_FUNNEL_BUFFERED_ORACLE,
+    ),
     # B34: Q13 distribution-of-counts (left-outer + double agg).
     "q13_order_distribution": QuerySpec(
         relational.q13_order_distribution, relational.Q13_ORACLE

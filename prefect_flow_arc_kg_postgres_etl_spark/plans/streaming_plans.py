@@ -196,3 +196,39 @@ JOIN events p
  AND p.ts >= v.ts
  AND p.ts <= v.ts + INTERVAL 1 HOUR
 """
+
+
+def stream_funnel_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7b: the watermark-buffered funnel — disorder-correct under any
+    cross-batch arrival order within the lateness window (state
+    buffers one gap+lateness window of events per user). On a bounded
+    source the emitted set is deterministic: the batch funnel's
+    conversions for purchases the final watermark finalized
+    (purchase ts <= max event ts - delay)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        funnel_stream_buffered,
+    )
+
+    _COUNTER["n"] += 1
+    return funnel_stream_buffered(
+        spark, sf_dir, query_name=f"stream_funnel_buffered_{_COUNTER['n']}"
+    )
+
+
+# The batch funnel restricted to watermark-finalized purchases.
+STREAM_FUNNEL_BUFFERED_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_view_us
+  FROM events
+)
+SELECT user_id, event_id AS purchase_event,
+       CAST(us - last_view_us AS BIGINT) AS gap_us
+FROM seq
+WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
+  AND us - last_view_us <= 3600000000
+  AND us <= (SELECT epoch_us(MAX(ts)) - 3600000000 FROM events)
+"""

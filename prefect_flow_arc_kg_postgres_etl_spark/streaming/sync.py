@@ -560,3 +560,128 @@ def interval_join_stream(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+_FUNNELB_STATE_SCHEMA = (
+    "view_us array<bigint>, view_id array<bigint>, "
+    "pend_us array<bigint>, pend_id array<bigint>"
+)
+
+
+def _funnel_group_buffered(key, pdfs, state):
+    """Disorder-correct stateful funnel (the production extension the
+    single-value-state funnel's contract names): state BUFFERS the
+    user's in-window views and the not-yet-final purchases; a purchase
+    finalizes only when the WATERMARK passes its event time, at which
+    point every event that could precede it has arrived and the
+    batch rule applies exactly — latest view with (us, id) strictly
+    before the purchase, within the gap.
+
+    State bounds: views older than [watermark - gap] cannot qualify
+    for any future-final purchase (a purchase within their gap would
+    already be final; a still-arriving one is >= watermark, too far)
+    and are evicted, so state holds one lateness+gap window of events
+    per user, not history — the cost of exactness under disorder.
+    """
+    import pandas as pd
+
+    (user_id,) = key
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    if state.exists:
+        view_us, view_id, pend_us, pend_id = (list(x) for x in state.get)
+    else:
+        view_us, view_id, pend_us, pend_id = [], [], [], []
+
+    if not state.hasTimedOut:
+        pdf = pd.concat(list(pdfs))
+        us = pdf["ts"].astype("int64") // 1000
+        for t, etype, eid in zip(us, pdf["event_type"], pdf["event_id"]):
+            if etype == "view":
+                view_us.append(int(t))
+                view_id.append(int(eid))
+            elif etype == "purchase":
+                pend_us.append(int(t))
+                pend_id.append(int(eid))
+
+    out_events, out_gaps = [], []
+    keep_us, keep_id = [], []
+    for t, eid in zip(pend_us, pend_id):
+        if t <= wm_us:
+            # batch tie rule exactly: the view must STRICTLY precede
+            # the purchase in (event time, event id) order
+            best = max(
+                (
+                    v
+                    for v, vid in zip(view_us, view_id)
+                    if (v, vid) < (t, eid) and t - v <= _FUNNEL_GAP_US
+                ),
+                default=None,
+            )
+            if best is not None:
+                out_events.append(eid)
+                out_gaps.append(t - best)
+        else:
+            keep_us.append(t)
+            keep_id.append(eid)
+
+    kept_views = [
+        (v, vid) for v, vid in zip(view_us, view_id) if v >= wm_us - _FUNNEL_GAP_US
+    ]
+    view_us = [v for v, _ in kept_views]
+    view_id = [vid for _, vid in kept_views]
+    if view_us or keep_us:
+        state.update((view_us, view_id, keep_us, keep_id))
+        # Wake when the watermark can next finalize something (must be
+        # strictly beyond the current watermark).
+        nxt = min(keep_us) // 1000 if keep_us else wm_us // 1000 + 60_000
+        state.setTimeoutTimestamp(max(nxt, wm_us // 1000 + 1))
+    elif state.exists:
+        state.remove()
+
+    if out_events:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_events),
+                "purchase_event": out_events,
+                "gap_us": out_gaps,
+            }
+        )
+
+
+def funnel_stream_buffered(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_funnel_buffered",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """C7b: the watermarked buffered funnel. Emits exactly the batch
+    funnel's conversions for purchases the watermark has finalized —
+    correct under ANY cross-batch arrival order within the lateness
+    window, unlike the single-value-state funnel (whose parity
+    contract requires event-time-ordered batches). On a bounded
+    source the emitted set is deterministic: conversions whose
+    purchase time <= max event time - delay."""
+    ev = (
+        events_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("user_id", "ts", "event_type", "event_id")
+    )
+    conv = ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_group_buffered,
+        outputStructType=_FUNNEL_OUT_SCHEMA,
+        stateStructType=_FUNNELB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+    q = (
+        conv.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).select("user_id", "purchase_event", "gap_us")

@@ -210,3 +210,91 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     rows = [r.id for r in spark.read.parquet(sink).collect()]
     assert len(rows) == 200          # batch a not reprocessed
     assert sorted(rows) == list(range(200))
+
+
+def test_buffered_funnel_correct_under_crossbatch_disorder(spark, tmp_path):
+    """The buffered funnel must emit the BATCH conversions (for
+    watermark-finalized purchases) even when a later micro-batch
+    delivers EARLIER events — the case the single-value-state funnel
+    documents as out of contract (it would drop this conversion: its
+    tracked view is the newer one, making the gap negative)."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        _FUNNELB_STATE_SCHEMA,
+        _FUNNEL_OUT_SCHEMA,
+        _funnel_group_buffered,
+    )
+
+    MIN = 60_000_000  # one minute in us
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [pd.Timestamp(r[3] * MIN, unit="us") for r in rows],
+                "event_type": [r[1] for r in rows],
+                "event_id": [r[2] for r in rows],
+            }
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def land(pdf, name, mtime):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(stage)
+        )
+        (part,) = glob.glob(f"{stage}/part-*.parquet")
+        dst = src / f"{name}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # File A (arrives FIRST): late events — view@100min, purchase@110min.
+    land(mk([(1, "view", 7, 100), (1, "purchase", 8, 110)]), "a", 1_000_000)
+    # File B (arrives SECOND): earlier events — view@10min, purchase@30min,
+    # purchase@65min.
+    land(
+        mk([(1, "view", 1, 10), (1, "purchase", 2, 30), (1, "purchase", 3, 65)]),
+        "b",
+        1_000_100,
+    )
+
+    ev = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_type string, event_id bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+    )
+    conv = ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_group_buffered,
+        outputStructType=_FUNNEL_OUT_SCHEMA,
+        stateStructType=_FUNNELB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+    q = (
+        conv.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_disorder")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.purchase_event, r.gap_us)
+        for r in spark.table("funnel_disorder").collect()
+    }
+    # Final watermark = 110min - 60min = 50min: only purchase@30 is
+    # finalized; it converts via view@10 (gap 20min) — the conversion
+    # the unbuffered funnel would drop. purchase@65 and purchase@110
+    # stay pending (they would finalize as the stream ran on).
+    assert got == {(2, 20 * MIN)}
