@@ -71,6 +71,11 @@ HEADLINE = [
     "corpus_vocabulary",
     "corpus_bigram_lm",
     "orders_cohort_retention",
+    # Round-5 third append (prefix stays comparable): the last TPC-H
+    # shapes — Q8's double-role dimension join and Q21's
+    # aggregation-replanned double self-join (the heaviest of the five).
+    "q8_market_share",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -340,6 +340,27 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_shard_layout": QuerySpec(
         pipeline.corpus_shard_layout, pipeline.SHARD_LAYOUT_ORACLE
     ),
+    # B35-B39: the five remaining TPC-H shapes — with these the
+    # relational layer covers all 22 distinct TPC-H plan shapes
+    # (Q6 pure-pushdown scan agg, Q8 double-role dimension ratio,
+    # Q15 equality-to-global-max with exchange reuse, Q20
+    # correlated-threshold semi-join chain, Q21 EXISTS/NOT-EXISTS
+    # re-planned as one aggregation).
+    "q6_revenue_forecast": QuerySpec(
+        relational.q6_revenue_forecast, relational.Q6_ORACLE
+    ),
+    "q8_market_share": QuerySpec(
+        relational.q8_market_share, relational.Q8_ORACLE
+    ),
+    "q15_top_supplier": QuerySpec(
+        relational.q15_top_supplier, relational.Q15_ORACLE
+    ),
+    "q20_part_promotion": QuerySpec(
+        relational.q20_part_promotion, relational.Q20_ORACLE
+    ),
+    "q21_waiting_suppliers": QuerySpec(
+        relational.q21_waiting_suppliers, relational.Q21_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

@@ -1397,3 +1397,294 @@ FROM (
 )
 GROUP BY c_count
 """
+
+
+# ---------------------------------------------- B35 TPC-H Q6 shape
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: forecasting revenue change — the canonical PUSHDOWN query.
+    Every predicate (date range, discount band, quantity cap) is a
+    scan-side comparison on a native parquet column, so the whole WHERE
+    clause reaches the reader as PushedFilters and row groups outside
+    the 1996 shipdate range never leave disk; the single conditional
+    sum combines map-side and ships one partial per partition. No
+    join, no window — the query is exactly one scan and one exchange
+    of 1-row partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+Q6_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------- B36 TPC-H Q8 shape
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: national market share — the DOUBLE-ROLE dimension shape: the
+    nation table joins twice under different roles (customer's nation
+    restricts the market region; supplier's nation is the share
+    numerator), and the share is a conditional-sum ratio per year in
+    ONE aggregation. Only fixed-size dims (nation, region) carry
+    broadcast hints; customer/supplier/orders are sf-scaled and join
+    shuffled (AQE may still broadcast the filtered survivors). Date
+    and type filters push to the orders/part scans before any join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n_cust = load_table(spark, sf_dir, "nation").alias("n1")
+    n_supp = load_table(spark, sf_dir, "nation").alias("n2")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(n_cust),
+            cust.c_nationkey == F.col("n1.n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n1.n_regionkey") == region.r_regionkey,
+        )
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(n_supp),
+            supp.s_nationkey == F.col("n2.n_nationkey"),
+        )
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("n2.n_name") == "NATION_3", vol).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_ORACLE = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END)
+             / SUM(volume), 4) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY o_year
+"""
+
+
+# ---------------------------------------------- B37 TPC-H Q15 shape
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: top revenue supplier — the EQUALITY-TO-GLOBAL-MAX shape:
+    aggregate revenue per supplier over a quarter, take the global max
+    of that aggregate, and join the (tiny, 1-row) max back to select
+    the winner(s). Like q11, both branches read the SAME per-supplier
+    aggregate, so Catalyst plans a ReusedExchange — the fact table is
+    scanned and shuffled once, not twice. The explicit l_suppkey
+    not-null filter matters for that: the supplier equi-join INFERS it
+    on the join branch only, which would make the two exchange
+    subtrees canonically different and silently kill the reuse (found
+    by the executed-plan audit). Revenue is rounded BEFORE the
+    max/equality so parallel FP summation order cannot make the
+    winner's value miss its own max. The 1-row max side is a
+    broadcast-nested-loop by construction."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+        & F.col("l_suppkey").isNotNull()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(mx, rev.total_revenue == mx.max_revenue)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+# ---------------------------------------------- B38 TPC-H Q20 shape
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: the CORRELATED-THRESHOLD SEMI-JOIN CHAIN — suppliers
+    who, for some PROMO part, shipped more than 20% of that part's
+    total 1996 volume (the availqty > 0.5 * sum(l_quantity) analogue;
+    the testdata has no partsupp, so the supplier-part relation is
+    derived from lineitem). The correlated per-part total is a window
+    over the ALREADY-AGGREGATED (part, supplier) set — the raw fact
+    shuffles once into the groupBy; the window repartitions only the
+    aggregate. Quantities are integral doubles, so the sums and the
+    0.2 threshold compare exactly in both engines. The qualifying
+    supplier set semi-joins the supplier table (no payload
+    duplication), then a fixed-dim broadcast restricts to the target
+    nations."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    )
+    per_pair = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qualifying = (
+        per_pair.withColumn("part_total", F.sum("qty").over(w))
+        .filter(F.col("qty") > 0.2 * F.col("part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+Q20_ORACLE = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+           AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty,
+           SUM(SUM(l_quantity)) OVER (PARTITION BY l_partkey) AS part_total
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_partkey, l_suppkey
+  )
+  WHERE qty > 0.2 * part_total
+)
+"""
+
+
+# ---------------------------------------------- B39 TPC-H Q21 shape
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who kept orders waiting — the classic
+    EXISTS + NOT-EXISTS double self-join on the fact table (another
+    supplier contributed to the order / no OTHER supplier was late),
+    re-planned as ONE aggregation: per finished order, count distinct
+    suppliers, count distinct LATE suppliers (late = shipped >60 days
+    after the order date — the receipt>commit analogue this schema
+    supports), and keep orders with >1 supplier but exactly 1 late
+    one. numwait counts that lone supplier's late LINES, matching the
+    row-per-l1 semantics of the EXISTS formulation. The fact shuffles
+    once on orderkey instead of three times; the supplier name attach
+    joins the (small) aggregate, never the fact."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("nlate"),
+        F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"),
+    )
+    qual = per_order.filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        qual.groupBy("late_supp")
+        .agg(F.sum("late_lines").alias("numwait"))
+        .join(supp, F.col("late_supp") == supp.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
+Q21_ORACLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+"""

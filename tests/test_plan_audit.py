@@ -95,6 +95,11 @@ _FIXED_DIM_HINTS = {
     # q11's only hint is the 1-row global-threshold aggregate, which
     # plans as BroadcastNestedLoopJoin (keyless cross join), not BHJ.
     "q11_important_parts": 0,
+    "q6_revenue_forecast": 0,
+    "q8_market_share": 3,  # the two nation aliases + region
+    "q15_top_supplier": 0,  # 1-row max side is BNLJ, not BHJ
+    "q20_part_promotion": 1,  # nation
+    "q21_waiting_suppliers": 0,
 }
 
 
@@ -424,6 +429,33 @@ def test_q11_threshold_branch_reuses_fact_exchange(spark):
     assert "ReusedExchange" in plan, (
         "q11 lost exchange reuse — the fact is scanned twice\n" + plan
     )
+
+
+def test_q15_max_branch_reuses_supplier_exchange(spark):
+    """q15's max-revenue branch must read the REUSED per-supplier
+    aggregate, not re-scan/re-shuffle the fact — same contract as q11,
+    checked on the executed plan where ReuseExchange is applied."""
+    from prefect_flow_arc_kg_postgres_etl_spark.plans.registry import QUERIES
+
+    df = QUERIES["q15_top_supplier"].builder(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, (
+        "q15 lost exchange reuse — the fact is scanned twice\n" + plan
+    )
+
+
+def test_q6_all_predicates_reach_the_scan(spark):
+    """Q6 is the canonical pushdown query: every WHERE predicate is a
+    native-column comparison, so ALL of them must appear as
+    PushedFilters on the lineitem parquet scan."""
+    plan = build(spark, "q6_revenue_forecast")
+    for field in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"GreaterThan({field}" in plan or f"LessThan({field}" in plan or (
+            f"GreaterThanOrEqual({field}" in plan
+        ) or f"LessThanOrEqual({field}" in plan, (
+            f"q6: no pushed filter on {field}\n{plan}"
+        )
 
 
 def test_q9_pushes_part_filter_and_broadcasts_nation_only(spark):
