@@ -207,3 +207,77 @@ def assign_shards(
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select(id_col, "shard", "pos")
     )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    words: int = 1 << 14,
+    k: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``decontaminate`` for the LARGE-eval-set regime: when the
+    benchmark gram set is too big to broadcast (decontaminating against
+    a whole held-out corpus slice, not a 5k-question eval), the exact
+    pass would shuffle every train gram into a join. This variant
+    pre-filters with a SPLIT-BLOCK BLOOM FILTER — the same structure
+    parquet uses for row-group filtering — built and probed entirely in
+    DataFrame ops:
+
+    - build: each bench gram hashes to one of ``words`` 64-bit words
+      and sets ``k`` bits in it (bit indexes are disjoint 6-bit slices
+      of a second hash — no multiply, no overflow, ANSI-safe);
+      ``groupBy(word).agg(bit_or(mask))`` materializes the filter as
+      <= ``words`` rows (a 16k-word filter is 128 KiB — broadcastable
+      at ANY eval-set size, unlike the gram set itself).
+    - probe: train grams compute the same (word, mask) scan-side, join
+      the broadcast filter, and survive only if all k bits are set.
+      Absent word = definitely-clean gram (the inner join drops it).
+    - verify: only might-contain grams (a vanishing fraction: fp rate
+      ~(1-e^{-k x grams/64words})^k) reach the exact gram join, which
+      now SHUFFLES both (small) sides instead of broadcasting the
+      bench grams.
+
+    No false negatives (a shared gram always hits its own bits), and
+    the exact verify removes false positives — so the survivors equal
+    ``decontaminate``'s exactly; that equality is the oracle contract.
+    The train corpus itself is still never shuffled."""
+    bench_grams = (
+        doc_ngrams(benchmark, id_col, text_col, n).select("gram").distinct()
+    )
+
+    def word_and_mask(df: DataFrame) -> DataFrame:
+        # SQL-expr form: the DataFrame-API shiftleft only takes a
+        # literal shift amount, while the SQL function accepts a column.
+        bits = " | ".join(
+            f"shiftleft(1L, cast((shiftrightunsigned(xxhash64(gram, 2),"
+            f" {6 * j}) & 63) AS INT))"
+            for j in range(k)
+        )
+        return df.withColumn(
+            "word", F.expr(f"pmod(xxhash64(gram, 1), {words}L)")
+        ).withColumn("mask", F.expr(bits))
+
+    bloom = (
+        word_and_mask(bench_grams)
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    might = (
+        word_and_mask(doc_ngrams(train, id_col, text_col, n))
+        .join(F.broadcast(bloom), "word")
+        .filter(
+            F.col("mask").bitwiseAND(F.col("bits")) == F.col("mask")
+        )
+        .select("id", "gram")
+    )
+    contaminated = (
+        might.join(bench_grams, "gram", "left_semi").select("id").distinct()
+    )
+    return train.join(
+        F.broadcast(contaminated),
+        train[id_col] == contaminated["id"],
+        "left_anti",
+    )

@@ -500,3 +500,48 @@ def cluster_components(
             "iterations — raise max_iter (graph diameter exceeds it)"
         )
     return labels
+
+
+def edit_verified_pairs(
+    docs: DataFrame,
+    jaccard_threshold: float,
+    max_edits: int,
+    prefix_chars: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Edit-distance refinement of the verified near-dup pairs: keep
+    only pairs whose text prefixes are within ``max_edits`` Levenshtein
+    edits — the secondary verifier that separates true revisions
+    (small, localized edits) from bag-of-words lookalikes (same gram
+    multiset, different arrangement), which Jaccard alone cannot tell
+    apart.
+
+    Scale shape: Levenshtein is O(len_a x len_b) per pair, so it can
+    NEVER run corpus x corpus — it runs on the (LSH-bounded, already
+    Jaccard-verified) pair set only, and on a fixed ``prefix_chars``
+    prefix so per-pair cost is a constant, not corpus-dependent. The
+    text attach joins ship that bounded prefix, never full documents.
+    ``F.levenshtein``'s threshold form stops each DP early once
+    ``max_edits`` is exceeded (returns -1), so the common FAR-APART
+    case costs O(max_edits x prefix) instead of O(prefix^2). All
+    JVM-side; the result is deterministic in both engines, which keeps
+    the composed pipeline SQL-oracle-checkable.
+
+    Returns (doc_a, doc_b, jaccard, edit_distance)."""
+    pairs = lsh_verified_pairs(
+        docs, jaccard_threshold, id_col=id_col, text_col=text_col
+    )
+    prefix = F.substring(F.col(text_col), 1, prefix_chars)
+    ta = docs.select(F.col(id_col).alias("doc_a"), prefix.alias("_ta"))
+    tb = docs.select(F.col(id_col).alias("doc_b"), prefix.alias("_tb"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn(
+            "edit_distance",
+            F.levenshtein("_ta", "_tb", max_edits).cast("bigint"),
+        )
+        .filter(F.col("edit_distance") >= 0)
+        .select("doc_a", "doc_b", "jaccard", "edit_distance")
+    )

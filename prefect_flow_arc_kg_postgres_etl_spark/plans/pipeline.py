@@ -1101,3 +1101,81 @@ def multimodal_binary_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="media_land_") + "/assets"
     land_media_files(media, out)
     return decode_media(read_media_files(spark, out))
+
+
+# ------------------------------------- D31 edit-distance dedup tier
+_EDIT_MAX = 30
+_EDIT_PREFIX = 200
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4's verified pairs refined by a Levenshtein check (operators/
+    dedup.edit_verified_pairs): the secondary verifier that tells true
+    revisions (small localized edits) from bag-of-words lookalikes.
+    Runs on the verified pair set only — the quadratic all-pairs DP
+    can never run at corpus scale; the oracle is the quadratic ground
+    truth with the same edit predicate."""
+    return D.edit_verified_pairs(
+        _dup_corpus(spark, sf_dir, near=True),
+        _JAC_T,
+        _EDIT_MAX,
+        _EDIT_PREFIX,
+    )
+
+
+DEDUP_EDIT_ORACLE = f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM corpus
+),
+grams AS ({_GRAMS_SQL}),
+sizes AS (SELECT id, COUNT(*) AS n FROM grams GROUP BY 1),
+pairs AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS common
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         ROUND(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+  FROM pairs
+  JOIN sizes sa ON sa.id = doc_a
+  JOIN sizes sb ON sb.id = doc_b
+  WHERE common * 1.0 / (sa.n + sb.n - common) >= {_JAC_T}
+)
+SELECT j.doc_a, j.doc_b, j.jaccard,
+       CAST(levenshtein(substr(a.text, 1, {_EDIT_PREFIX}),
+                        substr(b.text, 1, {_EDIT_PREFIX})) AS BIGINT)
+         AS edit_distance
+FROM jac j
+JOIN corpus a ON a.doc_id = j.doc_a
+JOIN corpus b ON b.doc_id = j.doc_b
+WHERE levenshtein(substr(a.text, 1, {_EDIT_PREFIX}),
+                  substr(b.text, 1, {_EDIT_PREFIX})) <= {_EDIT_MAX}
+"""
+
+
+# --------------------------------- D32 Bloom-prefiltered decontamination
+def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D16's large-eval-set path: a split-block Bloom filter (built and
+    probed in DataFrame ops — groupBy(word).bit_or(mask), broadcast
+    join, mask test) pre-filters train grams before the exact verify,
+    so nothing larger than the fixed 128 KiB filter is ever broadcast
+    and the exact gram join shuffles only the might-contain fraction.
+    No false negatives + exact verify => identical survivors to
+    corpus_decontaminate; shares its oracle."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.curation import (
+        decontaminate_bloom,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    clean = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    planted = bench.select(
+        (F.col("doc_id") + _CONTAM_OFF).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_CONTAM_TAIL)).alias("text"),
+    )
+    train = _spread(spark, clean.unionByName(planted))
+    return decontaminate_bloom(train, bench, n=_DECON_N).select("doc_id")

@@ -361,6 +361,16 @@ QUERIES: dict[str, QuerySpec] = {
     "q21_waiting_suppliers": QuerySpec(
         relational.q21_waiting_suppliers, relational.Q21_ORACLE
     ),
+    # D31: edit-distance refinement of the verified dup pairs (bounded
+    # prefix, threshold-early-exit DP, pair-set-only — never quadratic).
+    "dedup_edit_distance": QuerySpec(
+        pipeline.dedup_edit_distance, pipeline.DEDUP_EDIT_ORACLE
+    ),
+    # D32: split-block-Bloom prefiltered decontamination (the
+    # large-eval-set regime); exact-verified, shares D16's oracle.
+    "corpus_decontaminate_bloom": QuerySpec(
+        pipeline.corpus_decontaminate_bloom, pipeline.DECONTAMINATE_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

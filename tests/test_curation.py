@@ -192,3 +192,73 @@ def test_assign_shards_dense_positions_cover_all_rows(spark):
         per[r.shard].append(r.pos)
     for shard, ps in per.items():
         assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    """The Bloom-prefiltered path must return EXACTLY the exact path's
+    survivors (no false negatives by construction, false positives
+    removed by the verify leg) — including at a deliberately tiny
+    filter (words=8) where nearly every word is saturated and the
+    verify leg does all the work."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.curation import (
+        decontaminate_bloom,
+    )
+
+    bench = _df(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id bigint, text string",
+    )
+    train = _df(
+        spark,
+        [
+            (10, "x alpha beta gamma delta epsilon zeta eta theta y"),
+            (11, "alpha beta gamma delta epsilon zeta eta DIFFERENT"),
+            (12, "completely unrelated text with enough tokens to form grams ok"),
+            (13, "zz one two three four five six seven eight nine ten zz"),
+            (14, "ten nine eight seven six five four three two one reversed"),
+        ],
+        "doc_id bigint, text string",
+    )
+    exact = {r.doc_id for r in decontaminate(train, bench, n=8).collect()}
+    for words in (8, 1 << 14):
+        bloom = {
+            r.doc_id
+            for r in decontaminate_bloom(
+                train, bench, n=8, words=words
+            ).collect()
+        }
+        assert bloom == exact, f"words={words}: {bloom} != {exact}"
+    assert exact == {11, 12, 14}
+
+
+def test_edit_verified_pairs_separates_revisions_from_rearrangements(spark):
+    """A doc and its lightly-edited revision pass both gates; a
+    rearrangement sharing most 1-gram vocabulary but few 3-gram
+    sequences never reaches the edit check (fails Jaccard); a revision
+    with a big inserted block passes Jaccard but exceeds max_edits."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import (
+        edit_verified_pairs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    revision = base + " tail"
+    big_insert = base + " " + " ".join("pad" for _ in range(12))
+    docs = _df(
+        spark,
+        [(1, base), (2, revision), (3, big_insert)],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.edit_distance
+        for r in edit_verified_pairs(
+            docs, jaccard_threshold=0.6, max_edits=10, prefix_chars=500
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 5  # " tail"
+    assert (1, 3) not in pairs  # 48 inserted chars > max_edits
+    # the threshold DP returns -1 above max_edits — nothing >10 leaks
+    assert all(0 <= d <= 10 for d in pairs.values())
