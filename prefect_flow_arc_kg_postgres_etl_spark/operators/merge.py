@@ -224,3 +224,44 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return l_salted.join(r_salted, on=[key, "_salt"], how=how).drop("_salt")
+
+
+def merge_agg_state(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Summary-delta maintenance of an algebraic aggregate (the
+    materialized-view refresh classic): ``state`` holds per-group
+    partial aggregates (``count_col`` + one running sum per
+    ``sum_cols``), ``delta`` is NEW raw rows; the refreshed state is
+    state ⊎ aggregate(delta), merged group-wise by adding partials.
+
+    Why this shape at 100 TB: the base FACT is never re-scanned — the
+    refresh reads the state table (|groups| rows, orders of magnitude
+    smaller than the fact) and the delta (small by definition of
+    incremental). Two hash aggregations, each map-side combining:
+    delta rows collapse to per-group partials BEFORE touching the
+    state, then one union + re-sum merges them — sums and counts are
+    commutative monoids, so merging partials is exact for every
+    algebraic aggregate (avg/stddev reconstruct from (sum, sum_sq,
+    n) without ever seeing raw history again).
+
+    ``delta`` must carry the raw columns named in ``sum_cols``;
+    ``state`` must already carry them as summed columns of the same
+    names plus ``count_col``."""
+    delta_agg = delta.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias(count_col),
+        *[F.sum(c).alias(c) for c in sum_cols],
+    )
+    return (
+        state.select(*keys, count_col, *sum_cols)
+        .unionByName(delta_agg)
+        .groupBy(*keys)
+        .agg(
+            F.sum(count_col).alias(count_col),
+            *[F.sum(c).alias(c) for c in sum_cols],
+        )
+    )

@@ -1377,3 +1377,56 @@ def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MAINTENANCE_COMPACTION_ORACLE = "SELECT * FROM customer"
+
+
+# ------------------------------------ A34 summary-delta agg maintenance
+_AGG_SPLIT = "1999-01-01 00:00:00"
+
+
+def agg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a per-customer order aggregate by
+    SUMMARY-DELTA merge (operators/merge.merge_agg_state): the
+    maintained state (orders before the split, already aggregated)
+    absorbs the delta (orders since the split) WITHOUT re-scanning the
+    base fact — the same incremental contract as the reference's SINCE
+    path (configuration.ts SINCE), applied to aggregate state instead
+    of row state. avg reconstructs from the merged (sum, n) partials,
+    proving the algebraic-aggregate story. The oracle is the full
+    recompute over the whole orders table — refresh must be exact.
+
+    Money sums in CENTS (bigint): integer partials are exact and
+    order-independent, so state+delta merge == full recompute
+    bit-for-bit — where double sums differ in the last ulp between
+    summation orders and a derived avg can land on opposite sides of
+    a rounding boundary (seen in-session: total/8 hitting x.xx125
+    exactly). avg uses integer floor division for the same reason."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.filter(F.col("o_orderdate") < _AGG_SPLIT)
+    delta = orders.filter(F.col("o_orderdate") >= _AGG_SPLIT).select(
+        "o_custkey", cents.alias("spend_cents")
+    )
+    state = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("spend_cents"),
+    )
+    merged = M.merge_agg_state(
+        state, delta, keys=["o_custkey"], sum_cols=["spend_cents"]
+    )
+    return merged.select(
+        "o_custkey",
+        F.col("n").alias("n_orders"),
+        (F.col("spend_cents") / 100.0).alias("total_spend"),
+        F.expr("(spend_cents * 10000) div (n * 100)").alias("avg_spend_e4"),
+    )
+
+
+AGG_REFRESH_ORACLE = """
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_spend,
+       CAST((SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) * 10000)
+            // (COUNT(*) * 100) AS BIGINT) AS avg_spend_e4
+FROM orders
+GROUP BY o_custkey
+"""

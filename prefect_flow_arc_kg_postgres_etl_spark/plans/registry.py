@@ -371,6 +371,12 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_decontaminate_bloom": QuerySpec(
         pipeline.corpus_decontaminate_bloom, pipeline.DECONTAMINATE_ORACLE
     ),
+    # A34: summary-delta maintenance of algebraic aggregate state —
+    # refresh reads state + delta, never the base fact; oracle = full
+    # recompute.
+    "agg_incremental_refresh": QuerySpec(
+        kg.agg_incremental_refresh, kg.AGG_REFRESH_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

@@ -196,3 +196,28 @@ def test_scd2_upsert_multi_version_batch_builds_consistent_chain(spark):
         ("v1", "2021-01-01", "2022-01-01"),  # closed by its successor
         ("v2", "2022-01-01", None),          # the one current version
     }
+
+
+def test_merge_agg_state_exact_and_empty_delta(spark):
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import (
+        merge_agg_state,
+    )
+
+    state = spark.createDataFrame(
+        [("a", 2, 30), ("b", 1, 5)], "k string, n bigint, s bigint"
+    )
+    delta = spark.createDataFrame(
+        [("a", 7), ("c", 1)], "k string, s bigint"
+    )
+    got = {
+        r.k: (r.n, r.s)
+        for r in merge_agg_state(state, delta, ["k"], ["s"]).collect()
+    }
+    assert got == {"a": (3, 37), "b": (1, 5), "c": (1, 1)}
+
+    empty = delta.filter("1=0")
+    unchanged = {
+        r.k: (r.n, r.s)
+        for r in merge_agg_state(state, empty, ["k"], ["s"]).collect()
+    }
+    assert unchanged == {"a": (2, 30), "b": (1, 5)}
