@@ -377,6 +377,13 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_incremental_refresh": QuerySpec(
         kg.agg_incremental_refresh, kg.AGG_REFRESH_ORACLE
     ),
+    # C9: the foreachBatch twin of A34 — converged streaming aggregate
+    # state == batch aggregate (exact integer partials; epoch-watermark
+    # replay protection).
+    "stream_agg_state": QuerySpec(
+        streaming_plans.stream_agg_state,
+        streaming_plans.STREAM_AGG_STATE_ORACLE,
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

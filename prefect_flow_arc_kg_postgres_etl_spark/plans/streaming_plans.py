@@ -232,3 +232,27 @@ WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
   AND us - last_view_us <= 3600000000
   AND us <= (SELECT epoch_us(MAX(ts)) - 3600000000 FROM events)
 """
+
+
+def stream_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: streaming summary-delta aggregate maintenance (the
+    foreachBatch twin of the batch A34 operator). Converged state over
+    the bounded source == the batch per-user aggregate — the full SQL
+    oracle. Exact bigint micros partials make the cross-batch merge
+    order-independent; a replayed epoch is skipped via the epoch
+    watermark committed atomically with each state version."""
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        agg_state_stream,
+    )
+
+    target = tempfile.mkdtemp(prefix="stream_agg_state_") + "/state"
+    return agg_state_stream(spark, sf_dir, target)
+
+
+STREAM_AGG_STATE_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS total_value
+FROM events
+GROUP BY user_id
+"""

@@ -685,3 +685,80 @@ def funnel_stream_buffered(
     )
     q.awaitTermination()
     return spark.table(query_name).select("user_id", "purchase_event", "gap_us")
+
+
+def agg_state_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    target_path: str,
+) -> DataFrame:
+    """C9: streaming summary-delta maintenance — the foreachBatch form
+    of the batch A34 operator: each micro-batch collapses to per-user
+    partial aggregates (count + exact bigint micros sum — integer
+    partials merge order-independently) and merges into the aggregate
+    state table via operators/merge.merge_agg_state. The base fact is
+    never re-read; per-epoch work tracks the micro-batch size plus
+    |state|.
+
+    Additive state is NOT replay-idempotent (re-applying a batch
+    double-counts, unlike the upsert merge), so each state version
+    carries the epoch that produced it and a replayed epoch is
+    skipped: the epoch watermark commits atomically with the data in
+    the same versioned-store pointer swap.
+
+    After the bounded run the state equals the batch aggregate over
+    the whole source — the full SQL oracle."""
+    ev = events_stream(spark, sf_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as FF
+
+        from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import (
+            merge_agg_state,
+        )
+        from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+
+        sp = batch_df.sparkSession
+        delta = batch_df.select(
+            "user_id",
+            FF.round(FF.col("value") * 1000000)
+            .cast("bigint")
+            .alias("value_micros"),
+        )
+        try:
+            state = store.read_table(sp, target_path)
+        except Exception:
+            state = None
+        if state is not None and state.select(
+            FF.max("_epoch")
+        ).first()[0] >= epoch_id:
+            return  # replayed micro-batch: already committed
+        if state is None:
+            merged = delta.groupBy("user_id").agg(
+                FF.count(FF.lit(1)).alias("n"),
+                FF.sum("value_micros").alias("value_micros"),
+            )
+        else:
+            merged = merge_agg_state(
+                state.drop("_epoch"),
+                delta,
+                keys=["user_id"],
+                sum_cols=["value_micros"],
+            )
+        store.write_table(
+            merged.withColumn("_epoch", FF.lit(epoch_id)), target_path
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+
+    return store.read_table(spark, target_path).select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        (F.col("value_micros") / 1000000.0).alias("total_value"),
+    )

@@ -298,3 +298,37 @@ def test_buffered_funnel_correct_under_crossbatch_disorder(spark, tmp_path):
     # the unbuffered funnel would drop. purchase@65 and purchase@110
     # stay pending (they would finalize as the stream ran on).
     assert got == {(2, 20 * MIN)}
+
+
+def test_stream_agg_state_converges_and_skips_replay(spark):
+    """Converged streaming aggregate state == the batch per-user
+    aggregate; a SECOND bounded run over the same target (fresh
+    checkpoint => epochs restart at 0) is classified as replay by the
+    epoch watermark and leaves the state bit-identical — the additive
+    merge must never double-count."""
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        agg_state_stream,
+    )
+
+    target = tempfile.mkdtemp(prefix="t_agg_state_") + "/state"
+    first = {tuple(r) for r in agg_state_stream(spark, SF_SMOKE, target).collect()}
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    from pyspark.sql import functions as F
+
+    batch = {
+        tuple(r)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 1000000).cast("bigint"))
+                / 1000000.0
+            ).alias("total_value"),
+        )
+        .collect()
+    }
+    assert first == batch
+
+    second = {tuple(r) for r in agg_state_stream(spark, SF_SMOKE, target).collect()}
+    assert second == first
