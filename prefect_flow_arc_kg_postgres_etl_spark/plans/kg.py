@@ -1430,3 +1430,79 @@ SELECT o_custkey,
 FROM orders
 GROUP BY o_custkey
 """
+
+
+# ------------------------------------- A35 bucketed co-located join
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-to-fact join via BUCKETED storage layout: both
+    orders and lineitem land bucketed (and sorted) by the join key, so
+    the join — AND the per-order aggregation after it, which shares
+    the key — consume the on-disk partitioning with ZERO exchanges
+    (plan-audited in tests/test_plan_audit.py). This is the storage
+    answer to the one shuffle the upsert/star-join plans still pay:
+    when two 100 TB facts join on the same key every day, bucketing
+    moves that shuffle from every query into the single landing write
+    (which itself needs no exchange — each writer task splits its rows
+    across bucket files locally).
+
+    Spark's native (non-Hive) catalog handles bucketed parquet tables.
+    Each call lands EXTERNAL tables at a fresh temp location: catalog
+    metadata is per-session while managed-table directories persist,
+    so a managed DROP+rewrite collides across sessions
+    (LOCATION_ALREADY_EXISTS — hit in-session); a unique path also
+    keeps the entry independent of the driver's cwd/warehouse. The
+    oracle is the plain join+agg — layout must never change results."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    root = tempfile.mkdtemp(prefix="bucketed_")
+    for name, df, key in (
+        ("b_orders", orders, "o_orderkey"),
+        ("b_lineitem", li, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(16, key)
+            .sortBy(key)
+            .option("path", f"{root}/{name}")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    bo = spark.table("b_orders")
+    bl = spark.table("b_lineitem")
+    # Exact e4-unit revenue: price and discount are 2-decimal values, so
+    # per-line revenue is an exact 4-decimal number — a double ROUND(x, 2)
+    # then sits exactly on .xx5 half-way points where Spark (HALF_UP on
+    # the shortest decimal repr) and DuckDB (round on the binary double)
+    # systematically disagree (hit in-session). Integer arithmetic has no
+    # rounding step at all.
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.first("o_totalprice").alias("o_totalprice"),
+            (F.sum(rev_e4) / 10000.0).alias("lineitem_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+BUCKETED_JOIN_ORACLE = """
+SELECT o_orderkey,
+       MIN(o_totalprice) AS o_totalprice,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) / 10000.0
+         AS lineitem_revenue,
+       COUNT(*) AS n_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey
+"""

@@ -384,6 +384,11 @@ QUERIES: dict[str, QuerySpec] = {
         streaming_plans.stream_agg_state,
         streaming_plans.STREAM_AGG_STATE_ORACLE,
     ),
+    # A35: bucketed co-located fact-to-fact join — zero exchanges in
+    # join AND downstream agg (plan-audited); oracle = plain join+agg.
+    "bucketed_join_colocated": QuerySpec(
+        kg.bucketed_join_colocated, kg.BUCKETED_JOIN_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

@@ -458,6 +458,29 @@ def test_q6_all_predicates_reach_the_scan(spark):
         )
 
 
+def test_bucketed_join_has_zero_shuffle_exchanges(spark):
+    """The co-located join's whole point: with both facts bucketed on
+    the join key, the join AND the same-key aggregation after it must
+    consume the storage partitioning — no ShuffleExchange anywhere in
+    the executed plan (Sort nodes are fine; shuffles are not)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.plans.registry import QUERIES
+
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["bucketed_join_colocated"].builder(spark, SF_SMOKE)
+        df.write.format("noop").mode("overwrite").save()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, (
+        "bucketed join reintroduced a shuffle\n" + plan
+    )
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, (
+        "scan is not bucket-aware\n" + plan
+    )
+
+
 def test_q9_pushes_part_filter_and_broadcasts_nation_only(spark):
     plan = build(spark, "q9_product_profit")
     assert "StringContains(p_name,red)" in plan
