@@ -1506,3 +1506,29 @@ SELECT o_orderkey,
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderkey
 """
+
+
+# --------------------------------------------- A36 skew-salted join
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/merge.salted_join): the fact side's
+    key gets a deterministic hash-salt component and the dim side is
+    replicated salt-ways, splitting one pathological hot key across
+    ``salt`` even partitions. AQE's skew-join splitter handles most
+    skew at runtime; explicit salting is for the key it can't split (a
+    single key bigger than a partition — one user producing a billion
+    events). Salting must never change RESULTS — the oracle is the
+    plain join, and the outer-mode guard (replication would duplicate
+    unmatched dim rows) is unit-tested."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    return M.salted_join(ev, cust, "user_id", salt=8)
+
+
+SKEW_SALTED_ORACLE = """
+SELECT user_id, event_id, event_type, value, c_name, c_mktsegment
+FROM events JOIN customer ON user_id = c_custkey
+"""

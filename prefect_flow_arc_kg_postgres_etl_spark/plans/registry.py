@@ -389,6 +389,11 @@ QUERIES: dict[str, QuerySpec] = {
     "bucketed_join_colocated": QuerySpec(
         kg.bucketed_join_colocated, kg.BUCKETED_JOIN_ORACLE
     ),
+    # A36: deterministic-salt skew join — salting must never change
+    # results; oracle = the plain join.
+    "skew_salted_join": QuerySpec(
+        kg.skew_salted_join, kg.SKEW_SALTED_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.
