@@ -76,6 +76,13 @@ HEADLINE = [
     # aggregation-replanned double self-join (the heaviest of the five).
     "q8_market_share",
     "q21_waiting_suppliers",
+    # Round-5 fourth append: the Bloom decontamination scale path, the
+    # edit-distance verify tier, summary-delta aggregate maintenance,
+    # and the sliding-window expansion agg.
+    "corpus_decontaminate_bloom",
+    "dedup_edit_distance",
+    "agg_incremental_refresh",
+    "events_sliding_window",
 ]
 
 

@@ -1532,3 +1532,77 @@ SKEW_SALTED_ORACLE = """
 SELECT user_id, event_id, event_type, value, c_name, c_mktsegment
 FROM events JOIN customer ON user_id = c_custkey
 """
+
+
+# ----------------------------------- A37/A38 SPARQL DESCRIBE and ASK
+def kg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE: every triple about the resources a pattern
+    matches — with CONSTRUCT (A3/A17/A22-24), SELECT-shaped views and
+    ASK below, this completes the SPARQL query-form surface. The match
+    (customers in the BUILDING segment) produces a subject set; the
+    description is a LEFT SEMI join of the triple store on subject —
+    one keyed shuffle (or a broadcast when the matched set is small),
+    never a collect of the subject list to the driver."""
+    cust = load_table(spark, sf_dir, "customer")
+    triples = T.melt(
+        cust, "c_custkey", CUSTOMER_COLS, subject_prefix="customer:"
+    )
+    subjects = triples.filter(
+        (F.col("predicate") == "c_mktsegment")
+        & (F.col("object") == "BUILDING")
+    ).select("subject")
+    return (
+        triples.join(subjects, "subject", "left_semi")
+        .select("subject", "predicate", "object")
+    )
+
+
+KG_DESCRIBE_ORACLE = f"""
+WITH melted AS ({KG_MELT_ORACLE})
+SELECT subject, predicate, object FROM melted
+WHERE subject IN (SELECT subject FROM melted
+                  WHERE predicate = 'c_mktsegment' AND object = 'BUILDING')
+"""
+
+
+def kg_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK: existence of a pattern match, nothing else. Each ask
+    evaluates over a LIMIT-1 subplan — CollectLimit stops the scan at
+    the first matching row, so a true ASK touches one row-group's worth
+    of data, not the store (the count aggregates the at-most-one
+    surviving row into the boolean). Two asks — one satisfiable, one
+    not — pin both outcomes."""
+    cust = load_table(spark, sf_dir, "customer")
+    triples = T.melt(
+        cust, "c_custkey", CUSTOMER_COLS, subject_prefix="customer:"
+    )
+
+    def ask(name: str, cond) -> DataFrame:
+        return (
+            triples.filter(cond)
+            .limit(1)
+            .agg((F.count(F.lit(1)) > 0).alias("ask"))
+            .select(F.lit(name).alias("pattern"), "ask")
+        )
+
+    yes = ask(
+        "building_segment_exists",
+        (F.col("predicate") == "c_mktsegment") & (F.col("object") == "BUILDING"),
+    )
+    no = ask(
+        "phantom_segment_exists",
+        (F.col("predicate") == "c_mktsegment") & (F.col("object") == "PHANTOM"),
+    )
+    return yes.unionByName(no)
+
+
+KG_ASK_ORACLE = f"""
+WITH melted AS ({KG_MELT_ORACLE})
+SELECT 'building_segment_exists' AS pattern,
+       EXISTS(SELECT 1 FROM melted
+              WHERE predicate = 'c_mktsegment' AND object = 'BUILDING') AS ask
+UNION ALL
+SELECT 'phantom_segment_exists',
+       EXISTS(SELECT 1 FROM melted
+              WHERE predicate = 'c_mktsegment' AND object = 'PHANTOM')
+"""

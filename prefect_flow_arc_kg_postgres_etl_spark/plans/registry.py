@@ -394,6 +394,15 @@ QUERIES: dict[str, QuerySpec] = {
     "skew_salted_join": QuerySpec(
         kg.skew_salted_join, kg.SKEW_SALTED_ORACLE
     ),
+    # A37/A38: SPARQL DESCRIBE (semi-join on matched subjects) and ASK
+    # (LIMIT-1 existence) — completes the SPARQL query-form surface.
+    "kg_describe": QuerySpec(kg.kg_describe, kg.KG_DESCRIBE_ORACLE),
+    "kg_ask": QuerySpec(kg.kg_ask, kg.KG_ASK_ORACLE),
+    # B40: sliding event-time windows (scan-side 4-way expansion, one
+    # hash agg) — the batch twin of the streaming windowed aggs.
+    "events_sliding_window": QuerySpec(
+        relational.events_sliding_window, relational.EVENTS_SLIDING_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

@@ -1688,3 +1688,44 @@ WHERE s_suppkey = l1.l_suppkey
   )
 GROUP BY s_name
 """
+
+
+# ---------------------------------------------- B40 sliding window agg
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) event-time windows — 1-hour width, 15-min
+    slide: each event lands in exactly width/slide = 4 windows. Spark's
+    F.window(slide) plans this as a scan-side 4-row expansion feeding
+    ONE hash aggregation (map-side combining) — no self-join, no
+    per-offset shuffle; output cardinality is bounded by time range /
+    slide regardless of input size. The batch twin of the streaming
+    windowed aggs (C2/C2b), which accept the same slide parameter."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window").getField("start").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+EVENTS_SLIDING_ORACLE = """
+WITH e AS (
+  -- microseconds, not CAST(EPOCH(..)), which ROUNDS fractional seconds
+  SELECT EPOCH_US(ts) AS us, value FROM events
+), expanded AS (
+  SELECT (us // 900000000 - i) * 900000000 AS wstart, value
+  FROM e, UNNEST(generate_series(0, 3)) AS t(i)
+)
+SELECT TIMESTAMP '1970-01-01 00:00:00'
+         + to_microseconds(CAST(wstart AS BIGINT)) AS window_start,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS total_value
+FROM expanded
+GROUP BY 1
+"""
