@@ -1606,3 +1606,118 @@ SELECT 'phantom_segment_exists',
        EXISTS(SELECT 1 FROM melted
               WHERE predicate = 'c_mktsegment' AND object = 'PHANTOM')
 """
+
+
+# ----------------------------------- A39/A40 data-quality operators
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling in ONE aggregation pass: null count, exact
+    distinct count, min/max (stringified) for every orders column —
+    the stats a loader publishes after each sync (the reference keeps
+    per-partition counts, update_partition.sql stats; this is the
+    column-level generalization). One scan, one shuffle: all columns
+    profile in the same hash aggregate instead of a per-column scan
+    loop (count_distinct over N columns is one pass — each input row
+    updates N accumulators). Output is long-form (column, metric rows)
+    so the schema is stable however many columns the table has."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = orders.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"mx_{c}"),
+        ]
+    wide = orders.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"nn_{c}").cast("bigint").alias("n_nulls"),
+            F.col(f"nd_{c}").cast("bigint").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_value"),
+            F.col(f"mx_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return wide.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select("p.column", "p.n_nulls", "p.n_distinct", "p.min_value", "p.max_value")
+
+
+TABLE_PROFILE_ORACLE = " UNION ALL ".join(
+    f"SELECT '{c}' AS column, "
+    f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+    f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+    f"MIN(CAST({c} AS VARCHAR)) AS min_value, "
+    f"MAX(CAST({c} AS VARCHAR)) AS max_value FROM orders"
+    for c in [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+)
+
+
+def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation pass — the checks a loader runs before
+    committing a sync (the reference trusts FK merge order,
+    get_dependent_tables.sql; this VERIFIES the invariants instead):
+    primary-key uniqueness (orders.o_orderkey), referential integrity
+    (lineitem.l_orderkey -> orders, customer FK of orders), and
+    not-null. Each check is its own minimal plan — PK duplicates from
+    one count-agg over keys, FK orphans from a LEFT ANTI join (never a
+    count-distinct of the parent), null checks scan-side — and the
+    summary is a tiny union of 1-row aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    pk_dups = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_pk_unique").alias("check"), "violations")
+    )
+    fk_li = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("lineitem_orderkey_fk").alias("check"), "violations")
+    )
+    fk_cust = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_custkey_fk").alias("check"), "violations")
+    )
+    nn = (
+        orders.filter(
+            F.col("o_orderkey").isNull() | F.col("o_orderdate").isNull()
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_not_null").alias("check"), "violations")
+    )
+    return pk_dups.unionByName(fk_li).unionByName(fk_cust).unionByName(nn)
+
+
+DQ_CHECK_ORACLE = """
+SELECT 'orders_pk_unique' AS check,
+       CAST((SELECT COUNT(*) FROM (
+          SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1
+       )) AS BIGINT) AS violations
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+UNION ALL
+SELECT 'orders_custkey_fk',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'orders_not_null',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderkey IS NULL OR o_orderdate IS NULL)
+"""

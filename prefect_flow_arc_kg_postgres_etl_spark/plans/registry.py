@@ -403,6 +403,12 @@ QUERIES: dict[str, QuerySpec] = {
     "events_sliding_window": QuerySpec(
         relational.events_sliding_window, relational.EVENTS_SLIDING_ORACLE
     ),
+    # A39/A40: data-quality surface — one-pass column profiler and the
+    # PK/FK/not-null constraint validation a loader runs pre-commit.
+    "table_profile": QuerySpec(kg.table_profile, kg.TABLE_PROFILE_ORACLE),
+    "dq_constraint_check": QuerySpec(
+        kg.dq_constraint_check, kg.DQ_CHECK_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.
