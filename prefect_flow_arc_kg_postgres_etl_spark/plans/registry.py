@@ -409,6 +409,15 @@ QUERIES: dict[str, QuerySpec] = {
     "dq_constraint_check": QuerySpec(
         kg.dq_constraint_check, kg.DQ_CHECK_ORACLE
     ),
+    # B41: gap-filled hourly series (in-plan sequence spine, agg before
+    # the fill join). C10: streaming DQ gate with dead-letter routing
+    # (epoch-keyed overwrite idempotency; row conservation in-oracle).
+    "events_gap_fill": QuerySpec(
+        relational.events_gap_fill, relational.EVENTS_GAP_FILL_ORACLE
+    ),
+    "stream_dq_gate": QuerySpec(
+        streaming_plans.stream_dq_gate, streaming_plans.STREAM_DQ_GATE_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

@@ -1729,3 +1729,58 @@ SELECT TIMESTAMP '1970-01-01 00:00:00'
 FROM expanded
 GROUP BY 1
 """
+
+
+# ---------------------------------------------- B41 time-series gap fill
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per event type: hours with no events
+    appear with n=0 (the resample/fill step every downstream
+    time-series consumer needs). The hour spine is GENERATED IN-PLAN —
+    sequence() over the min/max hour bounds (a 1-row aggregate joined
+    broadcast), exploded, cross-joined with the distinct type set —
+    never a driver-side date loop; the fact aggregates BEFORE joining
+    the spine, so the outer join fills from |hours x types| rows
+    against |observed buckets|, both tiny next to the fact at any
+    scale."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    return (
+        spine.join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+
+
+EVENTS_GAP_FILL_ORACLE = """
+WITH bounds AS (
+  SELECT DATE_TRUNC('hour', MIN(ts)) AS lo, DATE_TRUNC('hour', MAX(ts)) AS hi
+  FROM events
+), spine AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+), types AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+  SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT s.hour, t.event_type, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+FROM spine s CROSS JOIN types t
+LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+"""

@@ -256,3 +256,23 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+def stream_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: streaming quality gate with dead-letter routing. Row
+    conservation is built into the oracle: every source row appears in
+    exactly one sink, tagged."""
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        dq_gate_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_dq_")
+    return dq_gate_stream(spark, sf_dir, root)
+
+
+STREAM_DQ_GATE_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props,
+       CASE WHEN value >= 0 AND value <= 90
+            THEN 'valid' ELSE 'dead_letter' END AS sink
+FROM events
+"""

@@ -762,3 +762,49 @@ def agg_state_stream(
         F.col("n").alias("n_events"),
         (F.col("value_micros") / 1000000.0).alias("total_value"),
     )
+
+
+def dq_gate_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+) -> DataFrame:
+    """C10: streaming quality gate with a DEAD-LETTER side output —
+    the production ingestion pattern: rows passing the contract land
+    in the main sink, violators land in a quarantine sink WITH the
+    batch that carried them, nothing is dropped silently (total row
+    conservation is part of the oracle: valid ∪ dead == source).
+
+    Each epoch writes both splits into epoch-keyed subdirectories with
+    overwrite — a replayed micro-batch rewrites its own directory
+    instead of appending duplicates, the same idempotency trick as the
+    versioned store but per-sink. The gate predicate is evaluated once
+    per row scan-side; the split is two filters off the same cached
+    micro-batch, not two source reads."""
+    ev = events_stream(spark, sf_dir)
+    rule = (F.col("value") >= 0) & (F.col("value") <= 90)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as FF
+
+        b = batch_df.persist()
+        ok = b.filter(rule)
+        dead = b.filter(~FF.coalesce(rule, FF.lit(False)))
+        ok.write.mode("overwrite").parquet(f"{out_root}/valid/epoch={epoch_id}")
+        dead.write.mode("overwrite").parquet(
+            f"{out_root}/dead_letter/epoch={epoch_id}"
+        )
+        b.unpersist()
+
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    valid = spark.read.parquet(f"{out_root}/valid").select(*cols)
+    dead = spark.read.parquet(f"{out_root}/dead_letter").select(*cols)
+    return valid.withColumn("sink", F.lit("valid")).unionByName(
+        dead.withColumn("sink", F.lit("dead_letter"))
+    )
