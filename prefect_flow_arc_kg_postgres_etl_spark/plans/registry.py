@@ -65,9 +65,18 @@ class QuerySpec:
 # window_range_interval, text_pii_redact, text_repetition,
 # ann_quantized_topk, q4_order_priority, q12_priority_lines,
 # q10_returned_items, q14_promo_revenue, q16_supplier_count,
-# q18_large_orders, q11_important_parts, source_orc_roundtrip
-# (40 candidates for ~40 slots — keep the 10 never-rotated r4
-# promotions in-window one more round only if red-risk is a concern).
+# q18_large_orders, q11_important_parts, source_orc_roundtrip,
+# and the late-r5 wave: q6_revenue_forecast, q8_market_share,
+# q15_top_supplier, q20_part_promotion, q21_waiting_suppliers,
+# dedup_edit_distance, corpus_decontaminate_bloom,
+# agg_incremental_refresh, stream_agg_state, bucketed_join_colocated,
+# skew_salted_join, kg_describe, kg_ask, events_sliding_window,
+# table_profile, dq_constraint_check, events_gap_fill, stream_dq_gate
+# (58 candidates for ~40 slots; prioritize never-checked entries over
+# veterans, and within those prefer the ones exercising distinct
+# machinery: bucketed_join_colocated, stream_agg_state,
+# agg_incremental_refresh, corpus_decontaminate_bloom, kg_describe,
+# kg_ask, dq_constraint_check, the TPC-H five).
 QUERIES: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
