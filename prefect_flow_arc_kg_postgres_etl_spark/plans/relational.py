@@ -1641,9 +1641,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the order date — the receipt>commit analogue this schema
     supports), and keep orders with >1 supplier but exactly 1 late
     one. numwait counts that lone supplier's late LINES, matching the
-    row-per-l1 semantics of the EXISTS formulation. The fact shuffles
-    once on orderkey instead of three times; the supplier name attach
-    joins the (small) aggregate, never the fact."""
+    row-per-l1 semantics of the EXISTS formulation. Aggregation is
+    TWO-LEVEL — per (order, supplier), then per order — because the
+    direct form (two countDistinct over DIFFERENT expressions in one
+    agg) plans Spark's EXPAND strategy and shuffles the fact at 3x
+    volume (seen in .explain); the two-level form shuffles the fact
+    once on (orderkey, suppkey) and everything after runs over the
+    aggregate. The supplier name attach joins the (small) aggregate,
+    never the fact."""
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
@@ -1652,11 +1657,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         "INTERVAL 60 DAYS"
     )
-    per_order = joined.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("nsupp"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("nlate"),
-        F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
-        F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"),
+    per_os = joined.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(late, 1).otherwise(0)).alias("is_late"),
+        F.sum(F.when(late, 1).otherwise(0)).alias("supp_late_lines"),
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("nsupp"),
+        F.sum("is_late").alias("nlate"),
+        F.min(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+        F.sum(
+            F.when(F.col("is_late") == 1, F.col("supp_late_lines")).otherwise(0)
+        ).alias("late_lines"),
     )
     qual = per_order.filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
     supp = load_table(spark, sf_dir, "supplier")
