@@ -1610,47 +1610,80 @@ SELECT 'phantom_segment_exists',
 
 # ----------------------------------- A39/A40 data-quality operators
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column profiling in ONE aggregation pass: null count, exact
-    distinct count, min/max (stringified) for every orders column —
-    the stats a loader publishes after each sync (the reference keeps
+    """Column profiling for every orders column — null count, exact
+    distinct count, typed min/max (stringified after the agg) — the
+    stats a loader publishes after each sync (the reference keeps
     per-partition counts, update_partition.sql stats; this is the
-    column-level generalization). One scan, one shuffle: all columns
-    profile in the same hash aggregate instead of a per-column scan
-    loop (count_distinct over N columns is one pass — each input row
-    updates N accumulators). Output is long-form (column, metric rows)
-    so the schema is stable however many columns the table has."""
+    column-level generalization).
+
+    Two expand-free single-pass legs instead of one agg with N
+    countDistinct: multiple distinct aggregates make Spark plan the
+    EXPAND strategy — the scan's rows multiply (N+1)x before the
+    partial agg (the same trap q21 hit; caught here by .explain).
+    Leg 1 computes nulls + typed min/max in one distinct-free wide
+    aggregate; leg 2 melts columns to (column, value) rows scan-side
+    and two-level-aggregates — groupBy(column, value) then
+    groupBy(column) — which IS the exact distinct count with plain
+    counts only. The legs join on the 6-row summary. Long-form output
+    keeps the schema stable however many columns the table has."""
     orders = load_table(spark, sf_dir, "orders")
     cols = orders.columns
     aggs = []
     for c in cols:
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
-            F.min(F.col(c).cast("string")).alias(f"mn_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"mx_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nn_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
         ]
     wide = orders.agg(*aggs)
     per_col = [
         F.struct(
             F.lit(c).alias("column"),
-            F.col(f"nn_{c}").cast("bigint").alias("n_nulls"),
-            F.col(f"nd_{c}").cast("bigint").alias("n_distinct"),
+            F.col(f"nn_{c}").alias("n_nulls"),
             F.col(f"mn_{c}").alias("min_value"),
             F.col(f"mx_{c}").alias("max_value"),
         )
         for c in cols
     ]
-    return wide.select(
-        F.explode(F.array(*per_col)).alias("p")
-    ).select("p.column", "p.n_nulls", "p.n_distinct", "p.min_value", "p.max_value")
+    typed = wide.select(F.explode(F.array(*per_col)).alias("p")).select(
+        "p.column", "p.n_nulls", "p.min_value", "p.max_value"
+    )
+    melted = orders.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("m")
+    ).select("m.column", "m.value")
+    distinct_counts = (
+        melted.groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("column")
+        .agg(
+            F.count(F.when(F.col("value").isNotNull(), 1))
+            .cast("bigint")
+            .alias("n_distinct")
+        )
+    )
+    return typed.join(distinct_counts, "column").select(
+        "column", "n_nulls", "n_distinct", "min_value", "max_value"
+    )
 
 
 TABLE_PROFILE_ORACLE = " UNION ALL ".join(
     f"SELECT '{c}' AS column, "
     f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
     f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
-    f"MIN(CAST({c} AS VARCHAR)) AS min_value, "
-    f"MAX(CAST({c} AS VARCHAR)) AS max_value FROM orders"
+    f"CAST(MIN({c}) AS VARCHAR) AS min_value, "
+    f"CAST(MAX({c}) AS VARCHAR) AS max_value FROM orders"
     for c in [
         "o_orderkey",
         "o_custkey",
