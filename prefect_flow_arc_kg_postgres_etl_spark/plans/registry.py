@@ -427,6 +427,11 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_dq_gate": QuerySpec(
         streaming_plans.stream_dq_gate, streaming_plans.STREAM_DQ_GATE_ORACLE
     ),
+    # B42: the full ranking-function family fused into one WindowExec.
+    "orders_window_functions": QuerySpec(
+        relational.orders_window_functions,
+        relational.ORDERS_WINDOW_FUNCS_ORACLE,
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

@@ -1797,3 +1797,45 @@ SELECT s.hour, t.event_type, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
 FROM spine s CROSS JOIN types t
 LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
 """
+
+
+# ------------------------------------- B42 ranking-function parity
+def orders_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over ONE window spec — rank,
+    dense_rank, percent_rank, cume_dist, ntile, lag/lead — computed in
+    a single Window pass (one shuffle on the partition key, one sort;
+    Spark fuses same-spec window functions into one WindowExec). The
+    ORDER BY carries the PK tiebreak, so every function is
+    deterministic in both engines. percent_rank/cume_dist are exact
+    rationals computed identically (same operand order) — rounded only
+    to normalize the textual repr."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+    )
+
+
+ORDERS_WINDOW_FUNCS_ORACLE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CAST(RANK() OVER w AS INT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       LAG(o_totalprice, 1) OVER w AS prev_price,
+       LEAD(o_totalprice, 1) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
