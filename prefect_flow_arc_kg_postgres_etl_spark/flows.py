@@ -89,6 +89,60 @@ TABLE_ORG: dict[str, str] = {
     "supplier": "s_nationkey",
 }
 
+# FK column map (child column -> parent table/column) — the edge labels
+# of TABLE_DEPS, used by validate_store to check referential integrity
+# of the converged store the way the reference TRUSTS its FK merge
+# order to preserve it (get_dependent_tables.sql).
+TABLE_FK: dict[str, list[tuple[str, str, str]]] = {
+    "nation": [("n_regionkey", "region", "r_regionkey")],
+    "customer": [("c_nationkey", "nation", "n_nationkey")],
+    "supplier": [("s_nationkey", "nation", "n_nationkey")],
+    "orders": [("o_custkey", "customer", "c_custkey")],
+    "lineitem": [
+        ("l_orderkey", "orders", "o_orderkey"),
+        ("l_partkey", "part", "p_partkey"),
+        ("l_suppkey", "supplier", "s_suppkey"),
+    ],
+}
+
+
+def validate_store(
+    spark: SparkSession,
+    store_dir: str,
+    tables: list[str] | None = None,
+) -> dict[str, dict[str, int]]:
+    """Post-merge constraint validation of the converged store: PK
+    uniqueness per table (skipping multi-value tables, which have no
+    row PK by design) and FK orphans along every TABLE_FK edge whose
+    parent is in scope. Each check is the minimal plan (count-agg over
+    keys / LEFT ANTI join); a parent outside the run's table scope is
+    skipped, not failed. Returns {table: {check: violation_count}} —
+    all zeros on a healthy store."""
+    wanted = tables or list(TABLE_PK)
+    out: dict[str, dict[str, int]] = {}
+    for name in wanted:
+        t = store.read_table(spark, f"{store_dir}/{name}.parquet")
+        checks: dict[str, int] = {}
+        if name not in TABLE_MULTIVALUE:
+            pk = TABLE_PK[name]
+            checks["pk_dup_keys"] = (
+                t.groupBy(*pk)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .count()
+            )
+        for col, parent, pcol in TABLE_FK.get(name, []):
+            if parent not in wanted:
+                continue
+            p = store.read_table(
+                spark, f"{store_dir}/{parent}.parquet"
+            ).select(pcol)
+            checks[f"fk_orphans_{col}"] = (
+                t.select(col).join(p, t[col] == p[pcol], "left_anti").count()
+            )
+        out[name] = checks
+    return out
+
 
 class RunStats(dict):
     """Run accounting (the Stats surface of typescript/src/stats.ts:1-17
@@ -128,6 +182,7 @@ def sync_flow(
     tables: list[str] | None = None,
     build_index: bool = True,
     collect_stats: bool = True,
+    validate: bool = False,
 ) -> RunStats:
     """Run one sync: load every table from ``sf_dir`` into the store at
     ``store_dir`` (full = overwrite, incremental = PK upsert of rows
@@ -239,6 +294,19 @@ def sync_flow(
         write_bulk_ndjson(docs, f"{store_dir}/_index/es_bulk")
         stats["index_documents"] = count(
             spark.read.text(f"{store_dir}/_index/es_bulk")
+        )
+    if validate:
+        # Post-merge DQ gate (validate_store): PK + FK checks over the
+        # CONVERGED store, recorded per table; dq_violations is the run
+        # total an operator alerts on. Opt-in like collect_stats — each
+        # check is an extra (minimal) pass over the store.
+        violations = validate_store(
+            spark, store_dir, [n for n in wanted if stats.tables[n]["status"] == "merged"]
+        )
+        for name, checks in violations.items():
+            stats.tables[name]["violations"] = checks
+        stats["dq_violations"] = sum(
+            v for checks in violations.values() for v in checks.values()
         )
     return stats
 

@@ -239,3 +239,45 @@ def test_curation_flow_composes_gates_end_to_end(spark):
     # offset binning: a pack overflows by at most one document
     for (_, _pid), tok in per_pack.items():
         assert tok <= 2048 + max(r.tokens for r in rows)
+
+
+def test_sync_flow_validate_clean_store(spark, tmp_path):
+    """A healthy full sync validates clean: every PK/FK check zero."""
+    from prefect_flow_arc_kg_postgres_etl_spark.flows import sync_flow
+
+    store_dir = str(tmp_path / "store_v")
+    stats = sync_flow(
+        spark, SF_SMOKE, store_dir, full_sync=True, build_index=False,
+        validate=True,
+    )
+    assert stats["dq_violations"] == 0
+    assert stats.tables["lineitem"]["violations"]["fk_orphans_l_orderkey"] == 0
+    # multi-value tables have no row PK — no pk check recorded
+    assert "pk_dup_keys" not in stats.tables["lineitem"]["violations"]
+    assert stats.tables["orders"]["violations"]["pk_dup_keys"] == 0
+
+
+def test_validate_store_detects_planted_corruption(spark, tmp_path):
+    """Planted defects surface in the right check: a duplicated order
+    PK and a lineitem pointing at a nonexistent order."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_kg_postgres_etl_spark.flows import (
+        sync_flow,
+        validate_store,
+    )
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+
+    store_dir = str(tmp_path / "store_c")
+    sync_flow(spark, SF_SMOKE, store_dir, full_sync=True, build_index=False)
+
+    orders = store.read_table(spark, f"{store_dir}/orders.parquet")
+    store.write_table(orders.unionByName(orders.limit(1)), f"{store_dir}/orders.parquet")
+    li = store.read_table(spark, f"{store_dir}/lineitem.parquet")
+    orphan = li.limit(1).withColumn("l_orderkey", F.lit(999_999_999))
+    store.write_table(li.unionByName(orphan), f"{store_dir}/lineitem.parquet")
+
+    v = validate_store(spark, store_dir)
+    assert v["orders"]["pk_dup_keys"] == 1
+    assert v["lineitem"]["fk_orphans_l_orderkey"] == 1
+    assert v["customer"]["fk_orphans_c_nationkey"] == 0
