@@ -137,8 +137,15 @@ def validate_store(
             p = store.read_table(
                 spark, f"{store_dir}/{parent}.parquet"
             ).select(pcol)
+            # SQL FK semantics: a NULL child key satisfies the
+            # constraint (it references nothing) — only NON-NULL keys
+            # without a parent are orphans; a bare left_anti would
+            # count every NULL row as a violation.
             checks[f"fk_orphans_{col}"] = (
-                t.select(col).join(p, t[col] == p[pcol], "left_anti").count()
+                t.select(col)
+                .filter(F.col(col).isNotNull())
+                .join(p, t[col] == p[pcol], "left_anti")
+                .count()
             )
         out[name] = checks
     return out
@@ -238,14 +245,18 @@ def sync_flow(
             batch.write.mode("overwrite").parquet(staging)
             staged = spark.read.parquet(staging)
             n_staged = count(staged)
-            try:
-                target = store.read_table(spark, path)
-            except Exception:
+            if not store.table_exists(path):
                 # First incremental load of a never-full-synced table:
                 # the staged batch IS the initial table (same fallback
-                # stage_then_merge applies on the PK path).
+                # stage_then_merge applies on the PK path). Detected
+                # via table_exists — a transient READ failure must
+                # surface as this table's recorded failure, not
+                # silently restart it from the batch.
+                target = None
                 merged = staged
             else:
+                target = store.read_table(spark, path)
+            if target is not None:
                 from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import (
                     conform_to_schema,
                 )
@@ -299,9 +310,17 @@ def sync_flow(
         # Post-merge DQ gate (validate_store): PK + FK checks over the
         # CONVERGED store, recorded per table; dq_violations is the run
         # total an operator alerts on. Opt-in like collect_stats — each
-        # check is an extra (minimal) pass over the store.
-        violations = validate_store(
-            spark, store_dir, [n for n in wanted if stats.tables[n]["status"] == "merged"]
+        # check is an extra (minimal) pass over the store. Only tables
+        # that actually merged THIS run validate — and an all-failed
+        # run validates nothing (the empty list must not fall through
+        # to validate_store's validate-everything default).
+        merged_tables = [
+            n for n in wanted if stats.tables[n]["status"] == "merged"
+        ]
+        violations = (
+            validate_store(spark, store_dir, merged_tables)
+            if merged_tables
+            else {}
         )
         for name, checks in violations.items():
             stats.tables[name]["violations"] = checks

@@ -243,7 +243,10 @@ def decontaminate_bloom(
     No false negatives (a shared gram always hits its own bits), and
     the exact verify removes false positives — so the survivors equal
     ``decontaminate``'s exactly; that equality is the oracle contract.
-    The train corpus itself is still never shuffled."""
+    The survivor anti join carries no broadcast hint (the contaminated
+    set scales with the contaminated fraction — AQE broadcasts it
+    while small and falls back to a shuffle when it is not); the train
+    corpus stays unshuffled in the common small-contamination case."""
     bench_grams = (
         doc_ngrams(benchmark, id_col, text_col, n).select("gram").distinct()
     )
@@ -276,8 +279,13 @@ def decontaminate_bloom(
     contaminated = (
         might.join(bench_grams, "gram", "left_semi").select("id").distinct()
     )
+    # No broadcast hint on the survivor anti join: the contaminated-id
+    # set scales with the contaminated FRACTION, not with the fixed
+    # filter — in this operator's large-eval regime it can be huge, and
+    # a forced broadcast would contradict the whole design (AQE still
+    # broadcasts it while it is actually small).
     return train.join(
-        F.broadcast(contaminated),
+        contaminated,
         train[id_col] == contaminated["id"],
         "left_anti",
     )

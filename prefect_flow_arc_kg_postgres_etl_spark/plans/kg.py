@@ -1716,13 +1716,18 @@ def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("violations"))
         .select(F.lit("orders_pk_unique").alias("check"), "violations")
     )
+    # SQL FK semantics: NULL child keys satisfy the constraint, so the
+    # anti joins count only NON-NULL keys without a parent — matching
+    # the oracle's NOT IN, which also never flags NULL children.
     fk_li = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        li.filter(F.col("l_orderkey").isNotNull())
+        .join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("violations"))
         .select(F.lit("lineitem_orderkey_fk").alias("check"), "violations")
     )
     fk_cust = (
-        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("violations"))
         .select(F.lit("orders_custkey_fk").alias("check"), "violations")
     )

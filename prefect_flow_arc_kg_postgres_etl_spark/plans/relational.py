@@ -1418,15 +1418,24 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         ).agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            # Exact e4-unit arithmetic (price and discount are 2-decimal
+            # values, so revenue terms are exact 4-decimal numbers and a
+            # double ROUND(x,2) would sit exactly on .xx5 half-way
+            # points where the engines round differently — see A35).
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * F.round(F.col("l_discount") * 100).cast("long")
+                )
+                / 10000.0
             ).alias("revenue")
         )
     )
 
 
 Q6_ORACLE = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -1539,10 +1548,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_suppkey").isNotNull()
     )
     supp = load_table(spark, sf_dir, "supplier")
+    # Exact e4 units (see q6/A35): revenue terms are exact 4-decimal
+    # values, so the earlier ROUND(sum, 2) sat exactly on .xx5 points
+    # where the engines round apart — worse here than a flaky hash,
+    # because the max-equality join could then pick DIFFERENT winners.
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
     rev = li.groupBy("l_suppkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("total_revenue")
+        (F.sum(rev_e4) / 10000.0).alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -1555,7 +1569,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_ORACLE = """
 WITH rev AS (
   SELECT l_suppkey,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) / 10000.0
+           AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'

@@ -53,6 +53,21 @@ def read_table(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.read.parquet(version_dir(table_path, v))
 
 
+def table_exists(table_path: str) -> bool:
+    """True when the path holds a versioned table (live pointer) or a
+    flat legacy parquet directory. Callers that treat 'no table yet'
+    as a valid initial state must use THIS, not a bare try/except
+    around read_table — swallowing every read error turns a transient
+    failure (FS hiccup, corrupted footer) into 'no state', and a
+    subsequent write then silently destroys the previous state."""
+    if current_version(table_path) is not None:
+        return True
+    return os.path.isdir(table_path) and any(
+        f.endswith(".parquet") or f == "_SUCCESS"
+        for f in os.listdir(table_path)
+    )
+
+
 def write_table(df: DataFrame, table_path: str, prune: bool = True) -> int:
     """Land ``df`` as the next version of the table: ONE data write,
     then an atomic pointer swap. Returns the new version number.

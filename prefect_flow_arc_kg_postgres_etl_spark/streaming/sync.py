@@ -247,10 +247,14 @@ def incremental_upsert_stream(
         from prefect_flow_arc_kg_postgres_etl_spark.sources import store
 
         sp = batch_df.sparkSession
-        try:
-            target = store.read_table(sp, target_path)
-        except Exception:
-            target = None
+        # table_exists, not try/except: a transient read failure must
+        # fail the batch (retried by the engine), not be mistaken for
+        # 'no target yet' and overwrite the accumulated state.
+        target = (
+            store.read_table(sp, target_path)
+            if store.table_exists(target_path)
+            else None
+        )
         if target is None:
             merged = batch_df.dropDuplicates(keys)
         else:
@@ -704,7 +708,14 @@ def agg_state_stream(
     double-counts, unlike the upsert merge), so each state version
     carries the epoch that produced it and a replayed epoch is
     skipped: the epoch watermark commits atomically with the data in
-    the same versioned-store pointer swap.
+    the same versioned-store pointer swap. The watermark is only
+    meaningful within ONE logical stream, so the checkpoint persists
+    NEXT TO the target — a re-run over the same target resumes the
+    same stream (epochs keep increasing, only new files process); a
+    fresh checkpoint against existing state would replay old epochs
+    as new ones and double-count. 'No state yet' is detected via
+    store.table_exists, never by swallowing read errors (a transient
+    read failure must fail the batch, not wipe the aggregate).
 
     After the bounded run the state equals the batch aggregate over
     the whole source — the full SQL oracle."""
@@ -725,14 +736,17 @@ def agg_state_stream(
             .cast("bigint")
             .alias("value_micros"),
         )
-        try:
-            state = store.read_table(sp, target_path)
-        except Exception:
-            state = None
-        if state is not None and state.select(
-            FF.max("_epoch")
-        ).first()[0] >= epoch_id:
-            return  # replayed micro-batch: already committed
+        state = (
+            store.read_table(sp, target_path)
+            if store.table_exists(target_path)
+            else None
+        )
+        if state is not None:
+            last = state.select(FF.max("_epoch")).first()[0]
+            # last is None for an empty (zero-row) state version —
+            # nothing committed yet, so nothing can be a replay.
+            if last is not None and last >= epoch_id:
+                return  # replayed micro-batch: already committed
         if state is None:
             merged = delta.groupBy("user_id").agg(
                 FF.count(FF.lit(1)).alias("n"),
@@ -751,6 +765,7 @@ def agg_state_stream(
 
     q = (
         ev.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{target_path}_chk")
         .trigger(availableNow=True)
         .start()
     )
@@ -803,8 +818,17 @@ def dq_gate_stream(
     )
     q.awaitTermination()
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-    valid = spark.read.parquet(f"{out_root}/valid").select(*cols)
-    dead = spark.read.parquet(f"{out_root}/dead_letter").select(*cols)
+    # Explicit schema on the read-back: a sink that received ZERO rows
+    # across all epochs holds only _SUCCESS markers, and schema
+    # inference would fail exactly when the data is perfectly
+    # clean/dirty — the gate must return an empty split instead.
+    schema = ev.schema
+    valid = spark.read.schema(schema).parquet(f"{out_root}/valid").select(*cols)
+    dead = (
+        spark.read.schema(schema)
+        .parquet(f"{out_root}/dead_letter")
+        .select(*cols)
+    )
     return valid.withColumn("sink", F.lit("valid")).unionByName(
         dead.withColumn("sink", F.lit("dead_letter"))
     )

@@ -302,10 +302,11 @@ def test_buffered_funnel_correct_under_crossbatch_disorder(spark, tmp_path):
 
 def test_stream_agg_state_converges_and_skips_replay(spark):
     """Converged streaming aggregate state == the batch per-user
-    aggregate; a SECOND bounded run over the same target (fresh
-    checkpoint => epochs restart at 0) is classified as replay by the
-    epoch watermark and leaves the state bit-identical — the additive
-    merge must never double-count."""
+    aggregate; a SECOND bounded run over the same target RESUMES the
+    persisted checkpoint (no new source files => no new epochs) and
+    leaves the state bit-identical — the additive merge must never
+    double-count. The epoch watermark additionally guards foreachBatch
+    retries within a run."""
     from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
         agg_state_stream,
     )
