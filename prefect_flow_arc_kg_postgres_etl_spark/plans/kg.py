@@ -1759,3 +1759,29 @@ SELECT 'orders_not_null',
        (SELECT COUNT(*) FROM orders
         WHERE o_orderkey IS NULL OR o_orderdate IS NULL)
 """
+
+
+# ------------------------------------------ A41 z-order maintenance
+def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout maintenance end-to-end (sources/store.py
+    zorder_layout): orders rewrites clustered on the Morton curve of
+    (o_custkey, o_orderdate), so per-file min/max stats are narrow on
+    BOTH columns and a filter on either skips most files — the
+    multi-column data-skipping pass a 100 TB store runs as scheduled
+    maintenance. Content is untouched (identity oracle); the per-file
+    stat-narrowness contract is pinned in tests/test_sinks.py."""
+    import tempfile
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.store import (
+        zorder_layout,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="zorder_") + "/orders"
+    zorder_layout(orders, ["o_custkey", "o_orderdate"], n_files=16).write.mode(
+        "overwrite"
+    ).parquet(out)
+    return spark.read.parquet(out).select(*orders.columns)
+
+
+MAINTENANCE_ZORDER_ORACLE = "SELECT * FROM orders"

@@ -432,6 +432,11 @@ QUERIES: dict[str, QuerySpec] = {
         relational.orders_window_functions,
         relational.ORDERS_WINDOW_FUNCS_ORACLE,
     ),
+    # A41: z-order (Morton) layout maintenance — multi-column data
+    # skipping; identity oracle + per-file stat-narrowness test.
+    "maintenance_zorder": QuerySpec(
+        kg.maintenance_zorder, kg.MAINTENANCE_ZORDER_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

@@ -118,3 +118,70 @@ def compact_files(
     n_files = max(1, math.ceil(total / target_file_bytes))
     df.repartition(n_files).write.mode("overwrite").parquet(out_path)
     return spark.read.parquet(out_path)
+
+
+def zorder_layout(
+    df,
+    cols: list[str],
+    n_files: int,
+    bits: int = 8,
+):
+    """Z-ORDER (Morton-curve) clustering for multi-column data
+    skipping: quantile-bucket each layout column into a ``bits``-bit
+    integer, interleave the bits into one z-value, and RANGE-partition
+    the rewrite on it. Files then hold z-contiguous blocks, so the
+    parquet row-group/file min-max stats are NARROW on every layout
+    column at once — a filter on ANY of them skips most files, where a
+    plain sort gives narrow stats on the leading column only. This is
+    the lakehouse OPTIMIZE ZORDER BY pass, in plain DataFrame ops.
+
+    Scale shape: bucketing uses approx-quantile BOUNDARIES (one
+    mergeable-sketch aggregation; quantile cut points resist skew
+    where linear min/max buckets collapse onto hot ranges) folded into
+    a scan-side comparison chain — NOT a global ntile window, which
+    would be a single-partition sort of the whole table. The bit
+    interleave is a shiftleft/or expression chain (no UDF); the only
+    shuffle is the range partition (sample + exchange):
+    scheduled-maintenance cost, like compaction. Returns the laid-out
+    frame WITHOUT the helper column (write it with .write.parquet)."""
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+
+    def as_double(c: str):
+        # timestamps (ntz included) cannot cast to double directly:
+        # route through epoch seconds.
+        if df.schema[c].dataType.typeName().startswith("timestamp"):
+            return F.col(c).cast("timestamp").cast("long").cast("double")
+        return F.col(c).cast("double")
+
+    bucketed = df
+    rank_cols = []
+    for c in cols:
+        bounds = df.select(
+            F.percentile_approx(as_double(c), qs, 10_000).alias("b")
+        ).first()["b"]
+        rc = f"_r_{c}"
+        # rank = |boundaries < value|: a folded comparison chain over
+        # the broadcast (≤255-element) cut array, evaluated scan-side.
+        expr = F.lit(0)
+        for b in bounds:
+            expr = expr + F.when(
+                as_double(c) > F.lit(float(b)), 1
+            ).otherwise(0)
+        bucketed = bucketed.withColumn(rc, expr.cast("int"))
+        rank_cols.append(rc)
+    z = F.lit(0).cast("long")
+    for bit in range(bits - 1, -1, -1):
+        for rc in rank_cols:
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftrightunsigned(F.col(rc), bit)
+                .bitwiseAND(F.lit(1))
+                .cast("long")
+            )
+    return (
+        bucketed.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .drop("_z", *rank_cols)
+    )

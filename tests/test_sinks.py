@@ -280,3 +280,43 @@ def test_compaction_reduces_file_count_preserves_rows(spark, tmp_path):
     assert n_out < n_frag
     assert got.count() == 20_000
     assert got.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+def test_zorder_layout_narrows_per_file_stats_on_both_columns(spark, tmp_path):
+    """The data-skipping contract: after a z-order rewrite on
+    (o_custkey, o_orderdate), the AVERAGE per-file value span of EACH
+    column is a small fraction of the global span (sqrt(n_files)
+    blocks per dimension), where the natural layout leaves ~full-span
+    files on at least one of them. Content itself must be untouched
+    (checked by the registry identity oracle)."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.store import zorder_layout
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    out = str(tmp_path / "orders_z")
+    zorder_layout(orders, ["o_custkey", "o_orderdate"], n_files=16).write.mode(
+        "overwrite"
+    ).parquet(out)
+
+    def avg_span_frac(col):
+        per_file = (
+            spark.read.parquet(out)
+            .withColumn("_f", F.input_file_name())
+            .groupBy("_f")
+            .agg(
+                (F.max(F.col(col).cast("timestamp").cast("long").cast("double")) - F.min(F.col(col).cast("timestamp").cast("long").cast("double"))).alias("span")
+            )
+        )
+        g = orders.agg(
+            (F.max(F.col(col).cast("timestamp").cast("long").cast("double")) - F.min(F.col(col).cast("timestamp").cast("long").cast("double"))).alias("g")
+        ).first()["g"]
+        return per_file.agg(F.avg("span")).first()[0] / g
+
+    f_cust = avg_span_frac("o_custkey")
+    f_date = avg_span_frac("o_orderdate")
+    assert f_cust < 0.6 and f_date < 0.6, (f_cust, f_date)
+    # and the rewrite really produced the requested file count
+    n = spark.read.parquet(out).select(F.input_file_name()).distinct().count()
+    assert n == 16
