@@ -322,3 +322,94 @@ def read_media_files(spark, in_dir: str) -> DataFrame:
         F.col("content").alias("payload"),
         F.lit("image/bmp").alias("media_type"),
     )
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples bigint, duration_us bigint, "
+    "amplitude_sum bigint"
+)
+
+_WAV_RATE = 8000
+
+
+def _wav_params(doc_id: int) -> int:
+    """Closed-form synthetic clip length (samples): 800..999 — like the
+    BMP dims, every decoded field derives from doc_id alone."""
+    return 800 + doc_id % 200
+
+
+def _wav_bytes(doc_id: int) -> bytes:
+    """A real, spec-compliant mono 8-bit PCM WAV (RIFF header + fmt
+    chunk + data chunk); sample i is (doc_id + i) % 256."""
+    n = _wav_params(doc_id)
+    data = bytes((doc_id + i) % 256 for i in range(n))
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, _WAV_RATE, _WAV_RATE, 1, 8)
+    riff = struct.pack("<4sI4s", b"RIFF", 36 + n, b"WAVE")
+    return (
+        riff
+        + b"fmt "
+        + fmt
+        + b"data"
+        + struct.pack("<I", n)
+        + data
+    )
+
+
+def _parse_wav(payload: bytes) -> tuple[int, int, int]:
+    """stdlib WAV decode: (sample_rate, n_samples, amplitude_sum) —
+    validates the RIFF/WAVE magic and the fmt chunk (PCM, mono, 8-bit)
+    and sums the PCM bytes: a genuine parse, not a passthrough."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    if payload[12:16] != b"fmt ":
+        raise ValueError("missing fmt chunk")
+    size, codec, channels, rate, _, _, bits = struct.unpack_from(
+        "<IHHIIHH", payload, 16
+    )
+    if (size, codec, channels, bits) != (16, 1, 1, 8):
+        raise ValueError("unsupported WAV encoding")
+    if payload[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    (n,) = struct.unpack_from("<I", payload, 40)
+    data = payload[44 : 44 + n]
+    if len(data) != n:
+        raise ValueError("truncated data chunk")
+    return rate, n, sum(data)
+
+
+def synthesize_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): real WAV binaries built EXECUTOR-SIDE inside
+    mapInPandas (the driver never materializes payloads) — the audio
+    twin of synthesize_bmp_media."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [_wav_bytes(int(i)) for i in ids]}
+            )
+
+    return docs.select(id_col).mapInPandas(gen, "doc_id bigint, payload binary")
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Audio feature extraction over binary payloads: parse the WAV
+    container, emit rate / sample count / exact microsecond duration /
+    amplitude sum per clip. Same Arrow-batched mapInPandas shape as the
+    image decode — the slot an ffmpeg-class decoder plugs into; the
+    stdlib PCM parser keeps the pipeline runnable (and closed-form
+    checkable) without audio libraries in the image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sample_rate", "n_samples", "duration_us", "amplitude_sum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, n, amp = _parse_wav(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_us"].append(n * 1_000_000 // rate)
+                out["amplitude_sum"].append(amp)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, AUDIO_SCHEMA)

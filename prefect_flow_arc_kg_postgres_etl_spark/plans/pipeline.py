@@ -1179,3 +1179,31 @@ def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = _spread(spark, clean.unionByName(planted))
     return decontaminate_bloom(train, bench, n=_DECON_N).select("doc_id")
+
+
+# ------------------------------------- D33 multimodal audio decode
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio leg of the multimodal triple (image=D12, video-style
+    frames=D12-frame, audio=this): executor-side WAV synthesis ->
+    Arrow-batched parse -> per-clip features. The synthesis is
+    closed-form in doc_id, so every decoded field carries a full
+    arithmetic DuckDB oracle (same pattern as the BMP decode)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.multimodal import (
+        decode_audio,
+        synthesize_wav_media,
+    )
+
+    docs = _spread(spark, load_table(spark, sf_dir, "documents").select("doc_id"))
+    return decode_audio(synthesize_wav_media(docs))
+
+
+MM_AUDIO_ORACLE = """
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 125 AS BIGINT) AS duration_us,
+       CAST(list_sum(list_transform(generate_series(0, n - 1),
+                                    i -> (doc_id + i) % 256)) AS BIGINT)
+         AS amplitude_sum
+FROM (SELECT doc_id, 800 + doc_id % 200 AS n FROM documents)
+"""

@@ -437,6 +437,11 @@ QUERIES: dict[str, QuerySpec] = {
     "maintenance_zorder": QuerySpec(
         kg.maintenance_zorder, kg.MAINTENANCE_ZORDER_ORACLE
     ),
+    # D33: audio leg of the multimodal triple — executor-side WAV
+    # synthesis, Arrow-batched stdlib PCM parse, closed-form oracle.
+    "multimodal_audio_stats": QuerySpec(
+        pipeline.multimodal_audio_stats, pipeline.MM_AUDIO_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

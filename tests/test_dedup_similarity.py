@@ -315,3 +315,35 @@ def test_cluster_components_known_graph(spark):
         (10, 10), (11, 10), (12, 10),
         (99, 99),
     }
+
+
+def test_multimodal_audio_parse_matches_closed_form(spark):
+    """The WAV parse must reproduce the synthesis formulas exactly,
+    and the parser must be a real validator, not a passthrough."""
+    import pytest
+
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.multimodal import (
+        _parse_wav,
+        _wav_bytes,
+        decode_audio,
+        synthesize_wav_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(25)], "doc_id bigint")
+    rows = {
+        r.doc_id: r
+        for r in decode_audio(synthesize_wav_media(docs)).collect()
+    }
+    for d in range(25):
+        n = 800 + d % 200
+        assert rows[d].sample_rate == 8000
+        assert rows[d].n_samples == n
+        assert rows[d].duration_us == n * 125
+        assert rows[d].amplitude_sum == sum((d + i) % 256 for i in range(n))
+
+    # corrupt payloads are rejected, not silently decoded
+    good = _wav_bytes(3)
+    with pytest.raises(ValueError):
+        _parse_wav(b"RIFX" + good[4:])
+    with pytest.raises(ValueError):
+        _parse_wav(good[:-10])
