@@ -442,6 +442,10 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_audio_stats": QuerySpec(
         pipeline.multimodal_audio_stats, pipeline.MM_AUDIO_ORACLE
     ),
+    # B43: robust median+MAD anomaly thresholding (bounded output).
+    "events_anomaly_mad": QuerySpec(
+        relational.events_anomaly_mad, relational.EVENTS_ANOMALY_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

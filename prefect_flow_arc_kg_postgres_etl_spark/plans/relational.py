@@ -1855,3 +1855,57 @@ SELECT o_orderkey, o_orderpriority, o_totalprice,
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 """
+
+
+# ---------------------------------------------- B43 robust anomaly flag
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type anomaly detection: median + MAD (median absolute
+    deviation) thresholding — the outlier rule that survives the
+    outliers themselves, where mean/stddev get dragged by the very
+    points being hunted. Two grouped percentile passes (median of
+    value, then median of |value - median|) joined back, threshold
+    |x - med| > k * MAD as a scan-side filter; output = per-type
+    anomaly counts + the thresholds, so the result set is bounded by
+    |event types| at any scale. percentile() == quantile_cont()
+    definitionally (B30), making the whole rule SQL-oracle-checkable."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    withmed = ev.join(med, "event_type")
+    mad = withmed.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+    )
+    k = 5.0
+    flagged = (
+        ev.join(mad, "event_type")
+        .withColumn("is_anom", F.abs(F.col("value") - F.col("med")) > k * F.col("mad"))
+    )
+    return flagged.groupBy("event_type").agg(
+        F.round(F.first("med"), 4).alias("med"),
+        F.round(F.first("mad"), 4).alias("mad"),
+        F.sum(F.when(F.col("is_anom"), 1).otherwise(0)).alias("n_anomalies"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+EVENTS_ANOMALY_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+), mad AS (
+  SELECT e.event_type, m.med,
+         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY 1, 2
+)
+SELECT e.event_type,
+       ROUND(MIN(m.med), 4) AS med,
+       ROUND(MIN(m.mad), 4) AS mad,
+       CAST(SUM(CASE WHEN abs(e.value - m.med) > 5.0 * m.mad
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       COUNT(*) AS n_events
+FROM events e JOIN mad m USING (event_type)
+GROUP BY 1
+"""
