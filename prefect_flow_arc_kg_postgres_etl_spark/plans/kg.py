@@ -1785,3 +1785,31 @@ def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MAINTENANCE_ZORDER_ORACLE = "SELECT * FROM orders"
+
+
+# -------------------------------------- A42 targeted erasure rewrite
+def targeted_delete_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure over the versioned store
+    (sources/store.py targeted_delete_rewrite): per-file key ranges
+    (one column-pruned scan) pick the files that can hold a target
+    key; only those re-encode through an anti join, the rest byte-copy
+    into the next version (server-side copy at cluster scale). The
+    store lands RANGE-PARTITIONED on the key so ranges are narrow and
+    pruning actually prunes — the same layout discipline A41 exists
+    for. Erasure of every 97th customer's orders; the oracle is the
+    logical complement."""
+    import tempfile
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store as S
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="gdpr_") + "/orders.parquet"
+    S.write_table(orders.repartitionByRange(16, "o_orderkey"), root)
+    keys = orders.filter(F.col("o_custkey") % 97 == 0).select("o_orderkey")
+    S.targeted_delete_rewrite(spark, root, keys, "o_orderkey")
+    return S.read_table(spark, root).select(*orders.columns)
+
+
+TARGETED_DELETE_ORACLE = """
+SELECT * FROM orders WHERE o_custkey % 97 <> 0
+"""

@@ -71,12 +71,15 @@ class QuerySpec:
 # dedup_edit_distance, corpus_decontaminate_bloom,
 # agg_incremental_refresh, stream_agg_state, bucketed_join_colocated,
 # skew_salted_join, kg_describe, kg_ask, events_sliding_window,
-# table_profile, dq_constraint_check, events_gap_fill, stream_dq_gate
-# (58 candidates for ~40 slots; prioritize never-checked entries over
+# table_profile, dq_constraint_check, events_gap_fill, stream_dq_gate,
+# orders_window_functions, maintenance_zorder, multimodal_audio_stats,
+# events_anomaly_mad
+# (60+ candidates for ~40 slots; prioritize never-checked entries over
 # veterans, and within those prefer the ones exercising distinct
 # machinery: bucketed_join_colocated, stream_agg_state,
 # agg_incremental_refresh, corpus_decontaminate_bloom, kg_describe,
-# kg_ask, dq_constraint_check, the TPC-H five).
+# kg_ask, dq_constraint_check, maintenance_zorder,
+# multimodal_audio_stats, the TPC-H five).
 QUERIES: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
@@ -445,6 +448,11 @@ QUERIES: dict[str, QuerySpec] = {
     # B43: robust median+MAD anomaly thresholding (bounded output).
     "events_anomaly_mad": QuerySpec(
         relational.events_anomaly_mad, relational.EVENTS_ANOMALY_ORACLE
+    ),
+    # A42: targeted GDPR erasure — affected-file pruning by key range,
+    # byte-copy carryover, anti-join re-encode of hit files only.
+    "targeted_delete_gdpr": QuerySpec(
+        kg.targeted_delete_gdpr, kg.TARGETED_DELETE_ORACLE
     ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against

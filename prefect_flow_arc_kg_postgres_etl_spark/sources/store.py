@@ -185,3 +185,72 @@ def zorder_layout(
         .repartitionByRange(n_files, "_z")
         .drop("_z", *rank_cols)
     )
+
+
+def targeted_delete_rewrite(
+    spark: SparkSession,
+    table_path: str,
+    keys_df: DataFrame,
+    key_col: str,
+) -> int:
+    """Targeted row erasure (the GDPR/right-to-be-forgotten pass) over
+    an immutable store WITHOUT rewriting the table: per-file key
+    ranges (one column-pruned scan of the key column) identify the
+    files that can possibly hold a target key; only THOSE files
+    re-encode through an anti join, every other file carries over as a
+    byte-level copy (at cluster scale: an object-store server-side
+    copy — no scan, no decode). The new file set lands as the next
+    store version with the usual atomic pointer swap, so readers never
+    see a half-deleted table.
+
+    The deletion key set broadcasts BY CONTRACT — erasure requests are
+    small (and at z-ordered/clustered layouts the affected-file
+    fraction is tiny, which is the point of pairing this with
+    zorder_layout). Returns the new version number."""
+    import urllib.parse
+
+    from pyspark.sql import functions as F
+
+    v = current_version(table_path)
+    src_dir = version_dir(table_path, v) if v is not None else table_path
+    df = spark.read.parquet(src_dir)
+    tgt = keys_df.select(F.col(key_col).alias("_k")).distinct()
+    ranges = (
+        df.select(key_col, F.input_file_name().alias("_f"))
+        .groupBy("_f")
+        .agg(F.min(key_col).alias("_lo"), F.max(key_col).alias("_hi"))
+    )
+    hit_rows = (
+        ranges.join(
+            F.broadcast(tgt),
+            (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
+        )
+        .select("_f")
+        .distinct()
+        .collect()
+    )
+    affected = {
+        os.path.basename(urllib.parse.urlparse(r._f).path) for r in hit_rows
+    }
+    new_v = (v or 0) + 1
+    dst = version_dir(table_path, new_v)
+    os.makedirs(dst, exist_ok=True)
+    kept_files = []
+    for fn in os.listdir(src_dir):
+        if fn.startswith("_") or fn in affected:
+            continue
+        if fn.endswith(".parquet"):
+            shutil.copy2(os.path.join(src_dir, fn), os.path.join(dst, fn))
+            kept_files.append(fn)
+    if affected:
+        survivors = spark.read.parquet(
+            *[os.path.join(src_dir, fn) for fn in sorted(affected)]
+        ).join(F.broadcast(tgt), F.col(key_col) == F.col("_k"), "left_anti")
+        survivors.write.mode("append").parquet(dst)
+    tmp = os.path.join(table_path, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(new_v))
+    os.replace(tmp, os.path.join(table_path, _POINTER))
+    if v is not None:
+        shutil.rmtree(version_dir(table_path, v), ignore_errors=True)
+    return new_v

@@ -320,3 +320,51 @@ def test_zorder_layout_narrows_per_file_stats_on_both_columns(spark, tmp_path):
     # and the rewrite really produced the requested file count
     n = spark.read.parquet(out).select(F.input_file_name()).distinct().count()
     assert n == 16
+
+
+def test_targeted_delete_rewrites_only_affected_files(spark, tmp_path):
+    """The erasure contract: only files whose key range covers a
+    target re-encode; every other file carries over BYTE-IDENTICAL
+    (copy, not rewrite), the pointer bumps, and the surviving rows are
+    exactly the complement of the target keys."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store as S
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    root = str(tmp_path / "orders.parquet")
+    S.write_table(orders.repartitionByRange(8, "o_orderkey"), root)
+    v1 = S.version_dir(root, S.current_version(root))
+
+    def sums(d):
+        return {
+            f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = sums(v1)
+    # target: a narrow contiguous key band -> few files affected
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    band = orders.filter(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < lo + (hi - lo) // 8)
+    ).select("o_orderkey")
+    n_targets = band.count()
+    S.targeted_delete_rewrite(spark, root, band, "o_orderkey")
+
+    v2 = S.version_dir(root, S.current_version(root))
+    after = sums(v2)
+    carried = {f for f in after if f in before and after[f] == before[f]}
+    assert len(carried) >= 5, (len(carried), len(before))  # most files copied
+    assert S.read_table(spark, root).count() == orders.count() - n_targets
+    # erased keys are gone
+    assert (
+        S.read_table(spark, root)
+        .join(band, "o_orderkey", "left_semi")
+        .count()
+        == 0
+    )
