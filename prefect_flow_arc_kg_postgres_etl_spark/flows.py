@@ -205,13 +205,33 @@ def sync_flow(
     status is still exact). Each count is an extra scan of the staged
     or merged table — negligible at harness scale, a redundant full
     pass per table at 100 TB, so production runs at scale should turn
-    it off."""
+    it off.
+
+    ``since="auto"`` derives each table's watermark from the STORE
+    itself (max of its modified column — a min/max-stats-only scan):
+    the store is its own high-water mark, so the scheduler needs no
+    external watermark bookkeeping and a crashed run resumes correctly
+    (anything newer than what actually landed re-syncs)."""
     wanted = tables or list(TABLE_PK)
     deps = {t: TABLE_DEPS[t] & set(wanted) for t in wanted}
     stats = RunStats()
 
     def count(df) -> int:
         return df.count() if collect_stats else -1
+
+    def since_for(name: str):
+        if since != "auto":
+            return since
+        if name not in TABLE_MODIFIED:
+            return None
+        path = f"{store_dir}/{name}.parquet"
+        if not store.table_exists(path):
+            return None  # nothing landed yet: treat as full load
+        return (
+            store.read_table(spark, path)
+            .agg(F.max(TABLE_MODIFIED[name]))
+            .first()[0]
+        )
 
     def sync_table(name: str) -> tuple[int, int]:
         """Returns (staged_rows, merged_rows); -1 when stats are off."""
@@ -230,9 +250,10 @@ def sync_flow(
             # clear-then-insert on the group key.
             group_key = TABLE_MULTIVALUE[name]
             batch = src
-            if since is not None and name in TABLE_MODIFIED:
+            s = since_for(name)
+            if s is not None and name in TABLE_MODIFIED:
                 changed = (
-                    src.filter(F.col(TABLE_MODIFIED[name]) > F.lit(since))
+                    src.filter(F.col(TABLE_MODIFIED[name]) > F.lit(s))
                     .select(group_key)
                     .distinct()
                 )
@@ -271,8 +292,9 @@ def sync_flow(
             # the pointer swaps (sources/store.py) — no tmp-rewrite.
             store.write_table(merged, path)
             return n_staged, count(store.read_table(spark, path))
-        if since is not None and name in TABLE_MODIFIED:
-            src = src.filter(F.col(TABLE_MODIFIED[name]) > F.lit(since))
+        s = since_for(name)
+        if s is not None and name in TABLE_MODIFIED:
+            src = src.filter(F.col(TABLE_MODIFIED[name]) > F.lit(s))
         merged = stage_then_merge(
             spark, src, path, f"{store_dir}/_staging/{name}", TABLE_PK[name]
         )

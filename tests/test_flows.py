@@ -281,3 +281,31 @@ def test_validate_store_detects_planted_corruption(spark, tmp_path):
     assert v["orders"]["pk_dup_keys"] == 1
     assert v["lineitem"]["fk_orphans_l_orderkey"] == 1
     assert v["customer"]["fk_orphans_c_nationkey"] == 0
+
+
+def test_sync_flow_auto_since_self_watermarks(spark, tmp_path):
+    """since='auto': the store is its own high-water mark. After a
+    full sync, an auto-since incremental run stages ZERO rows for
+    every modified-tracked table (nothing newer than what landed) and
+    converges to the same store; a fresh store treats auto as a full
+    load."""
+    from prefect_flow_arc_kg_postgres_etl_spark.flows import sync_flow
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+
+    store_dir = str(tmp_path / "store_auto")
+    sync_flow(spark, SF_SMOKE, store_dir, full_sync=True, build_index=False)
+    before = {
+        t: store.read_table(spark, f"{store_dir}/{t}.parquet").count()
+        for t in ("orders", "events", "lineitem")
+    }
+    stats = sync_flow(
+        spark, SF_SMOKE, store_dir, full_sync=False, since="auto",
+        build_index=False,
+    )
+    assert stats.tables["orders"]["staged"] == 0
+    assert stats.tables["events"]["staged"] == 0
+    after = {
+        t: store.read_table(spark, f"{store_dir}/{t}.parquet").count()
+        for t in ("orders", "events", "lineitem")
+    }
+    assert after == before
