@@ -254,3 +254,23 @@ def targeted_delete_rewrite(
     if v is not None:
         shutil.rmtree(version_dir(table_path, v), ignore_errors=True)
     return new_v
+
+
+def read_table_version(
+    spark: SparkSession, table_path: str, version: int
+) -> DataFrame:
+    """TIME TRAVEL: read a PINNED store version instead of the live
+    pointer — the audit/debug read every versioned store owes its
+    operators ("what did the table look like before last night's
+    merge?"). Requires the version to still exist: pass
+    ``prune=False`` to ``write_table`` (retention) for tables that
+    need history; the pruning default keeps exactly the live version,
+    trading time travel for space, and this raises cleanly when the
+    requested version was GC'd."""
+    d = version_dir(table_path, version)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(
+            f"version {version} of {table_path} does not exist "
+            f"(pruned by retention, or never written)"
+        )
+    return spark.read.parquet(d)

@@ -309,3 +309,24 @@ def test_sync_flow_auto_since_self_watermarks(spark, tmp_path):
         for t in ("orders", "events", "lineitem")
     }
     assert after == before
+
+
+def test_store_time_travel_reads_pinned_version(spark, tmp_path):
+    """With pruning off, superseded versions stay readable by number
+    (time travel); a pruned version raises cleanly."""
+    import pytest
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    path = str(tmp_path / "orders.parquet")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    v1 = store.write_table(orders.limit(100), path, prune=False)
+    v2 = store.write_table(orders.limit(250), path, prune=False)
+    assert store.read_table(spark, path).count() == 250
+    assert store.read_table_version(spark, path, v1).count() == 100
+    assert store.read_table_version(spark, path, v2).count() == 250
+
+    store.write_table(orders.limit(10), path)  # prune=True default
+    with pytest.raises(FileNotFoundError, match="pruned"):
+        store.read_table_version(spark, path, v1)
