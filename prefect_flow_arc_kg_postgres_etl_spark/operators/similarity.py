@@ -437,3 +437,90 @@ def quantized_topk(
             "rank",
         )
     )
+
+
+def kmeans_int(
+    vectors: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means in EXACT INTEGER space — the clustering pass an
+    embedding pipeline runs before IVF indexing, made engine-exactly
+    reproducible: vectors quantize to integers (round(x * scale), the
+    D19 trick), distances are exact integer squared-L2, and centroid
+    updates use floor(sum/count) — every operation deterministic in
+    any engine, so the whole ITERATIVE algorithm carries a full SQL
+    oracle (unrolled per iteration), which float k-means cannot (mean
+    summation order drifts ulps and flips boundary assignments).
+
+    Plan per iteration: assignment = broadcast of the k centroid rows
+    into a zip_with/aggregate distance + one per-vector min window;
+    update = posexplode -> (cluster, dim) sum/count -> repack. The
+    shuffles touch |vectors| x dims exploded rows for the update and
+    the window for assignment — both linear per iteration; k and
+    iters are fixed constants. Deterministic seeding: the first k
+    vectors by id. Ties break toward the lower cluster id.
+
+    Returns per-cluster scalars (cid, n_members, centroid_sum,
+    centroid_sumsq) — array columns don't survive the driver's
+    canonicalizer, and the two exact sums pin the centroid bit-for-bit
+    anyway."""
+    from pyspark.sql import Window
+
+    vint = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            vec_col, lambda x: F.round(x.cast("double") * scale).cast("long")
+        ).alias("v"),
+    )
+    centroids = vint.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
+    )
+    best = None
+    for _ in range(iters):
+        dist = F.aggregate(
+            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        best = (
+            vint.join(F.broadcast(centroids))
+            .withColumn("d", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid")
+        )
+        sums = (
+            best.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        centroids = (
+            sums.withColumn(
+                "m", F.floor(F.col("s") / F.col("n")).cast("long")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda st: st.getField("m"),
+                ).alias("c")
+            )
+        )
+    stats = centroids.select(
+        "cid",
+        F.aggregate(
+            "c", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("centroid_sum"),
+        F.aggregate(
+            "c", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("centroid_sumsq"),
+    )
+    members = best.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return members.join(stats, "cid").select(
+        "cid", "n_members", "centroid_sum", "centroid_sumsq"
+    )

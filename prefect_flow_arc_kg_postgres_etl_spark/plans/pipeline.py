@@ -1207,3 +1207,72 @@ SELECT doc_id,
          AS amplitude_sum
 FROM (SELECT doc_id, 800 + doc_id % 200 AS n FROM documents)
 """
+
+
+# ------------------------------------- D34 deterministic k-means
+def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-space Lloyd's k-means (operators/similarity.kmeans_int):
+    the clustering pass before IVF indexing, exactly reproducible in
+    any engine (quantized vectors, integer distances, floor-mean
+    updates) — so the ITERATIVE algorithm itself is SQL-oracle-checked,
+    unrolled per iteration. k=4, 2 iterations, first-k seeding."""
+    emb = _spread(
+        spark, load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    return S.kmeans_int(emb, k=4, iters=2)
+
+
+EMBEDDINGS_KMEANS_ORACLE = """
+WITH vint AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+           AS v
+  FROM embeddings
+),
+c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM vint WHERE vec_id < 4),
+a1 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vint.vec_id, vint.v, c0.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY vint.vec_id
+             ORDER BY list_sum(list_transform(generate_series(1, len(v)),
+                       i -> (v[i] - c[i]) * (v[i] - c[i]))), cid
+           ) AS rn
+    FROM vint CROSS JOIN c0
+  ) WHERE rn = 1
+),
+c1 AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM (
+    SELECT cid, i AS pos,
+           CAST(FLOOR(SUM(v[i]) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS m
+    FROM a1, UNNEST(generate_series(1, len(v))) AS t(i)
+    GROUP BY cid, i
+  ) GROUP BY cid
+),
+a2 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vint.vec_id, vint.v, c1.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY vint.vec_id
+             ORDER BY list_sum(list_transform(generate_series(1, len(v)),
+                       i -> (v[i] - c[i]) * (v[i] - c[i]))), cid
+           ) AS rn
+    FROM vint CROSS JOIN c1
+  ) WHERE rn = 1
+),
+c2 AS (
+  SELECT cid, list(m ORDER BY pos) AS c FROM (
+    SELECT cid, i AS pos,
+           CAST(FLOOR(SUM(v[i]) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS m
+    FROM a2, UNNEST(generate_series(1, len(v))) AS t(i)
+    GROUP BY cid, i
+  ) GROUP BY cid
+)
+SELECT a.cid, a.n_members,
+       CAST(list_sum(c2.c) AS BIGINT) AS centroid_sum,
+       CAST(list_sum(list_transform(c2.c, x -> x * x)) AS BIGINT)
+         AS centroid_sumsq
+FROM (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY 1) a
+JOIN c2 ON a.cid = c2.cid
+"""

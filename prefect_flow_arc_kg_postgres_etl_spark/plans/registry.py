@@ -454,6 +454,11 @@ QUERIES: dict[str, QuerySpec] = {
     "targeted_delete_gdpr": QuerySpec(
         kg.targeted_delete_gdpr, kg.TARGETED_DELETE_ORACLE
     ),
+    # D34: integer-space Lloyd's k-means — the ITERATIVE algorithm
+    # itself SQL-oracle-checked (exact arithmetic, unrolled CTEs).
+    "embeddings_kmeans": QuerySpec(
+        pipeline.embeddings_kmeans, pipeline.EMBEDDINGS_KMEANS_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

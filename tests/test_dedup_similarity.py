@@ -347,3 +347,20 @@ def test_multimodal_audio_parse_matches_closed_form(spark):
         _parse_wav(b"RIFX" + good[4:])
     with pytest.raises(ValueError):
         _parse_wav(good[:-10])
+
+
+def test_kmeans_int_partitions_all_vectors_deterministically(spark):
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.similarity import (
+        kmeans_int,
+    )
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    total = emb.count()
+    a = {tuple(r) for r in kmeans_int(emb, k=4, iters=2).collect()}
+    b = {tuple(r) for r in kmeans_int(emb, k=4, iters=2).collect()}
+    assert a == b  # exact integer arithmetic: bit-identical reruns
+    assert sum(r[1] for r in a) == total  # every vector assigned once
+    assert len(a) == 4 and all(r[1] > 0 for r in a)
