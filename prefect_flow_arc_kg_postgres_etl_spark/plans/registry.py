@@ -459,6 +459,8 @@ QUERIES: dict[str, QuerySpec] = {
     "embeddings_kmeans": QuerySpec(
         pipeline.embeddings_kmeans, pipeline.EMBEDDINGS_KMEANS_ORACLE
     ),
+    # B44: CUBE — completes the grouping-analytics family (B6/B13).
+    "cube_agg": QuerySpec(relational.cube_agg, relational.CUBE_ORACLE),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

@@ -1909,3 +1909,37 @@ SELECT e.event_type,
 FROM events e JOIN mad m USING (event_type)
 GROUP BY 1
 """
+
+
+# ---------------------------------------------- B44 CUBE aggregation
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all four grouping combinations —
+    (both), (priority), (status), (grand total) — in ONE aggregation
+    pass (Spark plans an Expand of 4 grouping sets into a single hash
+    agg, exactly like ROLLUP/GROUPING SETS; with B6 and B13 this
+    completes the grouping-analytics family). NULL group values are
+    disambiguated from genuine NULLs by grouping_id, surfaced as the
+    level column so the oracle compares structurally."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.grouping_id().alias("level"),
+        )
+        .select(
+            "o_orderpriority", "o_orderstatus", "level", "n_orders", "total"
+        )
+    )
+
+
+CUBE_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
+         AS level,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
