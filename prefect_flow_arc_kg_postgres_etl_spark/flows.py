@@ -358,6 +358,7 @@ def curation_flow(
     quality_min: float = 0.3,
     languages: tuple[str, ...] = ("en", "de"),
     mixture: dict[str, float] | None = None,
+    benchmark: DataFrame | None = None,
     pack_budget: int = 2048,
     n_shards: int = 8,
     collect_stats: bool = True,
@@ -366,8 +367,8 @@ def curation_flow(
     training-data curation run over the documents corpus —
 
         quality gate -> language filter -> exact dedup survivorship
-        -> PII redaction stats -> optional target-mixture sampling
-        -> sequence packing -> shard layout
+        -> optional benchmark decontamination -> optional
+        target-mixture sampling -> sequence packing -> shard layout
 
     The scan-side stages (quality, language, token estimate) compose
     as COLUMN EXPRESSIONS on one corpus scan (operators/text.py
@@ -438,6 +439,18 @@ def curation_flow(
     keepers = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
     survivors = kept.join(keepers, "doc_id", "left_semi")
     note("dedup", survivors)
+
+    if benchmark is not None:
+        # Eval-set decontamination via the Bloom-prefiltered path —
+        # inside a flow the eval split can be any size, which is
+        # exactly decontaminate_bloom's regime (nothing larger than
+        # the fixed filter broadcasts).
+        from prefect_flow_arc_kg_postgres_etl_spark.operators.curation import (
+            decontaminate_bloom,
+        )
+
+        survivors = decontaminate_bloom(survivors, benchmark)
+        note("decontaminate", survivors)
 
     if mixture:
         survivors = sample_to_mixture(survivors, "source", mixture)

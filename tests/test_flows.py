@@ -330,3 +330,37 @@ def test_store_time_travel_reads_pinned_version(spark, tmp_path):
     store.write_table(orders.limit(10), path)  # prune=True default
     with pytest.raises(FileNotFoundError, match="pruned"):
         store.read_table_version(spark, path, v1)
+
+
+def test_curation_flow_decontaminates_against_benchmark(spark):
+    """With a benchmark split passed, the flow drops exactly the
+    training docs sharing an 8-gram with it (the planted overlap) and
+    records the stage."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_kg_postgres_etl_spark.flows import curation_flow
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    base, _ = curation_flow(spark, SF_SMOKE)
+    cleaned, stats = curation_flow(spark, SF_SMOKE, benchmark=bench)
+    assert "decontaminate" in stats.tables
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    clean_ids = {r.doc_id for r in cleaned.select("doc_id").collect()}
+    # benchmark members that survived curation must be gone (a doc
+    # shares all its 8-grams with itself) ...
+    assert not {i for i in clean_ids if i % 50 == 0}
+    # ... and the dropped set must be EXACTLY what the exact-path
+    # operator computes over the same survivors (other training docs
+    # can genuinely share 8-grams with bench texts — near-dup spans).
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.curation import (
+        decontaminate,
+    )
+
+    survivors = docs.filter(F.col("doc_id").isin([int(i) for i in base_ids]))
+    expected = {
+        r.doc_id
+        for r in decontaminate(survivors, bench).select("doc_id").collect()
+    }
+    assert clean_ids == expected
