@@ -210,8 +210,13 @@ def sync_flow(
     ``since="auto"`` derives each table's watermark from the STORE
     itself (max of its modified column — a min/max-stats-only scan):
     the store is its own high-water mark, so the scheduler needs no
-    external watermark bookkeeping and a crashed run resumes correctly
-    (anything newer than what actually landed re-syncs)."""
+    external watermark bookkeeping and a crashed run resumes correctly.
+    Auto watermarks filter INCLUSIVELY (>=): rows that arrive later
+    WITH the landed max timestamp would otherwise be skipped forever
+    (max never advances past them — a wide window for date-granularity
+    modified columns), and re-merging the boundary rows is free
+    because the upsert/clear-and-insert merges are idempotent. An
+    explicit ``since`` keeps the reference's strict ``>`` contract."""
     wanted = tables or list(TABLE_PK)
     deps = {t: TABLE_DEPS[t] & set(wanted) for t in wanted}
     stats = RunStats()
@@ -252,8 +257,10 @@ def sync_flow(
             batch = src
             s = since_for(name)
             if s is not None and name in TABLE_MODIFIED:
+                cmp = F.col(TABLE_MODIFIED[name])
+                cond = cmp >= F.lit(s) if since == "auto" else cmp > F.lit(s)
                 changed = (
-                    src.filter(F.col(TABLE_MODIFIED[name]) > F.lit(s))
+                    src.filter(cond)
                     .select(group_key)
                     .distinct()
                 )
@@ -294,7 +301,10 @@ def sync_flow(
             return n_staged, count(store.read_table(spark, path))
         s = since_for(name)
         if s is not None and name in TABLE_MODIFIED:
-            src = src.filter(F.col(TABLE_MODIFIED[name]) > F.lit(s))
+            cmp = F.col(TABLE_MODIFIED[name])
+            src = src.filter(
+                cmp >= F.lit(s) if since == "auto" else cmp > F.lit(s)
+            )
         merged = stage_then_merge(
             spark, src, path, f"{store_dir}/_staging/{name}", TABLE_PK[name]
         )

@@ -359,6 +359,10 @@ def _parse_wav(payload: bytes) -> tuple[int, int, int]:
     """stdlib WAV decode: (sample_rate, n_samples, amplitude_sum) —
     validates the RIFF/WAVE magic and the fmt chunk (PCM, mono, 8-bit)
     and sums the PCM bytes: a genuine parse, not a passthrough."""
+    if len(payload) < 44:
+        # short-circuit BEFORE struct.unpack_from, which would raise
+        # struct.error instead of the documented ValueError
+        raise ValueError("truncated WAV header")
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     if payload[12:16] != b"fmt ":

@@ -461,8 +461,12 @@ def kmeans_int(
     update = posexplode -> (cluster, dim) sum/count -> repack. The
     shuffles touch |vectors| x dims exploded rows for the update and
     the window for assignment — both linear per iteration; k and
-    iters are fixed constants. Deterministic seeding: the first k
-    vectors by id. Ties break toward the lower cluster id.
+    iters are fixed constants. Deterministic seeding: the k SMALLEST
+    ids via orderBy().limit(k) — planned as TakeOrderedAndProject
+    (per-partition top-k + merge, no global sort), and correct for ANY
+    id domain, where a naive ``id < k`` filter silently under-seeds a
+    frame whose ids don't start at 0. Ties break toward the lower
+    cluster id.
 
     Returns per-cluster scalars (cid, n_members, centroid_sum,
     centroid_sumsq) — array columns don't survive the driver's
@@ -476,8 +480,9 @@ def kmeans_int(
             vec_col, lambda x: F.round(x.cast("double") * scale).cast("long")
         ).alias("v"),
     )
-    centroids = vint.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
+    seeds = vint.orderBy("vec_id").limit(k)
+    centroids = seeds.select(
+        F.col("vec_id").cast("bigint").alias("cid"), F.col("v").alias("c")
     )
     best = None
     for _ in range(iters):

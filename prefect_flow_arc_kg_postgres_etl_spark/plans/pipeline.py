@@ -1230,7 +1230,8 @@ WITH vint AS (
            AS v
   FROM embeddings
 ),
-c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM vint WHERE vec_id < 4),
+c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS c
+       FROM vint ORDER BY vec_id LIMIT 4),
 a1 AS (
   SELECT vec_id, v, cid FROM (
     SELECT vint.vec_id, vint.v, c0.cid,

@@ -1919,13 +1919,17 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg, exactly like ROLLUP/GROUPING SETS; with B6 and B13 this
     completes the grouping-analytics family). NULL group values are
     disambiguated from genuine NULLs by grouping_id, surfaced as the
-    level column so the oracle compares structurally."""
+    level column so the oracle compares structurally. Totals sum in
+    exact integer cents (the grand-total cell sums the WHOLE table —
+    maximum exposure to the .xx5 double-rounding divergence the e4
+    entries document)."""
     orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         orders.cube("o_orderpriority", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            (F.sum(cents) / 100.0).alias("total"),
             F.grouping_id().alias("level"),
         )
         .select(
@@ -1939,7 +1943,7 @@ SELECT o_orderpriority, o_orderstatus,
        CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
          AS level,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """

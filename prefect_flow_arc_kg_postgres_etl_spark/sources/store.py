@@ -156,12 +156,23 @@ def zorder_layout(
             return F.col(c).cast("timestamp").cast("long").cast("double")
         return F.col(c).cast("double")
 
+    # ONE boundary job for every layout column (a per-column .first()
+    # loop would full-scan the table N_cols times).
+    all_bounds = df.agg(
+        *[
+            F.percentile_approx(as_double(c), qs, 10_000).alias(c)
+            for c in cols
+        ]
+    ).first()
     bucketed = df
     rank_cols = []
     for c in cols:
-        bounds = df.select(
-            F.percentile_approx(as_double(c), qs, 10_000).alias("b")
-        ).first()["b"]
+        bounds = all_bounds[c]
+        if bounds is None:
+            raise ValueError(
+                f"zorder_layout: column {c!r} has no non-null values — "
+                f"it cannot carry curve bits; drop it from the layout"
+            )
         rc = f"_r_{c}"
         # rank = |boundaries < value|: a folded comparison chain over
         # the broadcast (≤255-element) cut array, evaluated scan-side.
@@ -235,13 +246,11 @@ def targeted_delete_rewrite(
     new_v = (v or 0) + 1
     dst = version_dir(table_path, new_v)
     os.makedirs(dst, exist_ok=True)
-    kept_files = []
     for fn in os.listdir(src_dir):
         if fn.startswith("_") or fn in affected:
             continue
         if fn.endswith(".parquet"):
             shutil.copy2(os.path.join(src_dir, fn), os.path.join(dst, fn))
-            kept_files.append(fn)
     if affected:
         survivors = spark.read.parquet(
             *[os.path.join(src_dir, fn) for fn in sorted(affected)]
@@ -251,8 +260,16 @@ def targeted_delete_rewrite(
     with open(tmp, "w") as f:
         f.write(str(new_v))
     os.replace(tmp, os.path.join(table_path, _POINTER))
-    if v is not None:
-        shutil.rmtree(version_dir(table_path, v), ignore_errors=True)
+    # Erasure REQUIRES destroying history: every older version — and
+    # the flat-legacy files when the table predates versioning — still
+    # holds the erased rows, so unlike write_table's prune this removes
+    # ALL of them, time travel included (that is the point of the op).
+    for k in range(1, new_v):
+        shutil.rmtree(version_dir(table_path, k), ignore_errors=True)
+    if v is None:
+        for fn in os.listdir(table_path):
+            if fn.endswith(".parquet") or fn == "_SUCCESS":
+                os.remove(os.path.join(table_path, fn))
     return new_v
 
 

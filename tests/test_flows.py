@@ -285,12 +285,16 @@ def test_validate_store_detects_planted_corruption(spark, tmp_path):
 
 def test_sync_flow_auto_since_self_watermarks(spark, tmp_path):
     """since='auto': the store is its own high-water mark. After a
-    full sync, an auto-since incremental run stages ZERO rows for
-    every modified-tracked table (nothing newer than what landed) and
-    converges to the same store; a fresh store treats auto as a full
-    load."""
+    full sync, an auto-since incremental run re-stages ONLY the
+    boundary rows (modified == landed max — the inclusive filter that
+    keeps equal-timestamp late arrivals from being skipped forever)
+    and converges to the same store; a fresh store treats auto as a
+    full load."""
+    from pyspark.sql import functions as F
+
     from prefect_flow_arc_kg_postgres_etl_spark.flows import sync_flow
     from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
 
     store_dir = str(tmp_path / "store_auto")
     sync_flow(spark, SF_SMOKE, store_dir, full_sync=True, build_index=False)
@@ -302,8 +306,11 @@ def test_sync_flow_auto_since_self_watermarks(spark, tmp_path):
         spark, SF_SMOKE, store_dir, full_sync=False, since="auto",
         build_index=False,
     )
-    assert stats.tables["orders"]["staged"] == 0
-    assert stats.tables["events"]["staged"] == 0
+    ev = load_table(spark, SF_SMOKE, "events")
+    boundary = ev.filter(
+        F.col("ts") == ev.agg(F.max("ts")).first()[0]
+    ).count()
+    assert stats.tables["events"]["staged"] == boundary
     after = {
         t: store.read_table(spark, f"{store_dir}/{t}.parquet").count()
         for t in ("orders", "events", "lineitem")

@@ -337,7 +337,11 @@ def test_targeted_delete_rewrites_only_affected_files(spark, tmp_path):
 
     orders = load_table(spark, "/root/testdata/sf0.001", "orders")
     root = str(tmp_path / "orders.parquet")
-    S.write_table(orders.repartitionByRange(8, "o_orderkey"), root)
+    # retained history BEFORE the erasure — it must not survive it
+    S.write_table(orders.limit(50), root, prune=False)
+    S.write_table(
+        orders.repartitionByRange(8, "o_orderkey"), root, prune=False
+    )
     v1 = S.version_dir(root, S.current_version(root))
 
     def sums(d):
@@ -368,3 +372,9 @@ def test_targeted_delete_rewrites_only_affected_files(spark, tmp_path):
         .count()
         == 0
     )
+    # ... including from HISTORY: erasure destroys every older version
+    # (retained time-travel copies still hold the erased rows).
+    import os as _os
+
+    dirs = [d for d in _os.listdir(root) if d.startswith("v_")]
+    assert dirs == [f"v_{S.current_version(root)}"], dirs
