@@ -345,3 +345,66 @@ def transitive_closure(
             break
         prev_n = cur_n
     return paths
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """PageRank in EXACT INTEGER arithmetic — the weighted-iteration
+    graph algorithm next to the closure (reachability) and the
+    components (connectivity), engine-exactly reproducible the same
+    way kmeans_int is: ranks live in ``scale`` units, the damping
+    split is integer (85/100), and every contribution is a floor
+    division — all values nonnegative, so floor == truncation and
+    Spark's ``div`` agrees with any SQL engine's ``//``. That makes
+    the ITERATIVE fixpoint SQL-oracle-checkable unrolled, which float
+    PageRank cannot (per-iteration ulp drift compounds).
+
+    Per iteration: one join of the edge list to the rank state (keyed
+    shuffle), one aggregation of contributions by destination, one
+    left join back to the node universe (nodes without in-edges keep
+    the base term). Dangling mass (nodes without OUT-edges) is
+    DROPPED, the standard simplification — ranks then sum to less
+    than ``scale``; documented so the oracle mirrors it. Returns
+    (node, rank)."""
+    src_nodes = edges.select(F.col("src").alias("node"))
+    dst_nodes = edges.select(F.col("dst").alias("node"))
+    nodes = src_nodes.unionByName(dst_nodes).distinct()
+    n_row = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", F.expr(f"CAST({scale} AS BIGINT) div _n").alias("rank")
+    )
+    base = (
+        f"CAST({scale} AS BIGINT) * {damp_den - damp_num} "
+        f"div ({damp_den} * _n)"
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .join(outdeg, "src")
+            .select(
+                "dst",
+                F.expr(f"rank * {damp_num} div ({damp_den} * deg)").alias(
+                    "c"
+                ),
+            )
+        )
+        inc = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_row))
+            .join(inc, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.expr(base) + F.coalesce(F.col("inc"), F.lit(0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -1813,3 +1813,78 @@ def targeted_delete_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
 TARGETED_DELETE_ORACLE = """
 SELECT * FROM orders WHERE o_custkey % 97 <> 0
 """
+
+
+# ------------------------------------------ A43 integer PageRank
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite customer<->part purchase graph
+    (operators/triples.pagerank_int): distinct (customer, part) edges
+    from the order lines, BOTH directions, so rank flows between
+    popular parts and heavy buyers. Exact integer arithmetic makes
+    the 2-iteration fixpoint verify against an unrolled SQL oracle —
+    with the closure (A28) and dup-cluster components (D23) this
+    completes the iterative-graph-algorithm family."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "cust"
+            ),
+            F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias(
+                "part"
+            ),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust").alias("src"), F.col("part").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("part").alias("src"), F.col("cust").alias("dst"))
+    )
+    return T.pagerank_int(edges, iters=2)
+
+
+GRAPH_PAGERANK_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS cust,
+                  'P' || CAST(l_partkey AS VARCHAR) AS part
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT cust AS src, part AS dst FROM pairs
+  UNION ALL
+  SELECT part AS src, cust AS dst FROM pairs
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+cnt AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+r0 AS (
+  SELECT node, CAST(1000000 // n AS BIGINT) AS rank FROM nodes, cnt
+),
+i1 AS (
+  SELECT e.dst, CAST(SUM(r.rank * 85 // (100 * o.deg)) AS BIGINT) AS inc
+  FROM edges e JOIN r0 r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+  GROUP BY 1
+),
+r1 AS (
+  SELECT nb.node,
+         CAST(1000000 * 15 // (100 * nb.n) AS BIGINT)
+           + COALESCE(i1.inc, 0) AS rank
+  FROM (SELECT node, n FROM nodes, cnt) nb
+  LEFT JOIN i1 ON i1.dst = nb.node
+),
+i2 AS (
+  SELECT e.dst, CAST(SUM(r.rank * 85 // (100 * o.deg)) AS BIGINT) AS inc
+  FROM edges e JOIN r1 r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+  GROUP BY 1
+)
+SELECT nb.node,
+       CAST(1000000 * 15 // (100 * nb.n) AS BIGINT)
+         + COALESCE(i2.inc, 0) AS rank
+FROM (SELECT node, n FROM nodes, cnt) nb
+LEFT JOIN i2 ON i2.dst = nb.node
+"""

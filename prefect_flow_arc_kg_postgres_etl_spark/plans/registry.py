@@ -461,6 +461,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # B44: CUBE — completes the grouping-analytics family (B6/B13).
     "cube_agg": QuerySpec(relational.cube_agg, relational.CUBE_ORACLE),
+    # A43: integer PageRank — the weighted-iteration graph algorithm,
+    # fixpoint SQL-oracle-checked exactly (unrolled, floor division).
+    "graph_pagerank": QuerySpec(
+        kg.graph_pagerank, kg.GRAPH_PAGERANK_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.
