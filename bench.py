@@ -83,6 +83,11 @@ HEADLINE = [
     "dedup_edit_distance",
     "agg_incremental_refresh",
     "events_sliding_window",
+    # Round-5 fifth append: the exact-integer ITERATIVE algorithms
+    # (k-means, PageRank) and the one-pass column profiler.
+    "embeddings_kmeans",
+    "graph_pagerank",
+    "table_profile",
 ]
 
 
