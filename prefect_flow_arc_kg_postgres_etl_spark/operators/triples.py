@@ -370,10 +370,19 @@ def pagerank_int(
     the base term). Dangling mass (nodes without OUT-edges) is
     DROPPED, the standard simplification — ranks then sum to less
     than ``scale``; documented so the oracle mirrors it. Returns
-    (node, rank)."""
+    (node, rank).
+
+    Edges and the node universe MATERIALIZE once (localCheckpoint,
+    the cluster_components precedent): every iteration references
+    both, and without truncation the unrolled lineage re-executes the
+    edge derivation per reference — measured 35 exchanges for 2
+    iterations vs 14 after."""
+    edges = edges.localCheckpoint(eager=True)
     src_nodes = edges.select(F.col("src").alias("node"))
     dst_nodes = edges.select(F.col("dst").alias("node"))
-    nodes = src_nodes.unionByName(dst_nodes).distinct()
+    nodes = src_nodes.unionByName(dst_nodes).distinct().localCheckpoint(
+        eager=True
+    )
     n_row = nodes.agg(F.count(F.lit(1)).alias("_n"))
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
