@@ -466,6 +466,11 @@ QUERIES: dict[str, QuerySpec] = {
     "graph_pagerank": QuerySpec(
         kg.graph_pagerank, kg.GRAPH_PAGERANK_ORACLE
     ),
+    # B45: market-basket pair mining — basket-keyed self-join (bounded
+    # fan-out, linear in orders), support + directed confidence.
+    "orders_basket_pairs": QuerySpec(
+        relational.orders_basket_pairs, relational.BASKET_PAIRS_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.

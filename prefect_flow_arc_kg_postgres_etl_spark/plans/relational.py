@@ -1947,3 +1947,74 @@ SELECT o_orderpriority, o_orderstatus,
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
+
+
+# ---------------------------------------------- B45 market-basket pairs
+def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part PAIRS with support and directed confidence — the
+    size-2 association-rule pass (market-basket analysis) over order
+    baskets. The pair build is a SELF-JOIN ON THE BASKET KEY, which is
+    safe where the generic token self-join (banned in the bigram
+    build) is not: fan-out per order is bounded by basket size (~4
+    lines), so pairs grow linearly with orders, not quadratically
+    with the corpus. One shuffle builds pairs, one aggregates support;
+    per-part totals attach from a separate small aggregate for the
+    confidence ratio. min_support prunes BEFORE the confidence join,
+    so the attach handles surviving pairs only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    totals = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    ta = totals.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_baskets").alias("na")
+    )
+    tb = totals.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_baskets").alias("nb")
+    )
+    return (
+        pairs.join(ta, "part_a")
+        .join(tb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(F.col("support") / F.col("na"), 6).alias("conf_a_to_b"),
+            F.round(F.col("support") / F.col("nb"), 6).alias("conf_b_to_a"),
+        )
+    )
+
+
+BASKET_PAIRS_ORACLE = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS support
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+totals AS (
+  SELECT l_partkey, COUNT(*) AS n_baskets FROM baskets GROUP BY 1
+)
+SELECT part_a, part_b, support,
+       ROUND(support * 1.0 / ta.n_baskets, 6) AS conf_a_to_b,
+       ROUND(support * 1.0 / tb.n_baskets, 6) AS conf_b_to_a
+FROM pairs
+JOIN totals ta ON ta.l_partkey = part_a
+JOIN totals tb ON tb.l_partkey = part_b
+"""
