@@ -94,6 +94,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    load_start = os.getloadavg()
     spark = get_spark("bench")
 
     # Warm the JVM/session (not timed): exercise the parquet reader,
@@ -140,6 +141,14 @@ def main() -> None:
                 timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
+    # Contention telemetry (round-5 postmortem): the r5 driver bench ran
+    # ~1.5x slower than the same commit on a quiet host, uniformly across
+    # unchanged plans — host load, not plan shape. Record the 1-minute
+    # loadavg at start and end so a contended run is self-identifying in
+    # the graded artifact instead of looking like a plan regression. The
+    # stable 20-query prefix total is also broken out so the
+    # round-over-round comparable is a first-class field.
+    load_end = os.getloadavg()
     print(
         json.dumps(
             {
@@ -148,6 +157,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "prefix20_sec": round(sum(timings[n] for n in HEADLINE[:20]), 3),
+                "loadavg_start": round(load_start[0], 2),
+                "loadavg_end": round(load_end[0], 2),
             }
         )
     )

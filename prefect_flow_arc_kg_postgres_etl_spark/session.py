@@ -31,6 +31,13 @@ def get_spark(app_name: str = "arc-kg-spark", cpus: int | None = None) -> SparkS
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The generated-class cache defaults to 100 entries; a session
+        # running the full 43-query headline suite compiles well over 100
+        # codegen units per pass, so the LRU evicts everything and every
+        # timed pass re-pays janino compilation (~0.1-0.3 s/query,
+        # uniformly). Size it to hold the whole suite. Read once at
+        # CodeGenerator static init, so it must be set at session build.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -15,6 +15,7 @@ Usage: python tools/ci.py [sf_dir=/root/testdata/sf0.01] [--skip-bench]
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 import sys
@@ -43,7 +44,41 @@ def main() -> int:
     ok = run("pytest", [py, "-m", "pytest", "tests/", "-q"])
     ok = run("oracle-gate", [py, "tools/check_oracle.py", sf_dir]) and ok
     if "--skip-bench" not in sys.argv:
-        ok = run("bench", [py, "bench.py"]) and ok
+        t0 = time.time()
+        print("=== bench: python bench.py", flush=True)
+        proc = subprocess.run(
+            [py, "bench.py"], cwd=REPO, capture_output=True, text=True
+        )
+        bench_ok = proc.returncode == 0
+        print(proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "")
+        print(
+            f"=== bench: {'OK' if bench_ok else f'FAILED (rc={proc.returncode})'} "
+            f"({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+        ok = bench_ok and ok
+        # Bench contract (SURVEY §6): warn — don't fail — when the stable
+        # 20-query prefix at sf0.1 exceeds the 12 s quiet-host budget
+        # (9.3 s measured + 30% headroom). Contention shows in loadavg.
+        if bench_ok:
+            try:
+                parsed = json.loads(proc.stdout.strip().splitlines()[-1])
+                prefix = parsed.get("prefix20_sec")
+                if (
+                    parsed.get("sf") == 0.1
+                    and prefix is not None
+                    and prefix > 12.0
+                ):
+                    print(
+                        f"WARNING: prefix20_sec={prefix} exceeds the 12 s "
+                        f"quiet-host budget (loadavg "
+                        f"{parsed.get('loadavg_start')}->"
+                        f"{parsed.get('loadavg_end')}) — see SURVEY §6 "
+                        f"bench contract",
+                        flush=True,
+                    )
+            except (json.JSONDecodeError, IndexError):
+                pass
     print(f"\nROUND GATE: {'GREEN' if ok else 'RED'}")
     return 0 if ok else 1
 
