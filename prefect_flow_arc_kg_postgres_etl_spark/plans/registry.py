@@ -30,57 +30,28 @@ class QuerySpec:
 
 
 # Ordering contract: the driver checks the FIRST 50 registry entries, so
-# every oracle-backed entry must come before the rows-only tail. Round-1
-# put 7 rows-only entries mid-list and pushed stream_windowed_agg /
-# stream_dedup (both oracle-backed) past the cap — keep ALL oracle=None
-# entries in the tail section below.
+# every oracle-backed entry must come before the rows-only tail, and the
+# window contents rotate each round so every entry eventually gets a
+# driver CORRECTNESS row. Since r6 the ordering is explicit: _SPECS
+# holds every entry (definition order irrelevant), DRIVER_WINDOW names
+# the 50 graded slots, and QUERIES is assembled window-first at the
+# bottom of this module with the rows-only (oracle=None) entries pinned
+# to the tail. Rotating = editing the DRIVER_WINDOW list.
 #
-# ROUND-5 ROTATION (VERDICT r4 next-round #3): 16 oracle-backed entries
-# had never had a driver CORRECTNESS row because they sat past the
-# window. This round they are IN-window: table_intersection,
-# fk_merge_order, empty_partition_prune, kg_nt_roundtrip,
-# source_csv_roundtrip, rollup_agg, stream_incremental_upsert,
-# stream_enrich, stream_windowed_watermarked (new r5),
-# dedup_embedding_lsh, multimodal_frame_sample, text_tfidf,
-# corpus_decontaminate, corpus_sample_stratified, corpus_pack_sequences,
-# embedding_quantize. Displaced to the past-window section (each with
-# 4 driver-pass rows r1-r4 and still green under the local mirror):
-# truncate_insert, clear_and_insert, orphan_cleanup, org_scope,
-# partition_stats, batch_stage, es_bulk_feed, q3_shipping_priority,
-# topk_per_group, windowed_running, distinct_agg, grouping_sets,
-# exists_anti, correlated_subquery, text_token_stats, text_fingerprint.
-#
-# NEXT ROTATION (r6): the r5-new oracle-backed entries have no driver
-# row yet — swap these into the window, displacing veterans that will
-# then hold 5 all-true rows: merge_scd2, q2_min_cost_supplier,
-# q9_product_profit, q13_order_distribution, events_funnel,
-# events_funnel3, dedup_cluster_components, stream_funnel,
-# stream_interval_join, kg_path_transitive, kg_path_zero_or_more,
-# table_diff_cdc, index_partition_refresh, corpus_vocabulary,
-# corpus_bigram_lm, corpus_mix_sample, corpus_shard_layout,
-# events_trend_fit, multimodal_binary_source, ann_filtered_topk,
-# maintenance_compaction, source_schema_evolution,
-# orders_except_intersect, events_json_extract, events_pivot_wide,
-# orders_cohort_retention, orders_value_histogram, events_quantiles,
-# window_range_interval, text_pii_redact, text_repetition,
-# ann_quantized_topk, q4_order_priority, q12_priority_lines,
-# q10_returned_items, q14_promo_revenue, q16_supplier_count,
-# q18_large_orders, q11_important_parts, source_orc_roundtrip,
-# and the late-r5 wave: q6_revenue_forecast, q8_market_share,
-# q15_top_supplier, q20_part_promotion, q21_waiting_suppliers,
-# dedup_edit_distance, corpus_decontaminate_bloom,
-# agg_incremental_refresh, stream_agg_state, bucketed_join_colocated,
-# skew_salted_join, kg_describe, kg_ask, events_sliding_window,
-# table_profile, dq_constraint_check, events_gap_fill, stream_dq_gate,
-# orders_window_functions, maintenance_zorder, multimodal_audio_stats,
-# events_anomaly_mad
-# (60+ candidates for ~40 slots; prioritize never-checked entries over
-# veterans, and within those prefer the ones exercising distinct
-# machinery: bucketed_join_colocated, stream_agg_state,
-# agg_incremental_refresh, corpus_decontaminate_bloom, kg_describe,
-# kg_ask, dq_constraint_check, maintenance_zorder,
-# multimodal_audio_stats, the TPC-H five).
-QUERIES: dict[str, QuerySpec] = {
+# Window history: r1-r4 graded the original first-50; the r5 rotation
+# brought in 16 formerly past-window entries (CORRECTNESS_r05 50/50);
+# the r6 window below consists ENTIRELY of entries that had never had a
+# driver row through r5 (the r5 surface wave), displacing veterans that
+# hold 1-5 all-true rows each. Still never-driver-checked after r6
+# (next rotation's candidates): kg_path_zero_or_more,
+# source_orc_roundtrip, q10_returned_items, q14_promo_revenue,
+# q16_supplier_count, q18_large_orders, events_funnel3, events_funnel,
+# orders_value_histogram, orders_except_intersect, cube_agg,
+# stream_funnel_buffered, corpus_mix_sample, multimodal_binary_source,
+# text_repetition, corpus_shard_layout, events_anomaly_mad,
+# multimodal_audio_stats, q4_order_priority, q12_priority_lines,
+# window_range_interval.
+_SPECS: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
     "kg_pivot_records": QuerySpec(kg.kg_pivot_records, kg.KG_PIVOT_ORACLE),
@@ -484,6 +455,94 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_ivf_topk": QuerySpec(pipeline.ann_ivf_topk, None),
     "stream_es_feed": QuerySpec(streaming_plans.stream_es_feed, None),
 }
+
+
+# R6 DRIVER WINDOW (VERDICT r5 next-round #2): 50 slots, every one an
+# oracle-backed entry with NO driver CORRECTNESS row through r5,
+# prioritizing distinct machinery (the named set: bucketed join,
+# streaming agg state, incremental refresh, Bloom decontamination,
+# DESCRIBE/ASK, constraint check, z-order, the TPC-H five) plus the
+# iterative algorithms, the store lifecycle ops, and the stateful
+# streaming operators.
+DRIVER_WINDOW: list[str] = [
+    # A-block: temporal merge, property paths, CDC, store lifecycle,
+    # maintenance, data quality, skew/bucketing, SPARQL forms, PageRank.
+    "merge_scd2",
+    "kg_path_transitive",
+    "table_diff_cdc",
+    "index_partition_refresh",
+    "source_schema_evolution",
+    "maintenance_compaction",
+    "agg_incremental_refresh",
+    "bucketed_join_colocated",
+    "skew_salted_join",
+    "kg_describe",
+    "kg_ask",
+    "table_profile",
+    "dq_constraint_check",
+    "maintenance_zorder",
+    "targeted_delete_gdpr",
+    "graph_pagerank",
+    # B-block: the TPC-H shapes never driver-graded (incl. the named
+    # five), plus the analytics family.
+    "q2_min_cost_supplier",
+    "q6_revenue_forecast",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "events_pivot_wide",
+    "orders_cohort_retention",
+    "events_quantiles",
+    "events_json_extract",
+    "events_sliding_window",
+    "events_gap_fill",
+    "orders_window_functions",
+    "orders_basket_pairs",
+    "q4_order_priority",
+    "q12_priority_lines",
+    "window_range_interval",
+    # C-block: the stateful/bounded-deterministic streaming operators.
+    "stream_funnel",
+    "stream_interval_join",
+    "stream_agg_state",
+    "stream_dq_gate",
+    # D-block: redaction, quantized/filtered ANN, cluster components,
+    # corpus statistics, trend fit, edit distance, Bloom decontam,
+    # k-means.
+    "text_pii_redact",
+    "ann_quantized_topk",
+    "dedup_cluster_components",
+    "corpus_vocabulary",
+    "corpus_bigram_lm",
+    "events_trend_fit",
+    "ann_filtered_topk",
+    "dedup_edit_distance",
+    "corpus_decontaminate_bloom",
+    "embeddings_kmeans",
+]
+
+assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
+assert len(set(DRIVER_WINDOW)) == 50, "duplicate window entry"
+assert all(
+    _SPECS[name].oracle is not None for name in DRIVER_WINDOW
+), "rows-only entry in the graded window"
+
+# Assemble: window first (graded), then the remaining oracle-backed
+# entries (checked by tools/check_oracle.py + tests/test_oracle.py
+# locally), then the rows-only tail (oracle=None entries must never
+# occupy graded slots another oracle-backed entry could use).
+QUERIES: dict[str, QuerySpec] = {name: _SPECS[name] for name in DRIVER_WINDOW}
+for _name, _spec in _SPECS.items():
+    if _name not in QUERIES and _spec.oracle is not None:
+        QUERIES[_name] = _spec
+for _name, _spec in _SPECS.items():
+    if _name not in QUERIES:
+        QUERIES[_name] = _spec
+assert len(QUERIES) == len(_SPECS)
 
 
 _SHIPPED: set[str] = set()
