@@ -47,12 +47,3 @@ def norm_sql(a: str, dim: int) -> str:
     return f"sqrt({dot_sql(a, a, dim)})"
 
 
-def signed_sum_sql(a: str, signs: list[float]) -> str:
-    """sum_i signs[i] * a[i] for signs in {+1.0, -1.0} — the hyperplane
-    projection used by sign-LSH, unrolled (multiplying by ±1.0 and
-    adding ±a[i] are bit-identical in IEEE754)."""
-    parts = []
-    for i, s in enumerate(signs):
-        op = "+" if s > 0 else "-"
-        parts.append(f"{op} CAST({a}[{i}] AS DOUBLE)")
-    return "(0.0 " + " ".join(parts) + ")"
