@@ -1433,6 +1433,11 @@ GROUP BY o_custkey
 
 
 # ------------------------------------- A35 bucketed co-located join
+# (tag, temp_root) of bucketed landings not yet reclaimed — the next
+# invocation drops the previous call's catalog entries and files.
+_BUCKETED_LANDINGS: list[tuple[str, str]] = []
+
+
 def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free fact-to-fact join via BUCKETED storage layout: both
     orders and lineitem land bucketed (and sorted) by the join key, so
@@ -1452,6 +1457,8 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     (LOCATION_ALREADY_EXISTS — hit in-session); a unique path also
     keeps the entry independent of the driver's cwd/warehouse. The
     oracle is the plain join+agg — layout must never change results."""
+    import os
+    import shutil
     import tempfile
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -1460,12 +1467,25 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
+    # Per-call unique table names (from the temp-dir suffix): fixed
+    # session-global names let two concurrent invocations clobber each
+    # other's tables mid-query (ADVICE r5). Earlier calls' tables and
+    # temp dirs are reclaimed here once their DataFrames are out of
+    # the plan cache — dropping them at return is not an option
+    # because the builder contract returns a LAZY result whose scan
+    # still resolves the catalog entry at action time.
     root = tempfile.mkdtemp(prefix="bucketed_")
+    tag = os.path.basename(root).removeprefix("bucketed_").lower()
+    for prior_tag, prior_root in _BUCKETED_LANDINGS:
+        spark.sql(f"DROP TABLE IF EXISTS b_orders_{prior_tag}")
+        spark.sql(f"DROP TABLE IF EXISTS b_lineitem_{prior_tag}")
+        shutil.rmtree(prior_root, ignore_errors=True)
+    _BUCKETED_LANDINGS.clear()
+    _BUCKETED_LANDINGS.append((tag, root))
     for name, df, key in (
-        ("b_orders", orders, "o_orderkey"),
-        ("b_lineitem", li, "l_orderkey"),
+        (f"b_orders_{tag}", orders, "o_orderkey"),
+        (f"b_lineitem_{tag}", li, "l_orderkey"),
     ):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
             df.write.bucketBy(16, key)
             .sortBy(key)
@@ -1474,8 +1494,8 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("parquet")
             .saveAsTable(name)
         )
-    bo = spark.table("b_orders")
-    bl = spark.table("b_lineitem")
+    bo = spark.table(f"b_orders_{tag}")
+    bl = spark.table(f"b_lineitem_{tag}")
     # Exact e4-unit revenue: price and discount are 2-decimal values, so
     # per-line revenue is an exact 4-decimal number — a double ROUND(x, 2)
     # then sits exactly on .xx5 half-way points where Spark (HALF_UP on
@@ -1718,7 +1738,10 @@ def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # SQL FK semantics: NULL child keys satisfy the constraint, so the
     # anti joins count only NON-NULL keys without a parent — matching
-    # the oracle's NOT IN, which also never flags NULL children.
+    # the oracle's correlated NOT EXISTS. (NOT IN would be wrong on the
+    # OTHER side: one NULL parent key makes NOT IN return no rows,
+    # masking every real orphan — exactly the corrupted-store input
+    # this check exists for. ADVICE r5.)
     fk_li = (
         li.filter(F.col("l_orderkey").isNotNull())
         .join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
@@ -1748,12 +1771,16 @@ SELECT 'orders_pk_unique' AS check,
        )) AS BIGINT) AS violations
 UNION ALL
 SELECT 'lineitem_orderkey_fk',
-       (SELECT COUNT(*) FROM lineitem
-        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
 UNION ALL
 SELECT 'orders_custkey_fk',
-       (SELECT COUNT(*) FROM orders
-        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+       (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
 UNION ALL
 SELECT 'orders_not_null',
        (SELECT COUNT(*) FROM orders

@@ -1469,7 +1469,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(
         F.col("r_name") == "AMERICA"
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Exact e4 units (see q6/q15): price and discount are exact
+    # 2-decimal values, so summing doubles puts mkt_share's 4th
+    # decimal on .xxxx5 boundaries where Spark and DuckDB round
+    # apart; integer sums divide once at the end instead.
+    vol = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
     joined = (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -1494,9 +1500,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     F.when(F.col("n2.n_name") == "NATION_3", vol).otherwise(
-                        0.0
+                        F.lit(0).cast("long")
                     )
-                )
+                ).cast("double")
                 / F.sum(vol),
                 4,
             ).alias("mkt_share")
@@ -1506,11 +1512,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_ORACLE = """
 SELECT o_year,
-       ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END)
-             / SUM(volume), 4) AS mkt_share
+       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 4) AS mkt_share
 FROM (
   SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-         l_extendedprice * (1 - l_discount) AS volume,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND((1 - l_discount) * 100) AS BIGINT) AS volume,
          n2.n_name AS nation
   FROM lineitem
   JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'

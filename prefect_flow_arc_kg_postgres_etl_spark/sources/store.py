@@ -245,6 +245,11 @@ def targeted_delete_rewrite(
     }
     new_v = (v or 0) + 1
     dst = version_dir(table_path, new_v)
+    # A prior attempt that crashed mid-write (before the pointer swap)
+    # leaves part files in v_{N+1}; the survivors write below appends,
+    # so without clearing first a retry would commit duplicated rows.
+    # Wholesale replacement restores write_table's crash contract.
+    shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst, exist_ok=True)
     for fn in os.listdir(src_dir):
         if fn.startswith("_") or fn in affected:

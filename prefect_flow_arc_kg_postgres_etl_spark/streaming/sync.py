@@ -796,6 +796,8 @@ def dq_gate_stream(
     versioned store but per-sink. The gate predicate is evaluated once
     per row scan-side; the split is two filters off the same cached
     micro-batch, not two source reads."""
+    import os
+
     ev = events_stream(spark, sf_dir)
     rule = (F.col("value") >= 0) & (F.col("value") <= 90)
 
@@ -811,6 +813,12 @@ def dq_gate_stream(
         )
         b.unpersist()
 
+    # Pre-create both sink directories: on an EMPTY bounded source
+    # foreachBatch never fires, so neither path would exist and the
+    # read-back below would die on path-not-found despite the explicit
+    # schema guarding the zero-row case (ADVICE r5).
+    os.makedirs(f"{out_root}/valid", exist_ok=True)
+    os.makedirs(f"{out_root}/dead_letter", exist_ok=True)
     q = (
         ev.writeStream.foreachBatch(apply_batch)
         .trigger(availableNow=True)

@@ -378,3 +378,33 @@ def test_targeted_delete_rewrites_only_affected_files(spark, tmp_path):
 
     dirs = [d for d in _os.listdir(root) if d.startswith("v_")]
     assert dirs == [f"v_{S.current_version(root)}"], dirs
+
+
+def test_targeted_delete_retry_after_crash_does_not_duplicate(spark, tmp_path):
+    """Crash contract (ADVICE r5): a prior attempt that died mid-write
+    leaves part files in the not-yet-committed v_{N+1}; the retry must
+    replace that directory wholesale, not append to it — otherwise the
+    survivor rows commit twice."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store as S
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    root = str(tmp_path / "orders.parquet")
+    S.write_table(orders, root, prune=False)
+    v = S.current_version(root)
+    # Simulate the crashed attempt: half-written survivors in v_{N+1}
+    # with no pointer swap.
+    crashed = S.version_dir(root, v + 1)
+    os.makedirs(crashed)
+    orders.limit(25).write.mode("overwrite").parquet(crashed)
+
+    band = orders.select("o_orderkey").orderBy("o_orderkey").limit(10)
+    S.targeted_delete_rewrite(spark, root, band, "o_orderkey")
+    got = S.read_table(spark, root)
+    assert got.count() == orders.count() - 10
+    dupes = got.groupBy("o_orderkey").count().filter(F.col("count") > 1)
+    assert dupes.count() == 0, "retry duplicated survivor rows"

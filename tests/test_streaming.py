@@ -333,3 +333,21 @@ def test_stream_agg_state_converges_and_skips_replay(spark):
 
     second = {tuple(r) for r in agg_state_stream(spark, SF_SMOKE, target).collect()}
     assert second == first
+
+
+def test_dq_gate_empty_source_returns_empty_splits(spark, tmp_path):
+    """ADVICE r5: on an EMPTY bounded source foreachBatch never fires,
+    so neither sink directory gets written — the gate must still return
+    an empty two-split frame, not die on path-not-found."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import read_raw
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import dq_gate_stream
+
+    empty_sf = tmp_path / "sf_empty"
+    empty_sf.mkdir()
+    probe = read_raw(spark, f"{SF_SMOKE}/events.parquet")
+    spark.createDataFrame([], probe.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(empty_sf / "events.parquet"))
+    out = dq_gate_stream(spark, str(empty_sf), str(tmp_path / "gate_out"))
+    assert out.count() == 0
+    assert "sink" in out.columns
