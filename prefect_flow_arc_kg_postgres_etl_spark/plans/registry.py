@@ -252,6 +252,11 @@ _SPECS: dict[str, QuerySpec] = {
         streaming_plans.stream_funnel_buffered,
         streaming_plans.STREAM_FUNNEL_BUFFERED_ORACLE,
     ),
+    # C3b (NEW r6): watermark-buffered disorder-correct sessionizer.
+    "stream_sessionize_buffered": QuerySpec(
+        streaming_plans.stream_sessionize_buffered,
+        streaming_plans.STREAM_SESSIONIZE_BUFFERED_ORACLE,
+    ),
     # B34: Q13 distribution-of-counts (left-outer + double agg).
     "q13_order_distribution": QuerySpec(
         relational.q13_order_distribution, relational.Q13_ORACLE
@@ -504,12 +509,12 @@ DRIVER_WINDOW: list[str] = [
     "orders_basket_pairs",
     "q4_order_priority",
     "q12_priority_lines",
-    "window_range_interval",
     # C-block: the stateful/bounded-deterministic streaming operators.
     "stream_funnel",
     "stream_interval_join",
     "stream_agg_state",
     "stream_dq_gate",
+    "stream_sessionize_buffered",
     # D-block: redaction, quantized/filtered ANN, cluster components,
     # corpus statistics, trend fit, edit distance, Bloom decontam,
     # k-means.

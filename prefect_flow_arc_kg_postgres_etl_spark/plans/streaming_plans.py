@@ -108,6 +108,51 @@ QUALIFY session_id < MAX(session_id) OVER (PARTITION BY user_id)
 """
 
 
+def stream_sessionize_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3b: the watermark-buffered disorder-correct sessionizer (the
+    C7b buffering pattern applied to C3). State holds one gap+lateness
+    horizon of events per user; sessions emit when the watermark
+    passes session_end + gap. On a bounded source the emitted set is
+    deterministic: the batch sessions with
+    end < max event time - delay - gap."""
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        sessionize_stream_buffered,
+    )
+
+    _COUNTER["n"] += 1
+    return sessionize_stream_buffered(
+        spark, sf_dir, query_name=f"stream_sessionize_buffered_{_COUNTER['n']}"
+    )
+
+
+# Batch sessionization restricted to watermark-finalized sessions:
+# end < max(ts) - delay(1h) - gap(30min). Exact-us arithmetic (EPOCH_US;
+# EPOCH would round fractional seconds).
+STREAM_SESSIONIZE_BUFFERED_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+HAVING EPOCH_US(MAX(ts)) <
+       (SELECT EPOCH_US(MAX(ts)) - 3600000000 - 1800000000 FROM events)
+"""
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4: watermarked streaming dedup of a doubled source; final table
     == the plain events table, which is the batch-SQL oracle."""

@@ -225,6 +225,117 @@ def sessionize_stream(
     )
 
 
+_SESSB_STATE_SCHEMA = "buf array<bigint>"
+
+
+def _sessionize_group_buffered(key, pdfs, state):
+    """C3b: watermark-buffered sessionizer — disorder-correct under any
+    cross-batch arrival order within the lateness window, unlike
+    ``_sessionize_group`` (whose batch-parity contract requires
+    event-time-ordered arrival: an earlier event landing after a later
+    one would splice into a closed session it can no longer join).
+
+    State = the buffered event times (us) of every session the
+    watermark has NOT yet finalized. A session is final iff
+    ``end < watermark - gap``: any still-admissible event has
+    ``ts >= watermark``, and such an event could only extend a session
+    whose end is within ``gap`` of it. Finalization is monotone in
+    session order, so the emitted prefix never revisits. State size is
+    bounded by the events inside one gap+lateness horizon per user —
+    |active events|, not history (same bound as the C7b funnel)."""
+    import pandas as pd
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    (user_id,) = key
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    buf = list(state.get[0]) if state.exists else []
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            buf.extend(int(t) for t in pdf["ts"].astype("int64") // 1000)
+    buf.sort()
+
+    sessions: list[list[int]] = []
+    for t in buf:
+        if sessions and t - sessions[-1][-1] <= gap_us:
+            sessions[-1].append(t)
+        else:
+            sessions.append([t])
+
+    emitted: list[tuple[int, int, int]] = []
+    keep: list[int] = []
+    next_final_us = None
+    for s in sessions:
+        if not keep and s[-1] < wm_us - gap_us:
+            emitted.append((s[0], s[-1], len(s)))
+        else:
+            if next_final_us is None:
+                next_final_us = s[-1] + gap_us
+            keep.extend(s)
+
+    if keep:
+        state.update((keep,))
+        # Wake when the watermark can next finalize the oldest open
+        # session (must be strictly beyond the current watermark).
+        state.setTimeoutTimestamp(
+            max(next_final_us // 1000 + 1, wm_us // 1000 + 1)
+        )
+    elif state.exists:
+        state.remove()
+
+    if emitted:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(emitted),
+                "session_start": [
+                    pd.Timestamp(s, unit="us") for s, _, _ in emitted
+                ],
+                "session_end": [
+                    pd.Timestamp(e, unit="us") for _, e, _ in emitted
+                ],
+                "n_events": [n for _, _, n in emitted],
+            }
+        )
+
+
+def sessionize_stream_buffered(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_sessionize_buffered",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """C3b: the watermark-buffered sessionizer (the C7b fix pattern
+    applied to C3). On a bounded source the emitted set is
+    deterministic — exactly the batch sessionizer's sessions whose
+    ``end < max event time - delay - gap`` (the ones the final
+    watermark finalized) — under ANY cross-batch arrival order within
+    the lateness window."""
+    ev = (
+        events_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .select("user_id", "ts")
+    )
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group_buffered,
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=_SESSB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
 def incremental_upsert_stream(
     spark: SparkSession,
     sf_dir: str,

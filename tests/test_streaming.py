@@ -351,3 +351,87 @@ def test_dq_gate_empty_source_returns_empty_splits(spark, tmp_path):
     out = dq_gate_stream(spark, str(empty_sf), str(tmp_path / "gate_out"))
     assert out.count() == 0
     assert "sink" in out.columns
+
+
+def test_buffered_sessionizer_correct_under_crossbatch_disorder(spark, tmp_path):
+    """C3b: the buffered sessionizer must emit the BATCH sessions the
+    final watermark finalized even when a later micro-batch delivers
+    EARLIER events — the arrival order the single-open-session
+    sessionizer documents as out of contract (it would close a session
+    early and splice the late event into a spurious new one)."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        _SESS_OUT_SCHEMA,
+        _SESSB_STATE_SCHEMA,
+        _sessionize_group_buffered,
+    )
+
+    MIN = 60_000_000  # one minute in us
+    DAY = 86_400_000_000  # offset: ts==epoch-0 collides with the
+    # INITIAL watermark (Spark's late filter drops ts <= watermark,
+    # which starts at 0) — shift all events one day off epoch zero.
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [pd.Timestamp(DAY + r[1] * MIN, unit="us") for r in rows],
+            }
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def land(pdf, name, mtime):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(stage)
+        )
+        (part,) = glob.glob(f"{stage}/part-*.parquet")
+        dst = src / f"{name}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # File A (arrives FIRST): the LATE chunk — events at 200 and 215min.
+    land(mk([(1, 200), (1, 215)]), "a", 1_000_000)
+    # File B (arrives SECOND): earlier events — 0, 10, 20min (one
+    # session) and 90min (a second session). The unbuffered sessionizer
+    # would have closed a bogus session at 200-215 and then spliced
+    # these in after it.
+    land(mk([(1, 0), (1, 10), (1, 20), (1, 90)]), "b", 1_000_100)
+
+    ev = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+    )
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group_buffered,
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=_SESSB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_disorder")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.session_start.minute + r.session_start.hour * 60, r.n_events)
+        for r in spark.table("sess_disorder").collect()
+    }
+    # Final watermark = 215 - 60 = 155min; finalized sessions need
+    # end < 155 - 30 = 125min: session [0,10,20] (end 20) and session
+    # [90] (end 90) emit; the 200/215 session stays open. The batch
+    # sessionizer on the union produces exactly those two sessions.
+    assert got == {(0, 3), (90, 1)}
