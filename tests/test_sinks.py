@@ -408,3 +408,85 @@ def test_targeted_delete_retry_after_crash_does_not_duplicate(spark, tmp_path):
     assert got.count() == orders.count() - 10
     dupes = got.groupBy("o_orderkey").count().filter(F.col("count") > 1)
     assert dupes.count() == 0, "retry duplicated survivor rows"
+
+
+def test_store_lifecycle_land_compact_zorder_delete_validate(spark, tmp_path):
+    """VERDICT r5 #7 — the maintenance ops compose on ONE versioned
+    store: land (fragmented) -> compact -> z-order -> targeted GDPR
+    delete -> validate_store, with a time-travel read of the pinned
+    pre-delete version refused after erasure. Each op has its own
+    contract test; this proves the invariants survive the chain."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_kg_postgres_etl_spark.flows import validate_store
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store as S
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "store")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    n_orders = orders.count()
+
+    # 1. LAND: orders fragmented (the streaming-sink shape), customer
+    # plain. prune=False retains history so the erasure step below has
+    # versions to destroy.
+    S.write_table(orders.repartition(16), f"{root}/orders.parquet", prune=False)
+    S.write_table(cust, f"{root}/customer.parquet", prune=False)
+
+    # 2. COMPACT the fragmented landing into the next version.
+    v_dir = S.version_dir(
+        f"{root}/orders.parquet", S.current_version(f"{root}/orders.parquet")
+    )
+    assert len([f for f in os.listdir(v_dir) if f.endswith(".parquet")]) == 16
+    compacted = S.compact_files(
+        spark, v_dir, str(tmp_path / "compact_tmp"),
+        target_file_bytes=64 * 1024 * 1024,
+    )
+    S.write_table(compacted, f"{root}/orders.parquet", prune=False)
+    v2_dir = S.version_dir(
+        f"{root}/orders.parquet", S.current_version(f"{root}/orders.parquet")
+    )
+    n_files_v2 = len([f for f in os.listdir(v2_dir) if f.endswith(".parquet")])
+    assert n_files_v2 < 16
+    assert S.read_table(spark, f"{root}/orders.parquet").count() == n_orders
+
+    # 3. Z-ORDER on (o_orderdate, o_custkey); content must be intact.
+    laid = S.zorder_layout(
+        S.read_table(spark, f"{root}/orders.parquet"),
+        ["o_orderdate", "o_custkey"],
+        n_files=4,
+    )
+    S.write_table(laid, f"{root}/orders.parquet", prune=False)
+    pinned_v = S.current_version(f"{root}/orders.parquet")
+    assert S.read_table_version(
+        spark, f"{root}/orders.parquet", pinned_v
+    ).count() == n_orders
+
+    # 4. TARGETED DELETE of an order-key band.
+    band = orders.select("o_orderkey").orderBy("o_orderkey").limit(20)
+    S.targeted_delete_rewrite(
+        spark, f"{root}/orders.parquet", band, "o_orderkey"
+    )
+    live = S.read_table(spark, f"{root}/orders.parquet")
+    assert live.count() == n_orders - 20
+    assert live.join(band, "o_orderkey", "left_semi").count() == 0
+
+    # 5. VALIDATE the post-erasure store: PK still unique, orders FK
+    # into customer still orphan-free (erasure removed whole rows, not
+    # key integrity).
+    report = validate_store(spark, root, ["customer", "orders"])
+    flat = {
+        f"{t}.{c}": n for t, checks in report.items() for c, n in checks.items()
+    }
+    assert all(n == 0 for n in flat.values()), flat
+
+    # 6. Time travel to the pinned PRE-DELETE version must now fail —
+    # erasure destroys history, the pinned copy included.
+    with pytest.raises(Exception):
+        S.read_table_version(
+            spark, f"{root}/orders.parquet", pinned_v
+        ).collect()
