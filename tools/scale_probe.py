@@ -1,0 +1,126 @@
+"""Scaling probe for the flagship ETL path (SURVEY §6 datapoints).
+
+Builds an N-x key-shifted blowup of the sf0.1 customer/orders/lineitem
+tables on disk (every copy's join keys shift by a disjoint stride, so
+key cardinality scales with the data — the realistic 100 TB shape, not
+a hot-key artifact), lands BOTH the 1x and Nx inputs in identical
+32-file layouts, then times the flagship plans (noop sink, min-of-3
+after one warm pass) at each scale and prints the ratios.
+
+Usage: python tools/scale_probe.py [factor=50] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_kg_postgres_etl_spark.plans.registry import QUERIES
+from prefect_flow_arc_kg_postgres_etl_spark.session import get_spark
+from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+SRC_SF = "/root/testdata/sf0.1"
+SHIFT = 100_000_000  # key stride between copies (beyond any base key)
+BLOWN = {"customer", "orders", "lineitem"}
+KEY_COLS = {
+    "c_custkey",
+    "o_orderkey",
+    "o_custkey",
+    "l_orderkey",
+    "l_partkey",  # parts/suppliers are dims: do NOT shift their keys
+    "l_suppkey",
+}
+DIM_KEYS = {"l_partkey", "l_suppkey"}  # keep joinable to unblown dims
+DEFAULT_QUERIES = ["kg_pivot_records", "merge_upsert", "index_documents"]
+
+
+def build_dir(spark, factor: int, root: str) -> str:
+    sf_dir = os.path.join(root, f"sf_blow{factor}")
+    os.makedirs(sf_dir, exist_ok=True)
+    for name in os.listdir(SRC_SF):
+        if not name.endswith(".parquet"):
+            continue
+        table = name[: -len(".parquet")]
+        dst = os.path.join(sf_dir, name)
+        if table not in BLOWN:
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(SRC_SF, name), dst)
+            continue
+        base = load_table(spark, SRC_SF, table)
+        shifted = base
+        for i in range(1, factor):
+            copy = base.select(
+                *[
+                    (F.col(c) + SHIFT * i).alias(c)
+                    if c in KEY_COLS and c not in DIM_KEYS
+                    else F.col(c)
+                    for c in base.columns
+                ]
+            )
+            shifted = shifted.unionByName(copy)
+        shifted.repartition(32).write.mode("overwrite").parquet(dst)
+    return sf_dir
+
+
+def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in names:  # warm pass (codegen, file listing)
+        QUERIES[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    for _ in range(3):
+        for name in names:
+            t0 = time.time()
+            QUERIES[name].builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = round(time.time() - t0, 2)
+            if name not in out or dt < out[name]:
+                out[name] = dt
+    return out
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    factor = int(args[0]) if args and args[0].isdigit() else 50
+    names = [a for a in args if not a.isdigit()] or DEFAULT_QUERIES
+    spark = get_spark("scale-probe")
+    # Optional shuffle-partition override for the Nx run (the 100 TB
+    # lever: partitions scale with data so per-partition agg state
+    # stays memory-resident; locally the 1x default is cores).
+    shuffle_nx = os.environ.get("SCALE_PROBE_SHUFFLE")
+    root = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        d1 = build_dir(spark, 1, root)
+        dn = build_dir(spark, factor, root)
+        t1 = time_queries(spark, d1, names)
+        if shuffle_nx:
+            spark.conf.set("spark.sql.shuffle.partitions", shuffle_nx)
+        tn = time_queries(spark, dn, names)
+        print(
+            json.dumps(
+                {
+                    "factor": factor,
+                    "t_1x": t1,
+                    f"t_{factor}x": tn,
+                    "ratio": {
+                        n: round(tn[n] / t1[n], 2) if t1[n] else None
+                        for n in names
+                    },
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
