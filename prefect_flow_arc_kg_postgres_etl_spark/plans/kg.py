@@ -1925,3 +1925,67 @@ SELECT nb.node,
 FROM (SELECT node, n FROM nodes, cnt) nb
 LEFT JOIN i2 ON i2.dst = nb.node
 """
+
+
+# --------------------------------- A44 join-view incremental maintenance
+def join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A44 (r6): DELTA-JOIN maintenance of a materialized JOIN view —
+    the join-view counterpart of A34's aggregate summary-delta. The
+    maintained view is orders |><| customer (the enriched-orders view
+    every mart keeps); a delta of upserted orders refreshes it as
+
+        view' = (view ANTI delta.keys) UNION (delta |><| customer)
+
+    so the refresh cost is |view| + |delta| x |customer-lookup| — the
+    base orders FACT is never re-joined (the anti join is key-only
+    against the delta's broadcast key set, and only the DELTA rows
+    pay the dimension join). Oracle = the full recompute over the
+    upserted orders, which the maintenance identity must equal
+    exactly. Same refresh semantics as the reference's incremental
+    SINCE sync feeding an enriched index (configuration.ts SINCE +
+    update_partition.sql's joined document build)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def enrich(o: DataFrame) -> DataFrame:
+        return o.join(cust, o.o_custkey == cust.c_custkey).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderstatus",
+            "c_name",
+            "c_mktsegment",
+        )
+
+    base = orders.filter(F.col("o_orderdate") < _UPSERT_SPLIT)
+    delta = (
+        orders.filter(F.col("o_orderdate") >= "1995-01-01")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    view = enrich(base)  # the maintained state (materialized in prod)
+    refreshed = view.join(
+        F.broadcast(delta.select("o_orderkey").distinct()),
+        "o_orderkey",
+        "left_anti",
+    ).unionByName(enrich(delta))
+    return refreshed
+
+
+JOIN_VIEW_IVM_ORACLE = f"""
+WITH upserted AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+  FROM orders
+  WHERE o_orderdate < '{_UPSERT_SPLIT}'
+    AND NOT EXISTS (
+      SELECT 1 FROM orders d
+      WHERE d.o_orderdate >= '1995-01-01'
+        AND d.o_orderkey = orders.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice * 1.1, 'U'
+  FROM orders WHERE o_orderdate >= '1995-01-01'
+)
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+       c_name, c_mktsegment
+FROM upserted JOIN customer ON o_custkey = c_custkey
+"""

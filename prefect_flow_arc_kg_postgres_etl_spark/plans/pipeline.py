@@ -1277,3 +1277,36 @@ SELECT a.cid, a.n_members,
 FROM (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY 1) a
 JOIN c2 ON a.cid = c2.cid
 """
+
+
+# ------------------------------- D35 hash-stable dataset split (r6)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D35: deterministic train/val/test assignment — the split every
+    training pipeline needs to be a pure FUNCTION of the document id
+    (stable across runs, partitionings, engines and corpus growth:
+    a doc never migrates between splits when new data lands, so eval
+    sets stay uncontaminated). Same engine-independent LCG as the
+    stratified sampler (operators/curation.sample_stratified), bucketed
+    0-999: <800 train, <900 val, else test. Scan-side projection —
+    no shuffle, no RNG, no state."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        ((F.col("doc_id") % 2147483648) * 1103515245 + 12345) % 2147483648
+    ) % 1000
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 800, "train")
+        .when(bucket < 900, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+CORPUS_SPLIT_ORACLE = f"""
+SELECT doc_id, lang,
+       CASE WHEN ({_LCG}) % 1000 < 800 THEN 'train'
+            WHEN ({_LCG}) % 1000 < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""

@@ -257,6 +257,12 @@ _SPECS: dict[str, QuerySpec] = {
         streaming_plans.stream_sessionize_buffered,
         streaming_plans.STREAM_SESSIONIZE_BUFFERED_ORACLE,
     ),
+    # C11 (NEW r6): streaming windowed top-k — mergeable counts
+    # maintained by summary-delta, ranked at read time (top-k itself
+    # is not mergeable).
+    "stream_topk": QuerySpec(
+        streaming_plans.stream_topk, streaming_plans.STREAM_TOPK_ORACLE
+    ),
     # B34: Q13 distribution-of-counts (left-outer + double agg).
     "q13_order_distribution": QuerySpec(
         relational.q13_order_distribution, relational.Q13_ORACLE
@@ -446,6 +452,21 @@ _SPECS: dict[str, QuerySpec] = {
     # fan-out, linear in orders), support + directed confidence.
     "orders_basket_pairs": QuerySpec(
         relational.orders_basket_pairs, relational.BASKET_PAIRS_ORACLE
+    ),
+    # A44 (NEW r6): delta-join maintenance of a materialized join view
+    # (the join-view counterpart of A34's aggregate summary-delta).
+    "join_view_incremental": QuerySpec(
+        kg.join_view_incremental, kg.JOIN_VIEW_IVM_ORACLE
+    ),
+    # B46 (NEW r6): keyless RANGE join via time-bucket equi-join —
+    # the plan shape that replaces the O(n^2) inequality join.
+    "events_range_join_bucketed": QuerySpec(
+        relational.events_range_join_bucketed,
+        relational.EVENTS_RANGE_JOIN_ORACLE,
+    ),
+    # D35 (NEW r6): hash-stable train/val/test split assignment.
+    "corpus_split_assign": QuerySpec(
+        pipeline.corpus_split_assign, pipeline.CORPUS_SPLIT_ORACLE
     ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against

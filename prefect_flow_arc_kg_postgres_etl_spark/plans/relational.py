@@ -2026,3 +2026,70 @@ FROM pairs
 JOIN totals ta ON ta.l_partkey = part_a
 JOIN totals tb ON tb.l_partkey = part_b
 """
+
+
+# ------------------------------- B46 bucketed range join (r6)
+_RANGE_US = 60_000_000  # ±60 s proximity window
+
+
+def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B46: pure RANGE join — pair rows by time proximity alone, with
+    NO equi key (unlike B10's as-of join, which is keyed per user).
+    The naive plan is a cartesian/inequality join (O(n^2) compare —
+    a BroadcastNestedLoopJoin Spark would happily pick); the scale
+    shape BUCKETIZES time into range-width buckets and expands one
+    side to its adjacent buckets, turning the range predicate into an
+    EQUI join on bucket + a residual filter: each probe row meets only
+    the rows of three buckets, cost O(n * density), shuffle keyed
+    uniformly by time bucket. A (p, v) pair shares exactly one of the
+    three expanded buckets, so no post-join dedup is needed.
+
+    Here: for every purchase, the number of view events (any user)
+    within ±60 s. Plan-audited: no cartesian/nested-loop node."""
+    ev = load_table(spark, sf_dir, "events")
+    # exact epoch micros (ntz -> ltz under the pinned UTC session tz)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event"), us.alias("p_us")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(us.alias("v_us"))
+    bucket_p = (F.col("p_us") / F.lit(_RANGE_US)).cast("long")
+    v_expanded = v.select(
+        "v_us",
+        F.explode(
+            F.array(
+                (F.col("v_us") / F.lit(_RANGE_US)).cast("long") - 1,
+                (F.col("v_us") / F.lit(_RANGE_US)).cast("long"),
+                (F.col("v_us") / F.lit(_RANGE_US)).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    hits = (
+        p.withColumn("bucket", bucket_p)
+        .join(v_expanded, "bucket")
+        .filter(F.abs(F.col("p_us") - F.col("v_us")) <= _RANGE_US)
+        .groupBy("purchase_event")
+        .agg(F.count(F.lit(1)).alias("n_nearby_views"))
+    )
+    return (
+        p.select("purchase_event")
+        .join(hits, "purchase_event", "left")
+        .select(
+            "purchase_event",
+            F.coalesce(F.col("n_nearby_views"), F.lit(0)).alias(
+                "n_nearby_views"
+            ),
+        )
+    )
+
+
+EVENTS_RANGE_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_event,
+       COUNT(v.ts) AS n_nearby_views
+FROM events p
+LEFT JOIN events v
+  ON v.event_type = 'view'
+ AND ABS(EPOCH_US(p.ts) - EPOCH_US(v.ts)) <= 60000000
+WHERE p.event_type = 'purchase'
+GROUP BY 1
+"""

@@ -321,3 +321,32 @@ SELECT event_id, ts, user_id, event_type, value, props,
             THEN 'valid' ELSE 'dead_letter' END AS sink
 FROM events
 """
+
+
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 (r6): streaming top-k per event-time window. Top-k is not a
+    mergeable aggregate, so the stream maintains the mergeable thing —
+    per (window, event_type) counts via the C9 summary-delta with a
+    composite key — and ranks at read time over the tiny state table.
+    Converged result == the batch windowed top-3, the full oracle."""
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        windowed_topk_stream,
+    )
+
+    target = tempfile.mkdtemp(prefix="stream_topk_") + "/state"
+    return windowed_topk_stream(spark, sf_dir, target, k=3)
+
+
+STREAM_TOPK_ORACLE = """
+WITH counts AS (
+  SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events, rank FROM (
+  SELECT window_start, event_type, n_events,
+         CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+              ORDER BY n_events DESC, event_type) AS INT) AS rank
+  FROM counts
+) WHERE rank <= 3
+"""

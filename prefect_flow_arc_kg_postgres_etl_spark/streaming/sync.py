@@ -951,3 +951,80 @@ def dq_gate_stream(
     return valid.withColumn("sink", F.lit("valid")).unionByName(
         dead.withColumn("sink", F.lit("dead_letter"))
     )
+
+
+def windowed_topk_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    target_path: str,
+    k: int = 3,
+) -> DataFrame:
+    """C11: streaming TOP-K per event-time window. Top-k is NOT a
+    mergeable aggregate (the k winners of two partials can both miss
+    the true winner), so the correct streaming shape maintains the
+    MERGEABLE thing — per (window, event_type) integer counts, the C9
+    summary-delta with a composite key — and ranks at READ time over
+    the |windows| x |types| state table (tiny next to the stream).
+    Same epoch-guarded replay protection as C9: additive state is not
+    replay-idempotent, so each state version carries its epoch and a
+    replayed micro-batch is skipped. After the bounded run the ranked
+    state equals the batch windowed top-k — the full SQL oracle."""
+    ev = events_stream(spark, sf_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as FF
+
+        from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import (
+            merge_agg_state,
+        )
+        from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+
+        sp = batch_df.sparkSession
+        delta = batch_df.select(
+            FF.date_trunc("hour", FF.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        state = (
+            store.read_table(sp, target_path)
+            if store.table_exists(target_path)
+            else None
+        )
+        if state is not None:
+            last = state.select(FF.max("_epoch")).first()[0]
+            if last is not None and last >= epoch_id:
+                return  # replayed micro-batch: already committed
+        if state is None:
+            merged = delta.groupBy("window_start", "event_type").agg(
+                FF.count(FF.lit(1)).alias("n")
+            )
+        else:
+            merged = merge_agg_state(
+                state.drop("_epoch"),
+                delta,
+                keys=["window_start", "event_type"],
+                sum_cols=[],
+            )
+        store.write_table(
+            merged.withColumn("_epoch", FF.lit(epoch_id)), target_path
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{target_path}_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+
+    state = store.read_table(spark, target_path)
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.col("event_type")
+    )
+    return (
+        state.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "event_type", F.col("n").alias("n_events"), "rank")
+    )
