@@ -357,6 +357,13 @@ def embedding_near_dups_lsh(
     buckets = lsh_band_buckets(
         vectors, bands, planes_per_band, dim, id_col, vec_col
     )
+    # Both join sides reference the bucket table, so without
+    # materialization the bands x planes Arrow matmul runs TWICE over
+    # the corpus (measured at sf0.1: 1.39 s -> 1.15 s steady-state,
+    # 8.1 s -> 2.2 s cold with one eager localCheckpoint; cluster
+    # note as in lsh_verified_pairs — land buckets to storage at
+    # 100 TB instead).
+    buckets = buckets.localCheckpoint(eager=True)
     left = buckets.select(F.col("id").alias("vec_a"), "band", "bucket")
     right = buckets.select(F.col("id").alias("vec_b"), "band", "bucket")
     # Pair dedup BEFORE the vector re-join: a pair colliding in several
