@@ -322,8 +322,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads it), which references the signature subtree three times —
     # materialize the signatures once instead of re-scanning the corpus
     # per reference (dedup.py:203-215; the scan-dominated regime this
-    # entry is in. lsh_verified_pairs takes the other fork: estimate
-    # opt-out, no materialization, fully recomputable lineage).
+    # entry is in. lsh_verified_pairs opts out of the estimate and
+    # materializes its GRAM table instead — r6).
     return D.minhash_lsh_candidates(
         _dup_corpus(spark, sf_dir, near=True), materialize_signatures=True
     )
