@@ -568,3 +568,81 @@ def edit_verified_pairs(
         .filter(F.col("edit_distance") >= 0)
         .select("doc_a", "doc_b", "jaccard", "edit_distance")
     )
+
+
+def _band_keys(sig: DataFrame, bands: int, r: int) -> DataFrame:
+    """(id, band, bh) band-bucket keys from a (id, sig) signature table
+    — the shared banding expression of minhash_lsh_candidates and the
+    incremental path below (one inline() string, JVM-parsed)."""
+    structs = ", ".join(
+        "struct({b} AS band, xxhash64({cols}) AS bh)".format(
+            b=b, cols=", ".join(f"sig[{b * r + j}]" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return sig.selectExpr("id", f"inline(array({structs}))")
+
+
+def incremental_dup_pairs(
+    history: DataFrame,
+    new: DataFrame,
+    threshold: float,
+    k: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Dedup of NEW ARRIVALS against an existing corpus — the actual
+    100 TB ingest workflow: history x history pairs are NEVER generated
+    (the historical corpus was already deduped when it landed), so each
+    ingest batch pays |new| band-key probes against the signature index
+    plus |new|^2-bounded new-vs-new banding — not a re-pairing of the
+    full corpus. In production the history side's signatures and grams
+    are PERSISTED (built once at landing, the MinHash analogue of a
+    search index; here they are derived in-plan from the history
+    frame); the band join against them is index lookup, not recompute.
+
+    Candidates = (new x history ∪ new x new) band collisions,
+    normalized to doc_a < doc_b; verification is the exact n-gram
+    Jaccard of candidates only, reusing the materialized-gram shape of
+    lsh_verified_pairs. Output pairs each involve >= 1 new doc — the
+    quadratic ground truth restricted to those pairs is the oracle."""
+    r = k // bands
+    sig_new = minhash_signatures(new, k, id_col, text_col, n).localCheckpoint(
+        eager=True
+    )
+    sig_hist = minhash_signatures(history, k, id_col, text_col, n)
+    nb = _band_keys(sig_new, bands, r)
+    ab = _band_keys(sig_hist, bands, r).unionByName(nb)
+    cands = (
+        nb.select(F.col("id").alias("new_id"), "band", "bh")
+        .join(ab.select(F.col("id").alias("other_id"), "band", "bh"), ["band", "bh"])
+        .filter(F.col("new_id") != F.col("other_id"))
+        .select(
+            F.least("new_id", "other_id").alias("doc_a"),
+            F.greatest("new_id", "other_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    corpus = history.unionByName(new)
+    grams = doc_ngrams(corpus, id_col, text_col, n).localCheckpoint(eager=True)
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    ga = grams.select(F.col("id").alias("doc_a"), "gram")
+    gb = grams.select(F.col("id").alias("doc_b"), "gram")
+    common = (
+        cands.join(ga, on="doc_a")
+        .join(gb, on=["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )

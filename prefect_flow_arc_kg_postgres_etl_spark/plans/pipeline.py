@@ -1310,3 +1310,43 @@ SELECT doc_id, lang,
             ELSE 'test' END AS split
 FROM documents
 """
+
+
+# ------------------------- D36 incremental new-vs-corpus dedup (r6)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D36: dedup of NEW ARRIVALS against the existing corpus
+    (operators/dedup.incremental_dup_pairs) — the production ingest
+    shape: history x history is never re-paired; each batch band-joins
+    its signatures against the persisted index and itself only. The
+    near-dup copies of the synthetic corpus play the arriving batch
+    (guaranteeing cross-boundary and in-batch dup pairs); the oracle
+    is the quadratic ground truth restricted to pairs touching a new
+    doc."""
+    corpus = _dup_corpus(spark, sf_dir, near=True)
+    history = corpus.filter(F.col("doc_id") < _NEAR_OFF)
+    new = corpus.filter(F.col("doc_id") >= _NEAR_OFF)
+    return D.incremental_dup_pairs(history, new, _JAC_T)
+
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM corpus
+),
+grams AS ({_GRAMS_SQL}),
+sizes AS (SELECT id, COUNT(*) AS n FROM grams GROUP BY 1),
+pairs AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS common
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.id = doc_a
+JOIN sizes sb ON sb.id = doc_b
+WHERE common * 1.0 / (sa.n + sb.n - common) >= {_JAC_T}
+  AND (doc_a >= {_NEAR_OFF} OR doc_b >= {_NEAR_OFF})
+"""

@@ -468,6 +468,11 @@ _SPECS: dict[str, QuerySpec] = {
     "corpus_split_assign": QuerySpec(
         pipeline.corpus_split_assign, pipeline.CORPUS_SPLIT_ORACLE
     ),
+    # D36 (NEW r6): incremental new-vs-corpus dedup — history is never
+    # re-paired; batch signatures probe the persisted index.
+    "dedup_incremental": QuerySpec(
+        pipeline.dedup_incremental, pipeline.DEDUP_INCREMENTAL_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.
