@@ -263,6 +263,12 @@ _SPECS: dict[str, QuerySpec] = {
     "stream_topk": QuerySpec(
         streaming_plans.stream_topk, streaming_plans.STREAM_TOPK_ORACLE
     ),
+    # C12 (NEW r6): cross-run dedup against a persisted seen-id store
+    # (C4 only remembers one run's watermark horizon).
+    "stream_dedup_state": QuerySpec(
+        streaming_plans.stream_dedup_state,
+        streaming_plans.STREAM_DEDUP_STATE_ORACLE,
+    ),
     # B34: Q13 distribution-of-counts (left-outer + double agg).
     "q13_order_distribution": QuerySpec(
         relational.q13_order_distribution, relational.Q13_ORACLE

@@ -350,3 +350,22 @@ SELECT window_start, event_type, n_events, rank FROM (
   FROM counts
 ) WHERE rank <= 3
 """
+
+
+def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 (r6): cross-run dedup against a PERSISTED id store — C4's
+    watermark-bounded dedup only remembers one run's horizon; this one
+    anti-joins each micro-batch against the durable seen-id index and
+    appends only never-seen rows, epoch-guarded against replays.
+    Converged store == the distinct source (full SQL oracle)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        dedup_state_stream,
+    )
+
+    target = tempfile.mkdtemp(prefix="stream_dedup_state_") + "/seen"
+    return dedup_state_stream(spark, sf_dir, target)
+
+
+STREAM_DEDUP_STATE_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+"""

@@ -1028,3 +1028,59 @@ def windowed_topk_stream(
         .filter(F.col("rank") <= k)
         .select("window_start", "event_type", F.col("n").alias("n_events"), "rank")
     )
+
+
+def dedup_state_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    target_path: str,
+) -> DataFrame:
+    """C12: CROSS-RUN streaming dedup against a PERSISTED id store —
+    the complement of C4: ``dropDuplicatesWithinWatermark`` only
+    remembers ids inside the watermark horizon of ONE run, so a
+    re-delivery hours later (or in the next job run) sails through.
+    Production CDC ingest keeps the seen-id index in reliable storage:
+    each micro-batch anti-joins the persisted index, appends only the
+    never-seen rows, and commits the updated index atomically with the
+    data (one versioned-store pointer swap). Index size is |distinct
+    ids| — at 100 TB it is the bucketed/z-ordered key table the
+    targeted-delete path already maintains, probed by key range.
+
+    Unlike C9's ADDITIVE state (which needs the epoch watermark —
+    re-applying a batch double-counts), SET-UNION state is naturally
+    replay-idempotent: a replayed batch anti-joins to nothing and
+    rewrites the store unchanged, and a whole NEW RUN over the same
+    store just keeps extending it — so no epoch guard, and none of
+    the fresh-checkpoint hazards C9 documents. The source is read
+    twice and unioned (deterministic at-least-once duplication); the
+    converged store equals the distinct source — the full SQL oracle."""
+    ev = events_stream(spark, sf_dir)
+    doubled = ev.unionByName(ev)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+
+        sp = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates(["event_id"])
+        if store.table_exists(target_path):
+            state = store.read_table(sp, target_path)
+            new = fresh.join(
+                state.select("event_id"), "event_id", "left_anti"
+            )
+            merged = state.unionByName(new)
+        else:
+            merged = fresh
+        store.write_table(merged, target_path)
+
+    q = (
+        doubled.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{target_path}_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+
+    return store.read_table(spark, target_path).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )

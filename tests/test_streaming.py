@@ -435,3 +435,46 @@ def test_buffered_sessionizer_correct_under_crossbatch_disorder(spark, tmp_path)
     # [90] (end 90) emit; the 200/215 session stays open. The batch
     # sessionizer on the union produces exactly those two sessions.
     assert got == {(0, 3), (90, 1)}
+
+
+def test_dedup_state_survives_rerun_and_new_arrivals(spark, tmp_path):
+    """C12: the persisted seen-id store must (a) converge to the
+    distinct source under doubled delivery, (b) stay unchanged when a
+    whole NEW run (fresh checkpoint) re-delivers everything, and
+    (c) still absorb genuinely new events in that new run — the case
+    an additive-state epoch guard would wrongly skip."""
+    import shutil
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store as S
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        dedup_state_stream,
+    )
+
+    src = tmp_path / "sf"
+    src.mkdir()
+    events = load_table(spark, SF_SMOKE, "events")
+    events.coalesce(1).write.mode("overwrite").parquet(
+        str(src / "events.parquet")
+    )
+    target = str(tmp_path / "seen")
+    n = events.count()
+
+    first = dedup_state_stream(spark, str(src), target)
+    assert first.count() == n
+
+    # New run: fresh checkpoint, same store, source re-delivered PLUS
+    # genuinely new events (shifted ids).
+    shutil.rmtree(f"{target}_chk")
+    extra = events.limit(10).selectExpr(
+        "event_id + 10000000 AS event_id", "ts", "user_id",
+        "event_type", "value", "props",
+    )
+    events.unionByName(extra).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "events.parquet")
+    )
+    second = dedup_state_stream(spark, str(src), target)
+    assert second.count() == n + 10
+    assert (
+        second.groupBy("event_id").count().filter("count > 1").count() == 0
+    )
