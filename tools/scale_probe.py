@@ -29,7 +29,12 @@ from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
 
 SRC_SF = "/root/testdata/sf0.1"
 SHIFT = 100_000_000  # key stride between copies (beyond any base key)
-BLOWN = {"customer", "orders", "lineitem"}
+TS_SHIFT_DAYS = 35  # events copies shift in TIME too (source spans 30
+# days): same per-window density at any factor — a pure key shift
+# would stack all copies into the same 30 days and grow range-join /
+# window fan-in quadratically, which is a different (hot-window)
+# experiment than data volume.
+BLOWN = {"customer", "orders", "lineitem", "events"}
 KEY_COLS = {
     "c_custkey",
     "o_orderkey",
@@ -65,6 +70,13 @@ def build_dir(spark, factor: int, root: str) -> str:
                     for c in base.columns
                 ]
             )
+            if table == "events":
+                copy = copy.withColumn(
+                    "event_id", F.col("event_id") + SHIFT * i
+                ).withColumn(
+                    "ts",
+                    F.col("ts") + F.expr(f"INTERVAL {TS_SHIFT_DAYS * i} DAYS"),
+                )
             shifted = shifted.unionByName(copy)
         shifted.repartition(32).write.mode("overwrite").parquet(dst)
     return sf_dir
