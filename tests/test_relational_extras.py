@@ -216,3 +216,61 @@ def test_grouped_trend_matches_builtin_regression(spark):
         b = builtin[et]
         assert abs(p.slope - b.slope) < 1e-6, (et, p.slope, b.slope)
         assert abs(p.intercept - b.intercept) < 1e-3, (et, p.intercept, b.intercept)
+
+
+def test_range_join_bucketing_equals_naive_on_random_times(spark):
+    """B46 property: the bucket-expansion plan must equal the naive
+    inequality join for ARBITRARY timestamp distributions — including
+    exact bucket-boundary collisions, where an off-by-one in the
+    adjacent-bucket expansion or the residual filter would first show
+    up. Randomized but seeded (hypothesis-style fuzz without a Spark
+    session per example: one session, many generated datasets)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_kg_postgres_etl_spark.plans.relational import (
+        _RANGE_US,
+    )
+
+    rng = random.Random(0xB46)
+    for trial in range(5):
+        n = 120
+        # Cluster times around multiples of the range width so pairs
+        # frequently straddle exact bucket boundaries.
+        rows = []
+        for i in range(n):
+            base = rng.randrange(0, 40) * _RANGE_US
+            jitter = rng.choice(
+                [0, 1, -1, _RANGE_US // 2, _RANGE_US - 1, -_RANGE_US + 1]
+            )
+            ts = max(0, base + jitter) + 86_400_000_000
+            rows.append(
+                (i, ts, "purchase" if i % 3 == 0 else "view")
+            )
+        df = spark.createDataFrame(rows, "event_id long, us long, event_type string")
+        p = df.filter("event_type = 'purchase'").select(
+            F.col("event_id").alias("purchase_event"), F.col("us").alias("p_us")
+        )
+        v = df.filter("event_type = 'view'").select(F.col("us").alias("v_us"))
+        naive = (
+            p.crossJoin(v)
+            .filter(F.abs(F.col("p_us") - F.col("v_us")) <= _RANGE_US)
+            .groupBy("purchase_event")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        bucket_p = (F.col("p_us") / F.lit(_RANGE_US)).cast("long")
+        b = (F.col("v_us") / F.lit(_RANGE_US)).cast("long")
+        v_exp = v.select(
+            "v_us", F.explode(F.array(b - 1, b, b + 1)).alias("bucket")
+        )
+        bucketed = (
+            p.withColumn("bucket", bucket_p)
+            .join(v_exp, "bucket")
+            .filter(F.abs(F.col("p_us") - F.col("v_us")) <= _RANGE_US)
+            .groupBy("purchase_event")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        got = {tuple(r) for r in bucketed.collect()}
+        want = {tuple(r) for r in naive.collect()}
+        assert got == want, f"trial {trial}: bucketing diverged from naive"
