@@ -88,6 +88,13 @@ HEADLINE = [
     "embeddings_kmeans",
     "graph_pagerank",
     "table_profile",
+    # Round-6 append (prefix stays comparable): join-view delta
+    # maintenance, the bucketed keyless range join, incremental
+    # new-vs-corpus dedup, and the hash-stable split.
+    "join_view_incremental",
+    "events_range_join_bucketed",
+    "dedup_incremental",
+    "corpus_split_assign",
 ]
 
 
