@@ -1350,3 +1350,63 @@ JOIN sizes sb ON sb.id = doc_b
 WHERE common * 1.0 / (sa.n + sb.n - common) >= {_JAC_T}
   AND (doc_a >= {_NEAR_OFF} OR doc_b >= {_NEAR_OFF})
 """
+
+
+# ----------------------------- D37 dedup survivorship emission (r6)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D37: the END of the dedup ladder — emit the CLEANED corpus:
+    pairs (LSH-verified) -> clusters (min-label components) -> one
+    survivor per cluster (the component canonical) -> semi-join the
+    corpus down to survivors. This is the operator that actually
+    changes the training set; everything upstream only describes it.
+    One extra shuffle beyond clustering (the survivor semi-join); the
+    corpus text never rides through the component iterations — only
+    (node, component) labels do. Oracle = the recursive-CTE components
+    over the quadratic ground truth, keeping each component's minimum
+    doc id."""
+    corpus = _dup_corpus(spark, sf_dir, near=True)
+    pairs = D.lsh_verified_pairs(corpus, _JAC_T)
+    comp = D.cluster_components(pairs, corpus.select("doc_id"))
+    survivors = comp.filter(F.col("node") == F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return corpus.join(survivors, "doc_id", "left_semi").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+
+DEDUP_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE corpus AS ({_NEAR_CORPUS_SQL}),
+words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM corpus
+),
+grams AS ({_GRAMS_SQL}),
+sizes AS (SELECT id, COUNT(*) AS n FROM grams GROUP BY 1),
+pairs AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS common
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sizes sa ON sa.id = doc_a
+  JOIN sizes sb ON sb.id = doc_b
+  WHERE common * 1.0 / (sa.n + sb.n - common) >= {_JAC_T}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jac
+  UNION ALL
+  SELECT doc_b, doc_a FROM jac
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+SELECT c.doc_id, LENGTH(c.text) AS n_chars
+FROM corpus c JOIN comp ON comp.node = c.doc_id
+WHERE comp.component = c.doc_id
+"""

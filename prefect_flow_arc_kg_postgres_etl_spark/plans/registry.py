@@ -479,6 +479,10 @@ _SPECS: dict[str, QuerySpec] = {
     "dedup_incremental": QuerySpec(
         pipeline.dedup_incremental, pipeline.DEDUP_INCREMENTAL_ORACLE
     ),
+    # D37 (NEW r6): survivorship — pairs -> clusters -> cleaned corpus.
+    "dedup_survivors": QuerySpec(
+        pipeline.dedup_survivors, pipeline.DEDUP_SURVIVORS_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.
