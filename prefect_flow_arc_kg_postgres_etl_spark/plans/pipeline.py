@@ -1410,3 +1410,57 @@ SELECT c.doc_id, LENGTH(c.text) AS n_chars
 FROM corpus c JOIN comp ON comp.node = c.doc_id
 WHERE comp.component = c.doc_id
 """
+
+
+# -------------------- D13 promoted to a full SQL oracle (r6): the IVF
+# index is deterministic end-to-end — centroid seeds are the 16
+# lowest-id vectors, assignment/probing argmax uses the same
+# sequential-fold double arithmetic as the brute-force oracle (which
+# hash-matches, proving the arithmetic parity), ties break on larger
+# cid in both engines — so the whole index+probe+rank pipeline is
+# reproducible in DuckDB, not just recall-bounded.
+ANN_IVF_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         embedding AS cv, {_norm_sql('embedding')} AS cn
+  FROM seeds
+),
+corpus AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding')} AS vn FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, embedding, vn, cid FROM (
+    SELECT c.vec_id, c.embedding, c.vn, ct.cid,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+             ORDER BY {_DOT_SQL.format(a='c.embedding', b='ct.cv')}
+                      / (c.vn * ct.cn) DESC, ct.cid DESC) AS rn
+    FROM corpus c CROSS JOIN cents ct
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, qn, cid FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, q.vn AS qn, ct.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_DOT_SQL.format(a='q.embedding', b='ct.cv')}
+                      / (q.vn * ct.cn) DESC, ct.cid DESC) AS rn
+    FROM corpus q CROSS JOIN cents ct WHERE q.vec_id < {_N_QUERIES}
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_DOT_SQL.format(a='p.qv', b='a.embedding')} / (p.qn * a.vn)
+           AS cos_raw
+  FROM probes p JOIN assigned a ON a.cid = p.cid
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+       CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_raw DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {_K}
+"""

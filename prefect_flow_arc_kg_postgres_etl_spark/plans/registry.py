@@ -493,7 +493,9 @@ _SPECS: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(pipeline.dedup_minhash_lsh, None),
     "dedup_simhash": QuerySpec(pipeline.dedup_simhash, None),
     "ann_lsh_topk": QuerySpec(pipeline.ann_lsh_topk, None),
-    "ann_ivf_topk": QuerySpec(pipeline.ann_ivf_topk, None),
+    # promoted r6: the IVF index pipeline is deterministic end-to-end,
+    # so it carries a full SQL oracle now (was rows-only/recall-bound).
+    "ann_ivf_topk": QuerySpec(pipeline.ann_ivf_topk, pipeline.ANN_IVF_ORACLE),
     "stream_es_feed": QuerySpec(streaming_plans.stream_es_feed, None),
 }
 
