@@ -73,10 +73,17 @@ def build_dir(spark, factor: int, root: str) -> str:
             if table == "events":
                 copy = copy.withColumn(
                     "event_id", F.col("event_id") + SHIFT * i
-                ).withColumn(
-                    "ts",
-                    F.col("ts") + F.expr(f"INTERVAL {TS_SHIFT_DAYS * i} DAYS"),
                 )
+                # SCALE_PROBE_STACK=1 keeps all copies in the SAME 30
+                # days (time density x factor — the hot-window
+                # experiment); default shifts time so density stays
+                # constant and the probe measures volume.
+                if not os.environ.get("SCALE_PROBE_STACK"):
+                    copy = copy.withColumn(
+                        "ts",
+                        F.col("ts")
+                        + F.expr(f"INTERVAL {TS_SHIFT_DAYS * i} DAYS"),
+                    )
             shifted = shifted.unionByName(copy)
         shifted.repartition(32).write.mode("overwrite").parquet(dst)
     return sf_dir
