@@ -1989,3 +1989,89 @@ SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
        c_name, c_mktsegment
 FROM upserted JOIN customer ON o_custkey = c_custkey
 """
+
+
+# ------------------------------------ A45 ordered CDC apply (r6)
+def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A45: apply an ordered CDC CHANGELOG (op in I/U/D with a
+    sequence number) to produce the converged table — the lakehouse
+    APPLY CHANGES INTO primitive, and the general form of the
+    reference's merge+delete pair (database.ts MERGE INTO +
+    arc_db_delete_flow deletes): last-writer-wins per key by sequence,
+    a trailing tombstone erases the key entirely. One window pass over
+    one shuffle on the key — same plan family as merge_upsert, plus
+    tombstone semantics ordered BY SEQUENCE, not by source side.
+
+    The changelog synthesizes deterministically from orders: every
+    order INSERTs at seq 1; keys % 3 == 0 UPDATE at seq 2 (repriced);
+    keys % 5 == 0 DELETE at seq 3."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    ins = orders.select(
+        "o_orderkey",
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+        cents.alias("price_cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    upd = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("cents", cents)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("op"),
+            F.lit(2).alias("seq"),
+            # integer floor division in BOTH engines (values
+            # nonnegative, so div == //): a double division + cast
+            # would truncate in Spark but round in DuckDB.
+            F.expr("cents * 11 div 10").alias("price_cents"),
+            F.lit("U").alias("status"),
+        )
+    )
+    dele = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(3).alias("seq"),
+        F.lit(None).cast("bigint").alias("price_cents"),
+        F.lit(None).cast("string").alias("status"),
+    )
+    changelog = ins.unionByName(upd).unionByName(dele)
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    return (
+        changelog.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "o_orderkey",
+            (F.col("price_cents") / 100.0).alias("o_totalprice"),
+            F.col("status").alias("o_orderstatus"),
+        )
+    )
+
+
+MERGE_CDC_APPLY_ORACLE = """
+WITH changelog AS (
+  SELECT o_orderkey, 'I' AS op, 1 AS seq,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+         o_orderstatus AS status
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'U', 2,
+         (CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11) // 10,
+         'U'
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 'D', 3, NULL, NULL
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+latest AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                               ORDER BY seq DESC) AS rn
+  FROM changelog
+)
+SELECT o_orderkey,
+       price_cents / 100.0 AS o_totalprice,
+       status AS o_orderstatus
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""

@@ -464,6 +464,10 @@ _SPECS: dict[str, QuerySpec] = {
     "join_view_incremental": QuerySpec(
         kg.join_view_incremental, kg.JOIN_VIEW_IVM_ORACLE
     ),
+    # A45 (NEW r6): ordered CDC changelog apply with tombstones.
+    "merge_cdc_apply": QuerySpec(
+        kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE
+    ),
     # B46 (NEW r6): keyless RANGE join via time-bucket equi-join —
     # the plan shape that replaces the O(n^2) inequality join.
     "events_range_join_bucketed": QuerySpec(
