@@ -489,3 +489,136 @@ def curation_flow(
     )
     note("output", out)
     return out, stats
+
+
+def ingest_flow(
+    spark: SparkSession,
+    store_path: str,
+    batches: list[DataFrame],
+    threshold: float = 0.8,
+    collect_stats: bool = True,
+) -> tuple[DataFrame, RunStats]:
+    """Incremental CORPUS GROWTH (r6) — the continuous form of
+    ``curation_flow``'s one-shot dedup: each arriving batch dedups
+    against the ALREADY-LANDED corpus (history wins — a landed doc is
+    never evicted by a later near-copy, so training-set membership is
+    stable across ingests) and within itself (smaller id wins), then
+    the survivors append as the next store version. History is never
+    re-paired: the per-batch cost is the batch's signature probes
+    against the landed index plus in-batch banding
+    (operators/dedup.incremental_dup_pairs) — the property that makes
+    continuous ingestion affordable at 100 TB where any re-pairing of
+    the corpus is a non-starter.
+
+    Returns (final corpus frame, per-batch RunStats)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import (
+        incremental_dup_pairs,
+    )
+
+    stats = RunStats()
+    for i, batch in enumerate(batches):
+        if store.table_exists(store_path):
+            history = store.read_table(spark, store_path)
+        else:
+            history = None
+        if history is not None and history.isEmpty():
+            history = None
+        if history is None:
+            pairs = incremental_dup_pairs(
+                batch.limit(0), batch, threshold
+            )
+        else:
+            pairs = incremental_dup_pairs(history, batch, threshold)
+        pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+        batch_ids = batch.select("doc_id")
+        hist_ids = (
+            history.select("doc_id") if history is not None else None
+        )
+        # Pairs are normalized doc_a < doc_b and touch >= 1 batch doc.
+        # A pair whose smaller side is HISTORY is final: history docs
+        # all survived their own ingest, so the batch side drops.
+        if hist_ids is not None:
+            hist_dropped = (
+                pairs.join(
+                    hist_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+                )
+                .select(F.col("doc_b").alias("doc_id"))
+                .distinct()
+            )
+            undecided = batch_ids.join(hist_dropped, "doc_id", "left_anti")
+        else:
+            undecided = batch_ids
+        # In-batch resolution must be the SEQUENTIAL GREEDY (a dropped
+        # doc cannot block its own partners — on a chain A-B, B-C the
+        # greedy keeps A and C; the naive 'any smaller partner' rule
+        # would wrongly drop C and break batch invariance). Distributed
+        # form of the lexicographically-first MIS: each round, docs
+        # with no smaller UNDECIDED partner are winners; their larger
+        # partners drop; repeat on the shrinking remainder. Rounds =
+        # dup-chain depth (tiny in practice); every round is two joins
+        # over the (batch-bounded) pair set, never the corpus.
+        bb = (
+            pairs.join(
+                undecided.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+            )
+            .join(undecided.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+        decided_survivors = None
+        while bb.limit(1).count() > 0:
+            blocked = bb.select(F.col("doc_b").alias("doc_id")).distinct()
+            winners = undecided.join(blocked, "doc_id", "left_anti")
+            losers = (
+                bb.join(
+                    winners.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+                )
+                .select(F.col("doc_b").alias("doc_id"))
+                .distinct()
+            )
+            decided_survivors = (
+                winners
+                if decided_survivors is None
+                else decided_survivors.unionByName(winners)
+            )
+            undecided = undecided.join(
+                winners, "doc_id", "left_anti"
+            ).join(losers, "doc_id", "left_anti")
+            bb = (
+                bb.join(
+                    undecided.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+                )
+                .join(
+                    undecided.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+                )
+                .select("doc_a", "doc_b")
+                .localCheckpoint(eager=True)
+            )
+        surviving_ids = (
+            undecided
+            if decided_survivors is None
+            else decided_survivors.unionByName(undecided)
+        )
+        survivors = batch.join(surviving_ids, "doc_id", "left_semi")
+        merged = (
+            history.unionByName(survivors)
+            if history is not None
+            else survivors
+        )
+        store.write_table(merged, store_path)
+        if collect_stats:
+            stats.tables[f"batch_{i}"] = {
+                "staged": batch.count(),
+                "merged": survivors.count(),
+                "status": "ingested",
+                "error": None,
+            }
+    final = store.read_table(spark, store_path)
+    if collect_stats:
+        stats.tables["corpus"] = {
+            "staged": -1,
+            "merged": final.count(),
+            "status": "ingested",
+            "error": None,
+        }
+    return final, stats

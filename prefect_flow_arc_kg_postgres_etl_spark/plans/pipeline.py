@@ -1464,3 +1464,31 @@ FROM (
   FROM scored
 ) WHERE rn <= {_K}
 """
+
+
+# ----------------------- D38 incremental corpus ingest flow (r6)
+def flow_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D38: the continuous corpus-growth flow (flows.ingest_flow):
+    batches land in id order, each deduped against the already-landed
+    corpus (history wins) and itself (smaller id wins) via the
+    incremental band-join — history is never re-paired. rows-only for
+    the driver: greedy first-arrival survivorship over a non-clique
+    dup graph is order-dependent and not expressible as one SQL
+    query; the exact greedy semantics are pinned by the Python-oracle
+    convergence test in tests/test_flows.py (2-batch == 1-batch ==
+    sequential greedy over the quadratic pair set)."""
+    import tempfile
+
+    from prefect_flow_arc_kg_postgres_etl_spark.flows import ingest_flow
+
+    corpus = _dup_corpus(spark, sf_dir, near=True)
+    b1 = corpus.filter(F.col("doc_id") < _EXACT_OFF)
+    b2 = corpus.filter(
+        (F.col("doc_id") >= _EXACT_OFF) & (F.col("doc_id") < _NEAR_OFF)
+    )
+    b3 = corpus.filter(F.col("doc_id") >= _NEAR_OFF)
+    target = tempfile.mkdtemp(prefix="ingest_flow_") + "/corpus"
+    final, _ = ingest_flow(
+        spark, target, [b1, b2, b3], _JAC_T, collect_stats=False
+    )
+    return final.select("doc_id", F.length("text").alias("n_chars"))

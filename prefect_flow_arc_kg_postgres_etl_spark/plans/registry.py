@@ -501,6 +501,10 @@ _SPECS: dict[str, QuerySpec] = {
     # so it carries a full SQL oracle now (was rows-only/recall-bound).
     "ann_ivf_topk": QuerySpec(pipeline.ann_ivf_topk, pipeline.ANN_IVF_ORACLE),
     "stream_es_feed": QuerySpec(streaming_plans.stream_es_feed, None),
+    # D38 (r6): greedy first-arrival survivorship over a non-clique dup
+    # graph is order-dependent, not one SQL query — exact semantics
+    # pinned by the Python-oracle test in tests/test_flows.py.
+    "flow_corpus_ingest": QuerySpec(pipeline.flow_corpus_ingest, None),
 }
 
 

@@ -371,3 +371,63 @@ def test_curation_flow_decontaminates_against_benchmark(spark):
         for r in decontaminate(survivors, bench).select("doc_id").collect()
     }
     assert clean_ids == expected
+
+
+def test_ingest_flow_matches_sequential_greedy_and_batch_invariant(
+    spark, tmp_path
+):
+    """D38 semantics, exactly: the incremental ingest must equal the
+    sequential greedy survivorship over the quadratic ground-truth
+    pair graph (a doc survives iff no SURVIVING smaller-id doc pairs
+    with it — NOT 'no smaller partner': on a non-clique chain A-B,
+    B-C the greedy keeps A and C, where the naive rule would drop C).
+    The result must also be batch-invariant for id-ordered batches:
+    three batches == one batch. And the landed corpus must contain no
+    dup pair at all."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_kg_postgres_etl_spark.flows import ingest_flow
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from prefect_flow_arc_kg_postgres_etl_spark.plans.pipeline import (
+        _EXACT_OFF,
+        _JAC_T,
+        _NEAR_OFF,
+        _dup_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = _dup_corpus(spark, sf, near=True)
+
+    # Ground truth: quadratic pair set + sequential greedy in Python.
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(corpus, _JAC_T).collect()
+    ]
+    partners: dict[int, set[int]] = {}
+    for a, b in pairs:
+        partners.setdefault(b, set()).add(a)
+    surviving: set[int] = set()
+    for d in sorted(r.doc_id for r in corpus.select("doc_id").collect()):
+        if not (partners.get(d, set()) & surviving):
+            surviving.add(d)
+
+    b1 = corpus.filter(F.col("doc_id") < _EXACT_OFF)
+    b2 = corpus.filter(
+        (F.col("doc_id") >= _EXACT_OFF) & (F.col("doc_id") < _NEAR_OFF)
+    )
+    b3 = corpus.filter(F.col("doc_id") >= _NEAR_OFF)
+    three, _ = ingest_flow(
+        spark, str(tmp_path / "three"), [b1, b2, b3], _JAC_T,
+        collect_stats=False,
+    )
+    one, _ = ingest_flow(
+        spark, str(tmp_path / "one"), [corpus], _JAC_T, collect_stats=False
+    )
+    got3 = {r.doc_id for r in three.select("doc_id").collect()}
+    got1 = {r.doc_id for r in one.select("doc_id").collect()}
+    assert got3 == surviving
+    assert got1 == surviving
+    # no dup pair among survivors
+    assert ngram_jaccard_pairs(three, _JAC_T).count() == 0
