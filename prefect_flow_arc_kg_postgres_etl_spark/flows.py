@@ -510,6 +510,14 @@ def ingest_flow(
     continuous ingestion affordable at 100 TB where any re-pairing of
     the corpus is a non-starter.
 
+    History-wins applies in BOTH id orientations (a batch doc dups a
+    landed doc regardless of which id is smaller). The batch-invariance
+    property ("N id-ordered batches == one batch == sequential greedy",
+    pinned in tests/test_flows.py) additionally requires batches
+    ordered by id; unordered batches still land a dup-free corpus, but
+    which member of a cross-batch dup cluster survives then depends on
+    arrival order — first arrival wins, by design.
+
     Returns (final corpus frame, per-batch RunStats)."""
     from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import (
         incremental_dup_pairs,
@@ -535,14 +543,22 @@ def ingest_flow(
             history.select("doc_id") if history is not None else None
         )
         # Pairs are normalized doc_a < doc_b and touch >= 1 batch doc.
-        # A pair whose smaller side is HISTORY is final: history docs
-        # all survived their own ingest, so the batch side drops.
+        # A pair with a HISTORY side is final in EITHER orientation:
+        # history docs survived their own ingest, so the batch side
+        # drops — including when the batch doc carries the SMALLER id
+        # (r6 review: the one-sided rule silently landed such dups).
         if hist_ids is not None:
             hist_dropped = (
                 pairs.join(
                     hist_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a"
                 )
                 .select(F.col("doc_b").alias("doc_id"))
+                .unionByName(
+                    pairs.join(
+                        hist_ids.withColumnRenamed("doc_id", "doc_b"),
+                        "doc_b",
+                    ).select(F.col("doc_a").alias("doc_id"))
+                )
                 .distinct()
             )
             undecided = batch_ids.join(hist_dropped, "doc_id", "left_anti")
@@ -576,14 +592,20 @@ def ingest_flow(
                 .select(F.col("doc_b").alias("doc_id"))
                 .distinct()
             )
+            # Checkpoint winners: it feeds decided_survivors, losers
+            # AND the next undecided — un-truncated, the plan grows
+            # ~3x per round (exponential in chain depth; r6 review).
+            winners = winners.localCheckpoint(eager=True)
             decided_survivors = (
                 winners
                 if decided_survivors is None
                 else decided_survivors.unionByName(winners)
             )
-            undecided = undecided.join(
-                winners, "doc_id", "left_anti"
-            ).join(losers, "doc_id", "left_anti")
+            undecided = (
+                undecided.join(winners, "doc_id", "left_anti")
+                .join(losers, "doc_id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
             bb = (
                 bb.join(
                     undecided.withColumnRenamed("doc_id", "doc_a"), "doc_a"
@@ -605,7 +627,10 @@ def ingest_flow(
             if history is not None
             else survivors
         )
-        store.write_table(merged, store_path)
+        # Stats counts run BEFORE the write: write_table prunes the
+        # previous store version, and survivors' lineage still reads
+        # it — counting afterwards would die on the deleted files
+        # (r6 review; the default collect_stats=True path).
         if collect_stats:
             stats.tables[f"batch_{i}"] = {
                 "staged": batch.count(),
@@ -613,6 +638,7 @@ def ingest_flow(
                 "status": "ingested",
                 "error": None,
             }
+        store.write_table(merged, store_path)
     final = store.read_table(spark, store_path)
     if collect_stats:
         stats.tables["corpus"] = {

@@ -213,15 +213,7 @@ def minhash_lsh_candidates(
     sig = minhash_signatures(docs, k, id_col, text_col, n)
     if materialize_signatures:
         sig = sig.localCheckpoint(eager=True)
-    # Band keys generated as one inline() expression string (JVM-parsed;
-    # sig[i] is 0-based — identical to element_at(sig, i+1)).
-    structs = ", ".join(
-        "struct({b} AS band, xxhash64({cols}) AS bh)".format(
-            b=b, cols=", ".join(f"sig[{b * r + j}]" for j in range(r))
-        )
-        for b in range(bands)
-    )
-    banded = sig.selectExpr("id", f"inline(array({structs}))")
+    banded = _band_keys(sig, bands, r)
     left = banded.select(F.col("id").alias("doc_a"), "band", "bh")
     right = banded.select(F.col("id").alias("doc_b"), "band", "bh")
     # Dedup candidate pairs on the id pair ONLY (a doc pair can collide
@@ -435,6 +427,21 @@ def lsh_verified_pairs(
         sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     else:
         sizes = doc_ngram_counts(docs, id_col, text_col, n)
+    return _jaccard_verify(cands, grams, sizes, threshold)
+
+
+def _jaccard_verify(
+    cands: DataFrame,
+    grams: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact n-gram Jaccard over a CANDIDATE pair set — the shared
+    verify tier of lsh_verified_pairs and the incremental ingest probe
+    (one implementation so the two paths can never diverge on the
+    similarity arithmetic). cands: (doc_a, doc_b); grams: (id, gram);
+    sizes: (id, n_grams). Cost is |candidates| x grams — never the
+    corpus self-join."""
     ga = grams.select(F.col("id").alias("doc_a"), "gram")
     gb = grams.select(F.col("id").alias("doc_b"), "gram")
     common = (
@@ -572,8 +579,11 @@ def edit_verified_pairs(
 
 def _band_keys(sig: DataFrame, bands: int, r: int) -> DataFrame:
     """(id, band, bh) band-bucket keys from a (id, sig) signature table
-    — the shared banding expression of minhash_lsh_candidates and the
-    incremental path below (one inline() string, JVM-parsed)."""
+    — THE banding expression, shared by minhash_lsh_candidates and the
+    incremental probe (one implementation so the batch and incremental
+    candidate paths can never desynchronize on seed/band derivation).
+    Generated as one inline() string, JVM-parsed; sig[i] is 0-based —
+    identical to element_at(sig, i+1)."""
     structs = ", ".join(
         "struct({b} AS band, xxhash64({cols}) AS bh)".format(
             b=b, cols=", ".join(f"sig[{b * r + j}]" for j in range(r))
@@ -628,21 +638,4 @@ def incremental_dup_pairs(
     corpus = history.unionByName(new)
     grams = doc_ngrams(corpus, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
-    ga = grams.select(F.col("id").alias("doc_a"), "gram")
-    gb = grams.select(F.col("id").alias("doc_b"), "gram")
-    common = (
-        cands.join(ga, on="doc_a")
-        .join(gb, on=["doc_b", "gram"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_grams").alias("nb"))
-    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _jaccard_verify(cands, grams, sizes, threshold)

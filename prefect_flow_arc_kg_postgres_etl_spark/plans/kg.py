@@ -1469,18 +1469,22 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Per-call unique table names (from the temp-dir suffix): fixed
     # session-global names let two concurrent invocations clobber each
-    # other's tables mid-query (ADVICE r5). Earlier calls' tables and
-    # temp dirs are reclaimed here once their DataFrames are out of
-    # the plan cache — dropping them at return is not an option
-    # because the builder contract returns a LAZY result whose scan
-    # still resolves the catalog entry at action time.
+    # other's tables mid-query (ADVICE r5). Reclamation is DEFERRED BY
+    # ONE CALL: only landings older than the immediately previous call
+    # are dropped, so the previous call's still-lazy result (the
+    # builder contract returns a DataFrame whose scan resolves the
+    # catalog entry at action time) keeps its tables through the
+    # build-then-consume cadence; dropping at return is not an option
+    # for the same reason. A crash after mkdtemp leaves the entry in
+    # the list and the call after next reclaims it (DROP IF EXISTS
+    # tolerates tables that were never created).
     root = tempfile.mkdtemp(prefix="bucketed_")
     tag = os.path.basename(root).removeprefix("bucketed_").lower()
-    for prior_tag, prior_root in _BUCKETED_LANDINGS:
+    while len(_BUCKETED_LANDINGS) > 1:
+        prior_tag, prior_root = _BUCKETED_LANDINGS.pop(0)
         spark.sql(f"DROP TABLE IF EXISTS b_orders_{prior_tag}")
         spark.sql(f"DROP TABLE IF EXISTS b_lineitem_{prior_tag}")
         shutil.rmtree(prior_root, ignore_errors=True)
-    _BUCKETED_LANDINGS.clear()
     _BUCKETED_LANDINGS.append((tag, root))
     for name, df, key in (
         (f"b_orders_{tag}", orders, "o_orderkey"),

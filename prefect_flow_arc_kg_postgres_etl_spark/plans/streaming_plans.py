@@ -126,8 +126,12 @@ def stream_sessionize_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Batch sessionization restricted to watermark-finalized sessions:
-# end < max(ts) - delay(1h) - gap(30min). Exact-us arithmetic (EPOCH_US;
-# EPOCH would round fractional seconds).
+# end < watermark - gap(30min), where the watermark mirrors Spark's
+# MILLISECOND-floored event-time tracking exactly:
+# wm_us = (EPOCH_US(max ts) // 1000) * 1000 - delay(1h). Test data
+# carries sub-ms microseconds, so the un-floored max would finalize
+# sessions ending in the sub-ms gap that the stream leaves open
+# (caught in r6 review). EPOCH_US, not EPOCH (which rounds seconds).
 STREAM_SESSIONIZE_BUFFERED_ORACLE = """
 WITH flagged AS (
   SELECT user_id, ts, event_id,
@@ -149,7 +153,8 @@ SELECT user_id,
 FROM sess
 GROUP BY user_id, session_id
 HAVING EPOCH_US(MAX(ts)) <
-       (SELECT EPOCH_US(MAX(ts)) - 3600000000 - 1800000000 FROM events)
+       (SELECT (EPOCH_US(MAX(ts)) // 1000) * 1000
+               - 3600000000 - 1800000000 FROM events)
 """
 
 
@@ -275,7 +280,8 @@ SELECT user_id, event_id AS purchase_event,
 FROM seq
 WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
   AND us - last_view_us <= 3600000000
-  AND us <= (SELECT epoch_us(MAX(ts)) - 3600000000 FROM events)
+  AND us <= (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 - 3600000000
+             FROM events)
 """
 
 

@@ -431,3 +431,37 @@ def test_ingest_flow_matches_sequential_greedy_and_batch_invariant(
     assert got1 == surviving
     # no dup pair among survivors
     assert ngram_jaccard_pairs(three, _JAC_T).count() == 0
+
+
+def test_ingest_flow_history_wins_both_id_orientations(spark, tmp_path):
+    """r6 review regression: a batch doc with a SMALLER id than its
+    landed near-copy must still be dropped (history wins regardless of
+    id orientation) — the one-sided rule silently landed such dups.
+    Also exercises the default collect_stats=True path, whose counts
+    must run before the store prune."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_kg_postgres_etl_spark.flows import ingest_flow
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from prefect_flow_arc_kg_postgres_etl_spark.plans.pipeline import (
+        _JAC_T,
+        _dup_corpus,
+    )
+
+    docs = _dup_corpus(spark, "/root/testdata/sf0.001").filter(
+        F.col("doc_id") < 100
+    )
+    # batch 1: ids shifted HIGH; batch 2: the same texts at LOW ids.
+    b1 = docs.select((F.col("doc_id") + 500_000).alias("doc_id"), "text")
+    b2 = docs
+    final, stats = ingest_flow(
+        spark, str(tmp_path / "store"), [b1, b2], _JAC_T
+    )
+    got = {r.doc_id for r in final.select("doc_id").collect()}
+    # Every batch-2 doc is a near-copy of a LANDED batch-1 doc with a
+    # LARGER id — all must drop (the one-sided rule kept them all).
+    assert got and all(d >= 500_000 for d in got), sorted(got)[:5]
+    assert ngram_jaccard_pairs(final, _JAC_T).count() == 0
+    assert stats.tables["batch_1"]["merged"] == 0  # all dups of landed

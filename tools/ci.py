@@ -51,6 +51,11 @@ def main() -> int:
         )
         bench_ok = proc.returncode == 0
         print(proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "")
+        if not bench_ok and proc.stderr:
+            # Surface the failure diagnostics (the traceback goes to
+            # stderr; swallowing it would force a manual bench re-run
+            # just to see why the gate went red).
+            print("\n".join(proc.stderr.strip().splitlines()[-30:]))
         print(
             f"=== bench: {'OK' if bench_ok else f'FAILED (rc={proc.returncode})'} "
             f"({time.time() - t0:.0f}s)",
