@@ -2079,3 +2079,36 @@ SELECT o_orderkey,
        status AS o_orderstatus
 FROM latest WHERE rn = 1 AND op <> 'D'
 """
+
+
+# --------------------------------- A46 snapshot-consistent read (r6)
+def flow_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A46: snapshot-consistent multi-table read — table versions
+    advance independently (one pointer swap per write_table), so two
+    reads in one query can straddle a commit; the manifest pins
+    {table: version} at one instant (sources/store.py
+    write_snapshot_manifest) and a reader holding it is immune to
+    later pointer swaps. Here: land customer+orders, pin a snapshot,
+    let a writer advance orders, then read THROUGH the manifest — the
+    result must be the pre-write orders exactly (the oracle), not the
+    advanced version a live read would see. Requires retention
+    (prune=False writes), the same precondition as time travel."""
+    import tempfile
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+
+    root = tempfile.mkdtemp(prefix="snapshot_")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    store.write_table(orders, f"{root}/orders.parquet", prune=False)
+    store.write_table(cust, f"{root}/customer.parquet", prune=False)
+    manifest = store.write_snapshot_manifest(root, ["orders", "customer"])
+    # a concurrent writer advances orders past the snapshot
+    store.write_table(
+        orders.limit(10), f"{root}/orders.parquet", prune=False
+    )
+    snap = store.read_snapshot(spark, root, manifest)
+    return snap["orders"]
+
+
+SNAPSHOT_READ_ORACLE = "SELECT * FROM orders"

@@ -468,6 +468,11 @@ _SPECS: dict[str, QuerySpec] = {
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE
     ),
+    # A46 (NEW r6): snapshot-consistent multi-table read via a pinned
+    # {table: version} manifest.
+    "flow_snapshot_read": QuerySpec(
+        kg.flow_snapshot_read, kg.SNAPSHOT_READ_ORACLE
+    ),
     # B46 (NEW r6): keyless RANGE join via time-bucket equi-join —
     # the plan shape that replaces the O(n^2) inequality join.
     "events_range_join_bucketed": QuerySpec(

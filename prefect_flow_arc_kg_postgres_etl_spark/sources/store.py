@@ -296,3 +296,49 @@ def read_table_version(
             f"(pruned by retention, or never written)"
         )
     return spark.read.parquet(d)
+
+
+def write_snapshot_manifest(store_dir: str, tables: list[str]) -> str:
+    """A46 (r6): SNAPSHOT-CONSISTENT multi-table reads. Table versions
+    advance independently (each write_table swaps one pointer), so two
+    reads in one query can observe different commit points — the
+    cross-table anomaly every lakehouse solves with a snapshot/commit
+    log. The manifest pins {table: version} at a single instant; a
+    reader holding it sees one consistent store state regardless of
+    concurrent writes, and retained versions make old manifests
+    readable until erasure destroys history (targeted_delete_rewrite
+    intentionally breaks them — that is the point of erasure).
+
+    Written atomically (tmp + rename) next to the tables. Returns the
+    manifest path."""
+    import json
+
+    manifest = {}
+    for name in tables:
+        v = current_version(os.path.join(store_dir, f"{name}.parquet"))
+        if v is None:
+            raise ValueError(f"snapshot: table {name!r} is not versioned")
+        manifest[name] = v
+    path = os.path.join(store_dir, "_snapshot.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, path)
+    return path
+
+
+def read_snapshot(
+    spark: SparkSession, store_dir: str, manifest_path: str
+) -> dict[str, DataFrame]:
+    """Read every table AT ITS MANIFEST-PINNED VERSION — one consistent
+    cross-table state, immune to pointer swaps that happened since."""
+    import json
+
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    return {
+        name: read_table_version(
+            spark, os.path.join(store_dir, f"{name}.parquet"), version
+        )
+        for name, version in manifest.items()
+    }
