@@ -479,6 +479,11 @@ _SPECS: dict[str, QuerySpec] = {
         relational.events_range_join_bucketed,
         relational.EVENTS_RANGE_JOIN_ORACLE,
     ),
+    # B47 (NEW r6): gap sessionization via the NATIVE session_window
+    # aggregate (boundary semantics probed identical to B9's rule).
+    "sessionize_native": QuerySpec(
+        relational.sessionize_native, relational.SESSIONIZE_NATIVE_ORACLE
+    ),
     # D35 (NEW r6): hash-stable train/val/test split assignment.
     "corpus_split_assign": QuerySpec(
         pipeline.corpus_split_assign, pipeline.CORPUS_SPLIT_ORACLE

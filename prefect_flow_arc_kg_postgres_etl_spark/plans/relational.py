@@ -2093,3 +2093,51 @@ LEFT JOIN events v
 WHERE p.event_type = 'purchase'
 GROUP BY 1
 """
+
+
+# ------------------------- B47 native session_window twin of B9 (r6)
+def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B47: gap sessionization via Spark's NATIVE ``session_window``
+    aggregate — the built-in twin of B9's lag+cumsum plan (one
+    merging-session aggregation instead of two window passes; the
+    same operator powers streaming session windows with state-store
+    merging). Boundary semantics verified identical: a gap of EXACTLY
+    the threshold merges, strictly greater splits — so both
+    implementations share one oracle shape. ``session_window.end`` is
+    last_ts + gap (the close horizon), so session_end re-derives as
+    MAX(ts) to match B9's definition."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window(F.col("ts"), f"{_GAP_MIN} minutes"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+
+
+SESSIONIZE_NATIVE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w)
+                   > {_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+"""
