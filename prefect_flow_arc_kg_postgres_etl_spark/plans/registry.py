@@ -563,8 +563,10 @@ DRIVER_WINDOW: list[str] = [
     "events_gap_fill",
     "orders_window_functions",
     "orders_basket_pairs",
-    "q4_order_priority",
-    "q12_priority_lines",
+    # r6-new distinct machinery preferred over the two remaining plain
+    # TPC-H shapes (q4/q12 — their siblings all hold driver rows).
+    "events_range_join_bucketed",
+    "merge_cdc_apply",
     # C-block: the stateful/bounded-deterministic streaming operators.
     "stream_funnel",
     "stream_interval_join",
