@@ -632,19 +632,31 @@ def ingest_flow(
         # it — counting afterwards would die on the deleted files
         # (r6 review; the default collect_stats=True path).
         if collect_stats:
+            # status 'merged': ingested batches ARE merged into the
+            # store, so RunStats.merged_tables counts them (unlike
+            # curation's pure projections, which use 'curated' exactly
+            # so that total stays 0).
             stats.tables[f"batch_{i}"] = {
                 "staged": batch.count(),
                 "merged": survivors.count(),
-                "status": "ingested",
+                "status": "merged",
                 "error": None,
             }
         store.write_table(merged, store_path)
+    if not store.table_exists(store_path):
+        # No batches and no pre-existing store: nothing to read and no
+        # schema to synthesize an empty frame from — fail loudly
+        # instead of raising PATH_NOT_FOUND from the parquet reader.
+        raise ValueError(
+            "ingest_flow: no batches ingested and no existing store at "
+            f"{store_path!r}"
+        )
     final = store.read_table(spark, store_path)
     if collect_stats:
         stats.tables["corpus"] = {
             "staged": -1,
             "merged": final.count(),
-            "status": "ingested",
+            "status": "merged",
             "error": None,
         }
     return final, stats

@@ -1434,8 +1434,16 @@ GROUP BY o_custkey
 
 # ------------------------------------- A35 bucketed co-located join
 # (tag, temp_root) of bucketed landings not yet reclaimed — the next
-# invocation drops the previous call's catalog entries and files.
+# invocation drops landings older than the immediately previous call
+# (deferred-by-one: the builder contract is a SEQUENTIAL
+# build-then-consume cadence, so at most one prior lazy result is
+# outstanding; callers juggling several unconsumed results across
+# threads must consume before re-invoking). The lock serializes the
+# list mutation + reclamation so interleaved calls can't double-drop.
+import threading as _threading
+
 _BUCKETED_LANDINGS: list[tuple[str, str]] = []
+_BUCKETED_LOCK = _threading.Lock()
 
 
 def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1480,12 +1488,13 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tolerates tables that were never created).
     root = tempfile.mkdtemp(prefix="bucketed_")
     tag = os.path.basename(root).removeprefix("bucketed_").lower()
-    while len(_BUCKETED_LANDINGS) > 1:
-        prior_tag, prior_root = _BUCKETED_LANDINGS.pop(0)
-        spark.sql(f"DROP TABLE IF EXISTS b_orders_{prior_tag}")
-        spark.sql(f"DROP TABLE IF EXISTS b_lineitem_{prior_tag}")
-        shutil.rmtree(prior_root, ignore_errors=True)
-    _BUCKETED_LANDINGS.append((tag, root))
+    with _BUCKETED_LOCK:
+        while len(_BUCKETED_LANDINGS) > 1:
+            prior_tag, prior_root = _BUCKETED_LANDINGS.pop(0)
+            spark.sql(f"DROP TABLE IF EXISTS b_orders_{prior_tag}")
+            spark.sql(f"DROP TABLE IF EXISTS b_lineitem_{prior_tag}")
+            shutil.rmtree(prior_root, ignore_errors=True)
+        _BUCKETED_LANDINGS.append((tag, root))
     for name, df, key in (
         (f"b_orders_{tag}", orders, "o_orderkey"),
         (f"b_lineitem_{tag}", li, "l_orderkey"),

@@ -309,21 +309,48 @@ def write_snapshot_manifest(store_dir: str, tables: list[str]) -> str:
     readable until erasure destroys history (targeted_delete_rewrite
     intentionally breaks them — that is the point of erasure).
 
-    Written atomically (tmp + rename) next to the tables. Returns the
+    Consistency against CONCURRENT writers: pointer reads are
+    per-table, so a single pass could capture a torn combination (a
+    commit landing between two reads). The manifest therefore
+    DOUBLE-READS — capture all pointers, re-read, and accept only when
+    both passes agree (optimistic validation; any table that moved
+    forces a retry). Every manifest gets its own numbered file, claimed
+    with O_EXCL so two snapshotters can never clobber each other and a
+    held manifest path never re-resolves to newer versions. Returns the
     manifest path."""
     import json
 
-    manifest = {}
-    for name in tables:
-        v = current_version(os.path.join(store_dir, f"{name}.parquet"))
-        if v is None:
-            raise ValueError(f"snapshot: table {name!r} is not versioned")
-        manifest[name] = v
-    path = os.path.join(store_dir, "_snapshot.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
+    def capture() -> dict[str, int]:
+        out = {}
+        for name in tables:
+            v = current_version(os.path.join(store_dir, f"{name}.parquet"))
+            if v is None:
+                raise ValueError(
+                    f"snapshot: table {name!r} is not versioned"
+                )
+            out[name] = v
+        return out
+
+    manifest = capture()
+    for _ in range(100):
+        again = capture()
+        if again == manifest:
+            break
+        manifest = again
+    else:
+        raise RuntimeError(
+            "snapshot: store did not quiesce across 100 validation reads"
+        )
+    n = 1
+    while True:
+        path = os.path.join(store_dir, f"_snapshot_{n}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            n += 1
+    with os.fdopen(fd, "w") as f:
         json.dump(manifest, f, sort_keys=True)
-    os.replace(tmp, path)
     return path
 
 
