@@ -41,16 +41,20 @@ class QuerySpec:
 # Window history: r1-r4 graded the original first-50; the r5 rotation
 # brought in 16 formerly past-window entries (CORRECTNESS_r05 50/50);
 # the r6 window below consists ENTIRELY of entries that had never had a
-# driver row through r5 (the r5 surface wave), displacing veterans that
-# hold 1-5 all-true rows each. Still never-driver-checked after r6
-# (next rotation's candidates): kg_path_zero_or_more,
-# source_orc_roundtrip, q10_returned_items, q14_promo_revenue,
-# q16_supplier_count, q18_large_orders, events_funnel3, events_funnel,
-# orders_value_histogram, orders_except_intersect, cube_agg,
-# stream_funnel_buffered, corpus_mix_sample, multimodal_binary_source,
-# text_repetition, corpus_shard_layout, events_anomaly_mad,
-# multimodal_audio_stats, q4_order_priority, q12_priority_lines,
-# window_range_interval.
+# driver row through r5, prioritizing distinct machinery. Still
+# never-driver-checked after r6 (the r7 rotation's candidates —
+# oracle-backed unless noted): kg_path_zero_or_more,
+# source_orc_roundtrip, q4_order_priority, q10_returned_items,
+# q12_priority_lines, q14_promo_revenue, q16_supplier_count,
+# q18_large_orders, window_range_interval, events_funnel,
+# events_funnel3, orders_value_histogram, orders_except_intersect,
+# cube_agg, stream_funnel_buffered, corpus_mix_sample,
+# multimodal_binary_source, text_repetition, corpus_shard_layout,
+# events_anomaly_mad, multimodal_audio_stats, and the r6-new
+# past-window entries: join_view_incremental, flow_snapshot_read,
+# sessionize_native, stream_topk, stream_dedup_state,
+# corpus_split_assign, dedup_incremental, dedup_survivors,
+# ann_ivf_topk (promoted to a full oracle in r6, never graded).
 _SPECS: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
