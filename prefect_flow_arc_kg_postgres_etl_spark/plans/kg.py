@@ -2121,3 +2121,71 @@ def flow_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SNAPSHOT_READ_ORACLE = "SELECT * FROM orders"
+
+
+# -------------------------- A47 SCD2 point-in-time lookup (r6)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A47: POINT-IN-TIME lookup over the SCD2 dimension (A27's
+    output) — the feature-store join: each fact row reads the dim
+    version that was current AT ITS OWN event time, never a later one
+    (the train-serve-skew guard). SCD2 validity intervals are disjoint
+    per key by construction, so the lookup is an EQUI join on the key
+    plus a residual interval filter — one keyed shuffle, no window, at
+    most one dim version per fact. Facts before a key's first version
+    drop (inner semantics — an entity that did not exist yet has no
+    features)."""
+    dim = merge_scd2(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        "valid_from", "valid_to",
+    )
+    facts = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    return (
+        facts.join(dim, facts.l_orderkey == dim.o_orderkey)
+        .filter(
+            (F.col("valid_from") <= F.col("l_shipdate"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("l_shipdate") < F.col("valid_to"))
+            )
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+            F.col("o_orderstatus").alias("status_asof"),
+            F.col("o_totalprice").alias("price_asof"),
+        )
+    )
+
+
+SCD2_PIT_ORACLE = """
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         o_orderdate AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM orders
+), src AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice,
+         TIMESTAMP '1997-01-01 00:00:00' AS valid_from
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+), dim AS (
+  SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice, t.valid_from,
+         CASE WHEN t.valid_to IS NULL AND s.o_orderkey IS NOT NULL
+              THEN GREATEST(s.valid_from, t.valid_from)
+              ELSE t.valid_to END AS valid_to
+  FROM target t LEFT JOIN src s USING (o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, valid_from,
+         CAST(NULL AS TIMESTAMP)
+  FROM src
+)
+SELECT l_orderkey, l_linenumber, l_shipdate,
+       d.o_orderstatus AS status_asof,
+       d.o_totalprice AS price_asof
+FROM lineitem
+JOIN dim d ON l_orderkey = d.o_orderkey
+WHERE d.valid_from <= l_shipdate
+  AND (d.valid_to IS NULL OR l_shipdate < d.valid_to)
+"""

@@ -477,6 +477,11 @@ _SPECS: dict[str, QuerySpec] = {
     "flow_snapshot_read": QuerySpec(
         kg.flow_snapshot_read, kg.SNAPSHOT_READ_ORACLE
     ),
+    # A47 (NEW r6): point-in-time lookup over the SCD2 dimension —
+    # the feature-store train-serve-skew guard.
+    "scd2_point_in_time": QuerySpec(
+        kg.scd2_point_in_time, kg.SCD2_PIT_ORACLE
+    ),
     # B46 (NEW r6): keyless RANGE join via time-bucket equi-join —
     # the plan shape that replaces the O(n^2) inequality join.
     "events_range_join_bucketed": QuerySpec(
