@@ -12,7 +12,7 @@ order matches Spark's ``aggregate`` fold bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prefect_flow_arc_kg_postgres_etl_spark.functions.text import STOPWORDS
@@ -1492,3 +1492,42 @@ def flow_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, target, [b1, b2, b3], _JAC_T, collect_stats=False
     )
     return final.select("doc_id", F.length("text").alias("n_chars"))
+
+
+# ------------------- D39 exact-k deterministic group sample (r6)
+_SAMPLE_K = 50
+
+
+def corpus_sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D39: take EXACTLY k docs per group, deterministically — the
+    fixed-budget complement of D17's fraction-based sampler ("100
+    eval docs per language", not "0.1%"). Rank by the engine-
+    independent LCG hash of doc_id within each group and keep the
+    first k: a uniform pseudo-random yet reproducible choice — stable
+    across runs, partitionings and engines, and a doc's selection
+    never flips when OTHER groups grow (rank depends only on its own
+    group). One window pass over one group shuffle; ties cannot occur
+    (the LCG is a bijection mod 2^31, distinct ids -> distinct
+    buckets; doc_id tiebreak kept anyway for ids equal mod 2^31)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        (F.col("doc_id") % 2147483648) * 1103515245 + 12345
+    ) % 2147483648
+    w = Window.partitionBy("lang").orderBy(
+        bucket.asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SAMPLE_K)
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+SAMPLE_TOPK_HASH_ORACLE = f"""
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY {_LCG}, doc_id) AS INT) AS rk
+  FROM documents
+) WHERE rk <= {_SAMPLE_K}
+"""

@@ -506,6 +506,11 @@ _SPECS: dict[str, QuerySpec] = {
     "dedup_survivors": QuerySpec(
         pipeline.dedup_survivors, pipeline.DEDUP_SURVIVORS_ORACLE
     ),
+    # D39 (NEW r6): exact-k deterministic per-group sample (rank by
+    # the engine-independent LCG hash).
+    "corpus_sample_topk_hash": QuerySpec(
+        pipeline.corpus_sample_topk_hash, pipeline.SAMPLE_TOPK_HASH_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.
