@@ -416,3 +416,75 @@ def pagerank_int(
             )
         )
     return ranks
+
+
+def pagerank_int_resumable(
+    spark,
+    edges: DataFrame,
+    store_path: str,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """A48: ``pagerank_int`` with DURABLE iteration state — the
+    restartable form of a long iterative job: each completed iteration
+    lands the rank table (tagged ``_iter``) as the next version of a
+    store table (one atomic pointer swap), so a driver crash loses at
+    most the in-flight iteration and the retry RESUMES from the last
+    landed one instead of recomputing from rank zero. localCheckpoint
+    survives executor memory only; at 100 TB a multi-hour iterative
+    job checkpoints to reliable storage exactly like this, and the
+    exact integer arithmetic makes resumed-vs-straight-through runs
+    BIT-IDENTICAL (float ranks would drift across the write/read
+    round-trip). Same fixpoint as pagerank_int — the A43 oracle."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+
+    edges = edges.localCheckpoint(eager=True)
+    src_nodes = edges.select(F.col("src").alias("node"))
+    dst_nodes = edges.select(F.col("dst").alias("node"))
+    nodes = src_nodes.unionByName(dst_nodes).distinct().localCheckpoint(
+        eager=True
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    base = (
+        f"CAST({scale} AS BIGINT) * {damp_den - damp_num} "
+        f"div ({damp_den} * _n)"
+    )
+    if store.table_exists(store_path):
+        state = store.read_table(spark, store_path)
+        done = state.select(F.max("_iter")).first()[0]
+        ranks = state.select("node", "rank")
+    else:
+        done = 0
+        ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+            "node", F.expr(f"CAST({scale} AS BIGINT) div _n").alias("rank")
+        )
+        store.write_table(
+            ranks.withColumn("_iter", F.lit(0)), store_path
+        )
+    for it in range(done + 1, iters + 1):
+        contrib = edges_deg.join(
+            ranks.select(F.col("node").alias("src"), "rank"), "src"
+        ).select(
+            "dst",
+            F.expr(f"rank * {damp_num} div ({damp_den} * deg)").alias("c"),
+        )
+        inc = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_row))
+            .join(inc, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.expr(base) + F.coalesce(F.col("inc"), F.lit(0))
+                ).alias("rank"),
+            )
+        )
+        store.write_table(ranks.withColumn("_iter", F.lit(it)), store_path)
+        # read back the landed version: iteration i+1 consumes STORAGE,
+        # not lineage — a restart resolves the identical frame.
+        ranks = store.read_table(spark, store_path).select("node", "rank")
+    return ranks

@@ -2189,3 +2189,43 @@ JOIN dim d ON l_orderkey = d.o_orderkey
 WHERE d.valid_from <= l_shipdate
   AND (d.valid_to IS NULL OR l_shipdate < d.valid_to)
 """
+
+
+# ------------------------- A48 resumable iterative PageRank (r6)
+def graph_pagerank_resumable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A48: A43's integer PageRank with DURABLE iteration state
+    (operators/triples.pagerank_int_resumable): each completed
+    iteration lands as the next version of a store table, so a driver
+    crash loses at most the in-flight iteration and the retry resumes
+    from the last landed one — the restart contract every multi-hour
+    iterative job needs at 100 TB, where localCheckpoint (executor
+    memory) does not survive. Exact integer arithmetic makes the
+    resumed and straight-through runs bit-identical (tested), and the
+    fixpoint shares A43's unrolled SQL oracle."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    c_id = (F.col("cust") * 2).cast("long")
+    p_id = (F.col("part") * 2 + 1).cast("long")
+    edges = pairs.select(c_id.alias("src"), p_id.alias("dst")).unionByName(
+        pairs.select(p_id.alias("src"), c_id.alias("dst"))
+    )
+    state = tempfile.mkdtemp(prefix="pagerank_state_") + "/ranks"
+    ranks = T.pagerank_int_resumable(spark, edges, state, iters=2)
+    return ranks.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("C"), F.expr("node div 2").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("P"), F.expr("(node - 1) div 2").cast("string"))
+        )
+        .alias("node"),
+        "rank",
+    )

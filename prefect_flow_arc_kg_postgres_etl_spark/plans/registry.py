@@ -482,6 +482,11 @@ _SPECS: dict[str, QuerySpec] = {
     "scd2_point_in_time": QuerySpec(
         kg.scd2_point_in_time, kg.SCD2_PIT_ORACLE
     ),
+    # A48 (NEW r6): PageRank with durable iteration state (resumable);
+    # same fixpoint, shares A43's unrolled oracle.
+    "graph_pagerank_resumable": QuerySpec(
+        kg.graph_pagerank_resumable, kg.GRAPH_PAGERANK_ORACLE
+    ),
     # B46 (NEW r6): keyless RANGE join via time-bucket equi-join —
     # the plan shape that replaces the O(n^2) inequality join.
     "events_range_join_bucketed": QuerySpec(

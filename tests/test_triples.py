@@ -329,3 +329,33 @@ def test_transitive_closure_known_depth_equals_fixpoint(spark):
             for r in transitive_closure(chain, known_depth=depth).collect()
         }
         assert fast == fix
+
+
+def test_pagerank_resumable_restart_is_bit_identical(spark, tmp_path):
+    """A48: stop after iteration 1 (simulated by running iters=1 to a
+    store), then RESUME with iters=2 against the same store — the
+    resumed fixpoint must equal a straight-through iters=2 run
+    bit-for-bit (exact integer arithmetic survives the storage
+    round-trip; float ranks would drift)."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.triples import (
+        pagerank_int,
+        pagerank_int_resumable,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (2, 4)],
+        "src long, dst long",
+    )
+    state = str(tmp_path / "ranks")
+    first = pagerank_int_resumable(spark, edges, state, iters=1)
+    assert first.count() == 4
+    resumed = {
+        (r.node, r.rank)
+        for r in pagerank_int_resumable(spark, edges, state, iters=2).collect()
+    }
+    straight = {
+        (r.node, r.rank) for r in pagerank_int(edges, iters=2).collect()
+    }
+    assert resumed == straight
