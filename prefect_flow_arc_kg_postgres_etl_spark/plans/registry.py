@@ -468,6 +468,12 @@ _SPECS: dict[str, QuerySpec] = {
     "join_view_incremental": QuerySpec(
         kg.join_view_incremental, kg.JOIN_VIEW_IVM_ORACLE
     ),
+    # C13 (NEW r6): the reference's stream.ts triple->record pivot as a
+    # watermark-finalized streaming aggregation (batch twin = A2).
+    "stream_pivot_records": QuerySpec(
+        streaming_plans.stream_pivot_records,
+        streaming_plans.STREAM_PIVOT_ORACLE,
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE

@@ -375,3 +375,33 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_DEDUP_STATE_ORACLE = """
 SELECT event_id, ts, user_id, event_type, value FROM events
 """
+
+
+def stream_pivot_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13 (r6): the reference's stream.ts triple->record pivot as a
+    real watermarked streaming aggregation — triples melt in-stream
+    (stack projection), records key by (event-time window, subject) and
+    finalize exactly once when the watermark passes (no more triples
+    for that subject can arrive). Bounded state: |open subjects|.
+    Emitted set on a bounded source = the batch pivot restricted to
+    o_orderdate <= max - 2 days, the full SQL oracle."""
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        pivot_records_stream,
+    )
+
+    out = tempfile.mkdtemp(prefix="stream_pivot_") + "/records"
+    return pivot_records_stream(spark, sf_dir, out)
+
+
+# Day-windows finalize when window end (day + 1d) <= watermark
+# (max o_orderdate - 1d delay); o_orderdate is day-grain so the
+# ms-floor of Spark's watermark tracking is exact here.
+STREAM_PIVOT_ORACLE = """
+SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS subject,
+       CAST(o_custkey AS VARCHAR) AS o_custkey,
+       CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
+       CAST(o_totalprice AS VARCHAR) AS o_totalprice,
+       CAST(o_orderpriority AS VARCHAR) AS o_orderpriority
+FROM orders
+WHERE o_orderdate <= (SELECT MAX(o_orderdate) FROM orders) - INTERVAL 2 DAY
+"""

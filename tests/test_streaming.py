@@ -478,3 +478,25 @@ def test_dedup_state_survives_rerun_and_new_arrivals(spark, tmp_path):
     assert (
         second.groupBy("event_id").count().filter("count > 1").count() == 0
     )
+
+
+def test_stream_pivot_finalizes_each_record_exactly_once(spark, tmp_path):
+    """C13: the watermarked streaming pivot emits each subject exactly
+    once (append mode drops state as windows finalize) and holds back
+    the records the watermark cannot yet prove complete."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        pivot_records_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = pivot_records_stream(spark, sf_dir, str(tmp_path / "records"))
+    rows = out.collect()
+    total = load_table(spark, sf_dir, "orders").count()
+    subjects = [r["subject"] for r in rows]
+    assert len(subjects) == len(set(subjects)), "a record emitted twice"
+    assert 0 < len(subjects) < total, "watermark held nothing back"
+    # Every emitted record is fully pivoted: the melt emitted all four
+    # predicates for each subject, so no column may be NULL.
+    for r in rows[:50]:
+        assert r["o_custkey"] is not None and r["o_totalprice"] is not None
