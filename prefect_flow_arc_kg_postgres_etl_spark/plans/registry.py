@@ -474,6 +474,11 @@ _SPECS: dict[str, QuerySpec] = {
         streaming_plans.stream_pivot_records,
         streaming_plans.STREAM_PIVOT_ORACLE,
     ),
+    # B48 (NEW r6): interval x interval overlap join via span-bucketing
+    # with a canonical-bucket exactly-once rule (B46 generalized).
+    "sessions_overlap_join": QuerySpec(
+        relational.sessions_overlap_join, relational.SESSIONS_OVERLAP_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE

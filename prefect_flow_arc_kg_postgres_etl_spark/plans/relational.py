@@ -2141,3 +2141,123 @@ SELECT user_id, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end
 FROM sess GROUP BY user_id, session_id
 """
+
+
+# ------------------------------------- B48 interval-overlap join (r6)
+_IVL_BUCKET_US = 21_600_000_000  # 6 h bucket width
+
+
+def sessions_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B48: INTERVAL x INTERVAL overlap join — B46 generalized from
+    point proximity to arbitrary-length intervals. For every session
+    (B9's gap sessionization), count concurrent sessions of OTHER
+    users (overlap = a.start <= b.end AND b.start <= a.end).
+
+    The naive plan is an inequality self-join (cartesian). Scale shape:
+    each interval explodes to the 6-hour time buckets it SPANS
+    (sequence over floor(start/W)..floor(end/W) — cost tracks total
+    span, not pairs), the join is EQUI on bucket, and a pair is kept
+    exactly once at its canonical bucket floor(max(starts)/W) — an
+    overlapping pair shares that bucket by construction (max start lies
+    inside both intervals), so no dedup shuffle. Residual overlap
+    filter is then redundant for the canonical bucket but kept for
+    clarity; shuffle keys uniformly by time bucket.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
+    new_sess = F.when(gap.isNull() | (gap > _GAP_MIN * 60), 1).otherwise(0)
+    sess = (
+        ev.withColumn(
+            "session_id",
+            F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("s_us"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("e_us"),
+            F.min("ts").alias("session_start"),
+        )
+    )
+    W_ = F.lit(_IVL_BUCKET_US)
+    a = sess.select(
+        F.col("user_id").alias("a_user"),
+        F.col("session_id").alias("a_sess"),
+        F.col("s_us").alias("a_s"),
+        F.col("e_us").alias("a_e"),
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("a_s") / W_).cast("long"), (F.col("a_e") / W_).cast("long")
+            )
+        ),
+    )
+    b = sess.select(
+        F.col("user_id").alias("b_user"),
+        F.col("s_us").alias("b_s"),
+        F.col("e_us").alias("b_e"),
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("b_s") / W_).cast("long"), (F.col("b_e") / W_).cast("long")
+            )
+        ),
+    )
+    hits = (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("a_user") != F.col("b_user"))
+            & (F.col("a_s") <= F.col("b_e"))
+            & (F.col("b_s") <= F.col("a_e"))
+            & (
+                F.col("bucket")
+                == (F.greatest("a_s", "b_s") / W_).cast("long")
+            )
+        )
+        .groupBy("a_user", "a_sess")
+        .agg(F.count(F.lit(1)).alias("n_concurrent"))
+    )
+    return (
+        sess.join(
+            hits,
+            (sess.user_id == hits.a_user) & (sess.session_id == hits.a_sess),
+            "left",
+        )
+        .select(
+            "user_id",
+            "session_start",
+            F.coalesce("n_concurrent", F.lit(0)).alias("n_concurrent"),
+        )
+    )
+
+
+SESSIONS_OVERLAP_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > {_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+), agg AS (
+  SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM sess GROUP BY 1, 2
+)
+SELECT a.user_id, a.session_start,
+       COUNT(b.user_id) AS n_concurrent
+FROM agg a
+LEFT JOIN agg b
+  ON b.user_id <> a.user_id
+ AND b.session_start <= a.session_end
+ AND a.session_start <= b.session_end
+GROUP BY a.user_id, a.session_id, a.session_start
+"""

@@ -562,3 +562,19 @@ def test_dynamic_partition_pruning_from_join_filter(spark, tmp_path):
     assert set(counts) == {"1-URGENT", "3-MEDIUM"} and all(
         v > 0 for v in counts.values()
     )
+
+
+def test_interval_overlap_join_is_bucketed_not_nested_loop(spark):
+    """B48: the interval-overlap predicate must reach the executor as an
+    EQUI join on the span bucket — never the inequality-only
+    BroadcastNestedLoopJoin Spark would pick for a raw overlap join."""
+    plan = build(spark, "sessions_overlap_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # Hash-keyed on the span bucket (BHJ at smoke scale, SMJ/SHJ at
+    # 100 TB — any of them proves the equi rewrite reached the planner).
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
