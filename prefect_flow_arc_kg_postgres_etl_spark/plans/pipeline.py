@@ -1531,3 +1531,56 @@ SELECT doc_id, lang, rk FROM (
   FROM documents
 ) WHERE rk <= {_SAMPLE_K}
 """
+
+
+# ------------------------------------------ D40 chunking with overlap
+_CHUNK_W = 200  # chunk width (chars)
+_CHUNK_S = 150  # stride (chars) -> 50-char overlap between neighbors
+
+
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D40: sliding-window document chunking with overlap — the
+    RAG/pretraining chunker (long docs -> fixed windows, stride <
+    width so no boundary context is lost). Entirely scan-side: the
+    chunk index set is posexplode(sequence(0, n_chunks-1)) and each
+    chunk is a substring — a generator projection fused with the
+    parquet scan, NO shuffle, output size = sum of chunk counts.
+    Chunk count uses exact integer ceil ((len - W + S - 1) // S + 1)
+    so both engines agree on every boundary; a doc shorter than one
+    window yields exactly one (short) chunk.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ln = F.length("text")
+    # integer floor division (both operands nonnegative)
+    n_chunks = F.when(ln <= _CHUNK_W, F.lit(1).cast("long")).otherwise(
+        F.floor((ln - _CHUNK_W + _CHUNK_S - 1) / F.lit(_CHUNK_S)) + 1
+    )
+    chunked = docs.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx", "_i"
+        ),
+    )
+    chunk = F.expr(f"substring(text, cast(chunk_idx * {_CHUNK_S} + 1 as int), {_CHUNK_W})")
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+    )
+
+
+CHUNK_OVERLAP_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, text,
+         CASE WHEN LENGTH(text) <= {_CHUNK_W} THEN 1
+              ELSE 1 + (LENGTH(text) - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}
+         END AS n_chunks
+  FROM documents
+)
+SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+       SUBSTRING(text, CAST(u.i * {_CHUNK_S} + 1 AS INT), {_CHUNK_W}) AS chunk_text,
+       LENGTH(SUBSTRING(text, CAST(u.i * {_CHUNK_S} + 1 AS INT), {_CHUNK_W})) AS chunk_len
+FROM n, UNNEST(generate_series(0, n.n_chunks - 1)) AS u(i)
+"""

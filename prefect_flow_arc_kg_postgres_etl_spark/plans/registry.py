@@ -479,6 +479,11 @@ _SPECS: dict[str, QuerySpec] = {
     "sessions_overlap_join": QuerySpec(
         relational.sessions_overlap_join, relational.SESSIONS_OVERLAP_ORACLE
     ),
+    # D40 (NEW r6): sliding-window chunking with overlap — scan-fused
+    # generator projection, zero shuffle.
+    "corpus_chunk_overlap": QuerySpec(
+        pipeline.corpus_chunk_overlap, pipeline.CHUNK_OVERLAP_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE

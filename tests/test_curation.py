@@ -262,3 +262,32 @@ def test_edit_verified_pairs_separates_revisions_from_rearrangements(spark):
     assert (1, 3) not in pairs  # 48 inserted chars > max_edits
     # the threshold DP returns -1 above max_edits — nothing >10 leaks
     assert all(0 <= d <= 10 for d in pairs.values())
+
+
+def test_chunk_overlap_reconstructs_documents(spark):
+    """D40: chunks tile every document — stride-prefixes of consecutive
+    chunks concatenate back to the exact original text, and each
+    non-final neighbor pair shares a 50-char overlap."""
+    from prefect_flow_arc_kg_postgres_etl_spark.plans.pipeline import (
+        _CHUNK_S,
+        _CHUNK_W,
+        corpus_chunk_overlap,
+    )
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    chunks = corpus_chunk_overlap(spark, sf).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_text"]
+    assert set(by_doc) == set(texts)
+    for doc_id, parts in by_doc.items():
+        ordered = [parts[i] for i in range(len(parts))]
+        rebuilt = "".join(c[:_CHUNK_S] for c in ordered[:-1]) + ordered[-1]
+        assert rebuilt == texts[doc_id], f"doc {doc_id} does not tile"
+        for a, b in zip(ordered, ordered[1:]):
+            assert a[_CHUNK_S:] == b[: _CHUNK_W - _CHUNK_S], "overlap mismatch"
