@@ -265,3 +265,63 @@ def merge_agg_state(
             *[F.sum(c).alias(c) for c in sum_cols],
         )
     )
+
+
+def upsert_conditional(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str],
+    condition,
+) -> DataFrame:
+    """Conditional PARTIAL-update merge — the full SQL MERGE form
+    ``WHEN MATCHED AND <condition> THEN UPDATE SET <subset>
+      WHEN NOT MATCHED THEN INSERT *``
+    (database.ts:214-222 is the unconditional whole-row special case).
+
+    Per key: a matched target row takes the source's ``update_cols``
+    ONLY when ``condition(src, tgt)`` holds (all other columns retain
+    their target values — the partial update); a matched row failing
+    the condition passes through untouched; unmatched source rows
+    insert whole. ONE full-outer hash join on the keys — same shuffle
+    budget as the plain upsert.
+
+    ``condition`` is a callable (src_col, tgt_col getters) -> Column so
+    the cross-row predicate (e.g. "source is newer") is expressed once
+    against both sides of the join. Precondition (as in SQL MERGE): the
+    source has at most one row per key — enforced here with a loud
+    failure instead of silent nondeterminism.
+    """
+    cols = target.columns
+    src = source.select(*cols)
+    # SQL MERGE errors on a multi-row source key; mirror that with a
+    # runtime raise_error wired into the JOIN key itself (an unused
+    # assert column would be pruned by Catalyst). The count window keys
+    # on the same columns as the join, so its shuffle partitioning is
+    # reused — no extra exchange.
+    w = Window.partitionBy(*keys)
+    src = src.withColumn("_nk", F.count(F.lit(1)).over(w))
+    guarded_key = F.when(
+        F.col("_nk") > 1,
+        F.raise_error(F.lit("upsert_conditional: duplicate key in merge source")),
+    ).otherwise(F.col(keys[0]))
+    s = src.select(
+        guarded_key.alias(f"_sk_{keys[0]}"),
+        *[F.col(k).alias(f"_sk_{k}") for k in keys[1:]],
+        *[F.col(c).alias(f"_s_{c}") for c in cols],
+    )
+    joined = target.join(
+        s, [F.col(k) == F.col(f"_sk_{k}") for k in keys], "full_outer"
+    )
+    matched = F.col(f"_sk_{keys[0]}").isNotNull() & F.col(keys[0]).isNotNull()
+    src_only = F.col(keys[0]).isNull()
+    cond = condition(
+        lambda c: F.col(f"_s_{c}"), lambda c: F.col(c)
+    )
+    out_cols = []
+    for c in cols:
+        take_src = src_only | (matched & cond & F.lit(c in update_cols or c in keys))
+        out_cols.append(
+            F.when(take_src, F.col(f"_s_{c}")).otherwise(F.col(c)).alias(c)
+        )
+    return joined.select(*out_cols)

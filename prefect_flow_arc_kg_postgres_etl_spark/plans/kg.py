@@ -2229,3 +2229,103 @@ def graph_pagerank_resumable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node"),
         "rank",
     )
+
+
+# --------------------------------------------- A49 SPARQL SELECT aggs
+def kg_select_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A49 (r6): SPARQL SELECT with AGGREGATES — ``SELECT ?nation
+    (COUNT(?c) AS ?n) (SAMPLE/MIN(?name)) (GROUP_CONCAT(?name; ';'))
+    GROUP BY ?nation`` over the quad store. With CONSTRUCT (A3/A17/
+    A22-24), DESCRIBE (A37) and ASK (A38) this completes the SPARQL
+    query-form surface at its aggregate tier (SPARQL 1.1 §11).
+
+    Spark-first: the BGP binds via the same ``construct`` compiler
+    (n_name scoped to graph:orgs — the unscoped pattern would double-
+    match the staging drafts), then ONE hash aggregate keyed by the
+    group variable. GROUP_CONCAT must be deterministic at any
+    parallelism: collect_list has no order guarantee, so the list is
+    array_sort-ed before joining — the oracle's ORDER BY inside
+    STRING_AGG is the same contract."""
+    out = T.construct(
+        _kg_graph(spark, sf_dir),
+        patterns=[
+            ("?c", "c_name", "?name"),
+            ("?c", "c_nationkey", "?nk"),
+            ("?nk", "n_name", "?nation", "?g"),
+        ],
+        values={"?g": ["graph:orgs"]},
+    )
+    return out.groupBy(F.col("nation")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("name").alias("sample_name"),
+        F.array_join(F.array_sort(F.collect_list("name")), ";").alias(
+            "names_concat"
+        ),
+    )
+
+
+KG_SELECT_AGG_ORACLE = """
+SELECT n_name AS nation,
+       COUNT(*) AS n_customers,
+       MIN(c_name) AS sample_name,
+       STRING_AGG(c_name, ';' ORDER BY c_name) AS names_concat
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+# ----------------------------------- A50 conditional partial-update MERGE
+def merge_upsert_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A50 (r6): the full SQL MERGE form — ``WHEN MATCHED AND cond THEN
+    UPDATE SET <subset>`` — on the orders table. Source re-stages
+    post-1995 orders with re-priced totals (even keys up 10%, odd keys
+    down 10%) and a staging marker in o_orderpriority; the merge updates
+    ONLY (o_orderstatus, o_totalprice), ONLY where the staged price is
+    HIGHER (prices never decrease), keeps everything else from the
+    target — so matched rows must retain their original priority (the
+    partial-update proof) and odd-key matches pass through bit-identical
+    (the condition proof); unmatched staged orders insert whole, marker
+    and all. One full-outer hash join on the PK (operators/merge.py
+    upsert_conditional)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderdate") < _UPSERT_SPLIT)
+    src = (
+        orders.filter(F.col("o_orderdate") >= "1995-01-01")
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice") * 1.1)
+            .otherwise(F.col("o_totalprice") * 0.9),
+        )
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_orderpriority", F.lit("9-STAGED"))
+    )
+    return M.upsert_conditional(
+        base,
+        src,
+        keys=["o_orderkey"],
+        update_cols=["o_orderstatus", "o_totalprice"],
+        condition=lambda sc, tc: sc("o_totalprice") > tc("o_totalprice"),
+    )
+
+
+MERGE_UPSERT_COND_ORACLE = f"""
+WITH base AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '{_UPSERT_SPLIT} 00:00:00'
+), src AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice * 0.9 END AS o_totalprice,
+         o_orderdate, '9-STAGED' AS o_orderpriority
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+)
+SELECT b.o_orderkey, b.o_custkey,
+       CASE WHEN s.o_orderkey IS NOT NULL AND s.o_totalprice > b.o_totalprice
+            THEN s.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+       CASE WHEN s.o_orderkey IS NOT NULL AND s.o_totalprice > b.o_totalprice
+            THEN s.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
+       b.o_orderdate, b.o_orderpriority
+FROM base b LEFT JOIN src s ON s.o_orderkey = b.o_orderkey
+UNION ALL
+SELECT s.* FROM src s
+WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.o_orderkey = s.o_orderkey)
+"""

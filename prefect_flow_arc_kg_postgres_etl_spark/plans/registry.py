@@ -484,6 +484,14 @@ _SPECS: dict[str, QuerySpec] = {
     "corpus_chunk_overlap": QuerySpec(
         pipeline.corpus_chunk_overlap, pipeline.CHUNK_OVERLAP_ORACLE
     ),
+    # A49 (NEW r6): SPARQL SELECT aggregates (COUNT/SAMPLE/GROUP_CONCAT
+    # with deterministic ordering) — the aggregate query form.
+    "kg_select_agg": QuerySpec(kg.kg_select_agg, kg.KG_SELECT_AGG_ORACLE),
+    # A50 (NEW r6): conditional partial-update MERGE (WHEN MATCHED AND
+    # cond THEN UPDATE SET subset) — one full-outer PK join.
+    "merge_upsert_conditional": QuerySpec(
+        kg.merge_upsert_conditional, kg.MERGE_UPSERT_COND_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE

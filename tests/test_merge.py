@@ -221,3 +221,43 @@ def test_merge_agg_state_exact_and_empty_delta(spark):
         for r in merge_agg_state(state, empty, ["k"], ["s"]).collect()
     }
     assert unchanged == {"a": (2, 30), "b": (1, 5)}
+
+
+def test_upsert_conditional_partial_update_and_guard(spark):
+    from pyspark.sql.utils import CapturedException
+
+    import pytest as _pytest
+
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import (
+        upsert_conditional,
+    )
+
+    tgt = spark.createDataFrame(
+        [(1, 10, "keep-a"), (2, 20, "keep-b"), (3, 30, "keep-c")],
+        "k int, v int, note string",
+    )
+    src = spark.createDataFrame(
+        [(1, 99, "staged"), (2, 5, "staged"), (4, 40, "staged")],
+        "k int, v int, note string",
+    )
+    out = upsert_conditional(
+        tgt, src, keys=["k"], update_cols=["v"],
+        condition=lambda s, t: s("v") > t("v"),
+    )
+    rows = {r["k"]: (r["v"], r["note"]) for r in out.collect()}
+    # matched + cond: v updated, note RETAINED from the target
+    assert rows[1] == (99, "keep-a")
+    # matched, cond false: untouched
+    assert rows[2] == (20, "keep-b")
+    # unmatched target: untouched
+    assert rows[3] == (30, "keep-c")
+    # unmatched source: inserted whole
+    assert rows[4] == (40, "staged")
+
+    # SQL MERGE precondition: duplicate source key must FAIL LOUDLY
+    dup = src.unionByName(spark.createDataFrame([(1, 7, "dup")], src.schema))
+    with _pytest.raises(CapturedException, match="duplicate key"):
+        upsert_conditional(
+            tgt, dup, keys=["k"], update_cols=["v"],
+            condition=lambda s, t: s("v") > t("v"),
+        ).collect()
