@@ -1584,3 +1584,55 @@ SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
        LENGTH(SUBSTRING(text, CAST(u.i * {_CHUNK_S} + 1 AS INT), {_CHUNK_W})) AS chunk_len
 FROM n, UNNEST(generate_series(0, n.n_chunks - 1)) AS u(i)
 """
+
+
+# ------------------------------------ D41 quality-weighted resampling
+def corpus_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D41 (r6): importance RESAMPLING by quality — each document
+    survives with probability equal to its composite quality score
+    (D9), not a hard threshold (D14's gate): a middling doc keeps a
+    proportional share of the training mix instead of all-or-nothing —
+    the importance-weighting primitive behind quality-annealed data
+    mixes. Membership is the engine-independent LCG hash of doc_id
+    (reproducible across runs, engines, partitionings — never seeded
+    RNG), compared in EXACT integers: quality is k/3 for integer k, so
+    keep iff lcg * 3 < k * 2^31 (no float threshold, no rounding
+    boundary). Entirely scan-side: zero shuffle, zero joins."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.text import quality_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = quality_expr("text")[0]
+    q3 = F.round(score * 3, 0).cast("long")  # the integer check count
+    lcg = F.expr(_LCG)
+    return (
+        docs.select("doc_id", "lang", "source", score.alias("quality"), q3.alias("_q3"))
+        .filter(lcg * 3 < F.col("_q3") * F.lit(2147483648))
+        .drop("_q3")
+    )
+
+
+QUALITY_RESAMPLE_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id, lang, source,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars_c,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+              x -> x <> '')) AS BIGINT) AS n_words,
+         CAST(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(LENGTH(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS chars_in_words
+  FROM documents
+), ratios AS (
+  SELECT doc_id, lang, source, n_chars_c,
+         CASE WHEN n_chars_c > 0 THEN n_punct * 1.0 / n_chars_c ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_words > 0 THEN chars_in_words * 1.0 / n_words ELSE 0.0 END AS mean_wlen
+  FROM feat
+), scored AS (
+  SELECT doc_id, lang, source,
+         (CASE WHEN n_chars_c BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+          + CASE WHEN mean_wlen BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END
+          + CASE WHEN punct_ratio <= 0.2 THEN 1 ELSE 0 END) AS q3
+  FROM ratios
+)
+SELECT doc_id, lang, source, ROUND(q3 / 3.0, 6) AS quality
+FROM scored
+WHERE ({_LCG}) * 3 < q3 * 2147483648
+"""

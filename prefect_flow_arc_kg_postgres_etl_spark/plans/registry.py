@@ -492,6 +492,11 @@ _SPECS: dict[str, QuerySpec] = {
     "merge_upsert_conditional": QuerySpec(
         kg.merge_upsert_conditional, kg.MERGE_UPSERT_COND_ORACLE
     ),
+    # D41 (NEW r6): quality-weighted importance resampling — scan-side,
+    # exact-integer LCG threshold (keep prob = quality score).
+    "corpus_quality_resample": QuerySpec(
+        pipeline.corpus_quality_resample, pipeline.QUALITY_RESAMPLE_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE
