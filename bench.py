@@ -95,6 +95,13 @@ HEADLINE = [
     "events_range_join_bucketed",
     "dedup_incremental",
     "corpus_split_assign",
+    # Round-6 second append (prefix stays comparable): the bucketed
+    # interval-overlap join, the scan-fused chunker, the conditional
+    # partial-update merge, and quality-weighted resampling.
+    "sessions_overlap_join",
+    "corpus_chunk_overlap",
+    "merge_upsert_conditional",
+    "corpus_quality_resample",
 ]
 
 

@@ -1636,3 +1636,77 @@ SELECT doc_id, lang, source, ROUND(q3 / 3.0, 6) AS quality
 FROM scored
 WHERE ({_LCG}) * 3 < q3 * 2147483648
 """
+
+
+# --------------------------------- D42 contamination overlap report
+def corpus_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D42 (r6): contamination REPORT — D16 drops any doc sharing one
+    8-gram with the eval set; audit pipelines need the overlap
+    FRACTION per document (how contaminated, not just whether) to set
+    thresholds and find near-miss paraphrases. Same planted corpus and
+    gram machinery as D16 (hashed 8-byte grams, broadcast eval side);
+    per-doc distinct grams get a broadcast membership flag scan-side,
+    then ONE aggregation keyed by doc id counts (total, hit) and the
+    fraction is per-row arithmetic — the train corpus is never
+    shuffled except by its own doc id. Docs with fewer than 8 words
+    have no grams and are absent, as in the oracle."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import doc_ngrams
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    clean = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    planted = bench.select(
+        (F.col("doc_id") + _CONTAM_OFF).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_CONTAM_TAIL)).alias("text"),
+    )
+    train = _spread(spark, clean.unionByName(planted))
+    tg = doc_ngrams(train, "doc_id", "text", _DECON_N).distinct()
+    bg = (
+        doc_ngrams(bench, "doc_id", "text", _DECON_N)
+        .select("gram")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    flagged = tg.join(F.broadcast(bg), "gram", "left")
+    return (
+        flagged.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+        .withColumn(
+            "overlap_frac",
+            F.round(F.col("n_hit") * 1.0 / F.col("n_grams"), 6),
+        )
+    )
+
+
+CONTAMINATION_REPORT_ORACLE = rf"""
+WITH train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {_BENCH_MOD} <> 0
+  UNION ALL
+  SELECT doc_id + {_CONTAM_OFF} AS doc_id, text || '{_CONTAM_TAIL}' AS text
+  FROM documents WHERE doc_id % {_BENCH_MOD} = 0
+), bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {_BENCH_MOD} = 0
+), tg AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, len(w) - {_DECON_N - 2}),
+                               i -> array_to_string(w[i:i+{_DECON_N - 1}], ' '))) AS g
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(LOWER(text), '\s+'), x -> x <> '') AS w
+        FROM train)
+  WHERE len(w) >= {_DECON_N}
+), bg AS (
+  SELECT DISTINCT array_to_string(w[i:i+{_DECON_N - 1}], ' ') AS g
+  FROM (SELECT list_filter(string_split_regex(LOWER(text), '\s+'), x -> x <> '') AS w
+        FROM bench), UNNEST(range(1, len(w) - {_DECON_N - 2})) AS t(i)
+  WHERE len(w) >= {_DECON_N}
+)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       ROUND(SUM(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS overlap_frac
+FROM tg GROUP BY doc_id
+"""

@@ -497,6 +497,12 @@ _SPECS: dict[str, QuerySpec] = {
     "corpus_quality_resample": QuerySpec(
         pipeline.corpus_quality_resample, pipeline.QUALITY_RESAMPLE_ORACLE
     ),
+    # D42 (NEW r6): per-doc contamination overlap FRACTION (the audit
+    # report behind D16's boolean drop) — broadcast flag, one keyed agg.
+    "corpus_contamination_report": QuerySpec(
+        pipeline.corpus_contamination_report,
+        pipeline.CONTAMINATION_REPORT_ORACLE,
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE
