@@ -325,3 +325,38 @@ def upsert_conditional(
             F.when(take_src, F.col(f"_s_{c}")).otherwise(F.col(c)).alias(c)
         )
     return joined.select(*out_cols)
+
+
+def merge_agg_state_signed(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    sign_col: str = "sign",
+    count_col: str = "n",
+) -> DataFrame:
+    """``merge_agg_state`` for CDC deltas that carry RETRACTIONS: each
+    delta row has ``sign_col`` +1 (insert) or -1 (retract) and its
+    aggregate contribution merges SIGNED — counts and sums are abelian
+    groups, not just monoids, so deletions fold in by addition of
+    negated partials, with no re-scan of the base fact. Groups whose
+    live count reaches zero leave the view (and a fully-retracted
+    group's sums are exactly zero when the partials are exact
+    integers — use cents, never doubles, or a retracted group can
+    leave a last-ulp residue that keeps it alive). Same plan shape as
+    merge_agg_state: two map-side-combining hash aggregations, one
+    shuffle on the group key."""
+    delta_agg = delta.groupBy(*keys).agg(
+        F.sum(sign_col).alias(count_col),
+        *[F.sum(F.col(sign_col) * F.col(c)).alias(c) for c in sum_cols],
+    )
+    return (
+        state.select(*keys, count_col, *sum_cols)
+        .unionByName(delta_agg)
+        .groupBy(*keys)
+        .agg(
+            F.sum(count_col).alias(count_col),
+            *[F.sum(c).alias(c) for c in sum_cols],
+        )
+        .filter(F.col(count_col) > 0)
+    )

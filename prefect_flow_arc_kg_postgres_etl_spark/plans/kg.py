@@ -2329,3 +2329,114 @@ UNION ALL
 SELECT s.* FROM src s
 WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.o_orderkey = s.o_orderkey)
 """
+
+
+# ------------------------------------------- A51 SPARQL 1.1 subquery
+def kg_construct_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A51 (r6): SPARQL 1.1 SUBQUERY (§12) — a nested ``SELECT ?nk
+    (COUNT(?c) AS ?n) GROUP BY ?nk`` feeding the outer BGP: customers
+    of nations MORE POPULOUS THAN AVERAGE. With aggregates (A49) this
+    closes the SPARQL 1.1 grammar surface the reference could ever
+    grow into (its queries are CONSTRUCT-only today).
+
+    Spark-first: the inner query is a keyed count aggregate; the
+    average-count is a 1-row aggregate CROSS-joined back (broadcast of
+    one row — the standard scalar-subquery decorrelation); the outer
+    BGP joins the qualifying nation set by ?nk. The triple store is
+    scanned per pattern with predicate pruning (the staged quad
+    layout), never re-melted."""
+    graph = _kg_graph(spark, sf_dir)
+    counts = (
+        graph.filter(F.col("predicate") == "c_nationkey")
+        .groupBy(F.col("object").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    avg_n = counts.agg(F.avg("n").alias("avg_n"))
+    populous = counts.crossJoin(F.broadcast(avg_n)).filter(
+        F.col("n") > F.col("avg_n")
+    )
+    out = T.construct(
+        graph,
+        patterns=[
+            ("?c", "c_name", "?name"),
+            ("?c", "c_nationkey", "?nk"),
+            ("?nk", "n_name", "?nation", "?g"),
+        ],
+        values={"?g": ["graph:orgs"]},
+    )
+    qualifying = populous.select(
+        F.col("nk").alias("_pnk"), F.col("n").alias("nation_customers")
+    )
+    return out.join(qualifying, on=out["nk"] == qualifying["_pnk"]).select(
+        F.col("c").alias("id"),
+        F.col("name").alias("cust_name"),
+        F.col("nation"),
+        F.col("nation_customers"),
+    )
+
+
+KG_SUBQUERY_ORACLE = """
+WITH counts AS (
+  SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY 1
+), populous AS (
+  SELECT c_nationkey, n FROM counts
+  WHERE n > (SELECT AVG(n) FROM counts)
+)
+SELECT CAST(c.c_custkey AS VARCHAR) AS id,
+       c.c_name AS cust_name,
+       nt.n_name AS nation,
+       p.n AS nation_customers
+FROM customer c
+JOIN populous p ON c.c_nationkey = p.c_nationkey
+JOIN nation nt ON nt.n_nationkey = c.c_nationkey
+"""
+
+
+# ------------------------- A52 retractable aggregate maintenance (r6)
+def agg_refresh_retractable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A52 (r6): summary-delta maintenance with RETRACTIONS — A34
+    handles an insert-only delta; real CDC feeds carry deletes too
+    (the reference's orphan/delete flows remove rows whose aggregate
+    contributions must come OUT of any maintained rollup). Each delta
+    row carries a sign (+1 insert, -1 retract); per-group signed
+    partials (count, cents) merge into the state by ADDITION in one
+    full-outer keyed join, groups whose live count reaches zero drop
+    from the view. Exact bigint cents make merge == full recompute
+    bit-for-bit (the A34 rule); the base fact is never re-scanned —
+    refresh cost tracks |groups| + |delta|.
+
+    Delta here: all post-split orders INSERT; pre-split orders with
+    o_orderkey % 7 == 0 RETRACT. Oracle = full recompute over the live
+    set."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.filter(F.col("o_orderdate") < _AGG_SPLIT)
+    state = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("spend_cents"),
+    )
+    inserts = orders.filter(F.col("o_orderdate") >= _AGG_SPLIT).select(
+        "o_custkey", F.lit(1).alias("sign"), cents.alias("cents")
+    )
+    retracts = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_custkey", F.lit(-1).alias("sign"), cents.alias("cents")
+    )
+    delta = inserts.unionByName(retracts).withColumnRenamed("cents", "spend_cents")
+    merged = M.merge_agg_state_signed(
+        state, delta, keys=["o_custkey"], sum_cols=["spend_cents"]
+    )
+    return merged.select(
+        "o_custkey",
+        F.col("n").alias("n_orders"),
+        (F.col("spend_cents") / 100.0).alias("total_spend"),
+    )
+
+
+AGG_RETRACT_ORACLE = f"""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_spend
+FROM orders
+WHERE NOT (o_orderdate < TIMESTAMP '{_AGG_SPLIT}' AND o_orderkey % 7 = 0)
+GROUP BY o_custkey
+"""

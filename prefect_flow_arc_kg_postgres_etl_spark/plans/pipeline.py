@@ -1710,3 +1710,50 @@ SELECT doc_id,
              / COUNT(*), 6) AS overlap_frac
 FROM tg GROUP BY doc_id
 """
+
+
+# --------------------------------- D43 random projection (JL sketch)
+_RP_OUT_DIMS = 8
+_RP_IN_DIMS = 64
+
+
+def _rp_sign(i: int, j: int) -> int:
+    """Deterministic +-1 sign for projection cell (i, j): Knuth
+    multiplicative hash, sign from bit 16 (an LCG's low bit would
+    alternate with j's parity — structured, not random-like)."""
+    h = ((i * _RP_IN_DIMS + j) * 2654435761) % 4294967296
+    return 1 if (h >> 16) % 2 == 0 else -1
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D43 (r6): Johnson-Lindenstrauss RANDOM SIGN PROJECTION — the
+    64-dim embedding column sketched to 8 dims with a fixed +-1 matrix
+    (Achlioptas): distance-preserving in expectation, 8x cheaper to
+    store/scan, the standard pre-filter in front of exact rescoring
+    and the cheap input for coarse clustering. The matrix is a PURE
+    FUNCTION of (i, j) — no RNG, no state, reproducible anywhere.
+
+    Spark-first: the signs are Python-time CONSTANTS, so each output
+    dim is a straight +-a[j] chain — whole-stage-codegen arithmetic
+    fused with the scan, zero shuffle, no UDF. Left-to-right addition
+    in BOTH engines makes the doubles bit-identical (the repo's
+    sequential-fold rule), so the oracle needs no rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    projections = []
+    for i in range(_RP_OUT_DIMS):
+        terms = " + ".join(
+            f"({_rp_sign(i, j)}) * CAST(embedding[{j}] AS DOUBLE)"
+            for j in range(_RP_IN_DIMS)
+        )
+        projections.append(F.expr(terms).alias(f"p{i}"))
+    return emb.select("vec_id", "label", *projections)
+
+
+RANDOM_PROJECTION_ORACLE = "SELECT vec_id, label, " + ", ".join(
+    " + ".join(
+        f"({_rp_sign(i, j)}) * CAST(embedding[{j + 1}] AS DOUBLE)"
+        for j in range(_RP_IN_DIMS)
+    )
+    + f" AS p{i}"
+    for i in range(_RP_OUT_DIMS)
+) + " FROM embeddings"

@@ -503,6 +503,21 @@ _SPECS: dict[str, QuerySpec] = {
         pipeline.corpus_contamination_report,
         pipeline.CONTAMINATION_REPORT_ORACLE,
     ),
+    # A51 (NEW r6): SPARQL 1.1 subquery — nested aggregate SELECT
+    # feeding the outer BGP, scalar avg decorrelated as 1-row broadcast.
+    "kg_construct_subquery": QuerySpec(
+        kg.kg_construct_subquery, kg.KG_SUBQUERY_ORACLE
+    ),
+    # D43 (NEW r6): JL random sign projection — constant-folded +-chain
+    # fused with the scan, bit-identical doubles cross-engine.
+    "embedding_random_projection": QuerySpec(
+        pipeline.embedding_random_projection, pipeline.RANDOM_PROJECTION_ORACLE
+    ),
+    # A52 (NEW r6): summary-delta maintenance with RETRACTIONS (signed
+    # multiplicities; zero-count groups drop) — the CDC-complete A34.
+    "agg_refresh_retractable": QuerySpec(
+        kg.agg_refresh_retractable, kg.AGG_RETRACT_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE

@@ -261,3 +261,27 @@ def test_upsert_conditional_partial_update_and_guard(spark):
             tgt, dup, keys=["k"], update_cols=["v"],
             condition=lambda s, t: s("v") > t("v"),
         ).collect()
+
+
+def test_signed_agg_merge_drops_fully_retracted_groups(spark):
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import (
+        merge_agg_state_signed,
+    )
+
+    state = spark.createDataFrame(
+        [(1, 2, 300), (2, 1, 50), (3, 2, 70)],
+        "k int, n bigint, cents bigint",
+    )
+    delta = spark.createDataFrame(
+        # k=1: one retract (down to 1 row, 100 cents); k=2: full
+        # retraction (group must VANISH); k=4: brand-new group.
+        [(1, -1, 200), (2, -1, 50), (4, 1, 90)],
+        "k int, sign int, cents int",
+    )
+    out = {
+        r["k"]: (r["n"], r["cents"])
+        for r in merge_agg_state_signed(
+            state, delta, keys=["k"], sum_cols=["cents"]
+        ).collect()
+    }
+    assert out == {1: (1, 100), 3: (2, 70), 4: (1, 90)}
