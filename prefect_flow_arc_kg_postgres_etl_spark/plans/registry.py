@@ -518,6 +518,12 @@ _SPECS: dict[str, QuerySpec] = {
     "agg_refresh_retractable": QuerySpec(
         kg.agg_refresh_retractable, kg.AGG_RETRACT_ORACLE
     ),
+    # C14 (NEW r6): streaming point-in-time SCD2 enrichment — the
+    # serving twin of A47, epoch-idempotent foreachBatch.
+    "stream_scd2_enrich": QuerySpec(
+        streaming_plans.stream_scd2_enrich,
+        streaming_plans.STREAM_SCD2_ENRICH_ORACLE,
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE

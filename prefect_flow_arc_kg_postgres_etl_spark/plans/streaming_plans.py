@@ -405,3 +405,43 @@ SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS subject,
 FROM orders
 WHERE o_orderdate <= (SELECT MAX(o_orderdate) FROM orders) - INTERVAL 2 DAY
 """
+
+
+def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 (r6): streaming point-in-time SCD2 enrichment — the serving
+    twin of A47. Stateless per micro-batch; epoch-keyed overwrite makes
+    replays idempotent; converged output == the batch PIT join."""
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        scd2_enrich_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_scd2_")
+    return scd2_enrich_stream(spark, sf_dir, root)
+
+
+STREAM_SCD2_ENRICH_ORACLE = """
+WITH versions AS (
+  SELECT o_custkey AS user_id, o_orderkey,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (o_orderkey % 30) * INTERVAL 1 DAY AS valid_from,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tier_cents
+  FROM orders
+), picked AS (
+  SELECT user_id, valid_from, tier_cents
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, valid_from
+                                 ORDER BY o_orderkey DESC) AS rn
+    FROM versions
+  ) WHERE rn = 1
+), dim AS (
+  SELECT user_id, tier_cents, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to
+  FROM picked
+)
+SELECT e.event_id, e.ts, e.user_id, e.value, d.tier_cents
+FROM events e
+JOIN dim d ON d.user_id = e.user_id
+          AND d.valid_from <= e.ts
+          AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+"""

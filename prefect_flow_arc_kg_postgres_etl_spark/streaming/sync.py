@@ -1161,3 +1161,85 @@ def pivot_records_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+# -------------------------------------- C14 SCD2 point-in-time enrich
+def scd2_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 user dimension C14 serves from: per customer, one
+    version per distinct effective day (orders mapped onto the event
+    month by deterministic arithmetic — o_orderkey % 30 days past
+    2024-01-01), ties per (user, day) broken by highest order key,
+    valid_to = the next version's valid_from (lead window). Disjoint,
+    gap-free-per-key validity intervals — the A27/A47 layout."""
+    from pyspark.sql import Window as W
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import catalog
+
+    orders = catalog.load_table(spark, sf_dir, "orders")
+    vf = F.expr(
+        "timestamp_ntz'2024-01-01 00:00:00'"
+        " + make_dt_interval(cast(o_orderkey % 30 as int), 0, 0, 0)"
+    )
+    versions = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey"),
+        vf.alias("valid_from"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("tier_cents"),
+    )
+    pick = W.partitionBy("user_id", "valid_from").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    succ = W.partitionBy("user_id").orderBy("valid_from")
+    return (
+        versions.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .withColumn("valid_to", F.lead("valid_from").over(succ))
+        .select("user_id", "tier_cents", "valid_from", "valid_to")
+    )
+
+
+def scd2_enrich_stream(
+    spark: SparkSession, sf_dir: str, out_root: str
+) -> DataFrame:
+    """C14: streaming POINT-IN-TIME enrichment — the serving twin of
+    A47's batch feature-store join. Each micro-batch of events joins
+    the SCD2 dimension on the key plus the validity-interval residual,
+    so every event reads the dim version current AT ITS OWN event
+    time — never a later one — no matter how delayed the batch runs
+    (the train-serve-skew guard, now on the serving path). Stateless
+    per batch (the dim is a static side input, broadcast by Catalyst);
+    epoch-keyed overwrite directories make replays idempotent (C10's
+    trick). Events before their user's first version drop, as in A47.
+    Converged output == the batch PIT join, the full SQL oracle."""
+    import os
+
+    dim = scd2_user_dim(spark, sf_dir)
+    ev = events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "value"
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        out = (
+            batch_df.join(dim, "user_id")
+            .filter(
+                (F.col("valid_from") <= F.col("ts"))
+                & (
+                    F.col("valid_to").isNull()
+                    | (F.col("ts") < F.col("valid_to"))
+                )
+            )
+            .select("event_id", "ts", "user_id", "value", "tier_cents")
+        )
+        out.write.mode("overwrite").parquet(f"{out_root}/enriched/epoch={epoch_id}")
+
+    os.makedirs(f"{out_root}/enriched", exist_ok=True)
+    q = ev.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    try:
+        landed = spark.read.parquet(f"{out_root}/enriched")
+    except Exception:
+        return spark.createDataFrame(
+            [], "event_id bigint, ts timestamp_ntz, user_id bigint, "
+            "value double, tier_cents bigint"
+        )
+    return landed.select("event_id", "ts", "user_id", "value", "tier_cents")
