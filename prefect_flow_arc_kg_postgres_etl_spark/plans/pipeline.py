@@ -1757,3 +1757,93 @@ RANDOM_PROJECTION_ORACLE = "SELECT vec_id, label, " + ", ".join(
     + f" AS p{i}"
     for i in range(_RP_OUT_DIMS)
 ) + " FROM embeddings"
+
+
+# --------------------------------- D44 LM-based quality scoring
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D44 (r6): MODEL-BASED quality scoring — the perplexity-filter
+    analogue (KenLM-style): score each document by how well the
+    corpus's OWN bigram LM (D25) predicts it. Heuristic gates (D9)
+    catch malformed text; an LM score catches fluent-looking noise
+    (shuffled words score near zero, natural text scores high).
+
+    Exact-integer design so the ITERATIVE-free but join-heavy pipeline
+    is oracle-checkable: conditional probabilities are scaled integers
+    floor(1e6 * pair_n / w1_n) (pairs below count 3 fall out of the LM
+    — unseen bigram = 0, the discriminating smoothing), a document's
+    score is the integer mean floor(sum/n) over its bigram stream.
+    Float log-probs would sum in partition order and drift cross-engine.
+
+    Shape at 100 TB: doc bigrams are scan-side (zip with tail, no
+    token self-join); the LM aggregates once and is orders smaller
+    than the corpus (vocab², min-count-pruned), so the probe join
+    broadcasts or hash-joins on the pair key; ONE aggregation keyed by
+    doc_id finishes. Docs with <2 tokens have no bigrams and are
+    absent, as in the oracle."""
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    w = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    pairs = F.expr(
+        r"transform(sequence(0, size(_w) - 2), "
+        r"i -> concat(_w[i], ' ', _w[i + 1]))"
+    )
+    doc_bi = (
+        docs.select("doc_id", w.alias("_w"))
+        .filter(F.size("_w") >= 2)
+        .select("doc_id", F.explode(pairs).alias("pair"))
+    )
+    lm = (
+        doc_bi.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .withColumn("w1", F.expr("split_part(pair, ' ', 1)"))
+    )
+    w1_tot = lm.groupBy("w1").agg(F.sum("pair_n").alias("w1_n"))
+    probs = (
+        lm.join(w1_tot, "w1")
+        .filter(F.col("pair_n") >= 3)
+        .select(
+            "pair",
+            F.expr("(1000000 * pair_n) div w1_n").alias("p_e6"),
+        )
+    )
+    return (
+        doc_bi.join(probs, "pair", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("p_e6"), F.lit(0))).alias("_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("_sum div n_bigrams").alias("lm_score_e6"),
+        )
+    )
+
+
+TEXT_LM_SCORE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(LOWER(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+), doc_bi AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]))
+           AS pair
+  FROM toks WHERE len(w) >= 2
+), counts AS (
+  SELECT pair, split_part(pair, ' ', 1) AS w1, COUNT(*) AS pair_n
+  FROM doc_bi GROUP BY 1, 2
+), probs AS (
+  SELECT pair,
+         (1000000 * pair_n) // SUM(pair_n) OVER (PARTITION BY w1) AS p_e6
+  FROM counts
+  QUALIFY pair_n >= 3
+)
+SELECT d.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(COALESCE(p.p_e6, 0)) // COUNT(*) AS BIGINT) AS lm_score_e6
+FROM doc_bi d LEFT JOIN probs p ON p.pair = d.pair
+GROUP BY d.doc_id
+"""

@@ -524,6 +524,11 @@ _SPECS: dict[str, QuerySpec] = {
         streaming_plans.stream_scd2_enrich,
         streaming_plans.STREAM_SCD2_ENRICH_ORACLE,
     ),
+    # D44 (NEW r6): LM-based quality scoring (perplexity-proxy) — the
+    # corpus's own bigram LM probes each doc, exact scaled integers.
+    "text_lm_score": QuerySpec(
+        pipeline.text_lm_score, pipeline.TEXT_LM_SCORE_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE
