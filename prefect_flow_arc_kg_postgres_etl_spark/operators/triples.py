@@ -143,6 +143,13 @@ def _bgp(
         sel = []
         if p.startswith("?"):
             sel.append(F.col("predicate").alias(p[1:]))
+        elif p.startswith("!"):
+            # Negated property set ``!p`` / ``!(p1|p2)`` (SPARQL 1.1
+            # §9.1): any predicate EXCEPT the listed ones — still one
+            # scan, the complement in-list. On the predicate-partitioned
+            # staged layout this prunes to all-but-those partitions.
+            negated = p[1:].strip("()").split("|")
+            t = t.filter(~F.col("predicate").isin(negated))
         elif "|" in p:  # path alternation: one scan, predicate isin
             t = t.filter(F.col("predicate").isin(p.split("|")))
         else:

@@ -2440,3 +2440,35 @@ FROM orders
 WHERE NOT (o_orderdate < TIMESTAMP '{_AGG_SPLIT}' AND o_orderkey % 7 = 0)
 GROUP BY o_custkey
 """
+
+
+# ------------------------------------ A53 negated property set (r6)
+def kg_path_negated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A53 (r6): SPARQL 1.1 NEGATED PROPERTY SET (§9.1) — ``?c
+    !(c_mktsegment|c_acctbal) ?v`` joined to a segment anchor: every
+    property value of BUILDING customers EXCEPT the negated
+    predicates. With sequence/alternation/inverse (A18), + (A28),
+    * (A28b) and now !, the property-path algebra is complete. The
+    complement in-list stays one scan; on the predicate-partitioned
+    staged layout it prunes to all-but-those partitions."""
+    cust = load_table(spark, sf_dir, "customer")
+    triples = T.melt(cust, "c_custkey", CUSTOMER_COLS, subject_prefix="customer:")
+    out = T.construct(
+        triples,
+        patterns=[
+            ("?c", "!(c_mktsegment|c_acctbal)", "?v"),
+            ("?c", "c_mktsegment", "BUILDING"),
+        ],
+    )
+    return out.select(F.col("c").alias("id"), F.col("v"))
+
+
+KG_PATH_NEGATED_ORACLE = """
+SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS id,
+       CAST(c_name AS VARCHAR) AS v
+FROM customer WHERE c_mktsegment = 'BUILDING' AND c_name IS NOT NULL
+UNION ALL
+SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS id,
+       CAST(c_nationkey AS VARCHAR) AS v
+FROM customer WHERE c_mktsegment = 'BUILDING' AND c_nationkey IS NOT NULL
+"""

@@ -529,6 +529,16 @@ _SPECS: dict[str, QuerySpec] = {
     "text_lm_score": QuerySpec(
         pipeline.text_lm_score, pipeline.TEXT_LM_SCORE_ORACLE
     ),
+    # A53 (NEW r6): SPARQL negated property set !(p1|p2) — complement
+    # in-list, one scan; completes the path algebra.
+    "kg_path_negated": QuerySpec(
+        kg.kg_path_negated, kg.KG_PATH_NEGATED_ORACLE
+    ),
+    # B49 (NEW r6): cumulative exact distinct via first-occurrence —
+    # one fact shuffle, prefix sum over the tiny months table.
+    "orders_running_distinct": QuerySpec(
+        relational.orders_running_distinct, relational.RUNNING_DISTINCT_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE

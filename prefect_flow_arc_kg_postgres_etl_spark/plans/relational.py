@@ -2261,3 +2261,53 @@ LEFT JOIN agg b
  AND a.session_start <= b.session_end
 GROUP BY a.user_id, a.session_id, a.session_start
 """
+
+
+# ------------------------------ B49 running exact distinct count (r6)
+def orders_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B49 (r6): CUMULATIVE EXACT DISTINCT — distinct customers ever
+    seen, by month. COUNT(DISTINCT) isn't algebraic over a running
+    frame: the naive plan re-scans history per month (quadratic) or
+    drags a distinct-set state. The scale rewrite is the
+    FIRST-OCCURRENCE trick: distinct-by-customer once (min month per
+    customer — ONE keyed aggregation over the fact), count first
+    appearances per month, and the running total is a prefix sum over
+    the MONTHS table (tens of rows — the unpartitioned window is
+    deliberate and bounded, never over the fact). Cost: one fact
+    shuffle on customer, one tiny agg, one tiny window."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    first = orders.groupBy("o_custkey").agg(F.min(month).alias("month"))
+    news = first.groupBy("month").agg(
+        F.count(F.lit(1)).alias("new_customers")
+    )
+    months = orders.groupBy(month.alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        months.join(news, "month", "left")
+        .withColumn(
+            "cum_distinct_customers",
+            F.sum(F.coalesce("new_customers", F.lit(0))).over(w),
+        )
+        .select("month", "n_orders", "cum_distinct_customers")
+    )
+
+
+RUNNING_DISTINCT_ORACLE = """
+WITH fm AS (
+  SELECT o_custkey, MIN(DATE_TRUNC('month', o_orderdate)) AS m
+  FROM orders GROUP BY 1
+), news AS (
+  SELECT m, COUNT(*) AS nw FROM fm GROUP BY 1
+), months AS (
+  SELECT DATE_TRUNC('month', o_orderdate) AS m, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT months.m AS month, n_orders,
+       CAST(SUM(COALESCE(news.nw, 0)) OVER (ORDER BY months.m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_distinct_customers
+FROM months LEFT JOIN news ON news.m = months.m
+"""
