@@ -1847,3 +1847,49 @@ SELECT d.doc_id,
 FROM doc_bi d LEFT JOIN probs p ON p.pair = d.pair
 GROUP BY d.doc_id
 """
+
+
+# ------------------------------ D45 label centroids (fixed point, r6)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D45 (r6): per-label embedding CENTROIDS — the cluster-profiling
+    / class-prototype aggregate (nearest-class-mean classification,
+    drift monitoring). Summing floats across rows is partition-order-
+    dependent; the exact design quantizes each component to e6 FIXED
+    POINT scan-side (bigint), sums integers (order-independent, exact),
+    and divides by the count only at the end — the same integer-
+    partials rule as A34/D34. Shape: posexplode to (label, dim,
+    value_e6) — a generator projection, then ONE hash aggregation on
+    (label, dim); output is long-form (label x 64 dims), column-count
+    stable at any dimensionality."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "v"),
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double") * 1e6).cast("bigint").alias("v_e6"),
+    )
+    # NEGATIVE sums: Spark's integral `div` truncates toward zero while
+    # DuckDB's // floors — use explicit FLOOR of the double ratio in
+    # BOTH engines (|sum| << 2^53, so the double division is exact
+    # enough for a stable floor; components are e6-quantized already).
+    return comp.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "cast(floor(cast(sum(v_e6) as double) / count(1)) as bigint)"
+        ).alias("centroid_e6"),
+    )
+
+
+LABEL_CENTROIDS_ORACLE = """
+WITH comp AS (
+  SELECT label, CAST(u.i - 1 AS INT) AS dim,
+         CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 1e6) AS BIGINT) AS v_e6
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+)
+SELECT label, dim, COUNT(*) AS n,
+       CAST(FLOOR(CAST(SUM(v_e6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         AS centroid_e6
+FROM comp GROUP BY 1, 2
+"""

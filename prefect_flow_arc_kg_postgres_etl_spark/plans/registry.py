@@ -539,6 +539,11 @@ _SPECS: dict[str, QuerySpec] = {
     "orders_running_distinct": QuerySpec(
         relational.orders_running_distinct, relational.RUNNING_DISTINCT_ORACLE
     ),
+    # D45 (NEW r6): per-label embedding centroids in e6 fixed point —
+    # exact integer partials, long-form output.
+    "embedding_label_centroids": QuerySpec(
+        pipeline.embedding_label_centroids, pipeline.LABEL_CENTROIDS_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE
