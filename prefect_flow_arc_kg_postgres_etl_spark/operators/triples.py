@@ -190,6 +190,7 @@ def construct(
     values: dict[str, list[str]] | None = None,
     unions: list[list[list[tuple[str, str, str]]]] | None = None,
     not_exists: list[list[tuple[str, str, str]]] | None = None,
+    minus: list[list[tuple[str, str, str]]] | None = None,
     binds: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Evaluate a SPARQL-shaped WHERE clause and project bound variables
@@ -220,6 +221,14 @@ def construct(
 
     ``not_exists``: FILTER NOT EXISTS groups — each group is a BGP
     whose matches eliminate base rows (left-anti join on shared vars).
+
+    ``minus``: SPARQL MINUS groups (1.1 §8.3) — like NOT EXISTS an
+    anti join on the shared variables, EXCEPT the spec's quirk: a
+    MINUS group sharing NO variable with the base removes NOTHING
+    (set difference over disjoint domains is the identity), where
+    FILTER NOT EXISTS with a non-empty match would eliminate
+    everything. Both semantics live here, distinguished exactly as
+    the spec distinguishes them.
 
     ``binds``: SPARQL BIND — variable -> Column expression over already
     bound variables, applied after graph matching.
@@ -253,6 +262,12 @@ def construct(
         g, gvars = _bgp(triples, group, values)
         keys = sorted(bound & gvars)
         assert keys, "FILTER NOT EXISTS group shares no variable with the base"
+        out = out.join(g.select(*keys).distinct(), on=keys, how="left_anti")
+    for group in minus or []:
+        g, gvars = _bgp(triples, group, values)
+        keys = sorted(bound & gvars)
+        if not keys:  # SPARQL MINUS over disjoint domains: identity
+            continue
         out = out.join(g.select(*keys).distinct(), on=keys, how="left_anti")
     for var, expr in (binds or {}).items():
         out = out.withColumn(var.lstrip("?"), expr)

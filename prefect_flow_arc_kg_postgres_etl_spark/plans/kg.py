@@ -2472,3 +2472,39 @@ SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS id,
        CAST(c_nationkey AS VARCHAR) AS v
 FROM customer WHERE c_mktsegment = 'BUILDING' AND c_nationkey IS NOT NULL
 """
+
+
+# ------------------------------------------------ A54 SPARQL MINUS (r6)
+def kg_construct_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A54 (r6): SPARQL MINUS (1.1 §8.3) — BUILDING customers minus
+    those with a nation-5 binding. MINUS is NOT FILTER NOT EXISTS: the
+    anti join keys on the SHARED variables, and a minus group sharing
+    no variable removes nothing (the spec's disjoint-domain identity —
+    unit-tested in tests/test_triples.py), where NOT EXISTS with any
+    match would erase the base. One left-anti join on the shared var."""
+    cust = load_table(spark, sf_dir, "customer")
+    triples = T.melt(cust, "c_custkey", CUSTOMER_COLS)
+    out = T.construct(
+        triples,
+        patterns=[
+            ("?c", "c_name", "?name"),
+            ("?c", "c_mktsegment", "BUILDING"),
+            ("?c", "c_nationkey", "?nk"),
+        ],
+        minus=[[("?c", "c_nationkey", "5")]],
+    )
+    return out.select(
+        F.col("c").alias("id"), F.col("name"), F.col("nk")
+    )
+
+
+KG_MINUS_ORACLE = """
+SELECT CAST(c_custkey AS VARCHAR) AS id,
+       c_name AS name,
+       CAST(c_nationkey AS VARCHAR) AS nk
+FROM customer
+WHERE c_mktsegment = 'BUILDING'
+  AND c_name IS NOT NULL
+  AND c_nationkey IS NOT NULL
+  AND c_nationkey <> 5
+"""

@@ -544,6 +544,11 @@ _SPECS: dict[str, QuerySpec] = {
     "embedding_label_centroids": QuerySpec(
         pipeline.embedding_label_centroids, pipeline.LABEL_CENTROIDS_ORACLE
     ),
+    # A54 (NEW r6): SPARQL MINUS — anti join on shared vars with the
+    # spec's disjoint-domain identity quirk (unit-tested).
+    "kg_construct_minus": QuerySpec(
+        kg.kg_construct_minus, kg.KG_MINUS_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE

@@ -359,3 +359,32 @@ def test_pagerank_resumable_restart_is_bit_identical(spark, tmp_path):
         (r.node, r.rank) for r in pagerank_int(edges, iters=2).collect()
     }
     assert resumed == straight
+
+
+def test_minus_disjoint_domains_is_identity(spark):
+    """SPARQL MINUS quirk (1.1 §8.3): a MINUS group sharing NO variable
+    with the base removes NOTHING — while FILTER NOT EXISTS with the
+    same (matching) group erases every base row."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.triples import (
+        construct,
+        melt,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, name string, v int"
+    )
+    triples = melt(df, "k")
+    base = [("?s", "name", "?n")]
+    disjoint = [[("?x", "v", "?y")]]  # matches rows, shares no var
+    kept = construct(triples, base, minus=disjoint)
+    assert kept.count() == 2  # MINUS: identity
+    # NOT EXISTS sharing no var is rejected loudly at plan build
+    # (ambiguous intent), where MINUS defines it as identity.
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        construct(triples, base, not_exists=[[("?s2", "v", "?y")]])
+    shared = construct(
+        triples, base, minus=[[("?s", "v", "10")]]
+    )
+    assert {r["n"] for r in shared.collect()} == {"b"}  # shared var: removes
