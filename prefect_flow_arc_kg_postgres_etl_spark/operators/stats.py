@@ -69,3 +69,60 @@ def grouped_trend(events: DataFrame) -> DataFrame:
     return prepped.groupBy("event_type").applyInPandas(
         _fit_group, schema=_TREND_SCHEMA
     )
+
+
+def interval_overlap_pairs(
+    intervals: DataFrame,
+    id_cols: list[str],
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    self_match=None,
+) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join core (B48): pairs of intervals
+    with a.start <= b.end AND b.start <= a.end, produced WITHOUT an
+    inequality join. Each interval explodes to every ``bucket_width``
+    bucket it spans (cost = total span / width), the join is EQUI on
+    the bucket, and a pair survives only at its CANONICAL bucket
+    floor(max(starts) / width) — which both intervals provably contain
+    when they overlap (the max start is <= both ends) — so every
+    overlapping pair appears EXACTLY once, no dedup shuffle.
+
+    ``intervals`` carries id_cols + integer start/end columns (same
+    units as bucket_width). ``self_match`` (Column over a_/b_-prefixed
+    ids) filters which pairs count — default: exclude self-pairs on
+    the first id column. Returns one row per ordered (a, b) pair with
+    a_/b_-prefixed ids."""
+    W_ = F.lit(bucket_width)
+
+    def side(prefix: str) -> DataFrame:
+        sel = [F.col(c).alias(f"{prefix}{c}") for c in id_cols] + [
+            F.col(start_col).alias(f"{prefix}s"),
+            F.col(end_col).alias(f"{prefix}e"),
+        ]
+        return intervals.select(*sel).withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    (F.col(f"{prefix}s") / W_).cast("long"),
+                    (F.col(f"{prefix}e") / W_).cast("long"),
+                )
+            ),
+        )
+
+    a, b = side("a_"), side("b_")
+    if self_match is None:
+        self_match = F.col(f"a_{id_cols[0]}") != F.col(f"b_{id_cols[0]}")
+    return (
+        a.join(b, "bucket")
+        .filter(
+            self_match
+            & (F.col("a_s") <= F.col("b_e"))
+            & (F.col("b_s") <= F.col("a_e"))
+            & (
+                F.col("bucket")
+                == (F.greatest("a_s", "b_s") / W_).cast("long")
+            )
+        )
+        .drop("bucket")
+    )

@@ -2180,46 +2180,21 @@ def sessions_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
         )
     )
-    W_ = F.lit(_IVL_BUCKET_US)
-    a = sess.select(
-        F.col("user_id").alias("a_user"),
-        F.col("session_id").alias("a_sess"),
-        F.col("s_us").alias("a_s"),
-        F.col("e_us").alias("a_e"),
-    ).withColumn(
-        "bucket",
-        F.explode(
-            F.sequence(
-                (F.col("a_s") / W_).cast("long"), (F.col("a_e") / W_).cast("long")
-            )
-        ),
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.stats import (
+        interval_overlap_pairs,
     )
-    b = sess.select(
-        F.col("user_id").alias("b_user"),
-        F.col("s_us").alias("b_s"),
-        F.col("e_us").alias("b_e"),
-    ).withColumn(
-        "bucket",
-        F.explode(
-            F.sequence(
-                (F.col("b_s") / W_).cast("long"), (F.col("b_e") / W_).cast("long")
-            )
-        ),
+
+    pairs = interval_overlap_pairs(
+        sess,
+        id_cols=["user_id", "session_id"],
+        start_col="s_us",
+        end_col="e_us",
+        bucket_width=_IVL_BUCKET_US,
+        self_match=F.col("a_user_id") != F.col("b_user_id"),
     )
-    hits = (
-        a.join(b, "bucket")
-        .filter(
-            (F.col("a_user") != F.col("b_user"))
-            & (F.col("a_s") <= F.col("b_e"))
-            & (F.col("b_s") <= F.col("a_e"))
-            & (
-                F.col("bucket")
-                == (F.greatest("a_s", "b_s") / W_).cast("long")
-            )
-        )
-        .groupBy("a_user", "a_sess")
-        .agg(F.count(F.lit(1)).alias("n_concurrent"))
-    )
+    hits = pairs.groupBy(
+        F.col("a_user_id").alias("a_user"), F.col("a_session_id").alias("a_sess")
+    ).agg(F.count(F.lit(1)).alias("n_concurrent"))
     return (
         sess.join(
             hits,

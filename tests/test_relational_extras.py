@@ -274,3 +274,46 @@ def test_range_join_bucketing_equals_naive_on_random_times(spark):
         got = {tuple(r) for r in bucketed.collect()}
         want = {tuple(r) for r in naive.collect()}
         assert got == want, f"trial {trial}: bucketing diverged from naive"
+
+
+def test_interval_overlap_pairs_fuzz_vs_naive(spark):
+    """B48 core: the bucketed exactly-once pair set must equal the
+    naive inequality join on adversarial intervals — identical starts,
+    zero length, bucket-boundary touching, spans crossing many
+    buckets, exact-touch overlaps (a.end == b.start)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.stats import (
+        interval_overlap_pairs,
+    )
+
+    rng = random.Random(42)
+    W = 100
+    rows = []
+    for i in range(120):
+        s = rng.choice(
+            [0, 99, 100, 101, 250, 500, rng.randrange(0, 1000)]
+        )
+        ln = rng.choice([0, 1, W - 1, W, W + 1, 3 * W, rng.randrange(0, 400)])
+        rows.append((i, i % 7, s, s + ln))
+    df = spark.createDataFrame(rows, "iid int, grp int, s int, e int")
+    got = {
+        (r["a_iid"], r["b_iid"])
+        for r in interval_overlap_pairs(
+            df,
+            id_cols=["iid", "grp"],
+            start_col="s",
+            end_col="e",
+            bucket_width=W,
+            self_match=F.col("a_iid") != F.col("b_iid"),
+        ).collect()
+    }
+    naive = {
+        (a[0], b[0])
+        for a in rows
+        for b in rows
+        if a[0] != b[0] and a[2] <= b[3] and b[2] <= a[3]
+    }
+    assert got == naive
