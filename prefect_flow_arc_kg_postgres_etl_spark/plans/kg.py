@@ -2508,3 +2508,68 @@ WHERE c_mktsegment = 'BUILDING'
   AND c_nationkey IS NOT NULL
   AND c_nationkey <> 5
 """
+
+
+# --------------------------------- A55 nested JSON roundtrip (r6)
+def source_json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A55 (r6): NESTED-document interchange — A26 pins flat CSV/NDJSON
+    fidelity; real document feeds (the reference's index documents, ES
+    `_bulk` payloads) nest structs and arrays. Each order serializes as
+    one NDJSON document with an ARRAY OF LINE STRUCTS (sorted by line
+    number so the document is deterministic), lands as splittable
+    text, reads back via from_json with the explicit schema, and
+    EXPLODES back to flat rows — the oracle is the identity on the
+    underlying join, so every step (struct build, double/timestamp
+    JSON serialization, parse, explode) must be value-exact: doubles
+    survive because Spark's JSON writer emits shortest-round-trip
+    decimals, timestamp_ntz survives the default ISO form."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        "l_orderkey",
+        F.struct("l_linenumber", "l_quantity", "l_extendedprice").alias("ln"),
+    )
+    docs = (
+        orders.join(lines, orders.o_orderkey == lines.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.first("o_orderstatus").alias("o_orderstatus"),
+            F.first("o_totalprice").alias("o_totalprice"),
+            F.first("o_orderdate").alias("o_orderdate"),
+            F.array_sort(F.collect_list("ln")).alias("lines"),
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="json_rt_") + "/orders_nested"
+    schema = docs.schema
+    docs.select(F.to_json(F.struct(*docs.columns)).alias("value")).write.mode(
+        "overwrite"
+    ).text(out_dir)
+    parsed = (
+        spark.read.text(out_dir)
+        .select(F.from_json("value", schema).alias("d"))
+        .select("d.*")
+    )
+    return parsed.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        F.explode("lines").alias("ln"),
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        F.col("ln.l_linenumber").alias("l_linenumber"),
+        F.col("ln.l_quantity").alias("l_quantity"),
+        F.col("ln.l_extendedprice").alias("l_extendedprice"),
+    )
+
+
+SOURCE_JSON_NESTED_ORACLE = """
+SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate,
+       l.l_linenumber, l.l_quantity, l.l_extendedprice
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""

@@ -54,7 +54,15 @@ class QuerySpec:
 # past-window entries: join_view_incremental, flow_snapshot_read,
 # sessionize_native, stream_topk, stream_dedup_state,
 # corpus_split_assign, dedup_incremental, dedup_survivors,
-# ann_ivf_topk (promoted to a full oracle in r6, never graded).
+# ann_ivf_topk (promoted to a full oracle in r6, never graded), and
+# the r6 third-wave entries (all past-window): stream_pivot_records,
+# sessions_overlap_join, corpus_chunk_overlap, kg_select_agg,
+# merge_upsert_conditional, corpus_quality_resample,
+# corpus_contamination_report, kg_construct_subquery,
+# embedding_random_projection, agg_refresh_retractable,
+# stream_scd2_enrich, text_lm_score, kg_path_negated,
+# orders_running_distinct, embedding_label_centroids,
+# kg_construct_minus.
 _SPECS: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
@@ -548,6 +556,11 @@ _SPECS: dict[str, QuerySpec] = {
     # spec's disjoint-domain identity quirk (unit-tested).
     "kg_construct_minus": QuerySpec(
         kg.kg_construct_minus, kg.KG_MINUS_ORACLE
+    ),
+    # A55 (NEW r6): nested JSON document roundtrip — struct/array
+    # fidelity through splittable NDJSON, identity oracle.
+    "source_json_nested_roundtrip": QuerySpec(
+        kg.source_json_nested_roundtrip, kg.SOURCE_JSON_NESTED_ORACLE
     ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
