@@ -2573,3 +2573,33 @@ SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate,
        l.l_linenumber, l.l_quantity, l.l_extendedprice
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 """
+
+
+# ---------------------------------- A56 manifest-aware vacuum (r6)
+def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A56 (r6): retention GC with SNAPSHOT-PIN awareness — the missing
+    end of the store lifecycle (land -> compact -> zorder -> erase ->
+    VACUUM). Three versions land under retention, a manifest (A46)
+    pins v2, vacuum(keep_last=1) reclaims: v1 (unreachable) must go,
+    v2 must SURVIVE because a held manifest still resolves it, v3 is
+    live. Pure file metadata — no data scan. The returned live table
+    is the identity oracle; the pin/removal contract is asserted
+    in-plan (loud failure) and in tests/test_flows.py."""
+    import tempfile
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+
+    store_dir = tempfile.mkdtemp(prefix="vacuum_")
+    tp = f"{store_dir}/orders.parquet"
+    orders = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    store.write_table(orders.filter(F.col("o_orderstatus") == "F"), tp, prune=False)
+    store.write_table(orders.filter(F.col("o_orderstatus") != "F"), tp, prune=False)
+    pin = store.write_snapshot_manifest(store_dir, ["orders"])
+    store.write_table(orders, tp, prune=False)
+    removed = store.vacuum_table(tp, store_dir, keep_last=1)
+    assert removed == [1], f"vacuum removed {removed}, expected [1]"
+    assert store.read_snapshot(spark, store_dir, pin)["orders"] is not None
+    return store.read_table(spark, tp)
+
+
+MAINTENANCE_VACUUM_ORACLE = f"SELECT {', '.join(ORDER_COLS)} FROM orders"

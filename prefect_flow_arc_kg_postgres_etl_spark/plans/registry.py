@@ -562,6 +562,11 @@ _SPECS: dict[str, QuerySpec] = {
     "source_json_nested_roundtrip": QuerySpec(
         kg.source_json_nested_roundtrip, kg.SOURCE_JSON_NESTED_ORACLE
     ),
+    # A56 (NEW r6): manifest-aware retention vacuum — pinned versions
+    # survive, unreachable ones reclaim; identity oracle + contract.
+    "maintenance_vacuum": QuerySpec(
+        kg.maintenance_vacuum, kg.MAINTENANCE_VACUUM_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE

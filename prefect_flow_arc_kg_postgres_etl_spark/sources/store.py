@@ -369,3 +369,47 @@ def read_snapshot(
         )
         for name, version in manifest.items()
     }
+
+
+def vacuum_table(
+    table_path: str, store_dir: str | None = None, keep_last: int = 1
+) -> list[int]:
+    """A56 (r6): MANIFEST-AWARE RETENTION GC — the missing end of the
+    version lifecycle. ``write_table(prune=True)`` keeps only the live
+    version (no time travel); ``prune=False`` keeps everything
+    (unbounded space). Vacuum is the policy in between: remove
+    superseded versions EXCEPT (a) the newest ``keep_last`` and (b) any
+    version PINNED by a snapshot manifest in the store (A46) — so a
+    held manifest keeps resolving until it is deleted, and space is
+    reclaimed the moment nothing can reach a version. Pure file-
+    metadata work (no data scan); returns the removed version numbers,
+    newest-first never includes the live pointer's version."""
+    import glob
+    import json
+    import re
+
+    live = current_version(table_path)
+    if live is None:
+        return []
+    table_name = os.path.basename(table_path)
+    if table_name.endswith(".parquet"):
+        table_name = table_name[: -len(".parquet")]
+    pinned: set[int] = set()
+    if store_dir:
+        for mp in glob.glob(os.path.join(store_dir, "_snapshot_*.json")):
+            with open(mp) as f:
+                manifest = json.load(f)
+            if table_name in manifest:
+                pinned.add(int(manifest[table_name]))
+    versions = sorted(
+        int(m.group(1))
+        for d in glob.glob(os.path.join(table_path, "v_*"))
+        if (m := re.match(r".*v_(\d+)$", d)) and os.path.isdir(d)
+    )
+    keep = set(versions[-keep_last:]) | {live} | pinned
+    removed = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(version_dir(table_path, v), ignore_errors=True)
+            removed.append(v)
+    return sorted(removed, reverse=True)

@@ -465,3 +465,36 @@ def test_ingest_flow_history_wins_both_id_orientations(spark, tmp_path):
     assert got and all(d >= 500_000 for d in got), sorted(got)[:5]
     assert ngram_jaccard_pairs(final, _JAC_T).count() == 0
     assert stats.tables["batch_1"]["merged"] == 0  # all dups of landed
+
+
+def test_vacuum_respects_pins_and_reclaims_unreachable(spark, tmp_path):
+    """A56: vacuum removes superseded unpinned versions, keeps the
+    manifest-pinned one readable, and never touches the live version;
+    a second vacuum after the manifest is deleted reclaims the pin."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    store_dir = str(tmp_path)
+    tp = f"{store_dir}/orders.parquet"
+    orders = load_table(spark, sf, "orders")
+    store.write_table(orders.limit(10), tp, prune=False)          # v1
+    store.write_table(orders.limit(20), tp, prune=False)          # v2
+    pin = store.write_snapshot_manifest(store_dir, ["orders"])    # pins v2
+    store.write_table(orders.limit(30), tp, prune=False)          # v3 live
+    assert store.vacuum_table(tp, store_dir, keep_last=1) == [1]
+    # pinned v2 still resolves through the manifest
+    assert store.read_snapshot(spark, store_dir, pin)["orders"].count() == 20
+    # v1 is really gone
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        store.read_table_version(spark, tp, 1)
+    # drop the manifest -> the pin no longer protects v2
+    os.remove(pin)
+    assert store.vacuum_table(tp, store_dir, keep_last=1) == [2]
+    assert store.read_table(spark, tp).count() == 30
