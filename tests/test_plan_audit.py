@@ -578,3 +578,18 @@ def test_interval_overlap_join_is_bucketed_not_nested_loop(spark):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "corpus_chunk_overlap",
+        "embedding_random_projection",
+        "corpus_quality_resample",
+    ],
+)
+def test_scan_fused_ops_have_no_exchange(spark, name):
+    """D40/D41/D43 claim to be pure scan-side projections/generators —
+    a shuffle appearing in any of these plans is a regression."""
+    plan = build(spark, name)
+    assert "Exchange" not in plan, f"{name} grew a shuffle"
