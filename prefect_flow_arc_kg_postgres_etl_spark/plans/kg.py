@@ -2603,3 +2603,74 @@ def maintenance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MAINTENANCE_VACUUM_ORACLE = f"SELECT {', '.join(ORDER_COLS)} FROM orders"
+
+
+# --------------------------------- A57 inclusion-dependency profiling
+_FK_CANDIDATES = [
+    # (child table, child col, parent table, parent col) — the last is
+    # a deliberate NON-KEY pair that must profile near zero.
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),
+]
+
+
+def fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A57 (r6): INCLUSION-DEPENDENCY profiling — discover FK
+    candidates by measuring containment of each child column's
+    distinct values in the parent key (the metadata A13's topo order
+    and A40's FK checks consume, now DERIVED from data instead of
+    assumed; how schema inference works on an undocumented lake).
+    Per candidate: distinct child keys (one keyed agg), orphans via
+    LEFT ANTI join against the parent key (never a distinct of the
+    parent fact — the A40 rule), containment in exact e6 integers.
+    The union is |candidates| one-row summaries — driver-sized
+    output, fact tables touched once each."""
+    parts = []
+    for child_t, child_c, parent_t, parent_c in _FK_CANDIDATES:
+        child = (
+            load_table(spark, sf_dir, child_t)
+            .select(F.col(child_c).cast("string").alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
+        parent = load_table(spark, sf_dir, parent_t).select(
+            F.col(parent_c).cast("string").alias("k")
+        )
+        orphans = child.join(parent, "k", "left_anti")
+        parts.append(
+            child.agg(F.count(F.lit(1)).alias("n_distinct"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(
+                F.lit(f"{child_t}.{child_c}").alias("child"),
+                F.lit(f"{parent_t}.{parent_c}").alias("parent"),
+                "n_distinct",
+                "n_orphans",
+                F.expr(
+                    "(1000000 * (n_distinct - n_orphans)) div n_distinct"
+                ).alias("containment_e6"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+FK_DISCOVERY_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+       COUNT(*) AS n_distinct,
+       CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       CAST((1000000 * (COUNT(*) - SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)))
+         // COUNT(*) AS BIGINT) AS containment_e6
+FROM (SELECT DISTINCT CAST({cc} AS VARCHAR) AS k FROM {ct}
+      WHERE {cc} IS NOT NULL) c
+LEFT JOIN (SELECT DISTINCT CAST({pc} AS VARCHAR) AS k FROM {pt}) p
+  ON p.k = c.k
+"""
+    for ct, cc, pt, pc in _FK_CANDIDATES
+)

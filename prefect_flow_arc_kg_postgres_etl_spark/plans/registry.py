@@ -567,6 +567,9 @@ _SPECS: dict[str, QuerySpec] = {
     "maintenance_vacuum": QuerySpec(
         kg.maintenance_vacuum, kg.MAINTENANCE_VACUUM_ORACLE
     ),
+    # A57 (NEW r6): inclusion-dependency profiling (FK discovery) —
+    # containment in exact e6 integers, anti-join per candidate.
+    "fk_discovery": QuerySpec(kg.fk_discovery, kg.FK_DISCOVERY_ORACLE),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE
