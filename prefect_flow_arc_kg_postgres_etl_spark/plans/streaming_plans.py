@@ -445,3 +445,49 @@ JOIN dim d ON d.user_id = e.user_id
           AND d.valid_from <= e.ts
           AND (d.valid_to IS NULL OR e.ts < d.valid_to)
 """
+
+
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15 (r6): LEFT OUTER stream-stream interval join — C8 plus the
+    genuinely subtle outer semantics: matched pairs emit on arrival,
+    and an unmatched view emits its NULL row only when the watermark
+    proves no qualifying purchase can still arrive (state eviction at
+    wm > v_ts + interval). On a bounded source the emitted set is
+    deterministic: batch inner pairs ∪ unmatched views below the
+    final eviction horizon (max ts, ms-floored, - delay - interval);
+    views above it stay in state unemitted — they would flush on the
+    next trigger of a continuous run."""
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        interval_join_outer_stream,
+    )
+
+    out = tempfile.mkdtemp(prefix="stream_ivl_outer_") + "/joined"
+    return interval_join_outer_stream(spark, sf_dir, out)
+
+
+STREAM_INTERVAL_OUTER_ORACLE = """
+WITH wm AS (
+  SELECT (EPOCH_US(MAX(ts)) // 1000) * 1000 - 3600000000 AS wm_us
+  FROM events
+)
+SELECT v.user_id, v.event_id AS view_event,
+       p.event_id AS purchase_event,
+       EPOCH_US(p.ts) - EPOCH_US(v.ts) AS gap_us
+FROM events v JOIN events p
+  ON v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.user_id = v.user_id
+ AND EPOCH_US(p.ts) >= EPOCH_US(v.ts)
+ AND EPOCH_US(p.ts) <= EPOCH_US(v.ts) + 3600000000
+UNION ALL
+SELECT v.user_id, v.event_id AS view_event,
+       CAST(NULL AS BIGINT) AS purchase_event,
+       CAST(NULL AS BIGINT) AS gap_us
+FROM events v
+WHERE v.event_type = 'view'
+  AND NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+      AND EPOCH_US(p.ts) >= EPOCH_US(v.ts)
+      AND EPOCH_US(p.ts) <= EPOCH_US(v.ts) + 3600000000)
+  AND EPOCH_US(v.ts) < (SELECT wm_us FROM wm) - 3600000000
+"""

@@ -1243,3 +1243,64 @@ def scd2_enrich_stream(
             "value double, tier_cents bigint"
         )
     return landed.select("event_id", "ts", "user_id", "value", "tier_cents")
+
+
+def interval_join_outer_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15: LEFT OUTER stream-stream interval join (the ``*_plan``
+    naming enters the forced-broadcast audit sweep). Same two
+    watermarked sides as C8; outer semantics add the subtle part:
+    an unmatched view emits its NULL row only when the watermark
+    proves no qualifying purchase can still arrive (view-state
+    eviction at wm > v_ts + interval) — matched pairs emit on
+    arrival exactly as the inner join."""
+    ev = events_stream(spark, sf_dir)
+    base = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    views = (
+        base.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_event"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_event",
+        "purchase_event",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )
+
+
+def interval_join_outer_stream(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> DataFrame:
+    """C15 runner: parquet sink + availableNow so the final no-data
+    batch advances the watermark and flushes the outer NULL rows for
+    every view whose match window closed."""
+    joined = interval_join_outer_plan(spark, sf_dir)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", f"{out_path}_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)
