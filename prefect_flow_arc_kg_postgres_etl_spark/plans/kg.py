@@ -2674,3 +2674,57 @@ LEFT JOIN (SELECT DISTINCT CAST({pc} AS VARCHAR) AS k FROM {pt}) p
 """
     for ct, cc, pt, pc in _FK_CANDIDATES
 )
+
+
+# ------------------------------- A58 corrupt-tolerant ingestion (r6)
+def source_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A58 (r6): PERMISSIVE ingestion with dead-letter routing — the
+    batch parse-error twin of the streaming DQ gate (C10): a feed with
+    malformed lines must land every parseable record AND account for
+    every corrupt one (silent drops are how corpora lose data
+    unnoticed). Corruption is PLANTED deterministically (customers
+    with c_custkey % 97 == 0 serialize truncated, identically in the
+    oracle), the landed text re-parses via from_json — NULL parse =
+    corrupt — and each line routes with its classification; row
+    conservation (valid + dead == source) is part of the oracle, as
+    in C10. Scan-side end to end: serialize, truncate, parse, and
+    classify are projections; zero shuffles."""
+    import tempfile
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    doc = F.to_json(F.struct("c_custkey", "c_name", "c_acctbal"))
+    lines = cust.select(
+        F.when(
+            F.col("c_custkey") % 97 == 0,
+            F.substring(doc, 1, 10),  # truncated JSON: unparseable
+        )
+        .otherwise(doc)
+        .alias("value")
+    )
+    out_dir = tempfile.mkdtemp(prefix="corrupt_rt_") + "/feed"
+    lines.write.mode("overwrite").text(out_dir)
+    parsed = spark.read.text(out_dir).select(
+        F.from_json(
+            "value", "c_custkey bigint, c_name string, c_acctbal double"
+        ).alias("d"),
+        "value",
+    )
+    return parsed.select(
+        F.col("d.c_custkey").alias("c_custkey"),
+        F.col("d.c_name").alias("c_name"),
+        F.col("d.c_acctbal").alias("c_acctbal"),
+        F.when(F.col("d").isNull() | F.col("d.c_custkey").isNull(), "dead_letter")
+        .otherwise("valid")
+        .alias("sink"),
+    )
+
+
+SOURCE_CORRUPT_ORACLE = """
+SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS c_custkey,
+       CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_name END AS c_name,
+       CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+       CASE WHEN c_custkey % 97 = 0 THEN 'dead_letter' ELSE 'valid' END AS sink
+FROM customer
+"""

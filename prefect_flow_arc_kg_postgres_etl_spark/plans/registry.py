@@ -576,6 +576,16 @@ _SPECS: dict[str, QuerySpec] = {
         streaming_plans.stream_interval_join_outer,
         streaming_plans.STREAM_INTERVAL_OUTER_ORACLE,
     ),
+    # A58 (NEW r6): permissive ingestion with dead-letter routing —
+    # planted corrupt lines, row conservation in-oracle.
+    "source_corrupt_tolerant": QuerySpec(
+        kg.source_corrupt_tolerant, kg.SOURCE_CORRUPT_ORACLE
+    ),
+    # C16 (NEW r6): streaming gap fill — stateful spine generation,
+    # zeros emitted for watermark-finalized empty buckets.
+    "stream_gap_fill": QuerySpec(
+        streaming_plans.stream_gap_fill, streaming_plans.STREAM_GAP_FILL_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE

@@ -491,3 +491,44 @@ WHERE v.event_type = 'view'
       AND EPOCH_US(p.ts) <= EPOCH_US(v.ts) + 3600000000)
   AND EPOCH_US(v.ts) < (SELECT wm_us FROM wm) - 3600000000
 """
+
+
+def stream_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16 (r6): streaming GAP FILL — a custom stateful operator that
+    emits rows for ABSENT data (zeros for empty hour buckets) as the
+    watermark finalizes them, per event type. Batch twin = B41."""
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        gap_fill_stream,
+    )
+
+    _COUNTER["n"] += 1
+    return gap_fill_stream(
+        spark, sf_dir, query_name=f"stream_gap_fill_{_COUNTER['n']}"
+    )
+
+
+# Per type: every hour bucket from the type's first observed hour up to
+# the final watermark horizon (bucket end <= ms-floored max ts - 1h),
+# zero-filled. EPOCH_US + integer floor keeps the horizon exact.
+STREAM_GAP_FILL_ORACLE = """
+WITH wm AS (
+  SELECT (EPOCH_US(MAX(ts)) // 1000) * 1000 - 3600000000 AS wm_us FROM events
+), horizon AS (
+  SELECT TIMESTAMP '1970-01-01 00:00:00'
+         + ((wm_us - 3600000000) // 3600000000) * INTERVAL 1 HOUR AS hi
+  FROM wm
+), tb AS (
+  SELECT event_type, DATE_TRUNC('hour', MIN(ts)) AS lo FROM events GROUP BY 1
+), spine AS (
+  SELECT tb.event_type, UNNEST(generate_series(tb.lo, horizon.hi,
+                                               INTERVAL 1 HOUR)) AS hour
+  FROM tb, horizon
+  WHERE tb.lo <= horizon.hi
+), hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT s.event_type, s.hour, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+FROM spine s LEFT JOIN hourly h
+  ON h.event_type = s.event_type AND h.hour = s.hour
+"""

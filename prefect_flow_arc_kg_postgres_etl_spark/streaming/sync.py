@@ -1304,3 +1304,102 @@ def interval_join_outer_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+# ----------------------------------------- C16 streaming gap fill
+_GAPFILL_STATE_SCHEMA = (
+    "next_emit_us bigint, bucket_us array<bigint>, counts array<bigint>"
+)
+_GAPFILL_OUT_SCHEMA = "event_type string, hour timestamp, n bigint"
+_HOUR_US = 3_600_000_000
+
+
+def _gap_fill_group(key, pdfs, state):
+    """C16: streaming GAP FILL — the stateful operator that EMITS ROWS
+    FOR ABSENT DATA (the hard half of resampling: aggregations only
+    ever emit observed groups). Per event type, state tracks the next
+    hour bucket to finalize plus the pending per-bucket counts; when
+    the watermark passes a bucket's END no event can land in it
+    anymore, so every bucket from next_emit up to the horizon emits IN
+    ORDER — zeros included — and leaves state. State size: the
+    buckets inside one lateness horizon, not history. Emission is
+    monotone per type (a bucket emits exactly once)."""
+    import pandas as pd
+
+    (event_type,) = key
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    if state.exists:
+        next_emit, bucket_us, counts = state.get
+        pending = dict(zip(bucket_us, counts))
+    else:
+        next_emit, pending = None, {}
+
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for t in pdf["ts"].astype("int64") // 1000:
+                b = (int(t) // _HOUR_US) * _HOUR_US
+                pending[b] = pending.get(b, 0) + 1
+    if next_emit is None and pending:
+        next_emit = min(pending)
+
+    rows = []
+    if next_emit is not None:
+        while next_emit + _HOUR_US <= wm_us:
+            rows.append((event_type, next_emit, pending.pop(next_emit, 0)))
+            next_emit += _HOUR_US
+
+    if next_emit is not None:
+        ks = sorted(pending)
+        state.update((next_emit, ks, [pending[k] for k in ks]))
+        state.setTimeoutTimestamp(
+            max((next_emit + _HOUR_US) // 1000 + 1, wm_us // 1000 + 1)
+        )
+
+    if rows:
+        yield pd.DataFrame(
+            {
+                "event_type": [r[0] for r in rows],
+                "hour": [pd.Timestamp(r[1], unit="us") for r in rows],
+                "n": [r[2] for r in rows],
+            }
+        )
+
+
+def gap_fill_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """C16 runner. On a bounded source the emitted set is
+    deterministic: per type, every hour bucket from the type's first
+    observed hour through the final watermark horizon (bucket end <=
+    ms-floored max ts - delay), zeros for empty buckets — the batch
+    gap fill (B41) restricted per-type and to the horizon."""
+    ev = (
+        events_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .select("event_type", "ts")
+    )
+    filled = ev.groupBy("event_type").applyInPandasWithState(
+        _gap_fill_group,
+        outputStructType=_GAPFILL_OUT_SCHEMA,
+        stateStructType=_GAPFILL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+    q = (
+        filled.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).select(
+        "event_type",
+        F.col("hour").cast("timestamp_ntz").alias("hour"),
+        "n",
+    )
