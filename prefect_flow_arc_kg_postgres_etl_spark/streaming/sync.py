@@ -1352,8 +1352,12 @@ def _gap_fill_group(key, pdfs, state):
     if next_emit is not None:
         ks = sorted(pending)
         state.update((next_emit, ks, [pending[k] for k in ks]))
+        # Finalization is NON-STRICT (bucket end <= wm) but an event-
+        # time timeout fires only when the watermark EXCEEDS the
+        # timestamp — so aim 1 ms BEFORE the bucket end (fires at
+        # wm == end), clamped strictly above the current watermark.
         state.setTimeoutTimestamp(
-            max((next_emit + _HOUR_US) // 1000 + 1, wm_us // 1000 + 1)
+            max((next_emit + _HOUR_US) // 1000 - 1, wm_us // 1000 + 1)
         )
 
     if rows:

@@ -500,3 +500,85 @@ def test_stream_pivot_finalizes_each_record_exactly_once(spark, tmp_path):
     # predicates for each subject, so no column may be NULL.
     for r in rows[:50]:
         assert r["o_custkey"] is not None and r["o_totalprice"] is not None
+
+
+def test_gap_fill_correct_under_crossbatch_disorder(spark, tmp_path):
+    """C16: a later micro-batch delivering EARLIER events (still above
+    the watermark) must land in their buckets before those buckets
+    finalize — and the zero-buckets between observed hours must emit
+    exactly once, in order."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        _GAPFILL_OUT_SCHEMA,
+        _GAPFILL_STATE_SCHEMA,
+        _gap_fill_group,
+    )
+
+    HOUR = 3_600_000_000
+    DAY = 86_400_000_000  # keep clear of the initial epoch-0 watermark
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "event_type": [r[0] for r in rows],
+                "ts": [pd.Timestamp(DAY + r[1], unit="us") for r in rows],
+            }
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def land(pdf, name, mtime):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(stage)
+        )
+        (part,) = glob.glob(f"{stage}/part-*.parquet")
+        dst = src / f"{name}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # Batch 1: hours 0 and 8 (watermark lands at 8h - 1h = 7h).
+    land(mk([("x", 0), ("x", 8 * HOUR + 10)]), "a", 1_000_000)
+    # Batch 2 (LATER arrival, EARLIER events, above the 7h watermark):
+    # hour 7 gets an event just before its bucket would finalize.
+    land(mk([("x", 7 * HOUR + 5), ("x", 9 * HOUR)]), "b", 1_000_100)
+
+    ev = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+    )
+    filled = ev.groupBy("event_type").applyInPandasWithState(
+        _gap_fill_group,
+        outputStructType=_GAPFILL_OUT_SCHEMA,
+        stateStructType=_GAPFILL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+    q = (
+        filled.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gapfill_disorder")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        ((r.hour - pd.Timestamp(DAY, unit="us").to_pydatetime()).total_seconds()
+         // 3600, r.n)
+        for r in spark.table("gapfill_disorder").collect()
+    }
+    # Final watermark = 9h - 1h = 8h: buckets 0..7 are final (end <= 8h).
+    # Hour 0: 1 event; hours 1-6: ZEROS; hour 7: the late-arriving
+    # event (disorder-correct); hours 8/9 stay open.
+    assert got == {
+        (0.0, 1), (1.0, 0), (2.0, 0), (3.0, 0), (4.0, 0), (5.0, 0),
+        (6.0, 0), (7.0, 1),
+    }
