@@ -586,6 +586,11 @@ _SPECS: dict[str, QuerySpec] = {
     "stream_gap_fill": QuerySpec(
         streaming_plans.stream_gap_fill, streaming_plans.STREAM_GAP_FILL_ORACLE
     ),
+    # B50 (NEW r6): as-of join with a staleness bound — same
+    # single-shuffle timeline as B10, scan-side freshness null-out.
+    "asof_join_tolerance": QuerySpec(
+        relational.asof_join_tolerance, relational.ASOF_TOLERANCE_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE

@@ -2293,3 +2293,91 @@ SELECT months.m AS month, n_orders,
          AS cum_distinct_customers
 FROM months LEFT JOIN news ON news.m = months.m
 """
+
+
+# ------------------------------- B50 as-of join with tolerance (r6)
+_ASOF_TOL_S = 3 * 86400  # staleness bound: 3 days
+
+
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B50 (r6): as-of join with a STALENESS BOUND — the feature-store
+    form ("the latest order, but only if it is at most 3 days old"):
+    an unbounded as-of (B10) happily serves a years-stale feature
+    row; bounded lookback is what production serving contracts
+    actually specify. Same single-shuffle merged-timeline plan as B10
+    — the window additionally carries the matched order's TIME, and a
+    scan-side projection nulls the match when the gap exceeds the
+    tolerance. No second pass, no join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.pmod(F.col("o_orderkey") * 977, 2592000)
+        ).cast("timestamp_ntz").alias("t"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+    timeline = ev.unionByName(orders)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", F.desc("is_order"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    order_t = F.when(F.col("is_order") == 1, F.col("t"))
+    out = (
+        timeline.withColumn(
+            "last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "last_totalprice", F.last("o_totalprice", ignorenulls=True).over(w)
+        )
+        .withColumn("last_t", F.last(order_t, ignorenulls=True).over(w))
+        .filter(F.col("is_order") == 0)
+    )
+    fresh = (
+        F.col("last_t").isNotNull()
+        & (
+            F.unix_micros(F.col("t").cast("timestamp"))
+            - F.unix_micros(F.col("last_t").cast("timestamp"))
+            <= _ASOF_TOL_S * 1_000_000
+        )
+    )
+    return out.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        F.when(fresh, F.col("last_orderkey")).alias("last_orderkey"),
+        F.when(fresh, F.col("last_totalprice")).alias("last_totalprice"),
+    )
+
+
+ASOF_TOLERANCE_ORACLE = f"""
+WITH o AS (
+  SELECT o_custkey AS k,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + ((o_orderkey * 977) % 2592000) * INTERVAL 1 SECOND AS t,
+         o_orderkey, o_totalprice
+  FROM orders
+)
+SELECT e.event_id, e.user_id, e.ts,
+       oo.o_orderkey AS last_orderkey,
+       oo.o_totalprice AS last_totalprice
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM o
+  WHERE o.k = e.user_id AND o.t <= e.ts
+    AND EPOCH_US(e.ts) - EPOCH_US(o.t) <= CAST({_ASOF_TOL_S} AS BIGINT) * 1000000
+  ORDER BY o.t DESC, o.o_orderkey DESC
+  LIMIT 1
+) oo ON TRUE
+"""
