@@ -2728,3 +2728,57 @@ SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS c_custkey,
        CASE WHEN c_custkey % 97 = 0 THEN 'dead_letter' ELSE 'valid' END AS sink
 FROM customer
 """
+
+
+# -------------------------------------------- A59 SPARQL UPDATE (r6)
+def kg_update_delete_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A59 (r6): SPARQL UPDATE — ``DELETE WHERE { ?c c_mktsegment ?s }
+    INSERT { ?c c_flag "migrated" }`` scoped to nation-5 customers:
+    the graph-maintenance half of the SPARQL surface (1.1 Update §3),
+    which the reference performs out-of-band via its merge flows. The
+    WHERE match binds the affected subjects once (one semi-joinable
+    subject set); DELETE is a left-anti join of the store on (subject,
+    predicate in deleted set), INSERT unions the constructed triples —
+    the same one-shuffle shapes as A7/A9, now driven by a graph
+    pattern instead of table keys. Result = the post-update store."""
+    cust = load_table(spark, sf_dir, "customer")
+    triples = T.melt(cust, "c_custkey", CUSTOMER_COLS, subject_prefix="customer:")
+    affected = (
+        triples.filter(
+            (F.col("predicate") == "c_nationkey") & (F.col("object") == "5")
+        )
+        .select("subject")
+        .distinct()
+    )
+    # NULL-safe: an unmatched subject's _hit is NULL, and ~(NULL & p)
+    # is NULL under three-valued logic — which a filter DROPS, deleting
+    # every segment triple instead of the affected ones. Coalesce first.
+    kept = triples.join(
+        affected.withColumn("_hit", F.lit(1)), "subject", "left"
+    ).filter(
+        ~(
+            (F.coalesce(F.col("_hit"), F.lit(0)) == 1)
+            & (F.col("predicate") == "c_mktsegment")
+        )
+    )
+    inserted = affected.select(
+        "subject",
+        F.lit("c_flag").alias("predicate"),
+        F.lit("migrated").alias("object"),
+    )
+    return kept.select("subject", "predicate", "object").unionByName(inserted)
+
+
+KG_UPDATE_ORACLE = " UNION ALL ".join(
+    [
+        f"SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS subject, "
+        f"'{c}' AS predicate, CAST({c} AS VARCHAR) AS object "
+        f"FROM customer WHERE {c} IS NOT NULL"
+        + (" AND COALESCE(c_nationkey, -1) <> 5" if c == "c_mktsegment" else "")
+        for c in CUSTOMER_COLS
+    ]
+    + [
+        "SELECT 'customer:' || CAST(c_custkey AS VARCHAR), 'c_flag', "
+        "'migrated' FROM customer WHERE c_nationkey = 5"
+    ]
+)

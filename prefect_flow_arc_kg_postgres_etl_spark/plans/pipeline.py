@@ -1893,3 +1893,54 @@ SELECT label, dim, COUNT(*) AS n,
          AS centroid_e6
 FROM comp GROUP BY 1, 2
 """
+
+
+# ----------------------------------- D46 in-engine recall metric (r6)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D46 (r6): ANN INDEX QUALITY as a query — recall@k of the IVF
+    tier (D13) against exact brute force (D6), computed in-engine per
+    query point. Index-quality evaluation is itself a pipeline job at
+    scale (you re-measure recall after every re-index and alert on
+    drift); until now recall lived only in tests. Both tiers are
+    deterministic end-to-end (lowest-id seeds, sequential folds,
+    cid/id tie-breaks), so even this METRIC has a full SQL oracle —
+    DuckDB reproduces index, probe, rank, and the recall fraction
+    exactly. One join of two k-row-per-query sets on (query, neighbor),
+    grouped by query."""
+    exact = ann_bruteforce_topk(spark, sf_dir).select(
+        F.col("query_id").alias("q"), F.col("neighbor_id").alias("n")
+    )
+    approx = ann_ivf_topk(spark, sf_dir).select(
+        F.col("query_id").alias("q"),
+        F.col("neighbor_id").alias("n"),
+        F.lit(1).alias("_hit"),
+    )
+    return (
+        exact.join(approx, ["q", "n"], "left")
+        .groupBy(F.col("q").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_found"),
+        )
+        .withColumn(
+            "recall_e6",
+            F.expr("(1000000 * n_found) div k"),
+        )
+    )
+
+
+ANN_RECALL_ORACLE = f"""
+WITH exact AS (
+  SELECT query_id AS q, neighbor_id AS n FROM ({ANN_BRUTE_ORACLE})
+), approx AS (
+  SELECT query_id AS q, neighbor_id AS n FROM ({ANN_IVF_ORACLE})
+)
+SELECT e.q AS query_id,
+       COUNT(*) AS k,
+       CAST(SUM(CASE WHEN a.n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_found,
+       CAST((1000000 * SUM(CASE WHEN a.n IS NOT NULL THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS recall_e6
+FROM exact e LEFT JOIN approx a ON a.q = e.q AND a.n = e.n
+GROUP BY e.q
+"""

@@ -591,6 +591,16 @@ _SPECS: dict[str, QuerySpec] = {
     "asof_join_tolerance": QuerySpec(
         relational.asof_join_tolerance, relational.ASOF_TOLERANCE_ORACLE
     ),
+    # A59 (NEW r6): SPARQL UPDATE (DELETE WHERE + INSERT) — graph
+    # maintenance driven by a pattern, anti-join + union.
+    "kg_update_delete_insert": QuerySpec(
+        kg.kg_update_delete_insert, kg.KG_UPDATE_ORACLE
+    ),
+    # D46 (NEW r6): recall@k of the IVF tier vs brute force as an
+    # in-engine metric — even the metric has a full SQL oracle.
+    "ann_recall_eval": QuerySpec(
+        pipeline.ann_recall_eval, pipeline.ANN_RECALL_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE
