@@ -1944,3 +1944,88 @@ SELECT e.q AS query_id,
 FROM exact e LEFT JOIN approx a ON a.q = e.q AND a.n = e.n
 GROUP BY e.q
 """
+
+
+# ------------------------------ D47 deterministic shard interleave (r6)
+def corpus_interleave_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D47 (r6): deterministic INTERLEAVED training order — a training
+    run wants sources mixed evenly (not src1's docs then src2's), in a
+    reproducible order, WITHOUT a global shuffle of the corpus. Each
+    doc ranks within its source by the engine-independent LCG hash
+    (the reproducible 'shuffle'), and the global position is the
+    round-robin formula rank * n_sources + source_index — sources
+    interleave 1:1:1 by construction, and the only shuffles are one
+    window per source key and the tiny distinct-source index join.
+    A global ORDER BY hash would single-partition-sort the corpus at
+    100 TB; the formula needs no sort at all — downstream shard
+    writers range-partition on global_order."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    srcs = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "src_idx",
+            F.row_number().over(Window.orderBy("source")) - 1,
+        )
+    )
+    n_src = srcs.count()
+    w = Window.partitionBy("source").orderBy(F.expr(_LCG), "doc_id")
+    return (
+        docs.withColumn("rank_in_src", F.row_number().over(w) - 1)
+        .join(F.broadcast(srcs), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("rank_in_src") * n_src + F.col("src_idx")).alias(
+                "global_order"
+            ),
+        )
+    )
+
+
+INTERLEAVE_ORACLE = f"""
+WITH srcs AS (
+  SELECT source, CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT)
+           AS src_idx,
+         CAST((SELECT COUNT(DISTINCT source) FROM documents) AS BIGINT)
+           AS n_src
+  FROM (SELECT DISTINCT source FROM documents)
+), ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY {_LCG}, doc_id) - 1 AS BIGINT) AS rank_in_src
+  FROM documents
+)
+SELECT r.doc_id, r.source,
+       r.rank_in_src * s.n_src + s.src_idx AS global_order
+FROM ranked r JOIN srcs s ON s.source = r.source
+"""
+
+
+# --------------------------------- D48 sentence segmentation (r6)
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D48 (r6): sentence segmentation — the preprocessing step before
+    sentence-level dedup/embedding/packing. Regex split on terminal
+    punctuation runs + whitespace, posexplode to (doc_id, sent_idx,
+    sentence); empty segments drop. Scan-fused generator projection,
+    zero shuffle (same family as the chunker D40)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]+\s+"), lambda x: x != ""
+    )
+    return docs.select(
+        "doc_id", F.posexplode(sents).alias("sent_idx", "sentence")
+    )
+
+
+SENTENCE_SPLIT_ORACLE = r"""
+SELECT doc_id, CAST(u.i - 1 AS INT) AS sent_idx, s[u.i] AS sentence
+FROM (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[.!?]+\s+'),
+                     x -> x <> '') AS s
+  FROM documents
+), UNNEST(generate_series(1, len(s))) AS u(i)
+"""

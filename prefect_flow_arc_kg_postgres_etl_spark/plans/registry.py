@@ -601,6 +601,20 @@ _SPECS: dict[str, QuerySpec] = {
     "ann_recall_eval": QuerySpec(
         pipeline.ann_recall_eval, pipeline.ANN_RECALL_ORACLE
     ),
+    # D47 (NEW r6): deterministic round-robin shard interleave — no
+    # global sort, one window per source + formula positions.
+    "corpus_interleave_shards": QuerySpec(
+        pipeline.corpus_interleave_shards, pipeline.INTERLEAVE_ORACLE
+    ),
+    # D48 (NEW r6): sentence segmentation — scan-fused generator.
+    "text_sentence_split": QuerySpec(
+        pipeline.text_sentence_split, pipeline.SENTENCE_SPLIT_ORACLE
+    ),
+    # B51 (NEW r6): ABC/Pareto classification — exact e4 cumulative
+    # shares, integer cross-product thresholds, dim-bounded window.
+    "supplier_pareto_abc": QuerySpec(
+        relational.supplier_pareto_abc, relational.PARETO_ABC_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE

@@ -2381,3 +2381,62 @@ LEFT JOIN LATERAL (
   LIMIT 1
 ) oo ON TRUE
 """
+
+
+# --------------------------------- B51 Pareto / ABC classification (r6)
+def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B51 (r6): ABC (Pareto) classification — suppliers by revenue
+    contribution: class A = the heads covering the first 70% of
+    cumulative revenue, B = to 90%, C = the tail. The fact aggregates
+    per supplier FIRST (one keyed shuffle over lineitem); the ranking
+    window then runs over the SUPPLIER aggregate — dim-bounded, the
+    same deliberate tiny-window rule as B49's months. Revenue in exact
+    e4 integer units (the A35 rule) so cumulative shares are exact
+    rationals; share thresholds compare integer cross-products
+    (cum * 100 <= total * 70), no float boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * F.round((1 - F.col("l_discount")) * 100).cast("bigint")
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(rev_e4).alias("rev_e4")
+    )
+    w = Window.orderBy(F.desc("rev_e4"), "l_suppkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per_supp.agg(F.sum("rev_e4").alias("tot_e4"))
+    ranked = per_supp.withColumn("cum_e4", F.sum("rev_e4").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    return ranked.select(
+        "l_suppkey",
+        (F.col("rev_e4") / 10000.0).alias("revenue"),
+        F.when(F.col("cum_e4") * 100 <= F.col("tot_e4") * 70, "A")
+        .when(F.col("cum_e4") * 100 <= F.col("tot_e4") * 90, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+PARETO_ABC_ORACLE = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS rev_e4
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT l_suppkey, rev_e4,
+         SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, l_suppkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_e4,
+         SUM(rev_e4) OVER () AS tot_e4
+  FROM per_supp
+)
+SELECT l_suppkey,
+       CAST(rev_e4 AS DOUBLE) / 10000.0 AS revenue,
+       CASE WHEN cum_e4 * 100 <= tot_e4 * 70 THEN 'A'
+            WHEN cum_e4 * 100 <= tot_e4 * 90 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
