@@ -2782,3 +2782,58 @@ KG_UPDATE_ORACLE = " UNION ALL ".join(
         "'migrated' FROM customer WHERE c_nationkey = 5"
     ]
 )
+
+
+# --------------------------- A60 named-graph management ops (r6)
+def kg_graph_management(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A60 (r6): SPARQL Update GRAPH MANAGEMENT (1.1 Update §3.2) —
+    ``COPY graph:orgs TO graph:backup; DROP graph:staging`` over the
+    quad store: graph-level ops complete the Update surface beyond
+    A59's triple-level DELETE/INSERT. On the graph-partitioned layout
+    both are METADATA-SHAPED: DROP prunes a partition filter, COPY is
+    a re-tagged scan of one partition unioned back — no per-triple
+    matching. Result = the post-update quad store (graph column
+    included, so the oracle checks placement, not just content)."""
+    g = _kg_graph(spark, sf_dir)
+    kept = g.filter(F.col("graph") != "graph:staging")
+    backup = g.filter(F.col("graph") == "graph:orgs").withColumn(
+        "graph", F.lit("graph:backup")
+    )
+    return kept.unionByName(backup).select(
+        "subject", "predicate", "object", "graph"
+    )
+
+
+KG_GRAPH_MGMT_ORACLE = """
+WITH quads AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS subject,
+         'c_name' AS predicate, CAST(c_name AS VARCHAR) AS object,
+         'graph:entities' AS graph
+  FROM customer WHERE c_name IS NOT NULL
+  UNION ALL
+  SELECT CAST(c_custkey AS VARCHAR), 'c_mktsegment',
+         CAST(c_mktsegment AS VARCHAR), 'graph:entities'
+  FROM customer WHERE c_mktsegment IS NOT NULL
+  UNION ALL
+  SELECT CAST(c_custkey AS VARCHAR), 'c_nationkey',
+         CAST(c_nationkey AS VARCHAR), 'graph:entities'
+  FROM customer WHERE c_nationkey IS NOT NULL
+  UNION ALL
+  SELECT CAST(n_nationkey AS VARCHAR), 'n_name',
+         CAST(n_name AS VARCHAR), 'graph:orgs'
+  FROM nation WHERE n_name IS NOT NULL
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR), 'o_custkey',
+         CAST(o_custkey AS VARCHAR), 'graph:entities'
+  FROM orders WHERE o_custkey IS NOT NULL
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR), 'o_orderpriority',
+         CAST(o_orderpriority AS VARCHAR), 'graph:entities'
+  FROM orders WHERE o_orderpriority IS NOT NULL
+)
+SELECT subject, predicate, object, graph FROM quads
+UNION ALL
+SELECT CAST(n_nationkey AS VARCHAR), 'n_name',
+       CAST(n_name AS VARCHAR), 'graph:backup'
+FROM nation WHERE n_name IS NOT NULL
+"""

@@ -2029,3 +2029,69 @@ FROM (
   FROM documents
 ), UNNEST(generate_series(1, len(s))) AS u(i)
 """
+
+
+# ------------------------------ D49 embedding outlier detection (r6)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D49 (r6): EMBEDDING OUTLIERS per label — the mislabeled-data /
+    contamination detector: the top-3 vectors farthest from their
+    label's centroid (D45's e6 fixed-point prototypes). EXACT INTEGER
+    end to end: dist² = Σ(v_e6 - c_e6)² is a bigint sum (order-
+    independent), so rank and ties are identical cross-engine — no
+    float distance, no epsilon. Shape: posexplode components, ONE
+    (label, dim) join against the 64·|labels|-row centroid table
+    (broadcast), per-vector sum, dim-bounded top-k window per label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double") * 1e6).cast("bigint").alias("v_e6"),
+    )
+    cents = embedding_label_centroids(spark, sf_dir).select(
+        "label", "dim", "centroid_e6"
+    )
+    d = F.col("v_e6") - F.col("centroid_e6")
+    dist = (
+        comp.join(F.broadcast(cents), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(d * d).alias("dist2_e12"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("dist2_e12"), "vec_id"
+    )
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("label", "vec_id", "dist2_e12", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+EMBEDDING_OUTLIERS_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, label, CAST(u.i - 1 AS INT) AS dim,
+         CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 1e6) AS BIGINT) AS v_e6
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+), cents AS (
+  SELECT label, dim,
+         CAST(FLOOR(CAST(SUM(v_e6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           AS centroid_e6
+  FROM comp GROUP BY 1, 2
+), dist AS (
+  SELECT c.vec_id, c.label,
+         CAST(SUM((c.v_e6 - k.centroid_e6) * (c.v_e6 - k.centroid_e6))
+              AS BIGINT) AS dist2_e12
+  FROM comp c JOIN cents k ON k.label = c.label AND k.dim = c.dim
+  GROUP BY 1, 2
+)
+SELECT label, vec_id, dist2_e12, rank FROM (
+  SELECT label, vec_id, dist2_e12,
+         CAST(ROW_NUMBER() OVER (PARTITION BY label
+              ORDER BY dist2_e12 DESC, vec_id) AS INT) AS rank
+  FROM dist
+) WHERE rank <= 3
+"""

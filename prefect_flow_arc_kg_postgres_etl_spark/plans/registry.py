@@ -615,6 +615,16 @@ _SPECS: dict[str, QuerySpec] = {
     "supplier_pareto_abc": QuerySpec(
         relational.supplier_pareto_abc, relational.PARETO_ABC_ORACLE
     ),
+    # A60 (NEW r6): SPARQL Update graph management (COPY/DROP) —
+    # partition-shaped ops on the quad store.
+    "kg_graph_management": QuerySpec(
+        kg.kg_graph_management, kg.KG_GRAPH_MGMT_ORACLE
+    ),
+    # D49 (NEW r6): per-label embedding outliers — exact integer
+    # distances to the D45 centroids, top-3 per label.
+    "embedding_outliers": QuerySpec(
+        pipeline.embedding_outliers, pipeline.EMBEDDING_OUTLIERS_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE
