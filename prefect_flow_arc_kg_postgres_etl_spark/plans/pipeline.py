@@ -2095,3 +2095,68 @@ SELECT label, vec_id, dist2_e12, rank FROM (
   FROM dist
 ) WHERE rank <= 3
 """
+
+
+# ----------------------- D50 exact percentile-band trim, sort-free (r6)
+def corpus_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D50 (r6): EXACT percentile-band trimming — drop the shortest 5%
+    and longest 5% of documents by length, a standard outlier gate.
+    The naive exact plan global-sorts the corpus for rank; approximate
+    quantiles break oracle checks. The sort-free exact shape: lengths
+    collapse to a (length -> count) table — BOUNDED by |distinct
+    lengths|, not |docs| — a cumulative window over that tiny table
+    finds the exact p5/p95 length cutoffs (first length whose
+    cumulative count reaches ceil(0.05 * N)), and the corpus takes
+    one broadcast-bounded scan filter. Ranks compare integer
+    cross-products (cum * 100 >= n * 5): no float percentile.
+    Tie semantics: every doc with length == cutoff stays (band is
+    inclusive), so the kept fraction can exceed 90% — exactness over
+    an arbitrary intra-tie split."""
+    docs = load_table(spark, sf_dir, "documents")
+    ln = F.length("text").cast("bigint")
+    by_len = docs.select(ln.alias("len")).groupBy("len").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = by_len.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(
+            by_len.agg(F.sum("cnt").alias("n_total"))
+        )
+    )
+    lo = ranked.filter(F.col("cum") * 100 >= F.col("n_total") * 5).agg(
+        F.min("len").alias("lo")
+    )
+    hi = ranked.filter(
+        (F.col("n_total") - F.col("cum") + F.col("cnt")) * 100
+        >= F.col("n_total") * 5
+    ).agg(F.max("len").alias("hi"))
+    bounds = lo.crossJoin(hi)
+    return (
+        docs.select("doc_id", "lang", "source", ln.alias("n_chars_len"))
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("n_chars_len") >= F.col("lo")) & (F.col("n_chars_len") <= F.col("hi")))
+        .select("doc_id", "lang", "source", "n_chars_len")
+    )
+
+
+LENGTH_BAND_ORACLE = """
+WITH by_len AS (
+  SELECT LENGTH(text) AS len, COUNT(*) AS cnt FROM documents GROUP BY 1
+), ranked AS (
+  SELECT len, cnt,
+         SUM(cnt) OVER (ORDER BY len
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(cnt) OVER () AS n_total
+  FROM by_len
+), lo AS (
+  SELECT MIN(len) AS lo FROM ranked WHERE cum * 100 >= n_total * 5
+), hi AS (
+  SELECT MAX(len) AS hi FROM ranked
+  WHERE (n_total - cum + cnt) * 100 >= n_total * 5
+)
+SELECT d.doc_id, d.lang, d.source, CAST(LENGTH(d.text) AS BIGINT)
+         AS n_chars_len
+FROM documents d, lo, hi
+WHERE LENGTH(d.text) >= lo.lo AND LENGTH(d.text) <= hi.hi
+"""

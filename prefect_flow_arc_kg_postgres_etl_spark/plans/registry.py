@@ -625,6 +625,15 @@ _SPECS: dict[str, QuerySpec] = {
     "embedding_outliers": QuerySpec(
         pipeline.embedding_outliers, pipeline.EMBEDDING_OUTLIERS_ORACLE
     ),
+    # B52 (NEW r6): exact per-group mode with deterministic tiebreak.
+    "events_mode_per_user": QuerySpec(
+        relational.events_mode_per_user, relational.EVENTS_MODE_ORACLE
+    ),
+    # D50 (NEW r6): exact percentile-band length trim, sort-free
+    # (cumulative window over the tiny distinct-length table).
+    "corpus_length_band_filter": QuerySpec(
+        pipeline.corpus_length_band_filter, pipeline.LENGTH_BAND_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE

@@ -2440,3 +2440,39 @@ SELECT l_suppkey,
             ELSE 'C' END AS abc_class
 FROM ranked
 """
+
+
+# ----------------------------- B52 deterministic per-group mode (r6)
+def events_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B52 (r6): exact per-group MODE with a DETERMINISTIC tiebreak —
+    Spark 3.4+ ships a `mode()` aggregate but documents ties as
+    nondeterministic, which fails any reproducibility contract (and
+    any cross-engine oracle). The two-level shape is the portable
+    answer: count per (group, value) — one shuffle with map-side
+    combine — then max_by(struct(count, value)) per group picks the
+    most frequent value with the LEXICOGRAPHICALLY LARGEST value on
+    ties, a total order both engines agree on."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.groupBy("user_id").agg(
+        F.max(F.struct("n", "event_type")).getField("event_type").alias(
+            "modal_type"
+        ),
+        F.max(F.struct("n", "event_type")).getField("n").alias("modal_n"),
+    )
+
+
+EVENTS_MODE_ORACLE = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS modal_type, n AS modal_n FROM (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type DESC) AS rn
+  FROM counts
+) WHERE rn = 1
+"""
