@@ -2160,3 +2160,43 @@ SELECT d.doc_id, d.lang, d.source, CAST(LENGTH(d.text) AS BIGINT)
 FROM documents d, lo, hi
 WHERE LENGTH(d.text) >= lo.lo AND LENGTH(d.text) <= hi.hi
 """
+
+
+# ----------------------------- D51 corpus duplication report (r6)
+def corpus_dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D51 (r6): corpus DUPLICATION STATISTICS per source — the dataset
+    card number every release publishes (dup rate by provenance tells
+    you which feed to fix): per source, docs, distinct texts (exact,
+    via xxhash64 of the text — the D1 identity), duplicated rows (doc
+    count minus distinct), and the e6 dup rate. Two keyed aggregations
+    (text-hash within source, then source), both map-side combining;
+    the corpus shuffles once on the hash key."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.xxhash64("text").alias("h")
+    )
+    per_text = docs.groupBy("source", "h").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_text.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.sum("n") - F.count(F.lit(1))).alias("n_duplicated"),
+        F.expr(
+            "(1000000 * (sum(n) - count(1))) div sum(n)"
+        ).alias("dup_rate_e6"),
+    )
+
+
+DUP_RATE_ORACLE = """
+WITH per_text AS (
+  SELECT source, text, COUNT(*) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_distinct,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_duplicated,
+       CAST((1000000 * (SUM(n) - COUNT(*))) // SUM(n) AS BIGINT)
+         AS dup_rate_e6
+FROM per_text GROUP BY source
+"""

@@ -634,6 +634,15 @@ _SPECS: dict[str, QuerySpec] = {
     "corpus_length_band_filter": QuerySpec(
         pipeline.corpus_length_band_filter, pipeline.LENGTH_BAND_ORACLE
     ),
+    # D51 (NEW r6): per-source duplication statistics (dataset card).
+    "corpus_dup_rate_report": QuerySpec(
+        pipeline.corpus_dup_rate_report, pipeline.DUP_RATE_ORACLE
+    ),
+    # B53 (NEW r6): leap-safe year-over-year growth by month key,
+    # explicit-floor basis points.
+    "orders_yoy_growth": QuerySpec(
+        relational.orders_yoy_growth, relational.YOY_GROWTH_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE

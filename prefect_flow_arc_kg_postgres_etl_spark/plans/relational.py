@@ -2476,3 +2476,64 @@ SELECT user_id, event_type AS modal_type, n AS modal_n FROM (
   FROM counts
 ) WHERE rn = 1
 """
+
+
+# --------------------------------- B53 year-over-year growth (r6)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B53 (r6): YEAR-OVER-YEAR growth by month — the comparative
+    calendar window every revenue dashboard runs: each (year, month)
+    bucket's order count and exact-cents revenue against the SAME
+    month one year earlier (lag-12 by month key, which unlike a
+    365-day shift is leap-safe). The fact aggregates first; the lag
+    window runs per month-of-year over the tiny (year, month) table
+    (B49's bounded-window rule). Growth in e4 basis points via
+    integer floor division — both engines agree exactly; the first
+    year has no prior and reports NULL."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("rev_cents"),
+    )
+    w = Window.partitionBy("mo").orderBy("yr")
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "yr",
+        "mo",
+        "n_orders",
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        # growth can be NEGATIVE: Spark div truncates toward zero,
+        # DuckDB // floors — explicit FLOOR of the double ratio keeps
+        # both engines identical (operands << 2^53, the D45 rule).
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            F.floor(
+                (F.lit(10000) * (F.col("rev_cents") - prev)).cast("double")
+                / prev
+            ).cast("bigint"),
+        ).alias("yoy_bp"),
+    )
+
+
+YOY_GROWTH_ORACLE = """
+WITH monthly AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+         EXTRACT(month FROM o_orderdate) AS mo,
+         COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT CAST(yr AS INT) AS yr, CAST(mo AS INT) AS mo, n_orders,
+       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+       CASE WHEN LAG(rev_cents) OVER w IS NOT NULL
+             AND LAG(rev_cents) OVER w <> 0
+            THEN CAST(FLOOR(
+                 CAST(10000 * (rev_cents - LAG(rev_cents) OVER w) AS DOUBLE)
+                 / LAG(rev_cents) OVER w) AS BIGINT)
+       END AS yoy_bp
+FROM monthly
+WINDOW w AS (PARTITION BY mo ORDER BY yr)
+"""
