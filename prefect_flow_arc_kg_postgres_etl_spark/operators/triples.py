@@ -192,6 +192,7 @@ def construct(
     not_exists: list[list[tuple[str, str, str]]] | None = None,
     minus: list[list[tuple[str, str, str]]] | None = None,
     binds: dict[str, Column] | None = None,
+    values_rows: list[dict[str, str]] | None = None,
 ) -> DataFrame:
     """Evaluate a SPARQL-shaped WHERE clause and project bound variables
     — the CONSTRUCT core of 1_kg_view_construct.ts.
@@ -233,6 +234,13 @@ def construct(
     ``binds``: SPARQL BIND — variable -> Column expression over already
     bound variables, applied after graph matching.
 
+    ``values_rows``: SPARQL VALUES in its FULL multi-variable row form
+    (1.1 §10.2): ``VALUES (?a ?b) { (x y) (z w) }`` — each dict is one
+    row binding several variables TOGETHER (the single-var ``values``
+    in-list cannot express correlated allowed combinations). The rows
+    become a literal inline-data frame inner-joined on its variables —
+    a broadcast of |rows|, never a per-row filter disjunction.
+
     An object variable may carry a language constraint: ``?name@nl``
     binds only language-tagged 'nl' literals (langMatches).
 
@@ -269,6 +277,17 @@ def construct(
         if not keys:  # SPARQL MINUS over disjoint domains: identity
             continue
         out = out.join(g.select(*keys).distinct(), on=keys, how="left_anti")
+    if values_rows:
+        vr_vars = sorted({v.lstrip("?") for row in values_rows for v in row})
+        spark = triples.sparkSession
+        frame = spark.createDataFrame(
+            [tuple(row.get("?" + v) for v in vr_vars) for row in values_rows],
+            ", ".join(f"{v} string" for v in vr_vars),
+        )
+        keys = sorted(bound & set(vr_vars))
+        assert keys, "VALUES rows bind no variable of the query"
+        out = out.join(F.broadcast(frame), on=keys, how="inner")
+        bound |= set(vr_vars)
     for var, expr in (binds or {}).items():
         out = out.withColumn(var.lstrip("?"), expr)
     if filters:

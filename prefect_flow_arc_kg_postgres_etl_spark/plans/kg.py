@@ -2837,3 +2837,84 @@ SELECT CAST(n_nationkey AS VARCHAR), 'n_name',
        CAST(n_name AS VARCHAR), 'graph:backup'
 FROM nation WHERE n_name IS NOT NULL
 """
+
+
+# ------------------------------ A61 multi-variable VALUES rows (r6)
+def kg_construct_values_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A61 (r6): SPARQL VALUES in its FULL row form (1.1 §10.2) —
+    ``VALUES (?seg ?nk) { ('BUILDING' '5') ('MACHINERY' '7') }``:
+    allowed (segment, nation) COMBINATIONS, which the single-variable
+    in-list (A17) cannot express — two independent in-lists would
+    admit the cross product. The rows become a literal inline-data
+    frame broadcast-joined on its variables. Customers matching either
+    correlated pair."""
+    cust = load_table(spark, sf_dir, "customer")
+    triples = T.melt(cust, "c_custkey", CUSTOMER_COLS, subject_prefix="customer:")
+    out = T.construct(
+        triples,
+        patterns=[
+            ("?c", "c_name", "?name"),
+            ("?c", "c_mktsegment", "?seg"),
+            ("?c", "c_nationkey", "?nk"),
+        ],
+        values_rows=[
+            {"?seg": "BUILDING", "?nk": "5"},
+            {"?seg": "MACHINERY", "?nk": "7"},
+        ],
+    )
+    return out.select(
+        F.col("c").alias("id"), F.col("name"), F.col("seg"), F.col("nk")
+    )
+
+
+KG_VALUES_ROWS_ORACLE = """
+SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS id,
+       c_name AS name, c_mktsegment AS seg,
+       CAST(c_nationkey AS VARCHAR) AS nk
+FROM customer
+WHERE (c_mktsegment = 'BUILDING' AND c_nationkey = 5)
+   OR (c_mktsegment = 'MACHINERY' AND c_nationkey = 7)
+"""
+
+
+# ------------------------------------ A62 constraint-gated commit (r6)
+def store_validated_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A62 (r6): constraint-gated commit — A40's checks moved INTO the
+    write path: the candidate version lands, validation runs against
+    the LANDED files, and only a clean run swaps the pointer; a dirty
+    batch (PK-duplicated orders, planted) is rejected with the live
+    pointer untouched. Both outcomes exercised in-plan: the dirty
+    commit must fail, the clean commit must land, and the returned
+    live table is the identity oracle."""
+    import tempfile
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+
+    tp = tempfile.mkdtemp(prefix="validated_") + "/orders.parquet"
+    orders = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+
+    def pk_dupes(landed):
+        return (
+            landed.groupBy("o_orderkey")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+
+    def null_keys(landed):
+        return landed.filter(F.col("o_orderkey").isNull()).count()
+
+    checks = [("pk_unique", pk_dupes), ("pk_not_null", null_keys)]
+    store.write_table_validated(orders, tp, checks)  # clean: lands as v1
+    dirty = orders.unionByName(orders.limit(50))
+    try:
+        store.write_table_validated(dirty, tp, checks)
+        raise AssertionError("dirty commit was accepted")
+    except store.CommitValidationError:
+        pass
+    live = store.read_table(spark, tp)
+    assert store.current_version(tp) == 1, "dirty commit moved the pointer"
+    return live
+
+
+STORE_VALIDATED_ORACLE = f"SELECT {', '.join(ORDER_COLS)} FROM orders"

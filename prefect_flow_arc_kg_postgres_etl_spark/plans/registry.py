@@ -643,6 +643,16 @@ _SPECS: dict[str, QuerySpec] = {
     "orders_yoy_growth": QuerySpec(
         relational.orders_yoy_growth, relational.YOY_GROWTH_ORACLE
     ),
+    # A61 (NEW r6): SPARQL VALUES full row form — correlated
+    # combinations as a broadcast inline-data join.
+    "kg_construct_values_rows": QuerySpec(
+        kg.kg_construct_values_rows, kg.KG_VALUES_ROWS_ORACLE
+    ),
+    # A62 (NEW r6): constraint-gated commit — checks run on the landed
+    # files, failing validation never moves the pointer.
+    "store_validated_commit": QuerySpec(
+        kg.store_validated_commit, kg.STORE_VALIDATED_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE

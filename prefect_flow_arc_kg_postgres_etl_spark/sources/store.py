@@ -413,3 +413,47 @@ def vacuum_table(
             shutil.rmtree(version_dir(table_path, v), ignore_errors=True)
             removed.append(v)
     return sorted(removed, reverse=True)
+
+
+class CommitValidationError(RuntimeError):
+    """A validated commit found constraint violations; nothing landed."""
+
+
+def write_table_validated(
+    df: DataFrame, table_path: str, checks: list, prune: bool = True
+) -> int:
+    """A62 (r6): CONSTRAINT-GATED COMMIT — the write-side composition
+    of the DQ checks (A40) with the versioned store: the data lands in
+    the next version directory, the checks run AGAINST THE LANDED
+    FILES (what readers would actually see — validating the input
+    DataFrame would miss write-path corruption), and only a clean
+    validation swaps the pointer. A failing check leaves the live
+    pointer UNTOUCHED (readers never observe the bad version) and the
+    orphaned directory is removed. ``checks`` = [(name, fn)] where fn
+    maps the landed DataFrame to a violation COUNT (0 = pass).
+    Raises CommitValidationError listing every failing check."""
+    spark = df.sparkSession
+    prev = current_version(table_path)
+    v = (prev or 0) + 1
+    d = version_dir(table_path, v)
+    df.write.mode("overwrite").parquet(d)
+    landed = spark.read.parquet(d)
+    failures = []
+    for name, fn in checks:
+        n = int(fn(landed))
+        if n:
+            failures.append((name, n))
+    if failures:
+        shutil.rmtree(d, ignore_errors=True)
+        raise CommitValidationError(
+            "validated commit rejected: "
+            + ", ".join(f"{name}={n}" for name, n in failures)
+        )
+    tmp = os.path.join(table_path, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, os.path.join(table_path, _POINTER))
+    if prune and prev is not None:
+        for k in range(1, prev + 1):
+            shutil.rmtree(version_dir(table_path, k), ignore_errors=True)
+    return v
