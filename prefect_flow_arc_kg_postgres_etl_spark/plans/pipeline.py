@@ -2200,3 +2200,67 @@ SELECT source,
          AS dup_rate_e6
 FROM per_text GROUP BY source
 """
+
+
+# ------------------------- D52 duplicated-sentence fraction (r6)
+def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D52 (r6): BOILERPLATE fraction — per document, the share of its
+    sentences that also appear in OTHER documents (the duplicated-
+    line-fraction rule of the Gopher/FineWeb quality heuristics:
+    navigation chrome, license footers and templated text score high;
+    D9's surface features can't see cross-document repetition, and
+    doc-level dedup misses partial boilerplate). Shape: sentences
+    (D48's scan-side split) -> xxhash64 identity -> global counts of
+    docs-per-sentence (one keyed agg; distinct per doc first so a
+    sentence repeated WITHIN one doc is not cross-doc boilerplate) ->
+    per-doc fraction of sentences whose doc-count > 1. The corpus
+    shuffles on the sentence hash once, then on doc_id once."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]+\s+"), lambda x: x != ""
+    )
+    per_sent = (
+        docs.select("doc_id", F.explode(sents).alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .distinct()
+    )
+    sent_docs = per_sent.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        per_sent.join(sent_docs, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_shared"
+            ),
+            F.expr(
+                "(1000000 * sum(case when n_docs > 1 then 1 else 0 end))"
+                " div count(1)"
+            ).alias("boilerplate_e6"),
+        )
+    )
+
+
+BOILERPLATE_ORACLE = r"""
+WITH per_sent AS (
+  SELECT DISTINCT doc_id, s[u.i] AS s
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '[.!?]+\s+'),
+                       x -> x <> '') AS s
+    FROM documents
+  ), UNNEST(generate_series(1, len(s))) AS u(i)
+), sent_docs AS (
+  SELECT s, COUNT(*) AS n_docs FROM per_sent GROUP BY 1
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_sentences,
+       CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST((1000000 * SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS boilerplate_e6
+FROM per_sent p JOIN sent_docs d ON d.s = p.s
+GROUP BY p.doc_id
+"""

@@ -653,6 +653,11 @@ _SPECS: dict[str, QuerySpec] = {
     "store_validated_commit": QuerySpec(
         kg.store_validated_commit, kg.STORE_VALIDATED_ORACLE
     ),
+    # D52 (NEW r6): duplicated-sentence (boilerplate) fraction — the
+    # Gopher/FineWeb cross-document repetition signal.
+    "text_boilerplate_fraction": QuerySpec(
+        pipeline.text_boilerplate_fraction, pipeline.BOILERPLATE_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE
