@@ -658,6 +658,11 @@ _SPECS: dict[str, QuerySpec] = {
     "text_boilerplate_fraction": QuerySpec(
         pipeline.text_boilerplate_fraction, pipeline.BOILERPLATE_ORACLE
     ),
+    # B54 (NEW r6): RFM segmentation — sort-free exact terciles per
+    # dimension, exact cents, broadcast-bounds bucketing.
+    "orders_rfm_segmentation": QuerySpec(
+        relational.orders_rfm_segmentation, relational.RFM_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE

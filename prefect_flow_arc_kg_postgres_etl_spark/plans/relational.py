@@ -2537,3 +2537,137 @@ SELECT CAST(yr AS INT) AS yr, CAST(mo AS INT) AS mo, n_orders,
 FROM monthly
 WINDOW w AS (PARTITION BY mo ORDER BY yr)
 """
+
+
+# ----------------------------- B54 RFM customer segmentation (r6)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B54 (r6): RFM SEGMENTATION — recency (days since last order),
+    frequency (order count), monetary (exact cents) per customer, each
+    bucketed into terciles, concatenated into the classic 'RFM cell'.
+    Exactness without a global sort: per dimension the customer
+    aggregate collapses to a (value -> count) table (bounded by
+    distinct values, not customers — recency days and order counts
+    are small domains; monetary quantizes to whole dollars first),
+    the D50 cumulative-window trick finds exact tercile cutoffs via
+    integer cross-products, and bucketing is a broadcast-bounds
+    projection. Shuffles: ONE per-customer aggregation of the fact +
+    three tiny value tables."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("t_max"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    per_cust = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.datediff(F.col("t_max"), F.col("o_orderdate"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(cents).alias("monetary_cents"),
+        )
+        .withColumn(
+            "monetary_dollars", F.expr("monetary_cents div 100")
+        )
+    )
+
+    def tercile_bounds(col: str):
+        by_v = per_cust.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        ranked = by_v.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+            F.broadcast(by_v.agg(F.sum("cnt").alias("n")))
+        )
+        t1 = ranked.filter(F.col("cum") * 3 >= F.col("n")).agg(
+            F.min("v").alias(f"{col}_t1")
+        )
+        t2 = ranked.filter(F.col("cum") * 3 >= F.col("n") * 2).agg(
+            F.min("v").alias(f"{col}_t2")
+        )
+        return t1.crossJoin(t2)
+
+    bounds = (
+        tercile_bounds("recency_days")
+        .crossJoin(tercile_bounds("frequency"))
+        .crossJoin(tercile_bounds("monetary_dollars"))
+    )
+
+    def bucket(col: str):
+        return (
+            F.when(F.col(col) <= F.col(f"{col}_t1"), 1)
+            .when(F.col(col) <= F.col(f"{col}_t2"), 2)
+            .otherwise(3)
+        )
+
+    return (
+        per_cust.crossJoin(F.broadcast(bounds))
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            (F.col("monetary_cents") / 100.0).alias("monetary"),
+            bucket("recency_days").alias("r_bucket"),
+            bucket("frequency").alias("f_bucket"),
+            bucket("monetary_dollars").alias("m_bucket"),
+        )
+        .withColumn(
+            "rfm_cell",
+            F.concat_ws(
+                "", F.col("r_bucket"), F.col("f_bucket"), F.col("m_bucket")
+            ),
+        )
+    )
+
+
+RFM_ORACLE = """
+WITH anchor AS (SELECT MAX(o_orderdate) AS t_max FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+         MIN(DATE_DIFF('day', o_orderdate, (SELECT t_max FROM anchor)))
+           AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_cents,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) // 100
+           AS monetary_dollars
+  FROM orders GROUP BY 1
+),
+r_b AS (
+  SELECT v, SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+         AND CURRENT ROW) AS cum, SUM(cnt) OVER () AS n
+  FROM (SELECT recency_days AS v, COUNT(*) AS cnt FROM per_cust GROUP BY 1)
+),
+f_b AS (
+  SELECT v, SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+         AND CURRENT ROW) AS cum, SUM(cnt) OVER () AS n
+  FROM (SELECT frequency AS v, COUNT(*) AS cnt FROM per_cust GROUP BY 1)
+),
+m_b AS (
+  SELECT v, SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+         AND CURRENT ROW) AS cum, SUM(cnt) OVER () AS n
+  FROM (SELECT monetary_dollars AS v, COUNT(*) AS cnt FROM per_cust GROUP BY 1)
+),
+cuts AS (
+  SELECT (SELECT MIN(v) FROM r_b WHERE cum * 3 >= n) AS r_t1,
+         (SELECT MIN(v) FROM r_b WHERE cum * 3 >= n * 2) AS r_t2,
+         (SELECT MIN(v) FROM f_b WHERE cum * 3 >= n) AS f_t1,
+         (SELECT MIN(v) FROM f_b WHERE cum * 3 >= n * 2) AS f_t2,
+         (SELECT MIN(v) FROM m_b WHERE cum * 3 >= n) AS m_t1,
+         (SELECT MIN(v) FROM m_b WHERE cum * 3 >= n * 2) AS m_t2
+)
+SELECT p.o_custkey, p.recency_days, p.frequency,
+       CAST(p.monetary_cents AS DOUBLE) / 100.0 AS monetary,
+       CASE WHEN p.recency_days <= c.r_t1 THEN 1
+            WHEN p.recency_days <= c.r_t2 THEN 2 ELSE 3 END AS r_bucket,
+       CASE WHEN p.frequency <= c.f_t1 THEN 1
+            WHEN p.frequency <= c.f_t2 THEN 2 ELSE 3 END AS f_bucket,
+       CASE WHEN p.monetary_dollars <= c.m_t1 THEN 1
+            WHEN p.monetary_dollars <= c.m_t2 THEN 2 ELSE 3 END AS m_bucket,
+       CAST(CASE WHEN p.recency_days <= c.r_t1 THEN 1
+            WHEN p.recency_days <= c.r_t2 THEN 2 ELSE 3 END AS VARCHAR)
+       || CAST(CASE WHEN p.frequency <= c.f_t1 THEN 1
+            WHEN p.frequency <= c.f_t2 THEN 2 ELSE 3 END AS VARCHAR)
+       || CAST(CASE WHEN p.monetary_dollars <= c.m_t1 THEN 1
+            WHEN p.monetary_dollars <= c.m_t2 THEN 2 ELSE 3 END AS VARCHAR)
+         AS rfm_cell
+FROM per_cust p, cuts c
+"""
