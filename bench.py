@@ -102,6 +102,13 @@ HEADLINE = [
     "corpus_chunk_overlap",
     "merge_upsert_conditional",
     "corpus_quality_resample",
+    # Round-6 third append: the bigram-LM quality score (two corpus
+    # shuffles), the boilerplate fraction, the staleness-bounded as-of
+    # join, and the sort-free RFM segmentation.
+    "text_lm_score",
+    "text_boilerplate_fraction",
+    "asof_join_tolerance",
+    "orders_rfm_segmentation",
 ]
 
 
