@@ -62,7 +62,16 @@ class QuerySpec:
 # embedding_random_projection, agg_refresh_retractable,
 # stream_scd2_enrich, text_lm_score, kg_path_negated,
 # orders_running_distinct, embedding_label_centroids,
-# kg_construct_minus.
+# kg_construct_minus, and the fourth/fifth-wave entries:
+# source_json_nested_roundtrip, maintenance_vacuum, fk_discovery,
+# stream_interval_join_outer, source_corrupt_tolerant,
+# stream_gap_fill, asof_join_tolerance, kg_update_delete_insert,
+# ann_recall_eval, corpus_interleave_shards, text_sentence_split,
+# supplier_pareto_abc, kg_graph_management, embedding_outliers,
+# events_mode_per_user, corpus_length_band_filter,
+# corpus_dup_rate_report, orders_yoy_growth,
+# kg_construct_values_rows, store_validated_commit,
+# text_boilerplate_fraction, orders_rfm_segmentation.
 _SPECS: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
@@ -662,6 +671,12 @@ _SPECS: dict[str, QuerySpec] = {
     # dimension, exact cents, broadcast-bounds bucketing.
     "orders_rfm_segmentation": QuerySpec(
         relational.orders_rfm_segmentation, relational.RFM_ORACLE
+    ),
+    # C17 (NEW r6): exact streaming distinct per window — chained
+    # stateful dedup + windowed count, horizon-bounded state.
+    "stream_windowed_distinct": QuerySpec(
+        streaming_plans.stream_windowed_distinct,
+        streaming_plans.STREAM_WINDOWED_DISTINCT_ORACLE,
     ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(

@@ -532,3 +532,26 @@ SELECT s.event_type, s.hour, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
 FROM spine s LEFT JOIN hourly h
   ON h.event_type = s.event_type AND h.hour = s.hour
 """
+
+
+def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17 (r6): EXACT distinct users per hour window in streaming —
+    the chained-stateful shape (watermarked dedup on (window, user)
+    feeding the windowed count; Spark 4 multi-stateful). Exactness is
+    the point: approx_count_distinct is the usual streaming
+    compromise, and both stages' state stays horizon-bounded."""
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        windowed_distinct_stream,
+    )
+
+    out = tempfile.mkdtemp(prefix="stream_wdist_") + "/agg"
+    return windowed_distinct_stream(spark, sf_dir, out)
+
+
+STREAM_WINDOWED_DISTINCT_ORACLE = """
+SELECT DATE_TRUNC('hour', ts) AS window_start,
+       COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events
+GROUP BY 1
+HAVING window_start <= (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
+"""

@@ -1407,3 +1407,42 @@ def gap_fill_stream(
         F.col("hour").cast("timestamp_ntz").alias("hour"),
         "n",
     )
+
+
+def windowed_distinct_stream(
+    spark: SparkSession, sf_dir: str, out_path: str, delay: str = "1 hour"
+) -> DataFrame:
+    """C17: EXACT distinct users per hour window, streaming — the
+    chained-stateful shape (Spark 4 multi-stateful support):
+    watermarked dropDuplicates on (window, user) bounds dedup state to
+    the lateness horizon, then the windowed count aggregates the
+    survivors — each stage's state is horizon-bounded, and the count
+    is EXACT (approx_count_distinct is the usual streaming compromise).
+    On a bounded source: windows with end <= final watermark emit."""
+    ev = events_stream(spark, sf_dir)
+    base = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .select(F.window("ts", "1 hour").alias("w"), "ts", "user_id")
+        .dropDuplicates(["w", "user_id"])
+    )
+    agg = (
+        base.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_distinct_users"))
+        .select(
+            F.col("w").getField("start").cast("timestamp_ntz").alias(
+                "window_start"
+            ),
+            "n_distinct_users",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", f"{out_path}_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)
