@@ -2918,3 +2918,55 @@ def store_validated_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STORE_VALIDATED_ORACLE = f"SELECT {', '.join(ORDER_COLS)} FROM orders"
+
+
+# ------------------------------- A63 multi-table atomic commit (r6)
+def store_multi_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A63 (r6): cross-table ATOMIC VISIBILITY — orders and lineitem
+    commit TOGETHER through one numbered root manifest (the commit
+    point; per-table pointers are a convenience cache swapped after).
+    In-plan proof: after a first committed state, a second commit
+    rewrites both tables (orders re-priced, lineitem re-taxed); the
+    latest-manifest read must see BOTH new versions — and the pinned
+    first manifest still reads BOTH old ones (no torn combination
+    either way). Returns the post-commit join read THROUGH the
+    manifest; oracle = the same join recomputed."""
+    import tempfile
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+
+    sd = tempfile.mkdtemp(prefix="multicommit_")
+    orders = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_tax"
+    )
+    m1 = store.commit_tables(sd, {"orders": orders, "lineitem": li})
+    orders2 = orders.withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    li2 = li.withColumn("l_tax", F.col("l_tax") + 0.01)
+    store.commit_tables(sd, {"orders": orders2, "lineitem": li2})
+    latest = store.latest_manifest(sd)
+    new = store.read_snapshot(spark, sd, latest)
+    old = store.read_snapshot(spark, sd, m1)
+    assert old["orders"].agg(F.sum("o_totalprice")).first()[0] < (
+        new["orders"].agg(F.sum("o_totalprice")).first()[0]
+    ), "manifest read mixed commit states"
+    return (
+        new["orders"]
+        .join(new["lineitem"], new["orders"].o_orderkey == new["lineitem"].l_orderkey)
+        .select(
+            "o_orderkey",
+            "l_linenumber",
+            (F.col("o_totalprice")).alias("o_totalprice_new"),
+            (F.col("l_tax")).alias("l_tax_new"),
+        )
+    )
+
+
+STORE_MULTI_COMMIT_ORACLE = """
+SELECT o.o_orderkey, l.l_linenumber,
+       o.o_totalprice * 1.1 AS o_totalprice_new,
+       l.l_tax + 0.01 AS l_tax_new
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""

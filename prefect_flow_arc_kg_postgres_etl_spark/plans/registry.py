@@ -678,6 +678,11 @@ _SPECS: dict[str, QuerySpec] = {
         streaming_plans.stream_windowed_distinct,
         streaming_plans.STREAM_WINDOWED_DISTINCT_ORACLE,
     ),
+    # A63 (NEW r6): multi-table atomic commit — the root-manifest
+    # commit point; no torn cross-table state.
+    "store_multi_commit": QuerySpec(
+        kg.store_multi_commit, kg.STORE_MULTI_COMMIT_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE

@@ -457,3 +457,60 @@ def write_table_validated(
         for k in range(1, prev + 1):
             shutil.rmtree(version_dir(table_path, k), ignore_errors=True)
     return v
+
+
+def commit_tables(store_dir: str, tables: dict) -> str:
+    """A63 (r6): MULTI-TABLE ATOMIC COMMIT — per-table pointer swaps
+    commit independently (A46 exists to pin around that); real
+    cross-table writes (fact + its index, parent + child) need
+    all-or-nothing VISIBILITY. Per-file pointers cannot give it, so
+    the commit root moves up a level — the lakehouse answer (one
+    commit log/root for the whole store): every table's data lands in
+    its next version directory WITHOUT touching its pointer, then ONE
+    numbered snapshot manifest referencing all the new versions is
+    claimed with O_EXCL — the manifest write is the commit point. A
+    crash before it leaves only unreferenced directories (invisible,
+    vacuum-able); after it, manifest readers see ALL new versions.
+    Per-table pointers then swap as a convenience cache for
+    single-table readers — idempotent on retry, and pointer-path
+    readers of a torn retry window are exactly the anomaly A46
+    manifests exist to avoid. Returns the manifest path."""
+    import json
+
+    landed: dict[str, int] = {}
+    for name, df in tables.items():
+        tp = os.path.join(store_dir, f"{name}.parquet")
+        v = (current_version(tp) or 0) + 1
+        df.write.mode("overwrite").parquet(version_dir(tp, v))
+        landed[name] = v
+    n = 1
+    while True:
+        path = os.path.join(store_dir, f"_snapshot_{n}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            n += 1
+    with os.fdopen(fd, "w") as f:
+        json.dump(landed, f, sort_keys=True)
+    # convenience-cache pointer swaps (idempotent; manifest is truth)
+    for name, v in landed.items():
+        tp = os.path.join(store_dir, f"{name}.parquet")
+        tmp = os.path.join(tp, _POINTER + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(tp, _POINTER))
+    return path
+
+
+def latest_manifest(store_dir: str) -> str | None:
+    """Highest-numbered snapshot manifest in the store, or None."""
+    import glob
+    import re
+
+    best, best_n = None, 0
+    for p in glob.glob(os.path.join(store_dir, "_snapshot_*.json")):
+        m = re.match(r".*_snapshot_(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    return best

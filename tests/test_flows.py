@@ -498,3 +498,36 @@ def test_vacuum_respects_pins_and_reclaims_unreachable(spark, tmp_path):
     os.remove(pin)
     assert store.vacuum_table(tp, store_dir, keep_last=1) == [2]
     assert store.read_table(spark, tp).count() == 30
+
+
+def test_multi_commit_crash_before_manifest_is_invisible(spark, tmp_path):
+    """A63: the manifest write is the COMMIT POINT — versions landed
+    without a manifest (a crash mid-commit) are invisible to manifest
+    readers, and the next successful commit supersedes them."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    sd = str(tmp_path)
+    orders = load_table(spark, sf, "orders").limit(100)
+    li = load_table(spark, sf, "lineitem").limit(100)
+    store.commit_tables(sd, {"orders": orders, "lineitem": li})
+
+    # Simulate a crash: land orphan next-versions WITHOUT a manifest.
+    tp = f"{sd}/orders.parquet"
+    crashed_v = (store.current_version(tp) or 0) + 1
+    orders.limit(1).write.mode("overwrite").parquet(
+        store.version_dir(tp, crashed_v)
+    )
+    latest = store.latest_manifest(sd)
+    snap = store.read_snapshot(spark, sd, latest)
+    assert snap["orders"].count() == 100  # orphan invisible
+
+    # The next commit succeeds and is fully visible (both tables).
+    store.commit_tables(
+        sd, {"orders": orders.limit(50), "lineitem": li.limit(40)}
+    )
+    snap2 = store.read_snapshot(spark, sd, store.latest_manifest(sd))
+    assert (snap2["orders"].count(), snap2["lineitem"].count()) == (50, 40)
