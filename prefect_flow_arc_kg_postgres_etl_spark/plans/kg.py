@@ -2970,3 +2970,56 @@ SELECT o.o_orderkey, l.l_linenumber,
        l.l_tax + 0.01 AS l_tax_new
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 """
+
+
+# ----------------------- A64 join+agg view incremental refresh (r6)
+_JOIN_AGG_SPLIT = "1997-01-01 00:00:00"
+
+
+def agg_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A64 (r6): incremental maintenance of a JOIN + AGGREGATE view —
+    the composition A44 (join view) and A34 (aggregate summary-delta)
+    each solve half of: the view is per-customer revenue over
+    orders ⋈ lineitem, the delta arrives in ONE base table (new
+    lineitems). Maintenance: the delta JOINS the other base on its
+    key (the only join work — |delta| probes, the fact join is never
+    re-run) and the resulting partials fold into the aggregate state
+    by addition (exact e4 integer revenue, the A34 rule). Refresh
+    cost: |groups| + |delta| x lookup. Oracle = full recompute."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * F.round((1 - F.col("l_discount")) * 100).cast("bigint")
+    )
+    base = li.filter(F.col("l_shipdate") < _JOIN_AGG_SPLIT)
+    delta = li.filter(F.col("l_shipdate") >= _JOIN_AGG_SPLIT)
+    state = (
+        base.join(orders, base.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(rev_e4).alias("rev_e4"))
+    )
+    delta_joined = delta.join(
+        orders, delta.l_orderkey == orders.o_orderkey
+    ).select("o_custkey", rev_e4.alias("rev_e4"))
+    merged = M.merge_agg_state(
+        state, delta_joined, keys=["o_custkey"], sum_cols=["rev_e4"]
+    )
+    return merged.select(
+        "o_custkey",
+        F.col("n").alias("n_lines"),
+        (F.col("rev_e4") / 10000.0).alias("revenue"),
+    )
+
+
+AGG_JOIN_VIEW_ORACLE = """
+SELECT o.o_custkey,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * CAST(ROUND((1 - l.l_discount) * 100) AS BIGINT))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_custkey
+"""

@@ -2264,3 +2264,58 @@ SELECT p.doc_id,
 FROM per_sent p JOIN sent_docs d ON d.s = p.s
 GROUP BY p.doc_id
 """
+
+
+# ----------------------------------- D53 n-gram novelty scoring (r6)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D53 (r6): NOVELTY scoring — per document, the fraction of its
+    distinct 8-grams that FIRST appear in it (corpus order = doc_id):
+    the memorization-research signal separating content originators
+    from re-posters, and the complement of D52's boilerplate view.
+    Deterministic without any sequential scan: a gram's introducer is
+    min(doc_id) over its occurrences — ONE keyed aggregation — and a
+    doc's novelty is the fraction of its grams whose introducer is
+    itself. Two shuffles total (gram hash, then doc)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import doc_ngrams
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tg = doc_ngrams(docs, "doc_id", "text", _DECON_N).distinct()
+    intro = tg.groupBy("gram").agg(F.min("id").alias("first_doc"))
+    return (
+        tg.join(intro, "gram")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("id"), 1).otherwise(0)
+            ).alias("n_novel"),
+            F.expr(
+                "(1000000 * sum(case when first_doc = id then 1 else 0 end))"
+                " div count(1)"
+            ).alias("novelty_e6"),
+        )
+    )
+
+
+NGRAM_NOVELTY_ORACLE = rf"""
+WITH tg AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(range(1, len(w) - {_DECON_N - 2}),
+                               i -> array_to_string(w[i:i+{_DECON_N - 1}], ' ')))
+           AS g
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(LOWER(text), '\s+'), x -> x <> '') AS w
+        FROM documents)
+  WHERE len(w) >= {_DECON_N}
+), intro AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM tg GROUP BY 1
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN i.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST((1000000 * SUM(CASE WHEN i.first_doc = t.doc_id THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS novelty_e6
+FROM tg t JOIN intro i ON i.g = t.g
+GROUP BY t.doc_id
+"""

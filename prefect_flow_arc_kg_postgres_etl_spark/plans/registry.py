@@ -683,6 +683,16 @@ _SPECS: dict[str, QuerySpec] = {
     "store_multi_commit": QuerySpec(
         kg.store_multi_commit, kg.STORE_MULTI_COMMIT_ORACLE
     ),
+    # A64 (NEW r6): incremental refresh of a JOIN+AGG view — delta
+    # joins the dim once, partials fold into state (A44 x A34).
+    "agg_join_view_refresh": QuerySpec(
+        kg.agg_join_view_refresh, kg.AGG_JOIN_VIEW_ORACLE
+    ),
+    # D53 (NEW r6): n-gram novelty — fraction of grams a doc
+    # introduces to the corpus (min-doc-id introducer, no seq scan).
+    "text_ngram_novelty": QuerySpec(
+        pipeline.text_ngram_novelty, pipeline.NGRAM_NOVELTY_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE
