@@ -3023,3 +3023,60 @@ SELECT o.o_custkey,
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_custkey
 """
+
+
+# ------------------------------------ A65 schema drift report (r6)
+def schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A65 (r6): SCHEMA DRIFT classification — A32 proves compatible
+    evolution (added columns backfill NULL); production feeds also
+    drift INCOMPATIBLY (type changes, dropped columns), and mergeSchema
+    then fails at read time with no actionable diff. This op DERIVES
+    the drift report from two landed parquet generations' footers
+    (metadata only, no data scan): per column — added / dropped /
+    type_changed / unchanged, with the compatibility verdict the
+    loader acts on (gate the feed, not the morning-after job). The
+    generations are written in-plan (gen2 re-types o_totalprice to
+    string, drops o_orderpriority, adds o_channel), so the Spark side
+    must genuinely diff footers; the oracle pins the expected
+    classification — the fk_merge_order precedent for metadata ops."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="drift_")
+    orders.limit(10).write.mode("overwrite").parquet(f"{root}/gen1")
+    (
+        orders.limit(10)
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
+        .drop("o_orderpriority")
+        .withColumn("o_channel", F.lit("web"))
+        .write.mode("overwrite")
+        .parquet(f"{root}/gen2")
+    )
+    s1 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(f"{root}/gen1").schema.fields}
+    s2 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(f"{root}/gen2").schema.fields}
+    rows = []
+    for c in sorted(set(s1) | set(s2)):
+        if c not in s1:
+            rows.append((c, "added", s2[c], True))
+        elif c not in s2:
+            rows.append((c, "dropped", s1[c], False))
+        elif s1[c] != s2[c]:
+            rows.append((c, "type_changed", f"{s1[c]}->{s2[c]}", False))
+        else:
+            rows.append((c, "unchanged", s1[c], True))
+    return spark.createDataFrame(
+        rows, "column string, change string, detail string, compatible boolean"
+    )
+
+
+SCHEMA_DRIFT_ORACLE = """
+SELECT * FROM (VALUES
+  ('o_channel', 'added', 'string', TRUE),
+  ('o_custkey', 'unchanged', 'bigint', TRUE),
+  ('o_orderdate', 'unchanged', 'timestamp_ntz', TRUE),
+  ('o_orderkey', 'unchanged', 'bigint', TRUE),
+  ('o_orderpriority', 'dropped', 'string', FALSE),
+  ('o_orderstatus', 'unchanged', 'string', TRUE),
+  ('o_totalprice', 'type_changed', 'double->string', FALSE)
+) AS t("column", change, detail, compatible)
+"""

@@ -693,6 +693,11 @@ _SPECS: dict[str, QuerySpec] = {
     "text_ngram_novelty": QuerySpec(
         pipeline.text_ngram_novelty, pipeline.NGRAM_NOVELTY_ORACLE
     ),
+    # A65 (NEW r6): schema drift report derived from parquet footers —
+    # incompatible-drift gate (type change / drop detection).
+    "schema_drift_report": QuerySpec(
+        kg.schema_drift_report, kg.SCHEMA_DRIFT_ORACLE
+    ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(
         kg.merge_cdc_apply, kg.MERGE_CDC_APPLY_ORACLE
