@@ -71,7 +71,9 @@ class QuerySpec:
 # events_mode_per_user, corpus_length_band_filter,
 # corpus_dup_rate_report, orders_yoy_growth,
 # kg_construct_values_rows, store_validated_commit,
-# text_boilerplate_fraction, orders_rfm_segmentation.
+# text_boilerplate_fraction, orders_rfm_segmentation,
+# stream_windowed_distinct, store_multi_commit,
+# agg_join_view_refresh, text_ngram_novelty, schema_drift_report.
 _SPECS: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
