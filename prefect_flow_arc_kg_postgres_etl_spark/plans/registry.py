@@ -73,7 +73,8 @@ class QuerySpec:
 # kg_construct_values_rows, store_validated_commit,
 # text_boilerplate_fraction, orders_rfm_segmentation,
 # stream_windowed_distinct, store_multi_commit,
-# agg_join_view_refresh, text_ngram_novelty, schema_drift_report.
+# agg_join_view_refresh, text_ngram_novelty, schema_drift_report,
+# stream_agg_retractable.
 _SPECS: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
@@ -699,6 +700,12 @@ _SPECS: dict[str, QuerySpec] = {
     # incompatible-drift gate (type change / drop detection).
     "schema_drift_report": QuerySpec(
         kg.schema_drift_report, kg.SCHEMA_DRIFT_ORACLE
+    ),
+    # C18 (NEW r6): streaming retractable aggregate maintenance —
+    # signed summary-delta in foreachBatch, epoch-guarded.
+    "stream_agg_retractable": QuerySpec(
+        streaming_plans.stream_agg_retractable,
+        streaming_plans.STREAM_AGG_RETRACT_ORACLE,
     ),
     # A45 (NEW r6): ordered CDC changelog apply with tombstones.
     "merge_cdc_apply": QuerySpec(

@@ -555,3 +555,27 @@ FROM events
 GROUP BY 1
 HAVING window_start <= (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
 """
+
+
+def stream_agg_retractable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18 (r6): streaming CDC aggregate maintenance with RETRACTIONS —
+    C9's summary-delta with signed multiplicities (the streaming twin
+    of A52): deletes fold in as negated partials, zero-count users
+    leave the state, epoch guard against replays. Converged state ==
+    the batch aggregate over surviving rows (full SQL oracle)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.streaming.sync import (
+        agg_retractable_stream,
+    )
+
+    target = tempfile.mkdtemp(prefix="stream_retract_") + "/state"
+    return agg_retractable_stream(spark, sf_dir, target)
+
+
+STREAM_AGG_RETRACT_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS total_value
+FROM events
+WHERE value <= 150
+GROUP BY user_id
+"""

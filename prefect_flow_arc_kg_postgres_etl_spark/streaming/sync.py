@@ -1446,3 +1446,86 @@ def windowed_distinct_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+def agg_retractable_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    target_path: str,
+) -> DataFrame:
+    """C18: streaming RETRACTABLE aggregate maintenance — the CDC form
+    of C9 (and the streaming twin of batch A52): the feed carries
+    inserts AND deletes, simulated deterministically as every event
+    arriving sign +1 and events with value > 150 later RETRACTING with
+    sign -1 (the at-source correction case). Each micro-batch's signed
+    partials fold into the state via merge_agg_state_signed — counts
+    and exact integer sums are abelian groups, deletions are negated
+    additions, zero-count users leave the state. Same epoch-guarded
+    replay protection as C9 (additive state is not replay-idempotent).
+    Converged state == the batch aggregate over the surviving rows
+    (value <= 150), the full SQL oracle."""
+    ev = events_stream(spark, sf_dir)
+    inserts = ev.select("user_id", "value", F.lit(1).alias("sign"))
+    retracts = (
+        ev.filter(F.col("value") > 150)
+        .select("user_id", "value", F.lit(-1).alias("sign"))
+    )
+    feed = inserts.unionByName(retracts)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as FF
+
+        from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import (
+            merge_agg_state_signed,
+        )
+        from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+
+        sp = batch_df.sparkSession
+        delta = batch_df.select(
+            "user_id",
+            "sign",
+            FF.round(FF.col("value") * 1000000)
+            .cast("bigint")
+            .alias("value_micros"),
+        )
+        state = (
+            store.read_table(sp, target_path)
+            if store.table_exists(target_path)
+            else None
+        )
+        if state is not None:
+            last = state.select(FF.max("_epoch")).first()[0]
+            if last is not None and last >= epoch_id:
+                return
+        if state is None:
+            empty = sp.createDataFrame(
+                [], "user_id bigint, n bigint, value_micros bigint"
+            )
+            merged = merge_agg_state_signed(
+                empty, delta, keys=["user_id"], sum_cols=["value_micros"]
+            )
+        else:
+            merged = merge_agg_state_signed(
+                state.drop("_epoch"),
+                delta,
+                keys=["user_id"],
+                sum_cols=["value_micros"],
+            )
+        store.write_table(
+            merged.withColumn("_epoch", FF.lit(epoch_id)), target_path
+        )
+
+    q = (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{target_path}_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+
+    return store.read_table(spark, target_path).select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        (F.col("value_micros") / 1000000.0).alias("total_value"),
+    )
