@@ -388,6 +388,11 @@ def vacuum_table(
     import json
     import re
 
+    if keep_last < 1:
+        # versions[-0:] would be the WHOLE list — i.e. keep everything,
+        # the opposite of what a caller passing 0 means. The live
+        # version is always kept, so 1 is the floor.
+        raise ValueError("vacuum_table: keep_last must be >= 1")
     live = current_version(table_path)
     if live is None:
         return []
