@@ -783,67 +783,83 @@ _SPECS: dict[str, QuerySpec] = {
 # DESCRIBE/ASK, constraint check, z-order, the TPC-H five) plus the
 # iterative algorithms, the store lifecycle ops, and the stateful
 # streaming operators.
+# r7 rotation: ALL 50 slots are entries with no driver CORRECTNESS row
+# through r6 (77 such oracle-backed entries existed at rotation time);
+# the verdict's named priority set (stream_pivot_records,
+# sessions_overlap_join, merge_upsert_conditional, kg_select_agg,
+# kg_construct_subquery, agg_refresh_retractable, stream_gap_fill,
+# stream_interval_join_outer, scd2_point_in_time,
+# graph_pagerank_resumable, dedup_incremental, dedup_survivors,
+# ann_ivf_topk, store_multi_commit, schema_drift_report) is all in.
+# Deferred to the explicit r8 window (machinery twins already hold
+# driver rows, all still green under tools/check_oracle.py):
+# q4_order_priority, q10_returned_items, q12_priority_lines,
+# q14_promo_revenue, q16_supplier_count, q18_large_orders,
+# orders_value_histogram, orders_except_intersect, orders_yoy_growth,
+# cube_agg, window_range_interval, events_funnel, events_funnel3,
+# events_anomaly_mad, events_mode_per_user, orders_running_distinct,
+# orders_rfm_segmentation, supplier_pareto_abc, text_repetition,
+# text_boilerplate_fraction, text_lm_score, text_ngram_novelty,
+# text_sentence_split, corpus_length_band_filter,
+# corpus_dup_rate_report, corpus_mix_sample, corpus_sample_topk_hash,
+# plus any r7-new entries that miss this window.
 DRIVER_WINDOW: list[str] = [
-    # A-block: temporal merge, property paths, CDC, store lifecycle,
-    # maintenance, data quality, skew/bucketing, SPARQL forms, PageRank.
-    "merge_scd2",
-    "kg_path_transitive",
-    "table_diff_cdc",
-    "index_partition_refresh",
-    "source_schema_evolution",
-    "maintenance_compaction",
-    "agg_incremental_refresh",
-    "bucketed_join_colocated",
-    "skew_salted_join",
-    "kg_describe",
-    "kg_ask",
-    "table_profile",
-    "dq_constraint_check",
-    "maintenance_zorder",
-    "targeted_delete_gdpr",
-    "graph_pagerank",
-    # B-block: the TPC-H shapes never driver-graded (incl. the named
-    # five), plus the analytics family.
-    "q2_min_cost_supplier",
-    "q6_revenue_forecast",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "events_pivot_wide",
-    "orders_cohort_retention",
-    "events_quantiles",
-    "events_json_extract",
-    "events_sliding_window",
-    "events_gap_fill",
-    "orders_window_functions",
-    "orders_basket_pairs",
-    # r6-new distinct machinery preferred over the two remaining plain
-    # TPC-H shapes (q4/q12 — their siblings all hold driver rows).
-    "events_range_join_bucketed",
-    "merge_cdc_apply",
-    # C-block: the stateful/bounded-deterministic streaming operators.
-    "stream_funnel",
-    "stream_interval_join",
-    "stream_agg_state",
-    "stream_dq_gate",
-    "stream_sessionize_buffered",
-    # D-block: redaction, quantized/filtered ANN, cluster components,
-    # corpus statistics, trend fit, edit distance, Bloom decontam,
-    # k-means.
-    "text_pii_redact",
-    "ann_quantized_topk",
-    "dedup_cluster_components",
-    "corpus_vocabulary",
-    "corpus_bigram_lm",
-    "events_trend_fit",
-    "ann_filtered_topk",
-    "dedup_edit_distance",
-    "corpus_decontaminate_bloom",
-    "embeddings_kmeans",
+    # A-block: SPARQL forms, property paths, graph/store management,
+    # update semantics, maintenance, sources, temporal reads.
+    "kg_path_zero_or_more",
+    "kg_path_negated",
+    "kg_construct_minus",
+    "kg_construct_subquery",
+    "kg_construct_values_rows",
+    "kg_select_agg",
+    "kg_update_delete_insert",
+    "kg_graph_management",
+    "merge_upsert_conditional",
+    "scd2_point_in_time",
+    "flow_snapshot_read",
+    "store_validated_commit",
+    "store_multi_commit",
+    "maintenance_vacuum",
+    "schema_drift_report",
+    "fk_discovery",
+    "source_orc_roundtrip",
+    "source_json_nested_roundtrip",
+    "source_corrupt_tolerant",
+    "graph_pagerank_resumable",
+    "join_view_incremental",
+    "agg_join_view_refresh",
+    "agg_refresh_retractable",
+    # B-block: the distinct-machinery analytics shapes.
+    "sessionize_native",
+    "sessions_overlap_join",
+    "asof_join_tolerance",
+    # C-block: every stateful streaming operator still unchecked.
+    "stream_topk",
+    "stream_dedup_state",
+    "stream_pivot_records",
+    "stream_scd2_enrich",
+    "stream_interval_join_outer",
+    "stream_gap_fill",
+    "stream_windowed_distinct",
+    "stream_agg_retractable",
+    "stream_funnel_buffered",
+    # D-block: incremental dedup, ANN index/eval, embeddings, corpus
+    # management, multimodal.
+    "dedup_incremental",
+    "dedup_survivors",
+    "ann_ivf_topk",
+    "ann_recall_eval",
+    "embedding_random_projection",
+    "embedding_label_centroids",
+    "embedding_outliers",
+    "corpus_split_assign",
+    "corpus_chunk_overlap",
+    "corpus_quality_resample",
+    "corpus_contamination_report",
+    "corpus_interleave_shards",
+    "corpus_shard_layout",
+    "multimodal_binary_source",
+    "multimodal_audio_stats",
 ]
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
