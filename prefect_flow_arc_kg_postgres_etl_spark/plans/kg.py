@@ -3080,3 +3080,162 @@ SELECT * FROM (VALUES
   ('o_totalprice', 'type_changed', 'double->string', FALSE)
 ) AS t("column", change, detail, compatible)
 """
+
+
+# ---------------------------------------------------------------------------
+# A66: org-rename partition invalidation (denormalized dim-drift rebuild)
+
+_RENAME_SINCE = "2001-07-28 00:00:00"
+
+
+def index_partition_rename_invalidation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dim-attribute drift invalidation: a partition whose documents
+    embed a STALE org display name force-rebuilds even when no fact row
+    changed — the reference's ``check_if_org_name_changed`` probes the
+    partition's embedded ``schema_maintainer.schema_name`` against the
+    org table and truncates + repopulates on mismatch
+    (/root/reference/flows/arc_db_load_index_tables_flow.py:156-226,
+    wired into the flow at :246-266). A31 (``index_partition_refresh``)
+    keys only on post-since fact activity; this entry closes the general
+    "denormalized view vs slowly-changing dimension" hole.
+
+    Model: org partitions are keyed by a STABLE id (n_nationkey) with a
+    display name (n_name) denormalized into every document. The
+    pre-existing index state is the pre-since aggregate embedding the
+    name as of build time — orgs with ``org_key % 7 = 3`` have since
+    been renamed, so their embedded name (``<name> (legacy)``) no longer
+    matches the dim. Detection is DATA-driven exactly as in the
+    reference: a per-partition fingerprint (one embedded name per
+    partition, the LIMIT-1 probe generalized to an aggregate) is
+    compared against the current dim; mismatched partitions join the
+    post-since fact-changed set and both rebuild from the full data
+    embedding the CURRENT name, while untouched partitions pass their
+    previous documents through byte-identical (state='kept'). With the
+    since date chosen 4 days before the last order, renamed orgs 17 and
+    24 have ZERO post-since activity — they rebuild purely on the name
+    mismatch, which is the behavior A31 could never trigger.
+
+    Scale shape: the fingerprint is one row per PARTITION (not per
+    document — on a real store this is partition-level metadata), so
+    rename detection costs O(partitions) and broadcasts; both rebuild
+    and keep legs left-semi-filter members BEFORE aggregating, so
+    refresh cost tracks the invalidated fraction, not the index size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    with_org = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    ).select(
+        "c_custkey",
+        F.col("n_nationkey").alias("org_key"),
+        F.col("n_name").alias("org_name"),
+    )
+    # Simulated prior build: the name denormalized into the docs at
+    # build time; orgs 3,10,17,24 have been renamed in the dim since.
+    legacy_name = F.when(
+        F.col("org_key") % 7 == F.lit(3),
+        F.concat(F.col("org_name"), F.lit(" (legacy)")),
+    ).otherwise(F.col("org_name"))
+
+    def doc_agg(o: DataFrame, members: DataFrame, name_col, state: str) -> DataFrame:
+        agg = o.groupBy("o_custkey").agg(
+            F.count("*").cast("bigint").alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        return members.join(
+            agg, members.c_custkey == agg.o_custkey, "left"
+        ).select(
+            "c_custkey",
+            "org_key",
+            name_col.alias("embedded_name"),
+            F.coalesce("order_count", F.lit(0).cast("bigint")).alias("order_count"),
+            F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+            F.lit(state).alias("state"),
+        )
+
+    prev_index = doc_agg(
+        orders.filter(F.col("o_orderdate") <= _RENAME_SINCE),
+        with_org,
+        legacy_name,
+        "kept",
+    )
+    # Partition fingerprint: every doc in a partition embeds the same
+    # name, so MAX == the reference's LIMIT-1 probe, deterministically.
+    fingerprints = prev_index.groupBy("org_key").agg(
+        F.max("embedded_name").alias("embedded")
+    )
+    renamed = (
+        fingerprints.join(
+            F.broadcast(nat), fingerprints.org_key == nat.n_nationkey
+        )
+        .filter(F.col("embedded") != F.col("n_name"))
+        .select("org_key")
+    )
+    fact_changed = (
+        orders.filter(F.col("o_orderdate") > _RENAME_SINCE)
+        .join(with_org, orders.o_custkey == with_org.c_custkey)
+        .select("org_key")
+        .distinct()
+    )
+    rebuild = renamed.unionByName(fact_changed).distinct()
+
+    changed_members = with_org.join(F.broadcast(rebuild), "org_key", "left_semi")
+    rebuilt = doc_agg(
+        orders.join(
+            changed_members.select("c_custkey"),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_semi",
+        ),
+        changed_members,
+        F.col("org_name"),
+        "rebuilt",
+    )
+    kept = prev_index.join(F.broadcast(rebuild), "org_key", "left_anti")
+    return rebuilt.unionByName(kept)
+
+
+INDEX_RENAME_ORACLE = f"""
+WITH with_org AS (
+  SELECT c_custkey, n_nationkey AS org_key, n_name AS org_name
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+), prev AS (
+  SELECT w.c_custkey, w.org_key,
+         CASE WHEN w.org_key % 7 = 3 THEN w.org_name || ' (legacy)'
+              ELSE w.org_name END AS embedded_name,
+         CAST(COUNT(o.o_orderkey) AS BIGINT) AS order_count,
+         ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spend,
+         'kept' AS state
+  FROM with_org w LEFT JOIN orders o
+    ON o.o_custkey = w.c_custkey
+   AND o.o_orderdate <= TIMESTAMP '{_RENAME_SINCE}'
+  GROUP BY w.c_custkey, w.org_key, w.org_name
+), renamed AS (
+  SELECT f.org_key
+  FROM (SELECT org_key, MAX(embedded_name) AS embedded
+        FROM prev GROUP BY org_key) f
+  JOIN nation n ON f.org_key = n.n_nationkey
+  WHERE f.embedded <> n.n_name
+), fact_changed AS (
+  SELECT DISTINCT w.org_key
+  FROM orders o JOIN with_org w ON o.o_custkey = w.c_custkey
+  WHERE o.o_orderdate > TIMESTAMP '{_RENAME_SINCE}'
+), rebuild AS (
+  SELECT org_key FROM renamed UNION SELECT org_key FROM fact_changed
+), rebuilt AS (
+  SELECT w.c_custkey, w.org_key, w.org_name AS embedded_name,
+         CAST(COUNT(o.o_orderkey) AS BIGINT) AS order_count,
+         ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spend,
+         'rebuilt' AS state
+  FROM with_org w
+  JOIN rebuild r ON w.org_key = r.org_key
+  LEFT JOIN orders o ON o.o_custkey = w.c_custkey
+  GROUP BY w.c_custkey, w.org_key, w.org_name
+)
+SELECT * FROM rebuilt
+UNION ALL
+SELECT * FROM prev
+WHERE org_key NOT IN (SELECT org_key FROM rebuild)
+"""

@@ -321,6 +321,9 @@ _SPECS: dict[str, QuerySpec] = {
         pipeline.events_trend_fit, pipeline.EVENTS_TREND_ORACLE
     ),
     # A31: stats-driven incremental index partition refresh.
+    "index_partition_rename_invalidation": QuerySpec(
+        kg.index_partition_rename_invalidation, kg.INDEX_RENAME_ORACLE
+    ),
     "index_partition_refresh": QuerySpec(
         kg.index_partition_refresh, kg.INDEX_REFRESH_ORACLE
     ),
@@ -822,7 +825,9 @@ DRIVER_WINDOW: list[str] = [
     "maintenance_vacuum",
     "schema_drift_report",
     "fk_discovery",
-    "source_orc_roundtrip",
+    # r7-new: dim-drift invalidation (A66) takes source_orc_roundtrip's
+    # slot; orc roundtrip joins the r8 residue window.
+    "index_partition_rename_invalidation",
     "source_json_nested_roundtrip",
     "source_corrupt_tolerant",
     "graph_pagerank_resumable",

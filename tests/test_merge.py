@@ -285,3 +285,34 @@ def test_signed_agg_merge_drops_fully_retracted_groups(spark):
         ).collect()
     }
     assert out == {1: (1, 100), 3: (2, 70), 4: (1, 90)}
+
+
+class TestRenameInvalidation:
+    """A66: dim-drift invalidation must rebuild partitions whose docs
+    embed a stale org name even with ZERO post-since fact activity, and
+    must pass untouched partitions through unchanged."""
+
+    def test_dim_only_drift_rebuilds(self, spark):
+        from prefect_flow_arc_kg_postgres_etl_spark.plans.kg import (
+            index_partition_rename_invalidation,
+        )
+
+        out = index_partition_rename_invalidation(spark, "/root/testdata/sf0.01")
+        rows = out.collect()
+        by_org = {}
+        for r in rows:
+            by_org.setdefault(r.org_key, set()).add(r.state)
+        # Renamed orgs (key % 7 == 3) must be fully rebuilt — including
+        # any with no post-since orders — and embed the CURRENT name.
+        for k, states in by_org.items():
+            assert len(states) == 1, f"mixed states within partition {k}"
+            if k % 7 == 3:
+                assert states == {"rebuilt"}, f"renamed org {k} not rebuilt"
+        renamed_rows = [r for r in rows if r.org_key % 7 == 3]
+        assert renamed_rows
+        assert all("(legacy)" not in r.embedded_name for r in renamed_rows)
+        # Kept partitions embed their original (current == legacy-free)
+        # name and match the pre-since aggregate exactly.
+        kept = [r for r in rows if r.state == "kept"]
+        assert kept, "expected at least one untouched partition"
+        assert all("(legacy)" not in r.embedded_name for r in kept)
