@@ -1,0 +1,990 @@
+"""SPARQL text -> DataFrame compiler: run the reference's OWN query files.
+
+The reference executes hand-written SPARQL CONSTRUCT files against its
+quad store (typescript/queries/*.sparql via 1_kg_view_construct.ts);
+the repo's ``operators/triples.construct`` implements the same algebra
+as composable Python, but takes patterns as Python literals. This
+module closes the loop: a tokenizer + recursive-descent parser for the
+grammar subset those production files actually use, lowered to
+DataFrame operations over the (subject, predicate, object, lang, graph)
+quad schema shared with ``triples.melt``.
+
+Grammar surface (everything person.sparql and organization.sparql use):
+  PREFIX prologue; CONSTRUCT template (predicate-object lists, ``a``,
+  literals); FROM dataset clauses; GROUP patterns with nested GRAPH
+  (constant or variable term), OPTIONAL (nested, with inner FILTER and
+  BIND), group UNION (including the ``{} UNION {..}`` identity-branch
+  idiom), FILTER, BIND .. AS, VALUES (single-var and row form);
+  property paths: sequence ``/``, alternation ``|``, inverse ``^``,
+  parenthesized combinations; expressions: ``|| && ! = != < > <= >=``,
+  ``IN ( .. )``, BOUND, COALESCE, CONCAT, IRI/URI, STR, MD5, REPLACE
+  (regex), IF, LANG, LANGMATCHES, STRSTARTS, STRENDS, CONTAINS, UCASE,
+  LCASE, STRLEN, SUBSTR; literals with language tags and ``^^``
+  datatypes (datatype annotations are carried as plain strings — the
+  store is string-typed).
+
+Evaluation model (Spark-first, no UDFs anywhere):
+- Each triple pattern is a predicate/graph-pruned scan of the quad
+  DataFrame; with a predicate-partitioned store layout those filters
+  prune at the source.
+- Solution sets are DataFrames with one column per bound variable plus
+  a hidden ``<var>__lang`` column for object bindings (language-tagged
+  literal equality is (value, lang) TERM equality, joined null-safely).
+- Group sequence = fold of equi-joins on shared variables (inside a
+  BGP every variable is non-null, so hash equi-joins are exact SPARQL
+  join semantics).
+- UNION distributes over the pending join — Join(acc, Union(b1..bn)) is
+  evaluated as Union_i(Join(acc, b_i)), which keeps every branch an
+  equi-join (no null-matching theta join) and makes the empty-group
+  branch ``{}`` literally the accumulator itself. Branch-missing
+  variables null-fill via unionByName, exactly SPARQL's unbound.
+- OPTIONAL = left equi-join on shared variables.
+- Property-path alternation over sequences expands to a per-pattern
+  union of rewrites; sequences thread fresh internal variables
+  (dropped before joining); inverse swaps roles.
+- FILTERs collect per group and apply at group end (SPARQL scoping);
+  Catalyst pushes the conjuncts back below the joins where legal.
+- CONSTRUCT emits one select per template triple (rows with any
+  unbound term are skipped, per spec) and unions them by name into a
+  DISTINCT triple set — one shuffle.
+
+Unsupported (not used by the reference files): ``*``/``+``/``?`` path
+modifiers (see ``triples.transitive_closure`` for the closure
+machinery), subqueries inside WHERE, aggregates in CONSTRUCT (the
+SELECT-form aggregate surface lives in plans/kg.py kg_select_agg),
+blank-node syntax, named-graph CONSTRUCT templates.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<COMMENT>\#[^\n]*)
+  | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<DTYPE>\^\^)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*?:[A-Za-z0-9_\-\.]*[A-Za-z0-9_\-]|[A-Za-z_][A-Za-z0-9_\-]*:|:[A-Za-z0-9_\-\.]*[A-Za-z0-9_\-]|:)
+  | (?P<NUMBER>[+-]?\d+(?:\.\d+)?)
+  | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<OP>\|\||&&|!=|<=|>=|[{}();,.|/^!=<>*+?])
+  | (?P<WS>\s+)
+    """,
+    re.VERBOSE,
+)
+
+_ESCAPES = {
+    "\\\\": "\\", '\\"': '"', "\\n": "\n", "\\t": "\t", "\\r": "\r",
+}
+
+
+def _unescape(raw: str) -> str:
+    out, i = [], 0
+    while i < len(raw):
+        two = raw[i : i + 2]
+        if two in _ESCAPES:
+            out.append(_ESCAPES[two])
+            i += 2
+        else:
+            out.append(raw[i])
+            i += 1
+    return "".join(out)
+
+
+@dataclass(frozen=True)
+class Tok:
+    kind: str
+    text: str
+
+
+def tokenize(text: str) -> list[Tok]:
+    toks: list[Tok] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise SyntaxError(f"SPARQL tokenizer stuck at: {text[pos:pos+40]!r}")
+        pos = m.end()
+        kind = m.lastgroup or ""
+        if kind in ("WS", "COMMENT"):
+            continue
+        toks.append(Tok(kind, m.group()))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# AST
+
+# Path: str (IRI) | ("seq", [Path]) | ("alt", [Path]) | ("inv", Path)
+Path = Any
+
+
+@dataclass(frozen=True)
+class Triple:
+    s: str  # ?var | IRI | literal marker "\x00lit\x00value\x00lang"
+    p: Path
+    o: str
+    graph: str | None  # None = default graph context
+
+
+@dataclass
+class Group:
+    elements: list = field(default_factory=list)
+    # elements: ("triple", Triple) | ("optional", Group)
+    #   | ("union", [Group]) | ("filter", expr) | ("bind", var, expr)
+    #   | ("values", [vars], [rows]) | ("group", Group)
+
+
+@dataclass
+class Query:
+    prefixes: dict[str, str]
+    template: list[Triple]
+    datasets: list[str]
+    where: Group
+
+
+_LIT = "\x00"
+
+
+def _lit_term(value: str, lang: str | None = None) -> str:
+    return f"{_LIT}{value}{_LIT}{lang or ''}"
+
+
+def _is_lit(term: str) -> bool:
+    return term.startswith(_LIT)
+
+
+def _lit_parts(term: str) -> tuple[str, str | None]:
+    _, value, lang = term.split(_LIT)
+    return value, (lang or None)
+
+
+class Parser:
+    """Recursive-descent parser for the CONSTRUCT grammar subset."""
+
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self._anon = 0
+        self._graph_ctx: str | None = None  # for EXISTS groups in expressions
+
+    # -- token helpers
+    def peek(self, k: int = 0) -> Tok | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise SyntaxError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def eat(self, text: str) -> Tok:
+        t = self.next()
+        if t.text.upper() != text.upper():
+            raise SyntaxError(f"expected {text!r}, got {t.text!r}")
+        return t
+
+    def at(self, text: str) -> bool:
+        t = self.peek()
+        return t is not None and t.text.upper() == text.upper()
+
+    def at_kind(self, kind: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == kind
+
+    # -- terms
+    def expand(self, pname: str) -> str:
+        pfx, _, local = pname.partition(":")
+        if pfx not in self.prefixes:
+            raise SyntaxError(f"unknown prefix {pfx!r}:")
+        return self.prefixes[pfx] + local
+
+    def parse_iri(self) -> str:
+        t = self.next()
+        if t.kind == "IRIREF":
+            return t.text[1:-1]
+        if t.kind == "PNAME":
+            return self.expand(t.text)
+        raise SyntaxError(f"expected IRI, got {t.text!r}")
+
+    def parse_term(self) -> str:
+        t = self.peek()
+        assert t is not None
+        if t.kind == "VAR":
+            self.next()
+            return "?" + t.text[1:]
+        if t.kind == "STRING":
+            self.next()
+            value = _unescape(t.text[1:-1])
+            lang = None
+            nxt = self.peek()
+            if nxt and nxt.kind == "LANGTAG":
+                self.next()
+                lang = nxt.text[1:]
+            elif nxt and nxt.kind == "DTYPE":
+                self.next()
+                self.parse_iri()  # datatype annotation: carried as plain string
+            return _lit_term(value, lang)
+        if t.kind == "NUMBER":
+            self.next()
+            return _lit_term(t.text)
+        if t.kind == "NAME" and t.text in ("true", "false"):
+            self.next()
+            return _lit_term(t.text)
+        return _lit_term_iri(self.parse_iri())
+
+    # -- query
+    def parse_query(self) -> Query:
+        while self.at("PREFIX"):
+            self.next()
+            pname = self.next()
+            if pname.kind != "PNAME":
+                raise SyntaxError(f"bad PREFIX name {pname.text!r}")
+            iri = self.next()
+            if iri.kind != "IRIREF":
+                raise SyntaxError(f"bad PREFIX IRI {iri.text!r}")
+            self.prefixes[pname.text[:-1]] = iri.text[1:-1]
+        self.eat("CONSTRUCT")
+        self.eat("{")
+        template = self.parse_triples_block(graph=None, in_template=True)
+        self.eat("}")
+        datasets: list[str] = []
+        while self.at("FROM"):
+            self.next()
+            if self.at("NAMED"):
+                self.next()
+            datasets.append(self.parse_iri())
+        self.eat("WHERE")
+        where = self.parse_group(graph=None)
+        if self.peek() is not None:
+            raise SyntaxError(f"trailing tokens from {self.peek().text!r}")
+        return Query(self.prefixes, template, datasets, where)
+
+    # -- groups
+    def parse_group(self, graph: str | None) -> Group:
+        self.eat("{")
+        prev_ctx, self._graph_ctx = self._graph_ctx, graph
+        g = Group()
+        while not self.at("}"):
+            if self.at("GRAPH"):
+                self.next()
+                t = self.peek()
+                assert t is not None
+                if t.kind == "VAR":
+                    self.next()
+                    gterm: str | None = "?" + t.text[1:]
+                else:
+                    gterm = self.parse_iri()
+                inner = self.parse_group(gterm)
+                g.elements.extend(inner.elements)
+            elif self.at("OPTIONAL"):
+                self.next()
+                g.elements.append(("optional", self.parse_group(graph)))
+            elif self.at("FILTER"):
+                self.next()
+                if self.at("NOT"):
+                    self.next()
+                    self.eat("EXISTS")
+                    g.elements.append(("not_exists", self.parse_group(graph)))
+                elif self.at("EXISTS"):
+                    self.next()
+                    g.elements.append(("exists", self.parse_group(graph)))
+                else:
+                    g.elements.append(("filter", self.parse_bracketed_expr()))
+            elif self.at("BIND"):
+                self.next()
+                self.eat("(")
+                expr = self.parse_expr()
+                self.eat("AS")
+                var = self.next()
+                if var.kind != "VAR":
+                    raise SyntaxError("BIND target must be a variable")
+                self.eat(")")
+                g.elements.append(("bind", "?" + var.text[1:], expr))
+            elif self.at("VALUES"):
+                self.next()
+                g.elements.append(self.parse_values())
+            elif self.at("{"):
+                first = self.parse_group(graph)
+                if self.at("UNION"):
+                    branches = [first]
+                    while self.at("UNION"):
+                        self.next()
+                        branches.append(self.parse_group(graph))
+                    g.elements.append(("union", branches))
+                else:
+                    g.elements.append(("group", first))
+            else:
+                g.elements.extend(
+                    ("triple", t)
+                    for t in self.parse_triples_block(graph, in_template=False)
+                )
+            while self.at("."):
+                self.next()
+        self.eat("}")
+        self._graph_ctx = prev_ctx
+        return g
+
+    def parse_values(self) -> tuple:
+        t = self.peek()
+        assert t is not None
+        if t.kind == "VAR":  # single-variable form
+            self.next()
+            var = "?" + t.text[1:]
+            self.eat("{")
+            rows = []
+            while not self.at("}"):
+                rows.append((self.parse_term(),))
+            self.eat("}")
+            return ("values", [var], rows)
+        self.eat("(")
+        vars_: list[str] = []
+        while not self.at(")"):
+            v = self.next()
+            if v.kind != "VAR":
+                raise SyntaxError("VALUES vars must be variables")
+            vars_.append("?" + v.text[1:])
+        self.eat(")")
+        self.eat("{")
+        rows = []
+        while not self.at("}"):
+            self.eat("(")
+            row = []
+            while not self.at(")"):
+                if self.at("UNDEF"):
+                    self.next()
+                    row.append(None)
+                else:
+                    row.append(self.parse_term())
+            self.eat(")")
+            rows.append(tuple(row))
+        self.eat("}")
+        return ("values", vars_, rows)
+
+    # -- triples
+    def parse_triples_block(
+        self, graph: str | None, in_template: bool
+    ) -> list[Triple]:
+        out: list[Triple] = []
+        while True:
+            t = self.peek()
+            if (
+                t is None
+                or t.text in ("}", "{")
+                or (t.kind == "NAME" and t.text.upper() in self._KEYWORDS)
+            ):
+                return out
+            subj = self.parse_term()
+            out.extend(self.parse_property_list(subj, graph))
+            # tolerate any run of '.' separators (the reference files mix
+            # '.', ';}' and bare '}' termination styles)
+            while self.at("."):
+                self.next()
+
+    _KEYWORDS = ("OPTIONAL", "FILTER", "BIND", "VALUES", "GRAPH", "UNION", "MINUS")
+
+    def parse_property_list(self, subj: str, graph: str | None) -> list[Triple]:
+        out: list[Triple] = []
+        while True:
+            # tolerate dangling ';' before '}', '.', '{' or a keyword
+            # (organization.sparql:62-66, :97-98 mix all these styles)
+            t = self.peek()
+            if (
+                t is None
+                or t.text in ("}", ".", "{")
+                or (t.kind == "NAME" and t.text.upper() in self._KEYWORDS)
+            ):
+                return out
+            path = self.parse_path()
+            while True:
+                obj = self.parse_term()
+                out.append(Triple(subj, path, obj, graph))
+                if self.at(","):
+                    self.next()
+                    continue
+                break
+            if self.at(";"):
+                self.next()
+                continue
+            return out
+
+    # -- property paths
+    def parse_path(self) -> Path:
+        t = self.peek()
+        assert t is not None
+        if t.kind == "NAME" and t.text == "a":
+            self.next()
+            return RDF_TYPE
+        if t.kind == "VAR":
+            self.next()
+            return "?" + t.text[1:]
+        return self.parse_path_alt()
+
+    def parse_path_alt(self) -> Path:
+        parts = [self.parse_path_seq()]
+        while self.at("|"):
+            self.next()
+            parts.append(self.parse_path_seq())
+        return parts[0] if len(parts) == 1 else ("alt", parts)
+
+    def parse_path_seq(self) -> Path:
+        parts = [self.parse_path_elt()]
+        while self.at("/"):
+            self.next()
+            parts.append(self.parse_path_elt())
+        return parts[0] if len(parts) == 1 else ("seq", parts)
+
+    def parse_path_elt(self) -> Path:
+        if self.at("^"):
+            self.next()
+            return ("inv", self.parse_path_elt())
+        if self.at("("):
+            self.next()
+            p = self.parse_path_alt()
+            self.eat(")")
+            return p
+        return self.parse_iri()
+
+    # -- expressions (precedence: || < && < unary ! < relational < primary)
+    def parse_bracketed_expr(self):
+        if self.at("("):
+            self.next()
+            e = self.parse_expr()
+            self.eat(")")
+            return e
+        return self.parse_unary()  # FILTER langMatches(...) function form
+
+    def parse_expr(self):
+        left = self.parse_and()
+        while self.at("||"):
+            self.next()
+            left = ("||", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_relational()
+        while self.at("&&"):
+            self.next()
+            left = ("&&", left, self.parse_relational())
+        return left
+
+    def parse_relational(self):
+        left = self.parse_additive()
+        t = self.peek()
+        if t and t.text in ("=", "!=", "<", ">", "<=", ">="):
+            self.next()
+            return (t.text, left, self.parse_additive())
+        if t and t.kind == "NAME" and t.text.upper() == "IN":
+            self.next()
+            return ("in", left, self.parse_arg_list())
+        if t and t.kind == "NAME" and t.text.upper() == "NOT":
+            self.next()
+            self.eat("IN")
+            return ("!", ("in", left, self.parse_arg_list()))
+        return left
+
+    def parse_additive(self):
+        left = self.parse_multiplicative()
+        while self.at("+") or self.at("-"):
+            op = self.next().text
+            left = ("num:" + op, left, self.parse_multiplicative())
+        return left
+
+    def parse_multiplicative(self):
+        left = self.parse_unary()
+        while self.at("*") or self.at("/"):
+            op = self.next().text
+            left = ("num:" + op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        if self.at("!"):
+            self.next()
+            return ("!", self.parse_unary())
+        return self.parse_primary()
+
+    def parse_arg_list(self) -> list:
+        self.eat("(")
+        args = []
+        while not self.at(")"):
+            args.append(self.parse_expr())
+            if self.at(","):
+                self.next()
+        self.eat(")")
+        return args
+
+    def parse_primary(self):
+        t = self.peek()
+        assert t is not None
+        if t.text == "(":
+            self.next()
+            e = self.parse_expr()
+            self.eat(")")
+            return e
+        if t.kind == "NAME" and t.text.upper() == "EXISTS":
+            self.next()
+            return ("exists_expr", self.parse_group(self._graph_ctx))
+        if t.kind == "NAME" and t.text.upper() == "NOT":
+            self.next()
+            self.eat("EXISTS")
+            return ("!", ("exists_expr", self.parse_group(self._graph_ctx)))
+        if t.kind == "NAME" and t.text in ("true", "false"):
+            self.next()
+            return ("boolean", t.text == "true")
+        if t.kind == "NAME":
+            self.next()
+            return ("call", t.text.upper(), self.parse_arg_list())
+        if t.kind == "VAR":
+            self.next()
+            return ("var", "?" + t.text[1:])
+        if t.kind in ("STRING", "NUMBER"):
+            return ("term", self.parse_term())
+        if t.kind in ("IRIREF", "PNAME"):
+            return ("term", _lit_term_iri(self.parse_iri()))
+        raise SyntaxError(f"unexpected token in expression: {t.text!r}")
+
+
+def _lit_term_iri(iri: str) -> str:
+    """IRIs used as terms share the literal marker (value is the IRI
+    text, no language); the quad store is string-typed so an IRI term
+    and a plain literal of the same text compare equal — acceptable for
+    the reference surface, which never relies on that distinction."""
+    return _lit_term(iri)
+
+
+# ---------------------------------------------------------------------------
+# Lowering
+
+_FRESH = 0
+
+
+def _fresh_var() -> str:
+    global _FRESH
+    _FRESH += 1
+    return f"?__sq{_FRESH}"
+
+
+def _expand_path_triple(t: Triple) -> list[list[Triple]]:
+    """Rewrite one (possibly path-carrying) triple into alternative
+    plain-predicate pattern lists; >1 alternative = a union of rewrites."""
+    p = t.p
+    if isinstance(p, str):
+        return [[t]]
+    kind = p[0]
+    if kind == "inv":
+        return _expand_path_triple(Triple(t.o, p[1], t.s, t.graph))
+    if kind == "seq":
+        alts: list[list[Triple]] = [[]]
+        prev = t.s
+        parts = p[1]
+        for idx, part in enumerate(parts):
+            nxt = t.o if idx == len(parts) - 1 else _fresh_var()
+            sub = _expand_path_triple(Triple(prev, part, nxt, t.graph))
+            alts = [a + b for a in alts for b in sub]
+            prev = nxt
+        return alts
+    if kind == "alt":
+        # all-plain alternation stays a single isin scan
+        if all(isinstance(q, str) and not q.startswith("?") for q in p[1]):
+            return [[Triple(t.s, "|".join(p[1]), t.o, t.graph)]]
+        out: list[list[Triple]] = []
+        for q in p[1]:
+            out.extend(_expand_path_triple(Triple(t.s, q, t.o, t.graph)))
+        return out
+    raise ValueError(f"unsupported path {p!r}")
+
+
+def _value_cols(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if not c.endswith("__lang")]
+
+
+def _join(a: DataFrame, b: DataFrame, how: str = "inner") -> DataFrame:
+    """SPARQL join of two solution sets: equi-join on shared variables,
+    (value, lang) null-safe on shared language columns (term equality)."""
+    shared = sorted(set(_value_cols(a)) & set(_value_cols(b)))
+    lang_shared = sorted(
+        c for c in set(a.columns) & set(b.columns) if c.endswith("__lang")
+    )
+    if not shared:
+        if how == "left":
+            return a.join(b, F.lit(True), "left")
+        return a.crossJoin(b)
+    if not lang_shared:
+        return a.join(b, on=shared, how=how)
+    bb = b
+    for c in lang_shared:
+        bb = bb.withColumnRenamed(c, c + "__r")
+    cond = None
+    for c in shared:
+        piece = a[c] == bb[c]
+        cond = piece if cond is None else cond & piece
+    for c in lang_shared:
+        piece = a[c].eqNullSafe(bb[c + "__r"])
+        cond = piece if cond is None else cond & piece
+    out = a.join(bb, cond, how)
+    keep = [a[c] for c in a.columns]
+    keep += [bb[c] for c in bb.columns if c not in a.columns and not c.endswith("__r")]
+    return out.select(*keep)
+
+
+class _Eval:
+    def __init__(self, quads: DataFrame, datasets: list[str]):
+        self.quads = quads
+        self.datasets = datasets
+        self._ex_n = 0
+
+    def _materialize_exists(self, e, acc: DataFrame):
+        """EXISTS inside an expression (av-audio.sparql BIND(IF(EXISTS
+        {..}, ..))) evaluates the group, semi-marks the accumulator via
+        a left join on the shared variables, and rewrites the node to a
+        marker test — the correlated subquery becomes one equi-join."""
+        if not isinstance(e, tuple):
+            return e, acc
+        if e[0] == "exists_expr":
+            sub = self.eval_group(e[1], None)
+            assert sub is not None, "EXISTS over empty group"
+            keys = sorted(set(_value_cols(acc)) & set(_value_cols(sub)))
+            assert keys, "EXISTS group shares no variable with its scope"
+            self._ex_n += 1
+            marker = f"__ex{self._ex_n}"
+            m = sub.select(*keys).distinct().withColumn(marker, F.lit(True))
+            return ("exists_marker", marker), acc.join(m, on=keys, how="left")
+        out: list = [e[0]]
+        for part in e[1:]:
+            if isinstance(part, tuple):
+                part, acc = self._materialize_exists(part, acc)
+            elif isinstance(part, list):
+                done = []
+                for p2 in part:
+                    p2, acc = self._materialize_exists(p2, acc)
+                    done.append(p2)
+                part = done
+            out.append(part)
+        return tuple(out), acc
+
+    def pattern_scan(self, t: Triple) -> DataFrame:
+        q = self.quads
+        sel: list[Column] = []
+        p = t.p
+        if isinstance(p, str) and p.startswith("?"):
+            sel.append(F.col("predicate").alias(p[1:]))
+        elif isinstance(p, str) and "|" in p:
+            q = q.filter(F.col("predicate").isin(p.split("|")))
+        else:
+            q = q.filter(F.col("predicate") == p)
+        # graph scoping
+        if t.graph is None:
+            if self.datasets:
+                q = q.filter(F.col("graph").isin(self.datasets))
+        elif t.graph.startswith("?"):
+            sel.append(F.col("graph").alias(t.graph[1:]))
+        else:
+            q = q.filter(F.col("graph") == t.graph)
+        for term, col in ((t.s, "subject"), (t.o, "object")):
+            if term.startswith("?"):
+                sel.append(F.col(col).alias(term[1:]))
+                if col == "object":
+                    sel.append(F.col("lang").alias(term[1:] + "__lang"))
+            elif _is_lit(term):
+                value, lang = _lit_parts(term)
+                q = q.filter(F.col(col) == value)
+                if col == "object" and lang is not None:
+                    q = q.filter(F.col("lang") == lang)
+            else:
+                q = q.filter(F.col(col) == term)
+        return q.select(*sel)
+
+    def eval_triples(
+        self, triples: list[Triple], acc: DataFrame | None
+    ) -> DataFrame:
+        for t in triples:
+            alts = _expand_path_triple(t)
+            parts: list[DataFrame] = []
+            for alt in alts:
+                part: DataFrame | None = None
+                for pat in alt:
+                    scan = self.pattern_scan(pat)
+                    part = scan if part is None else _join(part, scan)
+                assert part is not None
+                internal = [
+                    c for c in part.columns if c.startswith("__sq")
+                ]
+                if internal:
+                    part = part.drop(*internal)
+                parts.append(part)
+            df = parts[0]
+            for extra in parts[1:]:
+                df = df.unionByName(extra, allowMissingColumns=True)
+            if len(parts) > 1:
+                df = df.distinct()
+            acc = df if acc is None else _join(acc, df)
+        return acc  # type: ignore[return-value]
+
+    def eval_group(self, g: Group, acc: DataFrame | None) -> DataFrame | None:
+        filters = []
+        pending_triples: list[Triple] = []
+
+        def flush_triples():
+            nonlocal acc, pending_triples
+            if pending_triples:
+                acc = self.eval_triples(pending_triples, acc)
+                pending_triples = []
+
+        for el in g.elements:
+            kind = el[0]
+            if kind == "triple":
+                pending_triples.append(el[1])
+                continue
+            flush_triples()
+            if kind == "optional":
+                opt = self.eval_group(el[1], None)
+                assert acc is not None, "OPTIONAL cannot start a group"
+                if opt is not None:
+                    acc = _join(acc, opt, how="left")
+            elif kind == "union":
+                branches = [self.eval_group(b, None) for b in el[1]]
+                if acc is None:
+                    non_empty = [b for b in branches if b is not None]
+                    assert non_empty, "union of empty groups"
+                    u = non_empty[0]
+                    for b in non_empty[1:]:
+                        u = u.unionByName(b, allowMissingColumns=True)
+                    acc = u
+                else:
+                    joined = [
+                        acc if b is None else _join(acc, b) for b in branches
+                    ]
+                    u = joined[0]
+                    for b in joined[1:]:
+                        u = u.unionByName(b, allowMissingColumns=True)
+                    acc = u
+            elif kind == "group":
+                inner = self.eval_group(el[1], None)
+                if inner is not None:
+                    acc = inner if acc is None else _join(acc, inner)
+            elif kind in ("not_exists", "exists"):
+                sub = self.eval_group(el[1], None)
+                assert acc is not None and sub is not None
+                keys = sorted(set(_value_cols(acc)) & set(_value_cols(sub)))
+                assert keys, "FILTER [NOT] EXISTS shares no variable"
+                how = "left_anti" if kind == "not_exists" else "left_semi"
+                acc = acc.join(sub.select(*keys).distinct(), on=keys, how=how)
+            elif kind == "filter":
+                filters.append(el[1])
+            elif kind == "bind":
+                assert acc is not None, "BIND cannot start a group"
+                var = el[1][1:]
+                expr, acc = self._materialize_exists(el[2], acc)
+                acc = acc.withColumn(var, self.to_column(expr, acc))
+            elif kind == "values":
+                vars_, rows = el[1], el[2]
+                spark = self.quads.sparkSession
+                names = [v[1:] for v in vars_]
+                data = [
+                    tuple(None if t is None else _lit_parts(t)[0] for t in row)
+                    for row in rows
+                ]
+                frame = spark.createDataFrame(
+                    data, ", ".join(f"`{n}` string" for n in names)
+                )
+                acc = frame if acc is None else _join(acc, F.broadcast(frame))
+            else:
+                raise ValueError(f"unknown group element {kind!r}")
+        flush_triples()
+        for f in filters:
+            assert acc is not None, "FILTER over empty group"
+            f, acc = self._materialize_exists(f, acc)
+            acc = acc.filter(self.to_column(f, acc))
+        return acc
+
+    # -- expressions
+    def to_column(self, e, df: DataFrame) -> Column:
+        cols = set(df.columns)
+
+        def col_of(var: str) -> Column:
+            name = var[1:]
+            return F.col(name) if name in cols else F.lit(None).cast("string")
+
+        def lang_of(var: str) -> Column:
+            name = var[1:] + "__lang"
+            return (
+                F.coalesce(F.col(name), F.lit(""))
+                if name in cols
+                else F.lit("")
+            )
+
+        def go(x) -> Column:
+            kind = x[0]
+            if kind == "var":
+                return col_of(x[1])
+            if kind == "term":
+                return F.lit(_lit_parts(x[1])[0])
+            if kind == "boolean":
+                return F.lit(x[1])
+            if kind == "exists_marker":
+                return F.col(x[1]).isNotNull()
+            if kind == "||":
+                return go(x[1]) | go(x[2])
+            if kind == "&&":
+                return go(x[1]) & go(x[2])
+            if kind == "!":
+                return ~go(x[1])
+            if kind in ("=", "!=", "<", ">", "<=", ">="):
+                a, b = go(x[1]), go(x[2])
+                return {
+                    "=": a == b, "!=": a != b, "<": a < b,
+                    ">": a > b, "<=": a <= b, ">=": a >= b,
+                }[kind]
+            if kind == "in":
+                return go(x[1]).isin([_expr_const(a) for a in x[2]])
+            if kind.startswith("num:"):
+                # SPARQL numeric ops over the string-typed store:
+                # try_cast/try_divide make type errors and division by
+                # zero yield NULL (SPARQL: an error COALESCE skips),
+                # which ANSI-mode Spark would otherwise raise on —
+                # av-audio.sparql's COALESCE(IF(.., 1/0), ..) idiom.
+                a = go(x[1]).try_cast("double")
+                b = go(x[2]).try_cast("double")
+                op = kind[4:]
+                num = (
+                    F.try_divide(a, b)
+                    if op == "/"
+                    else {"+": a + b, "-": a - b, "*": a * b}[op]
+                )
+                # back to the store's string domain so IF/COALESCE
+                # branches don't ANSI-coerce their string siblings
+                return num.cast("string")
+            if kind == "call":
+                return self.call(x[1], x[2], df, go)
+            raise ValueError(f"bad expression node {x!r}")
+
+        return go(e)
+
+    def call(self, name: str, args: list, df: DataFrame, go) -> Column:
+        cols = set(df.columns)
+        if name == "BOUND":
+            var = args[0][1]
+            if var[1:] not in cols:
+                return F.lit(False)
+            return F.col(var[1:]).isNotNull()
+        if name == "LANG":
+            var = args[0][1]
+            lname = var[1:] + "__lang"
+            return (
+                F.coalesce(F.col(lname), F.lit(""))
+                if lname in cols
+                else F.lit("")
+            )
+        if name == "LANGMATCHES":
+            lang, rng = go(args[0]), args[1]
+            tag = _expr_const(rng)
+            if tag == "*":
+                return lang != ""
+            low = F.lower(lang)
+            t = tag.lower()
+            return (low == t) | low.startswith(t + "-")
+        if name in ("IRI", "URI", "STR"):
+            return go(args[0]).cast("string")
+        if name == "CONCAT":
+            return F.concat(*[go(a).cast("string") for a in args])
+        if name == "MD5":
+            return F.md5(go(args[0]).cast("string"))
+        if name == "COALESCE":
+            return F.coalesce(*[go(a) for a in args])
+        if name == "REPLACE":
+            return F.regexp_replace(
+                go(args[0]), _expr_const(args[1]), _expr_const(args[2])
+            )
+        if name == "IF":
+            return F.when(go(args[0]), go(args[1])).otherwise(go(args[2]))
+        if name == "STRSTARTS":
+            return go(args[0]).startswith(go(args[1]))
+        if name == "STRENDS":
+            return go(args[0]).endswith(go(args[1]))
+        if name == "CONTAINS":
+            return go(args[0]).contains(go(args[1]))
+        if name == "UCASE":
+            return F.upper(go(args[0]))
+        if name == "LCASE":
+            return F.lower(go(args[0]))
+        if name == "STRLEN":
+            return F.length(go(args[0]))
+        if name == "SUBSTR":
+            start = int(_expr_const(args[1]))
+            length = int(_expr_const(args[2])) if len(args) > 2 else 1 << 30
+            return F.substring(go(args[0]), start, length)
+        raise ValueError(f"unsupported SPARQL function {name}")
+
+
+def _expr_const(e) -> str:
+    if e[0] == "term":
+        return _lit_parts(e[1])[0]
+    raise ValueError(f"expected constant, got {e!r}")
+
+
+# ---------------------------------------------------------------------------
+# Public API
+
+
+def parse(text: str) -> Query:
+    return Parser(text).parse_query()
+
+
+def construct_query(quads: DataFrame, text: str) -> DataFrame:
+    """Parse SPARQL CONSTRUCT ``text`` and evaluate it against the quad
+    DataFrame (subject, predicate, object, lang, graph). Returns the
+    DISTINCT constructed triple set as (subject, predicate, object).
+
+    Rows with any unbound template term emit no triple (SPARQL 1.1
+    §16.2); the final distinct is the construct's single full shuffle.
+    """
+    query = parse(text)
+    ev = _Eval(quads, query.datasets)
+    bindings = ev.eval_group(query.where, None)
+    assert bindings is not None, "WHERE clause produced no bindings frame"
+    cols = set(bindings.columns)
+
+    def term_col(term: str) -> Column:
+        if term.startswith("?"):
+            name = term[1:]
+            if name not in cols:
+                return F.lit(None).cast("string")
+            return F.col(name).cast("string")
+        if _is_lit(term):
+            return F.lit(_lit_parts(term)[0])
+        return F.lit(term)
+
+    parts = []
+    for t in query.template:
+        assert isinstance(t.p, str), "CONSTRUCT template predicates are IRIs"
+        parts.append(
+            bindings.select(
+                term_col(t.s).alias("subject"),
+                term_col(t.p).alias("predicate"),
+                term_col(t.o).alias("object"),
+            ).filter(
+                F.col("subject").isNotNull()
+                & F.col("predicate").isNotNull()
+                & F.col("object").isNotNull()
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

@@ -9,7 +9,7 @@ SQL, which is what makes the driver's oracle check meaningful.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
@@ -3238,4 +3238,307 @@ SELECT * FROM rebuilt
 UNION ALL
 SELECT * FROM prev
 WHERE org_key NOT IN (SELECT org_key FROM rebuild)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A67: run a verbatim reference SPARQL file through the text compiler
+
+_PERSON_SPARQL_PATH = "/root/reference/typescript/queries/person.sparql"
+
+_SQ_NS = {
+    "org": "https://data.hetarchief.be/id/organization/",
+    "ent": "https://data.hetarchief.be/id/entity/",
+    "frg": "https://data.hetarchief.be/id/fragment/",
+    "ann": "https://data.hetarchief.be/id/annotation/",
+    "per": "https://data.hetarchief.be/id/person/",
+    "plc": "https://data.hetarchief.be/id/place/",
+    "haOrg": "https://data.hetarchief.be/ns/organization/",
+    "haDes": "https://data.hetarchief.be/ns/description/",
+    "haLicId": "https://data.hetarchief.be/id/license/",
+    "w3org": "http://www.w3.org/ns/org#",
+    "schema": "https://schema.org/",
+    "prov": "http://www.w3.org/ns/prov#",
+    "ebucore": "http://www.ebu.ch/metadata/ontologies/ebucore/ebucore#",
+    "rel": "http://id.loc.gov/vocabulary/preservation/relationshipSubType/",
+    "g_org": "https://data.hetarchief.be/graph/organization",
+    "g_nl": "https://data.hetarchief.be/graph/namenlijst",
+    "g_md": "https://data.hetarchief.be/graph/metadata/",
+}
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+# o_orderkey % 9 indexes the entity type; only the first 7 are in the
+# query's VALUES list. o_orderkey % 11 indexes the license; only the
+# first 9 are in the query's FILTER IN list.
+_SQ_IE_TYPES = [
+    "Audio", "Video", "Film", "DVD", "DVDChapter", "NewspaperIssue",
+    "NewspaperIssuePage", "Episode", "Newspaper",
+]
+_SQ_LICENSES = [
+    "VIAA-PUBLIEK-METADATA-LTD", "VIAA-PUBLIEK-METADATA-ALL",
+    "VIAA-PUBLIEK-CONTENT", "BEZOEKERTOOL-METADATA-ALL",
+    "BEZOEKERTOOL-CONTENT", "VIAA-INTRA_CP-METADATA-ALL",
+    "VIAA-INTRA_CP-CONTENT", "Publiek-Domein", "COPYRIGHT-UNDETERMINED",
+    "VIAA-ONDERWIJS", "VIAA-ONDERZOEK",
+]
+
+
+def _sq_pick(options: list[str], idx_col) -> Column:
+    return F.element_at(
+        F.array(*[F.lit(o) for o in options]), (idx_col + 1).cast("int")
+    )
+
+
+def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quad store shaped for person.sparql's WHERE graph:
+    orgs (ContentPartner or not) in graph:organization; per-org metadata
+    graphs holding typed IEs with licenses (direct OR via the rel:isp
+    hop — both alternation branches), maintainer and the
+    prov:wasDerivedFrom/schema:dateModified chain; persons, mentions
+    (MediaFragment geometry) and TextAnnotations in graph:namenlijst
+    with nl/en language-tagged names and the optional confidence.
+
+    Built in ONE pass per source table: each row emits its quads via
+    ``inline(array(struct(...)))`` — a scan-fused generator, no
+    per-quad scans — then staged as predicate-partitioned parquet
+    (the vertical-partitioning layout _kg_graph documents) so every
+    BGP pattern scan partition-prunes to its posting list."""
+    import hashlib
+    import os
+    import tempfile
+
+    fp = hashlib.md5(b"sparql_person_v1")
+    for t in ("customer", "nation", "orders"):
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        fp.update(f"{t}:{st.st_mtime_ns}:{st.st_size};".encode())
+    path = f"{tempfile.gettempdir()}/sparql_quads_{fp.hexdigest()[:16]}"
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        pass
+
+    ns = _SQ_NS
+
+    def as_col(x):
+        return x if isinstance(x, Column) else F.lit(x)
+
+    def quad(s, p, o, lang=None, graph=None):
+        return F.struct(
+            as_col(s).cast("string").alias("subject"),
+            F.lit(p).alias("predicate"),
+            as_col(o).cast("string").alias("object"),
+            as_col(lang).cast("string").alias("lang"),
+            as_col(graph).cast("string").alias("graph"),
+        )
+
+    nat = load_table(spark, sf_dir, "nation")
+    org_iri = F.concat(F.lit(ns["org"] + "OR-"), F.col("n_nationkey").cast("string"))
+    org_type = F.when(
+        F.col("n_nationkey") % 5 != 4, F.lit(ns["haOrg"] + "ContentPartner")
+    ).otherwise(F.lit(ns["haOrg"] + "Organization"))
+    org_quads = nat.select(
+        F.inline(
+            F.array(
+                quad(org_iri, _RDF_TYPE, org_type, graph=ns["g_org"]),
+                quad(
+                    org_iri,
+                    ns["w3org"] + "identifier",
+                    F.concat(F.lit("OR-"), F.col("n_nationkey").cast("string")),
+                    graph=ns["g_org"],
+                ),
+            )
+        )
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    base = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_orderdate", "c_custkey", "c_nationkey"
+    )
+    k = F.col("o_orderkey")
+    ie = F.concat(F.lit(ns["ent"]), k.cast("string"))
+    rep = F.concat(ie, F.lit("/rep"))
+    prov_node = F.concat(ie, F.lit("/prov"))
+    mention = F.concat(F.lit(ns["frg"]), k.cast("string"))
+    ann = F.concat(F.lit(ns["ann"]), k.cast("string"))
+    person = F.concat(F.lit(ns["per"]), F.col("c_custkey").cast("string"))
+    md_graph = F.concat(
+        F.lit(ns["g_md"] + "OR-"), F.col("c_nationkey").cast("string")
+    )
+    lic = F.concat(F.lit(ns["haLicId"]), _sq_pick(_SQ_LICENSES, k % 11))
+    ie_type = F.concat(F.lit(ns["haDes"]), _sq_pick(_SQ_IE_TYPES, k % 9))
+    even = (k % 2) == 0
+    order_quads = base.select(
+        F.inline(
+            F.array(
+                quad(ie, _RDF_TYPE, ie_type, graph=md_graph),
+                quad(ie, ns["schema"] + "license", F.when(even, lic), graph=md_graph),
+                quad(ie, ns["rel"] + "isp", F.when(~even, rep), graph=md_graph),
+                quad(rep, ns["schema"] + "license", F.when(~even, lic), graph=md_graph),
+                quad(ie, ns["schema"] + "maintainer",
+                     F.concat(F.lit(ns["org"] + "OR-"), F.col("c_nationkey").cast("string")),
+                     graph=md_graph),
+                quad(ie, ns["prov"] + "wasDerivedFrom", prov_node, graph=md_graph),
+                quad(prov_node, ns["schema"] + "dateModified",
+                     F.col("o_orderdate").cast("string"), graph=md_graph),
+                quad(ie, ns["schema"] + "mentions", person, graph=ns["g_nl"]),
+                quad(mention, _RDF_TYPE, ns["ebucore"] + "MediaFragment", graph=ns["g_nl"]),
+                quad(mention, ns["ebucore"] + "isMediaFragmentOf", ie, graph=ns["g_nl"]),
+                quad(mention, ns["ebucore"] + "width", (k % 640 + 1), graph=ns["g_nl"]),
+                quad(mention, ns["ebucore"] + "height", (k % 480 + 1), graph=ns["g_nl"]),
+                quad(mention, ns["ebucore"] + "regionDelimX", (k % 100), graph=ns["g_nl"]),
+                quad(mention, ns["ebucore"] + "regionDelimY", (k % 120), graph=ns["g_nl"]),
+                quad(ann, _RDF_TYPE, ns["ebucore"] + "TextAnnotation", graph=ns["g_nl"]),
+                quad(ann, ns["ebucore"] + "hasAnnotationRelatedAgent", person, graph=ns["g_nl"]),
+                quad(ann, ns["ebucore"] + "isAnnotatedMediaResource", mention, graph=ns["g_nl"]),
+                quad(ann, ns["ebucore"] + "annotationConfidence",
+                     F.when(k % 3 == 0,
+                            F.concat(F.lit("0."), F.lpad((k % 100).cast("string"), 2, "0"))),
+                     graph=ns["g_nl"]),
+            )
+        )
+    )
+
+    c = F.col("c_custkey")
+    cperson = F.concat(F.lit(ns["per"]), c.cast("string"))
+    place_b = F.concat(F.lit(ns["plc"] + "b/"), c.cast("string"))
+    place_d = F.concat(F.lit(ns["plc"] + "d/"), c.cast("string"))
+    person_quads = cust.select(
+        F.inline(
+            F.array(
+                quad(cperson, _RDF_TYPE, ns["schema"] + "Person", graph=ns["g_nl"]),
+                quad(cperson, ns["schema"] + "name", F.col("c_name"),
+                     lang=F.when(c % 4 != 1, F.lit("nl")).otherwise(F.lit("en")),
+                     graph=ns["g_nl"]),
+                quad(cperson, ns["schema"] + "birthDate",
+                     F.when(c % 3 == 0,
+                            F.concat((F.lit(1900) + c % 80).cast("string"), F.lit("-01-01"))),
+                     graph=ns["g_nl"]),
+                quad(cperson, ns["schema"] + "deathDate",
+                     F.when(c % 5 == 0,
+                            F.concat((F.lit(1940) + c % 60).cast("string"), F.lit("-06-15"))),
+                     graph=ns["g_nl"]),
+                quad(cperson, ns["schema"] + "birthPlace",
+                     F.when(c % 6 == 0, place_b), graph=ns["g_nl"]),
+                quad(place_b, ns["schema"] + "name",
+                     F.when(c % 6 == 0,
+                            F.concat(F.lit("Borough "), (c % 50).cast("string"))),
+                     graph=ns["g_nl"]),
+                quad(cperson, ns["schema"] + "deathPlace",
+                     F.when(c % 7 == 0, place_d), graph=ns["g_nl"]),
+                quad(place_d, ns["schema"] + "name",
+                     F.when(c % 7 == 0,
+                            F.concat(F.lit("Cemetery "), (c % 40).cast("string"))),
+                     graph=ns["g_nl"]),
+            )
+        )
+    )
+
+    quads = (
+        org_quads.unionByName(order_quads)
+        .unionByName(person_quads)
+        .filter(F.col("object").isNotNull())
+    )
+    quads.write.mode("overwrite").partitionBy("predicate").parquet(path)
+    return spark.read.parquet(path)
+
+
+def kg_construct_real_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the reference's production person.sparql VERBATIM — the
+    file text (typescript/queries/person.sparql, read at run time, no
+    transcription) through the operators/sparql.py tokenizer → parser →
+    DataFrame lowering, against the deterministic quad store above.
+    This is demonstrated parity: the same query text the reference
+    sends to its SPARQL endpoint (1_kg_view_construct.ts) produces an
+    oracle-checked triple set here. Exercises GRAPH (constant, variable
+    and nested), VALUES, property paths (alternation over a sequence,
+    inverse), the ``{} UNION {..}`` idiom, OPTIONAL, langMatches/lang,
+    !BOUND with an unbound parameter, IN filters, and the
+    IRI/CONCAT/MD5/COALESCE BIND surface."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    with open(_PERSON_SPARQL_PATH) as f:
+        text = f.read()
+    quads = _sparql_person_quads(spark, sf_dir)
+    return SQ.construct_query(quads, text)
+
+
+KG_REAL_QUERY_ORACLE = """
+WITH ie_rows AS (
+  SELECT 'https://data.hetarchief.be/id/entity/' || CAST(o_orderkey AS VARCHAR) AS ie,
+         'https://data.hetarchief.be/id/person/' || CAST(c_custkey AS VARCHAR) AS person,
+         'https://data.hetarchief.be/id/fragment/' || CAST(o_orderkey AS VARCHAR) AS mention,
+         'https://data.hetarchief.be/id/annotation/' || CAST(o_orderkey AS VARCHAR) AS ann,
+         o_orderkey AS okey, c_custkey AS ck
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderkey % 9 < 7        -- VALUES ?ie_type
+    AND o_orderkey % 11 < 9       -- license IN (...)
+    AND c_nationkey % 5 <> 4      -- maintainer a haOrg:ContentPartner
+    AND c_custkey % 4 <> 1        -- langMatches(lang(?name), 'nl')
+), pers AS (
+  SELECT DISTINCT person, ck FROM ie_rows
+), t AS (
+  SELECT ann AS subject, 'urn:kg-to-postgres:tableName' AS predicate,
+         'graph.schema_mentions' AS object FROM ie_rows
+  UNION
+  SELECT ann, 'urn:kg-to-postgres:id', ann FROM ie_rows
+  UNION
+  SELECT ann, 'urn:kg-to-postgres:intellectual_entity_id', ie FROM ie_rows
+  UNION
+  SELECT ann, 'urn:kg-to-postgres:confidence',
+         CASE WHEN okey % 3 = 0
+              THEN '0.' || lpad(CAST(okey % 100 AS VARCHAR), 2, '0')
+              ELSE '0.0' END
+  FROM ie_rows
+  UNION
+  SELECT ann, 'urn:kg-to-postgres:thing_id', person FROM ie_rows
+  UNION
+  SELECT ann || '/' || md5(mention),
+         'urn:kg-to-postgres:tableName', 'graph.schema_mentions_highlight'
+  FROM ie_rows
+  UNION
+  SELECT ann || '/' || md5(mention),
+         'urn:kg-to-postgres:schema_mentions_id', ann FROM ie_rows
+  UNION
+  SELECT ann || '/' || md5(mention),
+         'urn:kg-to-postgres:highlight_id', mention FROM ie_rows
+  UNION
+  SELECT mention, 'urn:kg-to-postgres:tableName', 'graph.highlight' FROM ie_rows
+  UNION
+  SELECT mention, 'urn:kg-to-postgres:id', mention FROM ie_rows
+  UNION
+  SELECT mention, 'urn:kg-to-postgres:height',
+         CAST(okey % 480 + 1 AS VARCHAR) FROM ie_rows
+  UNION
+  SELECT mention, 'urn:kg-to-postgres:width',
+         CAST(okey % 640 + 1 AS VARCHAR) FROM ie_rows
+  UNION
+  SELECT mention, 'urn:kg-to-postgres:x', CAST(okey % 100 AS VARCHAR) FROM ie_rows
+  UNION
+  SELECT mention, 'urn:kg-to-postgres:y', CAST(okey % 120 AS VARCHAR) FROM ie_rows
+  UNION
+  SELECT person, 'urn:kg-to-postgres:tableName', 'graph.thing' FROM pers
+  UNION
+  SELECT person, 'urn:kg-to-postgres:id', person FROM pers
+  UNION
+  SELECT p.person, 'urn:kg-to-postgres:schema_name', c.c_name
+  FROM pers p JOIN customer c ON p.ck = c.c_custkey
+  UNION
+  SELECT person, 'urn:kg-to-postgres:schema_birth_date',
+         CAST(1900 + ck % 80 AS VARCHAR) || '-01-01'
+  FROM pers WHERE ck % 3 = 0
+  UNION
+  SELECT person, 'urn:kg-to-postgres:schema_death_date',
+         CAST(1940 + ck % 60 AS VARCHAR) || '-06-15'
+  FROM pers WHERE ck % 5 = 0
+  UNION
+  SELECT person, 'urn:kg-to-postgres:schema_birth_place',
+         'Borough ' || CAST(ck % 50 AS VARCHAR)
+  FROM pers WHERE ck % 6 = 0
+  UNION
+  SELECT person, 'urn:kg-to-postgres:schema_death_place',
+         'Cemetery ' || CAST(ck % 40 AS VARCHAR)
+  FROM pers WHERE ck % 7 = 0
+)
+SELECT subject, predicate, object FROM t
 """

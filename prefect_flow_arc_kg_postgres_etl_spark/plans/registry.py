@@ -324,6 +324,9 @@ _SPECS: dict[str, QuerySpec] = {
     "index_partition_rename_invalidation": QuerySpec(
         kg.index_partition_rename_invalidation, kg.INDEX_RENAME_ORACLE
     ),
+    "kg_construct_real_query": QuerySpec(
+        kg.kg_construct_real_query, kg.KG_REAL_QUERY_ORACLE
+    ),
     "index_partition_refresh": QuerySpec(
         kg.index_partition_refresh, kg.INDEX_REFRESH_ORACLE
     ),
@@ -825,10 +828,11 @@ DRIVER_WINDOW: list[str] = [
     "maintenance_vacuum",
     "schema_drift_report",
     "fk_discovery",
-    # r7-new: dim-drift invalidation (A66) takes source_orc_roundtrip's
-    # slot; orc roundtrip joins the r8 residue window.
+    # r7-new: dim-drift invalidation (A66) and the verbatim reference
+    # SPARQL run (A67) take the source_orc_roundtrip /
+    # source_json_nested_roundtrip slots; those join the r8 residue.
     "index_partition_rename_invalidation",
-    "source_json_nested_roundtrip",
+    "kg_construct_real_query",
     "source_corrupt_tolerant",
     "graph_pagerank_resumable",
     "join_view_incremental",
