@@ -109,6 +109,11 @@ HEADLINE = [
     "text_boilerplate_fraction",
     "asof_join_tolerance",
     "orders_rfm_segmentation",
+    # Round-7 append (prefix stays comparable): dim-drift partition
+    # invalidation and the verbatim reference person.sparql execution
+    # through the SPARQL text compiler (the 25-pattern join DAG).
+    "index_partition_rename_invalidation",
+    "kg_construct_real_query",
 ]
 
 

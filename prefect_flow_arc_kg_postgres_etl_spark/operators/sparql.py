@@ -767,13 +767,50 @@ class _Eval:
                         u = u.unionByName(b, allowMissingColumns=True)
                     acc = u
                 else:
-                    joined = [
-                        acc if b is None else _join(acc, b) for b in branches
-                    ]
-                    u = joined[0]
-                    for b in joined[1:]:
-                        u = u.unionByName(b, allowMissingColumns=True)
-                    acc = u
+                    # Join(acc, Union(b1..bn)) distributes over the
+                    # union — but joining per branch recomputes the acc
+                    # subtree n times. Branches sharing the SAME key
+                    # set with acc union FIRST and join once (legal
+                    # because within a group the join keys coincide and
+                    # branch rows are fully bound on them); each empty
+                    # {} branch contributes acc itself. person.sparql's
+                    # 5-branch union evaluates acc twice, not 5 times.
+                    groups: dict[frozenset, list[DataFrame]] = {}
+                    identity = 0
+                    for b in branches:
+                        if b is None:
+                            identity += 1
+                            continue
+                        shared = frozenset(
+                            set(_value_cols(acc)) & set(_value_cols(b))
+                        )
+                        groups.setdefault(shared, []).append(b)
+                    unions: list[tuple[list[str], DataFrame]] = []
+                    for shared, dfs in groups.items():
+                        u = dfs[0]
+                        for d in dfs[1:]:
+                            u = u.unionByName(d, allowMissingColumns=True)
+                        unions.append((sorted(shared), u))
+                    if identity == 1 and len(unions) == 1 and unions[0][0]:
+                        # {} UNION {b1} .. {bn}, one key set: evaluate
+                        # acc ONCE via a left join against the branch
+                        # union extended with one null-binding row per
+                        # distinct key — matched acc rows get their
+                        # bare copy from that row, unmatched from the
+                        # left join itself. Exact bag semantics.
+                        keys, u = unions[0]
+                        u2 = u.unionByName(
+                            u.select(*keys).distinct(),
+                            allowMissingColumns=True,
+                        )
+                        acc = _join(acc, u2, how="left")
+                    else:
+                        parts = [_join(acc, u) for _, u in unions]
+                        parts.extend([acc] * identity)
+                        res = parts[0]
+                        for p in parts[1:]:
+                            res = res.unionByName(p, allowMissingColumns=True)
+                        acc = res
             elif kind == "group":
                 inner = self.eval_group(el[1], None)
                 if inner is not None:
@@ -970,21 +1007,27 @@ def construct_query(quads: DataFrame, text: str) -> DataFrame:
             return F.lit(_lit_parts(term)[0])
         return F.lit(term)
 
-    parts = []
+    # ONE generator pass: every binding row emits all its template
+    # triples via inline(array(struct..)) — a per-template-triple
+    # select would recompute the whole join DAG once per triple (21x
+    # for person.sparql). Unbound-term rows null out and are filtered,
+    # then the triple-set distinct is the construct's single shuffle.
+    structs = []
     for t in query.template:
         assert isinstance(t.p, str), "CONSTRUCT template predicates are IRIs"
-        parts.append(
-            bindings.select(
+        structs.append(
+            F.struct(
                 term_col(t.s).alias("subject"),
                 term_col(t.p).alias("predicate"),
                 term_col(t.o).alias("object"),
-            ).filter(
-                F.col("subject").isNotNull()
-                & F.col("predicate").isNotNull()
-                & F.col("object").isNotNull()
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+    return (
+        bindings.select(F.inline(F.array(*structs)))
+        .filter(
+            F.col("subject").isNotNull()
+            & F.col("predicate").isNotNull()
+            & F.col("object").isNotNull()
+        )
+        .distinct()
+    )
