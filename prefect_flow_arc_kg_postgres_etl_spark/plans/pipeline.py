@@ -1321,11 +1321,30 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup copies of the synthetic corpus play the arriving batch
     (guaranteeing cross-boundary and in-batch dup pairs); the oracle
     is the quadratic ground truth restricted to pairs touching a new
-    doc."""
+    doc.
+
+    r7: the probe runs against a PERSISTED build_dedup_index (built
+    once per source fingerprint, like the staged KG graph) — band-key
+    and gram partitions prune to the batch's hash coverage instead of
+    re-deriving the whole history's signatures per ingest. Same output
+    as the in-plan incremental_dup_pairs (same banding, same verify);
+    tests/test_dedup_similarity.py pins the equivalence and the pruned
+    scan."""
+    import hashlib
+    import os
+    import tempfile
+
     corpus = _dup_corpus(spark, sf_dir, near=True)
     history = corpus.filter(F.col("doc_id") < _NEAR_OFF)
     new = corpus.filter(F.col("doc_id") >= _NEAR_OFF)
-    return D.incremental_dup_pairs(history, new, _JAC_T)
+
+    fp = hashlib.md5(b"dedup_index_v1")
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp.update(f"{st.st_mtime_ns}:{st.st_size}".encode())
+    path = f"{tempfile.gettempdir()}/dedup_index_{fp.hexdigest()[:16]}"
+    if not os.path.exists(f"{path}/grams/_SUCCESS"):
+        D.build_dedup_index(history, path)
+    return D.incremental_dup_pairs_indexed(new, path, _JAC_T)
 
 
 DEDUP_INCREMENTAL_ORACLE = f"""

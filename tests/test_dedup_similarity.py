@@ -364,3 +364,73 @@ def test_kmeans_int_partitions_all_vectors_deterministically(spark):
     assert a == b  # exact integer arithmetic: bit-identical reruns
     assert sum(r[1] for r in a) == total  # every vector assigned once
     assert len(a) == 4 and all(r[1] > 0 for r in a)
+
+
+class TestIndexedIncremental:
+    """r7: the persisted-index ingest probe (build_dedup_index +
+    incremental_dup_pairs_indexed) must (a) match the in-plan
+    incremental_dup_pairs exactly and (b) actually PRUNE the index
+    scans — the PartitionFilters on bh_p / id_p are the storage-level
+    fix for the linear-in-history probe."""
+
+    def _corpus(self, spark):
+        from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "text"
+        )
+        new = (
+            docs.limit(5)
+            .select(
+                (F.col("doc_id") + 9_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return docs, new
+
+    def test_indexed_probe_matches_inplan(self, spark, tmp_path):
+        import prefect_flow_arc_kg_postgres_etl_spark.operators.dedup as D
+
+        hist, new = self._corpus(spark)
+        D.build_dedup_index(hist, str(tmp_path), partitions=64)
+        indexed = D.incremental_dup_pairs_indexed(
+            new, str(tmp_path), 0.8, partitions=64
+        )
+        inplan = D.incremental_dup_pairs(hist, new, 0.8)
+        a = {(r.doc_a, r.doc_b, round(r.jaccard, 6)) for r in indexed.collect()}
+        b = {(r.doc_a, r.doc_b, round(r.jaccard, 6)) for r in inplan.collect()}
+        assert a == b and a
+
+    def test_probe_scan_is_partition_pruned(self, spark, tmp_path):
+        import prefect_flow_arc_kg_postgres_etl_spark.operators.dedup as D
+
+        hist, new = self._corpus(spark)
+        D.build_dedup_index(hist, str(tmp_path), partitions=64)
+        out = D.incremental_dup_pairs_indexed(
+            new, str(tmp_path), 0.8, partitions=64
+        )
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # both index scans carry partition filters (bh_p in (...),
+        # id_p in (...)) — not full-index reads
+        assert "PartitionFilters: [bh_p" in plan.replace("#", " ").replace(
+            "bh_p ", "bh_p"
+        ) or "bh_p IN" in plan
+        assert "id_p IN" in plan or "PartitionFilters: [id_p" in plan.replace(
+            "#", " "
+        ).replace("id_p ", "id_p")
+
+    def test_index_layout_one_file_per_partition(self, spark, tmp_path):
+        import glob
+
+        import prefect_flow_arc_kg_postgres_etl_spark.operators.dedup as D
+
+        hist, _ = self._corpus(spark)
+        D.build_dedup_index(hist, str(tmp_path), partitions=16)
+        for sub in ("band_keys", "grams"):
+            dirs = glob.glob(f"{tmp_path}/{sub}/*_p=*")
+            assert dirs, sub
+            for d in dirs:
+                files = glob.glob(f"{d}/*.parquet")
+                assert len(files) == 1, (sub, d, files)
