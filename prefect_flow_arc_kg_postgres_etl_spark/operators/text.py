@@ -284,10 +284,17 @@ def vocabulary(
     combine straight off the exploded scan (raw tokens never shuffle —
     partial aggs ship |local vocab| rows per task); document frequency
     reuses the (doc, term) distinct agg. Both shuffles key on the term.
-    The final rank is a single-partition window — over the VOCABULARY
-    (millions of rows after min_count), not the corpus, which is the
-    standard contiguous-id assignment and is bounded by |vocab| no
-    matter how large the corpus grows.
+
+    The dense rank is TWO-PHASE (r7 — a web-scale corpus's
+    post-min_count vocab is 1e8-1e9 terms; a global row_number window
+    moves all of it to ONE partition): range-partition the vocab on the
+    rank order, row_number WITHIN each range partition (parallel), then
+    add each partition's exclusive prefix-sum offset. The only
+    single-partition step is the offset window over ONE ROW PER
+    PARTITION — bounded by shuffle parallelism, not vocab size. Range
+    partitions are contiguous in the sort order (and AQE only coalesces
+    adjacent ones), so local rank + partition offset IS the global
+    rank, independent of where sampling placed the range boundaries.
 
     Returns (term, total_count, doc_freq, term_rank)."""
     toks = docs.select(
@@ -298,10 +305,41 @@ def vocabulary(
     vocab = per_doc.groupBy("term").agg(
         F.sum("tf").alias("total_count"), F.count("*").alias("doc_freq")
     )
-    w = Window.orderBy(F.desc("total_count"), F.asc("term"))
-    return (
+    ranked = (
         vocab.filter(F.col("total_count") >= min_count)
-        .withColumn("term_rank", F.row_number().over(w).cast("bigint"))
+        .repartitionByRange(F.desc("total_count"), F.asc("term"))
+        # spark_partition_id() is non-deterministic to Catalyst, so the
+        # projection pins to THIS exchange's output and cannot be
+        # collapsed past the window's pid re-shuffle below.
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        F.desc("total_count"), F.asc("term")
+    )
+    local = ranked.withColumn("lr", F.row_number().over(w_local)).localCheckpoint(
+        eager=True
+    )
+    # Exclusive prefix-sum offsets: ONE ROW PER PARTITION collected to
+    # the driver (bounded by shuffle parallelism — metadata scale, the
+    # same class as a partition-pruning subquery), summed in plain
+    # Python, broadcast back. No unpartitioned window anywhere; the
+    # checkpoint pins pid/lr so the collected counts and the joined
+    # frame can never diverge.
+    counts = sorted(
+        (r["pid"], r["cnt"])
+        for r in local.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, running = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, running))
+        running += cnt
+    offsets_df = local.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "pid int, off long"
+    )
+    return (
+        local.join(F.broadcast(offsets_df), "pid")
+        .withColumn("term_rank", (F.col("off") + F.col("lr")).cast("bigint"))
+        .select("term", "total_count", "doc_freq", "term_rank")
     )
 
 

@@ -593,3 +593,75 @@ def test_scan_fused_ops_have_no_exchange(spark, name):
     a shuffle appearing in any of these plans is a regression."""
     plan = build(spark, name)
     assert "Exchange" not in plan, f"{name} grew a shuffle"
+
+
+def _unpartitioned_windows(plan: str) -> int:
+    """Count window specs with NO partition keys — the formatted plan
+    prints ``windowspecdefinition(<order cols>, specifiedwindowframe``
+    for those, vs ``windowspecdefinition(<part cols>, <order cols>,
+    ...)`` when partitioned. Distinguish by whether any argument before
+    the frame is a bare order spec only — cheapest reliable signal is
+    the runtime WindowExec warning, but plans are static here, so count
+    specs whose argument list has no partition segment: every ordered
+    col carries ASC/DESC, partition cols don't."""
+    import re
+
+    n = 0
+    for m in re.finditer(r"windowspecdefinition\(([^)]*?)specifiedwindowframe", plan):
+        args = m.group(1)
+        head = args.split(",")[0].strip()
+        # partitioned specs lead with a bare column (no sort direction);
+        # unpartitioned specs lead with an ordered column
+        if " ASC" in head or " DESC" in head:
+            n += 1
+    return n
+
+
+def test_vocabulary_rank_is_partitioned():
+    """D24 (r7): the dense-id rank must be the two-phase form — a
+    row_number PARTITIONED by the range-partition id plus broadcast
+    offsets. A global (unpartitioned) row_number over the vocabulary
+    single-partitions a 1e8-1e9-term vocab at 100 TB; zero
+    unpartitioned window specs may appear in the plan."""
+    import tests.conftest as C
+    from prefect_flow_arc_kg_postgres_etl_spark.session import get_spark
+
+    spark = get_spark("tests", cpus=8)
+    plan = build(spark, "corpus_vocabulary")
+    assert _unpartitioned_windows(plan) == 0, plan
+
+
+# The remaining unpartitioned windows in the repo, each bounded by a
+# domain that does NOT grow with corpus bytes — the boundedness
+# argument, pinned so a refactor cannot silently move an unbounded set
+# through one of them:
+#   orders_cohort_retention  — cumulative over DISTINCT MONTHS
+#                              (calendar-bounded: ~1e2 rows/decade);
+#   supplier_pareto_abc      — cumulative over the SUPPLIER dimension
+#                              (dimension-bounded; the two-phase dense
+#                              rank in operators/text.vocabulary is the
+#                              drop-in if the dimension outgrows a
+#                              partition);
+#   orders_rfm_segmentation  — tercile bounds over DISTINCT METRIC
+#                              VALUES (value-domain-bounded);
+#   corpus_interleave_shards — row_number over DISTINCT SOURCES
+#                              (a handful of corpus sources);
+#   corpus_length_band_filter— cumulative over DISTINCT LENGTHS
+#                              (value-domain-bounded).
+@pytest.mark.parametrize(
+    "name,max_unpartitioned",
+    [
+        # limits are spec-OCCURRENCE counts (formatted explain prints
+        # tree + detail, so one logical window can count twice)
+        ("orders_cohort_retention", 2),
+        ("supplier_pareto_abc", 2),
+        ("orders_rfm_segmentation", 6),
+        ("corpus_interleave_shards", 2),
+        ("corpus_length_band_filter", 2),
+    ],
+)
+def test_bounded_unpartitioned_windows_dont_grow(spark, name, max_unpartitioned):
+    plan = build(spark, name)
+    assert _unpartitioned_windows(plan) <= max_unpartitioned, (
+        f"{name} grew an unpartitioned window beyond its bounded set"
+    )
