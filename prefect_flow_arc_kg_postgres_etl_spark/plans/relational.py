@@ -2147,7 +2147,9 @@ FROM sess GROUP BY user_id, session_id
 _IVL_BUCKET_US = 21_600_000_000  # 6 h bucket width
 
 
-def sessions_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sessions_overlap_join(
+    spark: SparkSession, sf_dir: str, handoff_bytes: int | None = None
+) -> DataFrame:
     """B48: INTERVAL x INTERVAL overlap join — B46 generalized from
     point proximity to arbitrary-length intervals. For every session
     (B9's gap sessionization), count concurrent sessions of OTHER
@@ -2181,12 +2183,27 @@ def sessions_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # The session set feeds both join sides and the final zero-keep
-    # join; the sessionization pipeline therefore executes three times
-    # (6 Window nodes in the plan). Measured: materializing it once via
-    # localCheckpoint is NET SLOWER at sf0.1 (4.3 s vs 3.8 s min-of-4 —
-    # checkpoint write + lost pipeline overlap exceed the recompute),
-    # so the recompute stands; at 100 TB the sessions set is
-    # |users|-scale and a persisted-table handoff would replace it.
+    # join; left inline, the sessionization pipeline executes three
+    # times (6 Window nodes in the plan). Measured: materializing it
+    # once via localCheckpoint is NET SLOWER at sf0.1 (4.3 s vs 3.8 s
+    # min-of-4 — checkpoint write + lost pipeline overlap exceed the
+    # recompute), but at 100 TB re-sessionizing the raw fact 3x is the
+    # dominant cost. r7: SIZE-GATED handoff — when the events source
+    # exceeds ``handoff_bytes`` (file metadata, no scan), the session
+    # set materializes once (one write, three reads; the sessionize
+    # subtree appears ONCE in the executed plan — audited in
+    # test_plan_audit.py); below the gate today's recompute stands.
+    import os
+
+    if handoff_bytes is None:
+        handoff_bytes = 512 * 1024 * 1024  # above sf0.1 (~8 MB): bench keeps
+        # the measured-faster recompute; a 100x events table crosses it
+    try:
+        src_bytes = os.stat(os.path.join(sf_dir, "events.parquet")).st_size
+    except OSError:
+        src_bytes = 0
+    if src_bytes > handoff_bytes:
+        sess = sess.localCheckpoint(eager=True)
     from prefect_flow_arc_kg_postgres_etl_spark.operators.stats import (
         interval_overlap_pairs,
     )

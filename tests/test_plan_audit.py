@@ -665,3 +665,28 @@ def test_bounded_unpartitioned_windows_dont_grow(spark, name, max_unpartitioned)
     assert _unpartitioned_windows(plan) <= max_unpartitioned, (
         f"{name} grew an unpartitioned window beyond its bounded set"
     )
+
+
+def test_sessions_overlap_handoff_sessionizes_once(spark):
+    """B48 (r7): above the size gate the session set materializes once
+    — the executed plan must contain ZERO Window nodes (sessionization
+    ran in the handoff job, and the three consumers read the
+    materialized set); below the gate the measured-faster triple
+    recompute stands (6 Window nodes)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.plans.relational import (
+        sessions_overlap_join,
+    )
+
+    forced = sessions_overlap_join(spark, SF_SMOKE, handoff_bytes=0)
+    forced.collect()
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "sessionize subtree still inline above the gate"
+
+    inline = sessions_overlap_join(spark, SF_SMOKE, handoff_bytes=1 << 60)
+    inline_plan = plan_of(inline)
+    assert inline_plan.count("Window") >= 6  # tree+detail of 3 recomputes
+
+    # same answer on both paths
+    a = sorted(map(tuple, forced.collect()))
+    b = sorted(map(tuple, inline.collect()))
+    assert a == b
