@@ -175,3 +175,72 @@ def stage_then_merge(
         merged = staged
     store.write_table(merged, target_path)
     return store.read_table(spark, target_path)
+
+
+def validate_statement_syntax(
+    statement: str,
+    spark: SparkSession | None = None,
+    tables: dict[str, list[str]] | None = None,
+    keys: list[str] | None = None,
+) -> None:
+    """Parse-check a generated DB statement before it ever reaches a
+    live connection — the closest thing to executing against Postgres
+    available in-process (no DB in the sandbox; semantics are pinned
+    separately by the DuckDB state-equivalence tests in
+    tests/test_sinks.py):
+
+    - ``MERGE INTO`` goes through SPARK's SQL parser — Spark implements
+      the same SQL:2003 MERGE grammar Postgres 15 adopted, so a
+      generator typo (stray comma, misspelled clause, unbalanced
+      parens) raises ParseException here exactly as psql would.
+    - ``INSERT .. ON CONFLICT`` / ``DELETE`` go through DUCKDB, which
+      implements Postgres's dialect for both — and with ``tables``
+      given ({name: columns}; ``keys`` become the PRIMARY KEY of the
+      first table), shadow tables are created in-memory and the
+      statement is EXPLAINed: a full parse + BIND check (unknown
+      column, wrong conflict target, arity mismatch all fail), not
+      just a grammar pass.
+
+    Raises ValueError wrapping the underlying parser error.
+    """
+    stmt = statement.lstrip()
+    if stmt.upper().startswith("MERGE"):
+        assert spark is not None, "MERGE validation needs a SparkSession"
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            spark._jsparkSession.sessionState().sqlParser().parsePlan(stmt)
+        except Py4JJavaError as e:  # ParseException surfaces here
+            raise ValueError(f"generated MERGE failed to parse: {e}") from e
+        return
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        if tables:
+            first = True
+            for name, cols in tables.items():
+                if "." in name:
+                    con.execute(
+                        f"CREATE SCHEMA IF NOT EXISTS {name.split('.')[0]}"
+                    )
+                defs = ", ".join(f"{c} VARCHAR" for c in cols)
+                pk = (
+                    f", PRIMARY KEY ({', '.join(keys)})"
+                    if first and keys
+                    else ""
+                )
+                con.execute(f"CREATE TABLE {name} ({defs}{pk})")
+                first = False
+            con.execute("EXPLAIN " + stmt)
+        else:
+            # grammar-only: bind errors about missing tables pass, real
+            # syntax errors do not
+            try:
+                con.execute("EXPLAIN " + stmt)
+            except duckdb.CatalogException:
+                pass
+    except (duckdb.ParserException, duckdb.BinderException) as e:
+        raise ValueError(f"generated statement failed to parse: {e}") from e
+    finally:
+        con.close()

@@ -6,6 +6,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from prefect_flow_arc_kg_postgres_etl_spark.sinks.es_bulk import (
@@ -490,3 +492,68 @@ def test_store_lifecycle_land_compact_zorder_delete_validate(spark, tmp_path):
         S.read_table_version(
             spark, f"{root}/orders.parquet", pinned_v
         ).collect()
+
+
+class TestStatementSyntaxValidation:
+    """r7: every generated DB statement is parse-checked in-process —
+    MERGE through Spark's SQL:2003 grammar (the one PG 15 adopted),
+    INSERT..ON CONFLICT / DELETE through DuckDB's PG dialect with
+    shadow tables (parse + bind). The negative cases prove the check
+    actually fails on invalid SQL."""
+
+    TABLES = {
+        "graph.thing": ["id", "name", "score"],
+        "staging_thing": ["id", "name", "score"],
+    }
+
+    def test_generated_statements_validate(self, spark):
+        from prefect_flow_arc_kg_postgres_etl_spark.sinks.jdbc import (
+            clear_statement,
+            merge_statement,
+            upsert_statement,
+            validate_statement_syntax,
+        )
+
+        m = merge_statement("graph.thing", "staging_thing", ["id"], ["id", "name", "score"])
+        validate_statement_syntax(m, spark=spark)
+        u = upsert_statement("graph.thing", "staging_thing", ["id"], ["id", "name", "score"])
+        validate_statement_syntax(u, tables=self.TABLES, keys=["id"])
+        c = clear_statement("graph.thing", "staging_thing", "id")
+        validate_statement_syntax(c, tables=self.TABLES, keys=["id"])
+
+    def test_invalid_merge_fails(self, spark):
+        from prefect_flow_arc_kg_postgres_etl_spark.sinks.jdbc import (
+            merge_statement,
+            validate_statement_syntax,
+        )
+
+        bad = merge_statement(
+            "graph.thing", "staging_thing", ["id"], ["id", "name"]
+        ).replace("WHEN MATCHED", "WHEN MATCHD")
+        with pytest.raises(ValueError, match="MERGE failed to parse"):
+            validate_statement_syntax(bad, spark=spark)
+
+    def test_invalid_upsert_fails(self):
+        from prefect_flow_arc_kg_postgres_etl_spark.sinks.jdbc import (
+            upsert_statement,
+            validate_statement_syntax,
+        )
+
+        bad = upsert_statement(
+            "graph.thing", "staging_thing", ["id"], ["id", "name", "score"]
+        ).replace("DO UPDATE SET", "DO UPDAT SET")
+        with pytest.raises(ValueError, match="failed to parse"):
+            validate_statement_syntax(bad, tables=self.TABLES, keys=["id"])
+
+    def test_bind_check_catches_unknown_column(self):
+        from prefect_flow_arc_kg_postgres_etl_spark.sinks.jdbc import (
+            upsert_statement,
+            validate_statement_syntax,
+        )
+
+        # column list names a column the shadow table lacks -> BinderException
+        bad = upsert_statement(
+            "graph.thing", "staging_thing", ["id"], ["id", "name", "scoer"]
+        )
+        with pytest.raises(ValueError, match="failed to parse"):
+            validate_statement_syntax(bad, tables=self.TABLES, keys=["id"])
