@@ -206,11 +206,12 @@ def validate_statement_syntax(
     stmt = statement.lstrip()
     if stmt.upper().startswith("MERGE"):
         assert spark is not None, "MERGE validation needs a SparkSession"
-        from py4j.protocol import Py4JJavaError
-
         try:
             spark._jsparkSession.sessionState().sqlParser().parsePlan(stmt)
-        except Py4JJavaError as e:  # ParseException surfaces here
+        except Exception as e:  # pyspark converts the Java
+            # ParseException into its own captured exception type, so
+            # the catch must be broad; anything raised here IS a parse
+            # failure of the generated text.
             raise ValueError(f"generated MERGE failed to parse: {e}") from e
         return
     import duckdb
