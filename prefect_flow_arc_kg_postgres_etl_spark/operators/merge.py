@@ -309,12 +309,21 @@ def upsert_conditional(
         guarded_key.alias(f"_sk_{keys[0]}"),
         *[F.col(k).alias(f"_sk_{k}") for k in keys[1:]],
         *[F.col(c).alias(f"_s_{c}") for c in cols],
+        F.lit(1).alias("_sp"),
     )
-    joined = target.join(
-        s, [F.col(k) == F.col(f"_sk_{k}") for k in keys], "full_outer"
+    # Side-presence MARKERS, not key nullability: a target row whose
+    # merge-key column is legitimately NULL would read as "source-only"
+    # under a keys[0]-IS-NULL test and be overwritten with the absent
+    # source side's NULLs (ADVICE r6). _tp/_sp are non-null exactly
+    # when that side of the full-outer join is present, whatever the
+    # key values are. (NULL keys never MATCH — SQL equality — they
+    # just must not be misclassified.)
+    t = target.withColumn("_tp", F.lit(1))
+    joined = t.join(
+        s, [t[k] == F.col(f"_sk_{k}") for k in keys], "full_outer"
     )
-    matched = F.col(f"_sk_{keys[0]}").isNotNull() & F.col(keys[0]).isNotNull()
-    src_only = F.col(keys[0]).isNull()
+    matched = F.col("_sp").isNotNull() & F.col("_tp").isNotNull()
+    src_only = F.col("_tp").isNull()
     cond = condition(
         lambda c: F.col(f"_s_{c}"), lambda c: F.col(c)
     )

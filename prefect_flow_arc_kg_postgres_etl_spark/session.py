@@ -41,6 +41,16 @@ def get_spark(app_name: str = "arc-kg-spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Parallel CI shards run one JVM each; give every shard its own
+        # warehouse dir so concurrent managed-table tests cannot
+        # collide on ./spark-warehouse (unset => Spark's cwd default).
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(os.getcwd(), "spark-warehouse"),
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # The generated-class cache defaults to 100 entries; a session

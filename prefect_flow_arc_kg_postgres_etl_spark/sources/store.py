@@ -29,6 +29,10 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "_current"
+# A crashed commit_tables holder's lock is taken over after this many
+# seconds; its half-committed versions (above the live pointer,
+# unpinned by any manifest) become vacuum-reclaimable orphans.
+_COMMIT_LOCK_TTL = 600.0
 
 
 def current_version(table_path: str) -> int | None:
@@ -372,7 +376,10 @@ def read_snapshot(
 
 
 def vacuum_table(
-    table_path: str, store_dir: str | None = None, keep_last: int = 1
+    table_path: str,
+    store_dir: str | None = None,
+    keep_last: int = 1,
+    orphan_grace_sec: float = 3600.0,
 ) -> list[int]:
     """A56 (r6): MANIFEST-AWARE RETENTION GC — the missing end of the
     version lifecycle. ``write_table(prune=True)`` keeps only the live
@@ -406,17 +413,43 @@ def vacuum_table(
                 manifest = json.load(f)
             if table_name in manifest:
                 pinned.add(int(manifest[table_name]))
+    import time
+
     versions = sorted(
         int(m.group(1))
         for d in glob.glob(os.path.join(table_path, "v_*"))
         if (m := re.match(r".*v_(\d+)$", d)) and os.path.isdir(d)
     )
-    keep = set(versions[-keep_last:]) | {live} | pinned
+    # Retention window over REACHABLE history only (versions <= live):
+    # a crashed committer's orphan numbered ABOVE the live pointer must
+    # not permanently occupy the newest keep_last slot and displace a
+    # genuinely reachable version (ADVICE r6). Unpinned orphans above
+    # live are themselves reclaimable — after a grace window, so an
+    # IN-FLIGHT commit (landed data, manifest not yet written) is never
+    # swept out from under its committer. Stale _stage_* dirs age out
+    # on the same clock.
+    now = time.time()
+    reachable = [v for v in versions if v <= live]
+    keep = set(reachable[-keep_last:]) | {live} | pinned
     removed = []
     for v in versions:
-        if v not in keep:
-            shutil.rmtree(version_dir(table_path, v), ignore_errors=True)
-            removed.append(v)
+        if v in keep:
+            continue
+        d = version_dir(table_path, v)
+        if v > live:
+            try:
+                if now - os.stat(d).st_mtime < orphan_grace_sec:
+                    continue
+            except OSError:
+                continue
+        shutil.rmtree(d, ignore_errors=True)
+        removed.append(v)
+    for sd in glob.glob(os.path.join(table_path, "_stage_*")):
+        try:
+            if now - os.stat(sd).st_mtime >= orphan_grace_sec:
+                shutil.rmtree(sd, ignore_errors=True)
+        except OSError:
+            pass
     return sorted(removed, reverse=True)
 
 
@@ -482,29 +515,86 @@ def commit_tables(store_dir: str, tables: dict) -> str:
     manifests exist to avoid. Returns the manifest path."""
     import json
 
-    landed: dict[str, int] = {}
+    import glob
+    import json
+    import re
+    import time
+    import uuid
+
+    # Phase 1 — NO coordination: every committer lands its data in a
+    # private staging dir per table (a crash here leaves only
+    # unreferenced _stage_* dirs, reclaimed by vacuum).  Version
+    # numbers are NOT chosen yet: two concurrent committers computing
+    # (current+1) independently would overwrite each other's v_{N+1}
+    # and interleave pointer swaps (ADVICE r6) — exactly the torn state
+    # the manifest exists to prevent.
+    token = uuid.uuid4().hex[:12]
+    staged: dict[str, str] = {}
     for name, df in tables.items():
         tp = os.path.join(store_dir, f"{name}.parquet")
-        v = (current_version(tp) or 0) + 1
-        df.write.mode("overwrite").parquet(version_dir(tp, v))
-        landed[name] = v
-    n = 1
+        sd = os.path.join(tp, f"_stage_{token}")
+        df.write.mode("overwrite").parquet(sd)
+        staged[name] = sd
+
+    # Phase 2 — metadata-only critical section under a store-wide
+    # O_EXCL lock: allocate version numbers from what is actually on
+    # disk, RENAME staging dirs into place (atomic, no data copy),
+    # claim the next manifest number, write the manifest (the commit
+    # point), swap the convenience pointers. Lock hold time is a few
+    # renames + two tiny file writes. A committer that crashed inside
+    # the lock leaves a stale lock file; it is taken over after
+    # _COMMIT_LOCK_TTL (and its half-renamed versions sit above the
+    # live pointer, unpinned — vacuum reclaims them after the grace
+    # window).
+    lock = os.path.join(store_dir, "_commit.lock")
     while True:
-        path = os.path.join(store_dir, f"_snapshot_{n}.json")
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
             break
         except FileExistsError:
-            n += 1
-    with os.fdopen(fd, "w") as f:
-        json.dump(landed, f, sort_keys=True)
-    # convenience-cache pointer swaps (idempotent; manifest is truth)
-    for name, v in landed.items():
-        tp = os.path.join(store_dir, f"{name}.parquet")
-        tmp = os.path.join(tp, _POINTER + ".tmp")
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, os.path.join(tp, _POINTER))
+            try:
+                if time.time() - os.stat(lock).st_mtime > _COMMIT_LOCK_TTL:
+                    os.unlink(lock)
+                    continue
+            except OSError:
+                continue
+            time.sleep(0.05)
+    try:
+        landed: dict[str, int] = {}
+        for name, sd in staged.items():
+            tp = os.path.join(store_dir, f"{name}.parquet")
+            on_disk = [
+                int(m.group(1))
+                for d in glob.glob(os.path.join(tp, "v_*"))
+                if (m := re.match(r".*v_(\d+)$", d)) and os.path.isdir(d)
+            ]
+            v = max([current_version(tp) or 0, *on_disk, 0]) + 1
+            os.rename(sd, version_dir(tp, v))
+            landed[name] = v
+        n = 1
+        while True:
+            path = os.path.join(store_dir, f"_snapshot_{n}.json")
+            try:
+                mfd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                n += 1
+        with os.fdopen(mfd, "w") as f:
+            json.dump(landed, f, sort_keys=True)
+        # convenience-cache pointer swaps (idempotent; manifest is truth)
+        for name, v in landed.items():
+            tp = os.path.join(store_dir, f"{name}.parquet")
+            tmp = os.path.join(tp, _POINTER + ".tmp")
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, os.path.join(tp, _POINTER))
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
     return path
 
 

@@ -531,3 +531,58 @@ def test_multi_commit_crash_before_manifest_is_invisible(spark, tmp_path):
     )
     snap2 = store.read_snapshot(spark, sd, store.latest_manifest(sd))
     assert (snap2["orders"].count(), snap2["lineitem"].count()) == (50, 40)
+
+
+def test_vacuum_reclaims_crashed_orphan_above_live(spark, tmp_path):
+    """ADVICE r6: a crashed commit's version ABOVE the live pointer
+    must not occupy the keep_last retention slot forever — after the
+    grace window it is reclaimed, and the retention window counts over
+    REACHABLE (<= live) history only."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    store_dir = str(tmp_path)
+    tp = f"{store_dir}/orders.parquet"
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    store.write_table(orders.limit(10), tp, prune=False)  # v1
+    store.write_table(orders.limit(20), tp, prune=False)  # v2 live
+    # simulate a crashed committer: landed data, pointer never swapped
+    orders.limit(5).write.parquet(store.version_dir(tp, 9))
+    # within the grace window the in-flight orphan survives...
+    assert store.vacuum_table(tp, store_dir, keep_last=2) == []
+    # ...after it, the orphan goes and the reachable window (v1, v2)
+    # is untouched — v9 never displaced v1 from keep_last=2
+    assert store.vacuum_table(
+        tp, store_dir, keep_last=2, orphan_grace_sec=0
+    ) == [9]
+    assert store.read_table_version(spark, tp, 1).count() == 10
+    assert store.read_table(spark, tp).count() == 20
+
+
+def test_commit_tables_stage_then_rename_allocates_disjoint_versions(
+    spark, tmp_path
+):
+    """ADVICE r6: versions are allocated from on-disk state inside the
+    commit lock, so a version landed by ANY other writer (here: a
+    crashed committer's orphan dir) is never overwritten; stale staging
+    dirs age out via vacuum."""
+    import os
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    sd = str(tmp_path)
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    store.commit_tables(sd, {"orders": orders.limit(10)})  # v1
+    tp = f"{sd}/orders.parquet"
+    # another writer's landed-but-uncommitted version
+    orders.limit(3).write.parquet(store.version_dir(tp, 2))
+    store.commit_tables(sd, {"orders": orders.limit(20)})  # must pick v3
+    assert store.read_table(spark, tp).count() == 20
+    assert store.read_table_version(spark, tp, 2).count() == 3  # untouched
+    # crashed committer's staging dir is vacuum-able after grace
+    os.makedirs(f"{tp}/_stage_deadbeef")
+    store.vacuum_table(tp, sd, keep_last=5, orphan_grace_sec=0)
+    assert not os.path.exists(f"{tp}/_stage_deadbeef")
+    # no stale lock left behind
+    assert not os.path.exists(f"{sd}/_commit.lock")

@@ -316,3 +316,33 @@ class TestRenameInvalidation:
         kept = [r for r in rows if r.state == "kept"]
         assert kept, "expected at least one untouched partition"
         assert all("(legacy)" not in r.embedded_name for r in kept)
+
+
+class TestConditionalUpsertNullKeys:
+    """ADVICE r6: a target row with a legitimately-NULL merge key must
+    pass through untouched (NULL keys never match, but they must not
+    read as 'source-only' and be nulled out)."""
+
+    def test_null_key_target_row_survives(self, spark):
+        from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import (
+            upsert_conditional,
+        )
+
+        target = spark.createDataFrame(
+            [(1, "a", 10), (None, "nullkey", 99)],
+            "k int, v string, ver int",
+        )
+        source = spark.createDataFrame(
+            [(1, "a2", 20), (2, "new", 5)], "k int, v string, ver int"
+        )
+        out = upsert_conditional(
+            target,
+            source,
+            keys=["k"],
+            update_cols=["v", "ver"],
+            condition=lambda s, t: s("ver") > t("ver"),
+        )
+        rows = {(r.k, r.v, r.ver) for r in out.collect()}
+        assert (None, "nullkey", 99) in rows, rows
+        assert (1, "a2", 20) in rows and (2, "new", 5) in rows
+        assert len(rows) == 3

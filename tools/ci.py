@@ -37,11 +37,78 @@ def run(label: str, cmd: list[str]) -> bool:
     return ok
 
 
+# Suite shards for the parallel gate (no pytest-xdist in the image, so
+# file-level sharding with one subprocess + one Spark JVM each).
+# Groupings balance measured wall time: the oracle sweep is its own
+# shard (the longest), plan-audit + streaming together, the store/merge
+# family, and the rest. Files created later fall into shard 3 via the
+# catch-all so a new test file cannot silently drop out of the gate.
+_SHARDS: list[list[str]] = [
+    ["tests/test_oracle.py"],
+    ["tests/test_plan_audit.py", "tests/test_streaming.py"],
+    [
+        "tests/test_flows.py",
+        "tests/test_sinks.py",
+        "tests/test_merge.py",
+        "tests/test_merge_properties.py",
+        "tests/test_catalog_drift.py",
+    ],
+]
+
+
+def run_pytest_sharded(py: str) -> bool:
+    import glob
+    import tempfile
+
+    named = {f for shard in _SHARDS for f in shard}
+    rest = sorted(
+        f for f in glob.glob("tests/test_*.py") if f not in named
+    )
+    shards = _SHARDS + [rest]
+    t0 = time.time()
+    print(f"=== pytest: {len(shards)} parallel shards", flush=True)
+    procs = []
+    for i, files in enumerate(shards):
+        env = dict(os.environ)
+        env["SPARK_DRIVER_MEMORY"] = env.get("SPARK_DRIVER_MEMORY", "8g")
+        env["SPARK_GRAFT_WAREHOUSE"] = tempfile.mkdtemp(prefix=f"ci_wh{i}_")
+        procs.append(
+            (
+                i,
+                files,
+                subprocess.Popen(
+                    [py, "-m", "pytest", *files, "-q"],
+                    cwd=REPO,
+                    env=env,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                    text=True,
+                ),
+            )
+        )
+    ok = True
+    for i, files, proc in procs:
+        out, _ = proc.communicate()
+        tail = out.strip().splitlines()[-1] if out.strip() else ""
+        print(f"  shard {i} ({len(files)} files): rc={proc.returncode} {tail}")
+        if proc.returncode != 0:
+            print("\n".join(out.strip().splitlines()[-40:]))
+            ok = False
+    print(
+        f"=== pytest: {'OK' if ok else 'FAILED'} ({time.time() - t0:.0f}s)",
+        flush=True,
+    )
+    return ok
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     py = sys.executable
-    ok = run("pytest", [py, "-m", "pytest", "tests/", "-q"])
+    if "--serial" in sys.argv:
+        ok = run("pytest", [py, "-m", "pytest", "tests/", "-q"])
+    else:
+        ok = run_pytest_sharded(py)
     ok = run("oracle-gate", [py, "tools/check_oracle.py", sf_dir]) and ok
     if "--skip-bench" not in sys.argv:
         t0 = time.time()
