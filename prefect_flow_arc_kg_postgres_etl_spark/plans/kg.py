@@ -3542,3 +3542,309 @@ WITH ie_rows AS (
 )
 SELECT subject, predicate, object FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# A67b: organization.sparql verbatim (FROM datasets + nested OPTIONALs)
+
+_ORG_SPARQL_PATH = "/root/reference/typescript/queries/organization.sparql"
+
+_OQ = {
+    "w3org": "http://www.w3.org/ns/org#",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "dct": "http://purl.org/dc/terms/",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "haOrg": "https://data.hetarchief.be/ns/organization/",
+    "schema": "https://schema.org/",
+    "org": "https://data.hetarchief.be/id/organization/",
+    "cls": "https://data.hetarchief.be/id/class/",
+    "pref": "https://data.hetarchief.be/id/organization-preferences/p-",
+    "cp": "https://data.hetarchief.be/id/contact-point/",
+    "site": "https://data.hetarchief.be/id/site/",
+    "addr": "https://data.hetarchief.be/id/address/",
+    "g_org": "https://data.hetarchief.be/graph/organization",
+    "g_bavo": "https://data.hetarchief.be/graph/organization-static-bavo",
+    "g_pref": "https://data.hetarchief.be/graph/organization-preferences",
+    "g_thes": "https://data.hetarchief.be/graph/thesauri",
+}
+
+
+def _sparql_org_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quad store shaped for organization.sparql: orgs from the
+    customer table with every OPTIONAL populated on a deterministic
+    modulus — identifiers failing the strStarts('OR-') filter, labels
+    failing langMatches('nl'), a request-form URL containing the
+    literal backslash-underscore the query's REPLACE un-escapes,
+    classification labels in BOTH languages (the inner FILTER keeps
+    nl), preference resources whose last path segment the regex BIND
+    extracts, nested contact-point and postal-address blocks. Spread
+    across the four FROM graphs so the dataset-clause union is doing
+    real work. One inline() generator pass, staged predicate-
+    partitioned like the person store."""
+    import hashlib
+    import os
+    import tempfile
+
+    fp = hashlib.md5(b"sparql_org_v1")
+    st = os.stat(os.path.join(sf_dir, "customer.parquet"))
+    fp.update(f"{st.st_mtime_ns}:{st.st_size}".encode())
+    path = f"{tempfile.gettempdir()}/sparql_org_quads_{fp.hexdigest()[:16]}"
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        pass
+
+    q = _OQ
+    cust = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    org = F.concat(F.lit(q["org"]), cks)
+    ident = F.when(
+        ck % 4 == 1, F.concat(F.lit("XX-"), cks)
+    ).otherwise(F.concat(F.lit("OR-"), cks))
+    label_lang = F.when(ck % 5 == 2, F.lit("en")).otherwise(F.lit("nl"))
+    cls_node = F.concat(F.lit(q["cls"]), (ck % 5).cast("string"))
+    pref_node = F.concat(F.lit(q["pref"]), (ck % 6).cast("string"))
+    cp_node = F.concat(F.lit(q["cp"]), cks)
+    site_node = F.concat(F.lit(q["site"]), cks)
+    addr_node = F.concat(F.lit(q["addr"]), cks)
+
+    def as_col(x):
+        return x if isinstance(x, Column) else F.lit(x)
+
+    def quad(s, p, o, lang=None, graph=None):
+        return F.struct(
+            as_col(s).cast("string").alias("subject"),
+            F.lit(p).alias("predicate"),
+            as_col(o).cast("string").alias("object"),
+            as_col(lang).cast("string").alias("lang"),
+            as_col(graph).cast("string").alias("graph"),
+        )
+
+    when = lambda cond, col: F.when(cond, col)  # noqa: E731
+    quads = cust.select(
+        F.inline(
+            F.array(
+                quad(org, _RDF_TYPE, q["w3org"] + "Organization", graph=q["g_org"]),
+                quad(org, q["w3org"] + "identifier", ident, graph=q["g_org"]),
+                quad(org, q["skos"] + "prefLabel", F.col("c_name"),
+                     lang=label_lang, graph=q["g_org"]),
+                quad(org, q["dct"] + "description",
+                     when(ck % 2 == 0, F.concat(F.lit("Desc "), (ck % 97).cast("string"))),
+                     graph=q["g_org"]),
+                quad(org, q["foaf"] + "homepage",
+                     when(ck % 3 == 0, F.concat(F.lit("https://org"), cks, F.lit(".example"))),
+                     graph=q["g_org"]),
+                quad(org, q["haOrg"] + "hasLogo",
+                     when(ck % 4 == 0, F.concat(F.lit("https://img.example/"), cks, F.lit(".png"))),
+                     graph=q["g_org"]),
+                quad(org, q["haOrg"] + "requestForm",
+                     when(ck % 5 == 0,
+                          F.concat(F.lit("https://forms.example/f\\_"), (ck % 50).cast("string"))),
+                     graph=q["g_org"]),
+                quad(org, q["haOrg"] + "sector",
+                     when(ck % 6 == 0, _sq_pick(["Cultuur", "Overheid", "Onderwijs"], ck % 3)),
+                     graph=q["g_org"]),
+                quad(org, q["w3org"] + "classification",
+                     when(ck % 7 == 0, cls_node), graph=q["g_org"]),
+                quad(org, q["haOrg"] + "hasPreference",
+                     when(ck % 2 == 1, pref_node), graph=q["g_pref"]),
+                quad(org, q["schema"] + "vatID",
+                     when(ck % 8 == 0, F.concat(F.lit("BE0"), (ck + 400000000).cast("string"))),
+                     graph=q["g_org"]),
+                # contact point block
+                quad(org, q["schema"] + "contactPoint",
+                     when(ck % 3 == 1, cp_node), graph=q["g_org"]),
+                quad(cp_node, q["schema"] + "contactType",
+                     when(ck % 3 == 1, F.lit("ontsluiting")), graph=q["g_org"]),
+                quad(cp_node, q["schema"] + "email",
+                     when(ck % 6 == 1, F.concat(F.lit("org"), cks, F.lit("@example.com"))),
+                     graph=q["g_org"]),
+                quad(cp_node, q["schema"] + "telephone",
+                     when(ck % 9 == 1, F.concat(F.lit("+32"), (ck + 10000).cast("string"))),
+                     graph=q["g_org"]),
+                # postal address block (static-bavo graph)
+                quad(org, q["w3org"] + "hasSite",
+                     when(ck % 5 == 3, site_node), graph=q["g_bavo"]),
+                quad(site_node, q["w3org"] + "siteAddress",
+                     when(ck % 5 == 3, addr_node), graph=q["g_bavo"]),
+                quad(addr_node, q["schema"] + "contactType",
+                     when(ck % 5 == 3, F.lit("postadres")), graph=q["g_bavo"]),
+                quad(addr_node, q["schema"] + "streetAddress",
+                     when((ck % 5 == 3) & (ck % 2 == 0),
+                          F.concat(F.lit("Straat "), (ck % 40).cast("string"))),
+                     graph=q["g_bavo"]),
+                quad(addr_node, q["schema"] + "addressCountry",
+                     when(ck % 5 == 3, F.lit("BE")), graph=q["g_bavo"]),
+                quad(addr_node, q["schema"] + "addressLocality",
+                     when((ck % 5 == 3) & (ck % 3 == 0),
+                          F.concat(F.lit("Stad "), (ck % 20).cast("string"))),
+                     graph=q["g_bavo"]),
+                quad(addr_node, q["schema"] + "postalCode",
+                     when((ck % 5 == 3) & (ck % 4 == 0),
+                          (ck % 100 + 9000).cast("string")),
+                     graph=q["g_bavo"]),
+                quad(addr_node, q["schema"] + "addressRegion",
+                     when((ck % 5 == 3) & (ck % 6 == 0),
+                          F.concat(F.lit("Regio "), (ck % 9).cast("string"))),
+                     graph=q["g_bavo"]),
+                # classification labels, both languages, thesauri graph
+                quad(cls_node, q["skos"] + "prefLabel",
+                     when(ck % 7 == 0, F.concat(F.lit("Klasse "), (ck % 5).cast("string"))),
+                     lang="nl", graph=q["g_thes"]),
+                quad(cls_node, q["skos"] + "prefLabel",
+                     when(ck % 7 == 0, F.concat(F.lit("Class "), (ck % 5).cast("string"))),
+                     lang="en", graph=q["g_thes"]),
+            )
+        )
+    ).filter(F.col("object").isNotNull())
+    quads.write.mode("overwrite").partitionBy("predicate").parquet(path)
+    return spark.read.parquet(path)
+
+
+def kg_construct_real_query_org(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """organization.sparql VERBATIM (the reference's 17-UNION sibling
+    is av-*; this one exercises what person.sparql does not): FROM
+    dataset clauses (default graph = union of four named graphs),
+    nested OPTIONAL-in-OPTIONAL, FILTER inside an OPTIONAL group,
+    BIND with regex REPLACE ("$1" extraction and the escaped
+    backslash-underscore un-escape), strStarts, and md5-derived
+    subject IRIs. Same compiler, same oracle discipline as A67."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    with open(_ORG_SPARQL_PATH) as f:
+        text = f.read()
+    quads = _sparql_org_quads(spark, sf_dir)
+    return SQ.construct_query(quads, text)
+
+
+KG_REAL_QUERY_ORG_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS ck, c_name,
+         'https://data.hetarchief.be/id/organization/' || CAST(c_custkey AS VARCHAR) AS org
+  FROM customer
+  WHERE c_custkey % 4 <> 1    -- strStarts(?org_identifier, 'OR-')
+    AND c_custkey % 5 <> 2    -- langMatches(lang(?skos_pref_label), 'nl')
+), t AS (
+  SELECT org AS subject, 'urn:kg-to-postgres:tableName' AS predicate,
+         'graph.organization' AS object FROM base
+  UNION
+  SELECT org, 'urn:kg-to-postgres:id', org FROM base
+  UNION
+  SELECT org, 'urn:kg-to-postgres:org_identifier', 'OR-' || CAST(ck AS VARCHAR) FROM base
+  UNION
+  SELECT org, 'urn:kg-to-postgres:skos_pref_label', c_name FROM base
+  UNION
+  SELECT org, 'urn:kg-to-postgres:dcterms_description',
+         'Desc ' || CAST(ck % 97 AS VARCHAR) FROM base WHERE ck % 2 = 0
+  UNION
+  SELECT org, 'urn:kg-to-postgres:foaf_homepage',
+         'https://org' || CAST(ck AS VARCHAR) || '.example' FROM base WHERE ck % 3 = 0
+  UNION
+  SELECT org, 'urn:kg-to-postgres:ha_org_has_logo',
+         'https://img.example/' || CAST(ck AS VARCHAR) || '.png' FROM base WHERE ck % 4 = 0
+  UNION
+  SELECT org, 'urn:kg-to-postgres:ha_org_request_form',
+         'https://forms.example/f_' || CAST(ck % 50 AS VARCHAR) FROM base WHERE ck % 5 = 0
+  UNION
+  SELECT org, 'urn:kg-to-postgres:ha_org_sector',
+         CASE ck % 3 WHEN 0 THEN 'Cultuur' WHEN 1 THEN 'Overheid' ELSE 'Onderwijs' END
+  FROM base WHERE ck % 6 = 0
+  UNION
+  SELECT org, 'urn:kg-to-postgres:org_classification',
+         'Klasse ' || CAST(ck % 5 AS VARCHAR) FROM base WHERE ck % 7 = 0
+  UNION
+  SELECT org, 'urn:kg-to-postgres:schema_vat_id',
+         'BE0' || CAST(ck + 400000000 AS VARCHAR) FROM base WHERE ck % 8 = 0
+  UNION
+  SELECT org || md5('p-' || CAST(ck % 6 AS VARCHAR)),
+         'urn:kg-to-postgres:tableName', 'graph.organization_has_preference'
+  FROM base WHERE ck % 2 = 1
+  UNION
+  SELECT org || md5('p-' || CAST(ck % 6 AS VARCHAR)),
+         'urn:kg-to-postgres:organization_id', org FROM base WHERE ck % 2 = 1
+  UNION
+  SELECT org || md5('p-' || CAST(ck % 6 AS VARCHAR)),
+         'urn:kg-to-postgres:ha_pref', 'p-' || CAST(ck % 6 AS VARCHAR)
+  FROM base WHERE ck % 2 = 1
+  UNION
+  SELECT 'https://data.hetarchief.be/id/contact-point/' || CAST(ck AS VARCHAR),
+         'urn:kg-to-postgres:tableName', 'graph.schema_contact_point'
+  FROM base WHERE ck % 3 = 1
+  UNION
+  SELECT 'https://data.hetarchief.be/id/contact-point/' || CAST(ck AS VARCHAR),
+         'urn:kg-to-postgres:id',
+         'https://data.hetarchief.be/id/contact-point/' || CAST(ck AS VARCHAR)
+  FROM base WHERE ck % 3 = 1
+  UNION
+  SELECT 'https://data.hetarchief.be/id/contact-point/' || CAST(ck AS VARCHAR),
+         'urn:kg-to-postgres:organization_id', org FROM base WHERE ck % 3 = 1
+  UNION
+  SELECT 'https://data.hetarchief.be/id/contact-point/' || CAST(ck AS VARCHAR),
+         'urn:kg-to-postgres:schema_contact_type', 'ontsluiting'
+  FROM base WHERE ck % 3 = 1
+  UNION
+  SELECT 'https://data.hetarchief.be/id/contact-point/' || CAST(ck AS VARCHAR),
+         'urn:kg-to-postgres:schema_email',
+         'org' || CAST(ck AS VARCHAR) || '@example.com'
+  FROM base WHERE ck % 6 = 1
+  UNION
+  SELECT 'https://data.hetarchief.be/id/contact-point/' || CAST(ck AS VARCHAR),
+         'urn:kg-to-postgres:schema_telephone',
+         '+32' || CAST(ck + 10000 AS VARCHAR)
+  FROM base WHERE ck % 9 = 1
+  UNION
+  SELECT org || '/' || md5('https://data.hetarchief.be/id/address/' || CAST(ck AS VARCHAR)),
+         'urn:kg-to-postgres:tableName', 'graph.organization_has_postal_address'
+  FROM base WHERE ck % 5 = 3
+  UNION
+  SELECT org || '/' || md5('https://data.hetarchief.be/id/address/' || CAST(ck AS VARCHAR)),
+         'urn:kg-to-postgres:organization_id', org FROM base WHERE ck % 5 = 3
+  UNION
+  SELECT org || '/' || md5('https://data.hetarchief.be/id/address/' || CAST(ck AS VARCHAR)),
+         'urn:kg-to-postgres:postal_address_id',
+         'https://data.hetarchief.be/id/address/' || CAST(ck AS VARCHAR)
+  FROM base WHERE ck % 5 = 3
+  UNION
+  SELECT 'https://data.hetarchief.be/id/address/' || CAST(ck AS VARCHAR),
+         'urn:kg-to-postgres:tableName', 'graph.schema_postal_address'
+  FROM base WHERE ck % 5 = 3
+  UNION
+  SELECT 'https://data.hetarchief.be/id/address/' || CAST(ck AS VARCHAR),
+         'urn:kg-to-postgres:id',
+         'https://data.hetarchief.be/id/address/' || CAST(ck AS VARCHAR)
+  FROM base WHERE ck % 5 = 3
+  UNION
+  SELECT 'https://data.hetarchief.be/id/address/' || CAST(ck AS VARCHAR),
+         'urn:kg-to-postgres:organization_id', org FROM base WHERE ck % 5 = 3
+  UNION
+  SELECT 'https://data.hetarchief.be/id/address/' || CAST(ck AS VARCHAR),
+         'urn:kg-to-postgres:schema_contact_type', 'postadres'
+  FROM base WHERE ck % 5 = 3
+  UNION
+  SELECT 'https://data.hetarchief.be/id/address/' || CAST(ck AS VARCHAR),
+         'urn:kg-to-postgres:schema_street_address',
+         'Straat ' || CAST(ck % 40 AS VARCHAR)
+  FROM base WHERE ck % 5 = 3 AND ck % 2 = 0
+  UNION
+  SELECT 'https://data.hetarchief.be/id/address/' || CAST(ck AS VARCHAR),
+         'urn:kg-to-postgres:schema_address_country', 'BE'
+  FROM base WHERE ck % 5 = 3
+  UNION
+  SELECT 'https://data.hetarchief.be/id/address/' || CAST(ck AS VARCHAR),
+         'urn:kg-to-postgres:schema_address_locality',
+         'Stad ' || CAST(ck % 20 AS VARCHAR)
+  FROM base WHERE ck % 5 = 3 AND ck % 3 = 0
+  UNION
+  SELECT 'https://data.hetarchief.be/id/address/' || CAST(ck AS VARCHAR),
+         'urn:kg-to-postgres:schema_postal_code',
+         CAST(ck % 100 + 9000 AS VARCHAR)
+  FROM base WHERE ck % 5 = 3 AND ck % 4 = 0
+  UNION
+  SELECT 'https://data.hetarchief.be/id/address/' || CAST(ck AS VARCHAR),
+         'urn:kg-to-postgres:schema_address_region',
+         'Regio ' || CAST(ck % 9 AS VARCHAR)
+  FROM base WHERE ck % 5 = 3 AND ck % 6 = 0
+)
+SELECT subject, predicate, object FROM t
+"""
