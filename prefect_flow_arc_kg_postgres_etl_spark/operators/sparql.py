@@ -644,9 +644,20 @@ def _join(a: DataFrame, b: DataFrame, how: str = "inner") -> DataFrame:
 
 
 class _Eval:
-    def __init__(self, quads: DataFrame, datasets: list[str]):
+    def __init__(
+        self,
+        quads: DataFrame,
+        datasets: list[str],
+        params: dict[str, str] | None = None,
+    ):
         self.quads = quads
         self.datasets = datasets
+        # Injected initial bindings — the reference's runner substitutes
+        # ?since / ?prefix_id_base into its query text before sending
+        # (deletes.sparql:48, person.sparql:74); here they are proper
+        # pre-bound variables: BOUND() is true, expression references
+        # resolve to the literal.
+        self.params = {k.lstrip("?"): v for k, v in (params or {}).items()}
         self._ex_n = 0
 
     def _materialize_exists(self, e, acc: DataFrame):
@@ -856,7 +867,11 @@ class _Eval:
 
         def col_of(var: str) -> Column:
             name = var[1:]
-            return F.col(name) if name in cols else F.lit(None).cast("string")
+            if name in cols:
+                return F.col(name)
+            if name in self.params:
+                return F.lit(self.params[name])
+            return F.lit(None).cast("string")
 
         def lang_of(var: str) -> Column:
             name = var[1:] + "__lang"
@@ -917,9 +932,11 @@ class _Eval:
         cols = set(df.columns)
         if name == "BOUND":
             var = args[0][1]
-            if var[1:] not in cols:
-                return F.lit(False)
-            return F.col(var[1:]).isNotNull()
+            if var[1:] in cols:
+                return F.col(var[1:]).isNotNull()
+            if var[1:] in self.params:
+                return F.lit(True)
+            return F.lit(False)
         if name == "LANG":
             var = args[0][1]
             lname = var[1:] + "__lang"
@@ -983,16 +1000,22 @@ def parse(text: str) -> Query:
     return Parser(text).parse_query()
 
 
-def construct_query(quads: DataFrame, text: str) -> DataFrame:
+def construct_query(
+    quads: DataFrame, text: str, params: dict[str, str] | None = None
+) -> DataFrame:
     """Parse SPARQL CONSTRUCT ``text`` and evaluate it against the quad
     DataFrame (subject, predicate, object, lang, graph). Returns the
     DISTINCT constructed triple set as (subject, predicate, object).
+
+    ``params`` are injected initial bindings (``{"since": "...'"}``) —
+    the engine-side equivalent of the reference runner's text
+    substitution for ?since / ?prefix_id_base.
 
     Rows with any unbound template term emit no triple (SPARQL 1.1
     §16.2); the final distinct is the construct's single full shuffle.
     """
     query = parse(text)
-    ev = _Eval(quads, query.datasets)
+    ev = _Eval(quads, query.datasets, params)
     bindings = ev.eval_group(query.where, None)
     assert bindings is not None, "WHERE clause produced no bindings frame"
     cols = set(bindings.columns)

@@ -3848,3 +3848,156 @@ WITH base AS (
 )
 SELECT subject, predicate, object FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# A67c: deletes.sparql verbatim (parameter bindings + FILTER NOT EXISTS)
+
+_DEL_SPARQL_PATH = "/root/reference/typescript/queries/deletes.sparql"
+_DEL_SINCE = "1999-01-01 00:00:00"
+
+
+def _sparql_del_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quad store for deletes.sparql: ContentPartner orgs (shared shape
+    with the person store), per-org metadata graphs holding MediaHaven
+    fragments (mh:Fragment with identifier / dateModified / PID, a
+    dateDeleted subset) and the IEs they derive, typed + licensed so
+    the FILTER NOT EXISTS branch keeps exactly the IEs whose license
+    list has NO allowed entry (okey % 11 >= 9 under the shared license
+    indexing). Separate staging from the person store so each verbatim
+    query's fixture is self-contained."""
+    import hashlib
+    import os
+    import tempfile
+
+    fp = hashlib.md5(b"sparql_del_v1")
+    for t in ("customer", "nation", "orders"):
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        fp.update(f"{t}:{st.st_mtime_ns}:{st.st_size};".encode())
+    path = f"{tempfile.gettempdir()}/sparql_del_quads_{fp.hexdigest()[:16]}"
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        pass
+
+    ns = _SQ_NS
+    mh = "https://data.hetarchief.be/ns/mediahaven/"
+
+    def as_col(x):
+        return x if isinstance(x, Column) else F.lit(x)
+
+    def quad(s, p, o, lang=None, graph=None):
+        return F.struct(
+            as_col(s).cast("string").alias("subject"),
+            F.lit(p).alias("predicate"),
+            as_col(o).cast("string").alias("object"),
+            as_col(lang).cast("string").alias("lang"),
+            as_col(graph).cast("string").alias("graph"),
+        )
+
+    nat = load_table(spark, sf_dir, "nation")
+    org_iri = F.concat(F.lit(ns["org"] + "OR-"), F.col("n_nationkey").cast("string"))
+    org_type = F.when(
+        F.col("n_nationkey") % 5 != 4, F.lit(ns["haOrg"] + "ContentPartner")
+    ).otherwise(F.lit(ns["haOrg"] + "Organization"))
+    org_quads = nat.select(
+        F.inline(
+            F.array(
+                quad(org_iri, _RDF_TYPE, org_type, graph=ns["g_org"]),
+                quad(org_iri, _SQ_NS["w3org"] + "identifier",
+                     F.concat(F.lit("OR-"), F.col("n_nationkey").cast("string")),
+                     graph=ns["g_org"]),
+            )
+        )
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    base = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_orderdate", "c_nationkey"
+    )
+    k = F.col("o_orderkey")
+    ie = F.concat(F.lit(ns["ent"]), k.cast("string"))
+    rep = F.concat(ie, F.lit("/rep"))
+    frag = F.concat(F.lit("https://data.hetarchief.be/id/fragment-mh/"), k.cast("string"))
+    md_graph = F.concat(F.lit(ns["g_md"] + "OR-"), F.col("c_nationkey").cast("string"))
+    lic = F.concat(F.lit(ns["haLicId"]), _sq_pick(_SQ_LICENSES, k % 11))
+    ie_type = F.concat(F.lit(ns["haDes"]), _sq_pick(_SQ_IE_TYPES, k % 9))
+    even = (k % 2) == 0
+    frag_quads = base.select(
+        F.inline(
+            F.array(
+                quad(frag, _RDF_TYPE, mh + "Fragment", graph=md_graph),
+                quad(frag, ns["schema"] + "identifier",
+                     F.concat(F.lit("frag-"), k.cast("string")), graph=md_graph),
+                quad(frag, ns["schema"] + "dateModified",
+                     F.col("o_orderdate").cast("string"), graph=md_graph),
+                quad(frag, mh + "PID", k.cast("string"), graph=md_graph),
+                quad(frag, ns["schema"] + "dateDeleted",
+                     F.when(k % 4 == 0, F.col("o_orderdate").cast("string")),
+                     graph=md_graph),
+                quad(ie, _RDF_TYPE, ie_type, graph=md_graph),
+                quad(ie, ns["prov"] + "wasDerivedFrom", frag, graph=md_graph),
+                quad(ie, ns["schema"] + "license", F.when(even, lic), graph=md_graph),
+                quad(ie, ns["rel"] + "isp", F.when(~even, rep), graph=md_graph),
+                quad(rep, ns["schema"] + "license", F.when(~even, lic), graph=md_graph),
+            )
+        )
+    ).filter(F.col("object").isNotNull())
+
+    quads = org_quads.unionByName(frag_quads)
+    quads.write.mode("overwrite").partitionBy("predicate").parquet(path)
+    return spark.read.parquet(path)
+
+
+def kg_construct_real_query_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deletes.sparql VERBATIM — the third production file end-to-end,
+    exercising what the other two do not: INJECTED PARAMETER BINDINGS
+    (?since, ?prefix_id_base — bound(?since) gates BOTH union branches,
+    so without the engine-side params API the query is vacuously
+    empty, exactly as it is for the reference without its runner's
+    substitution), FILTER NOT EXISTS over a property-path group
+    (tombstone IEs = no allowed license on either path branch), and a
+    boolean literal in the CONSTRUCT template."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    with open(_DEL_SPARQL_PATH) as f:
+        text = f.read()
+    quads = _sparql_del_quads(spark, sf_dir)
+    return SQ.construct_query(
+        quads,
+        text,
+        params={
+            "since": _DEL_SINCE,
+            "prefix_id_base": _SQ_NS["ent"],
+        },
+    )
+
+
+KG_REAL_QUERY_DEL_ORACLE = f"""
+WITH frags AS (
+  SELECT o_orderkey AS okey,
+         'https://data.hetarchief.be/id/fragment-mh/' || CAST(o_orderkey AS VARCHAR) AS frag,
+         'https://data.hetarchief.be/id/entity/' || CAST(o_orderkey AS VARCHAR) AS ie,
+         'frag-' || CAST(o_orderkey AS VARCHAR) AS mh_id
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_nationkey % 5 <> 4
+    AND CAST(o_orderdate AS VARCHAR) >= '{_DEL_SINCE}'
+), hits AS (
+  SELECT frag, ie, mh_id FROM frags WHERE okey % 4 = 0        -- dateDeleted branch
+  UNION
+  SELECT frag, ie, mh_id FROM frags
+  WHERE okey % 9 < 7                                          -- VALUES ?ie_type
+    AND okey % 11 >= 9                                        -- NOT EXISTS allowed license
+), t AS (
+  SELECT frag AS subject, 'urn:kg-to-postgres:tableName' AS predicate,
+         'graph.mh_fragment_identifier' AS object FROM hits
+  UNION
+  SELECT frag, 'urn:kg-to-postgres:intellectual_entity_id', ie FROM hits
+  UNION
+  SELECT frag, 'urn:kg-to-postgres:mh_fragment_identifier', mh_id FROM hits
+  UNION
+  SELECT frag, 'urn:kg-to-postgres:is_deleted', 'true' FROM hits
+)
+SELECT subject, predicate, object FROM t
+"""

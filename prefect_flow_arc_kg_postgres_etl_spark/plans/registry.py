@@ -330,6 +330,9 @@ _SPECS: dict[str, QuerySpec] = {
     "kg_construct_real_query_org": QuerySpec(
         kg.kg_construct_real_query_org, kg.KG_REAL_QUERY_ORG_ORACLE
     ),
+    "kg_construct_real_query_deletes": QuerySpec(
+        kg.kg_construct_real_query_deletes, kg.KG_REAL_QUERY_DEL_ORACLE
+    ),
     "index_partition_refresh": QuerySpec(
         kg.index_partition_refresh, kg.INDEX_REFRESH_ORACLE
     ),
@@ -811,9 +814,9 @@ _SPECS: dict[str, QuerySpec] = {
 # text_boilerplate_fraction, text_lm_score, text_ngram_novelty,
 # text_sentence_split, corpus_length_band_filter,
 # corpus_dup_rate_report, corpus_mix_sample, corpus_sample_topk_hash,
-# plus the three source-roundtrip entries whose slots the r7-new
-# operators took (source_orc_roundtrip, source_json_nested_roundtrip,
-# source_corrupt_tolerant) — 30 total for r8.
+# plus the four entries whose slots the r7-new operators took
+# (source_orc_roundtrip, source_json_nested_roundtrip,
+# source_corrupt_tolerant, fk_discovery) — 31 total for r8.
 DRIVER_WINDOW: list[str] = [
     # A-block: SPARQL forms, property paths, graph/store management,
     # update semantics, maintenance, sources, temporal reads.
@@ -832,13 +835,14 @@ DRIVER_WINDOW: list[str] = [
     "store_multi_commit",
     "maintenance_vacuum",
     "schema_drift_report",
-    "fk_discovery",
-    # r7-new: dim-drift invalidation (A66) and the two verbatim
-    # reference SPARQL runs (A67/A67b) take the three source-roundtrip
-    # slots; those join the r8 residue.
+    # r7-new: dim-drift invalidation (A66) and the three verbatim
+    # reference SPARQL runs (A67/A67b/A67c) take the three
+    # source-roundtrip slots + fk_discovery's; those join the r8
+    # residue.
     "index_partition_rename_invalidation",
     "kg_construct_real_query",
     "kg_construct_real_query_org",
+    "kg_construct_real_query_deletes",
     "graph_pagerank_resumable",
     "join_view_incremental",
     "agg_join_view_refresh",
