@@ -38,43 +38,13 @@ class QuerySpec:
 # bottom of this module with the rows-only (oracle=None) entries pinned
 # to the tail. Rotating = editing the DRIVER_WINDOW list.
 #
-# Window history: r1-r4 graded the original first-50; the r5 rotation
-# brought in 16 formerly past-window entries (CORRECTNESS_r05 50/50);
-# the r6 window below consists ENTIRELY of entries that had never had a
-# driver row through r5, prioritizing distinct machinery. Still
-# never-driver-checked after r6 (the r7 rotation's candidates —
-# oracle-backed unless noted): kg_path_zero_or_more,
-# source_orc_roundtrip, q4_order_priority, q10_returned_items,
-# q12_priority_lines, q14_promo_revenue, q16_supplier_count,
-# q18_large_orders, window_range_interval, events_funnel,
-# events_funnel3, orders_value_histogram, orders_except_intersect,
-# cube_agg, stream_funnel_buffered, corpus_mix_sample,
-# multimodal_binary_source, text_repetition, corpus_shard_layout,
-# events_anomaly_mad, multimodal_audio_stats, and the r6-new
-# past-window entries: join_view_incremental, flow_snapshot_read,
-# sessionize_native, stream_topk, stream_dedup_state,
-# corpus_split_assign, dedup_incremental, dedup_survivors,
-# ann_ivf_topk (promoted to a full oracle in r6, never graded), and
-# the r6 third-wave entries (all past-window): stream_pivot_records,
-# sessions_overlap_join, corpus_chunk_overlap, kg_select_agg,
-# merge_upsert_conditional, corpus_quality_resample,
-# corpus_contamination_report, kg_construct_subquery,
-# embedding_random_projection, agg_refresh_retractable,
-# stream_scd2_enrich, text_lm_score, kg_path_negated,
-# orders_running_distinct, embedding_label_centroids,
-# kg_construct_minus, and the fourth/fifth-wave entries:
-# source_json_nested_roundtrip, maintenance_vacuum, fk_discovery,
-# stream_interval_join_outer, source_corrupt_tolerant,
-# stream_gap_fill, asof_join_tolerance, kg_update_delete_insert,
-# ann_recall_eval, corpus_interleave_shards, text_sentence_split,
-# supplier_pareto_abc, kg_graph_management, embedding_outliers,
-# events_mode_per_user, corpus_length_band_filter,
-# corpus_dup_rate_report, orders_yoy_growth,
-# kg_construct_values_rows, store_validated_commit,
-# text_boilerplate_fraction, orders_rfm_segmentation,
-# stream_windowed_distinct, store_multi_commit,
-# agg_join_view_refresh, text_ngram_novelty, schema_drift_report,
-# stream_agg_retractable.
+# Window history: r1-r4 graded the original first-50; r5 rotated in 16
+# formerly past-window entries (50/50 green); r6 graded 50 entries that
+# had never had a driver row (50/50 green); r7 (below) grades 50 MORE
+# never-checked entries including the round's new operators
+# (index_partition_rename_invalidation, kg_construct_real_query{,_org,
+# _deletes}). After r7 the never-driver-checked residue is exactly the
+# 31 entries listed above DRIVER_WINDOW — the explicit r8 window.
 _SPECS: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
