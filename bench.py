@@ -114,6 +114,10 @@ HEADLINE = [
     # through the SPARQL text compiler (the 25-pattern join DAG).
     "index_partition_rename_invalidation",
     "kg_construct_real_query",
+    # Round-7 second append: the other two verbatim reference SPARQL
+    # runs (FROM-dataset org query; param-bound NOT-EXISTS deletes).
+    "kg_construct_real_query_org",
+    "kg_construct_real_query_deletes",
 ]
 
 
