@@ -721,7 +721,7 @@ def incremental_dup_pairs_indexed(
     partition-pruning subquery would compute.
 
     Assumes (and asserts nothing about) batch ids disjoint from history
-    ids — the ingest contract documented at flows.corpus_ingest."""
+    ids — the ingest contract flows.ingest_flow documents."""
     spark = new.sparkSession
     r = k // bands
     sig_new = minhash_signatures(new, k, id_col, text_col, n).localCheckpoint(

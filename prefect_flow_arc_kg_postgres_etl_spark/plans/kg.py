@@ -3307,7 +3307,7 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    fp = hashlib.md5(b"sparql_person_v1")
+    fp = hashlib.md5(b"sparql_person_v2")
     for t in ("customer", "nation", "orders"):
         st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
         fp.update(f"{t}:{st.st_mtime_ns}:{st.st_size};".encode())
@@ -3434,9 +3434,174 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # v2: newspaper-collection (graph:anet) and IIIF (metadata/post)
+    # extensions — the shared required block (typed + licensed ies with
+    # the prov chain) serves three verbatim queries from one store.
+    # No person.sparql crosstalk: the new predicates/graphs match none
+    # of its patterns (verified by the unchanged A67 oracle).
+    g_anet = "https://data.hetarchief.be/graph/anet"
+    g_post = ns["g_md"] + "post"
+    coll_pre = "https://anet.be/record/opacbnc/c"
+    coll_na = "https://anet.be/record/opacbnc/#N/A/N"
+    cnum = k % 37
+    coll = F.when(cnum == 13, F.lit(coll_na)).otherwise(
+        F.concat(F.lit(coll_pre), cnum.cast("string"))
+    )
+    iiif_rep = F.concat(ie, F.lit("/iiif"))
+    iiif_file = F.concat(iiif_rep, F.lit("/file"))
+    iiif_file2 = F.concat(iiif_rep, F.lit("/file2"))
+    iiif_loc = F.concat(iiif_file, F.lit("/loc"))
+    iiif_loc2 = F.concat(iiif_file2, F.lit("/loc"))
+    is_news = (k % 9 == 5) | (k % 9 == 6)
+    has_iiif = is_news & (k % 2 == 0)
+    haObj = "https://data.hetarchief.be/ns/object/"
+    premis = "http://www.loc.gov/premis/rdf/v3/"
+    edm = "http://www.europeana.eu/schemas/edm/"
+    rdfv = "http://www.w3.org/1999/02/22-rdf-syntax-ns#value"
+    news_quads = base.select(
+        F.inline(
+            F.array(
+                quad(ie, ns["schema"] + "isPartOf",
+                     F.when(is_news, coll), graph=md_graph),
+                # IIIF representation + files in the fixed post graph
+                quad(iiif_rep, _RDF_TYPE,
+                     F.when(has_iiif, F.lit(haObj + "DigitalRepresentation")),
+                     graph=g_post),
+                quad(ie, haObj + "hasIIIFCopy",
+                     F.when(has_iiif, iiif_rep), graph=g_post),
+                quad(iiif_rep, ns["schema"] + "name",
+                     F.when(has_iiif,
+                            F.concat(F.lit("IIIF weergave "), (k % 5).cast("string"))),
+                     lang="nl", graph=g_post),
+                quad(iiif_rep, ns["schema"] + "name",
+                     F.when(has_iiif & (k % 4 == 0),
+                            F.concat(F.lit("IIIF view "), (k % 5).cast("string"))),
+                     lang="en", graph=g_post),
+                quad(iiif_file, _RDF_TYPE,
+                     F.when(has_iiif, F.lit(premis + "File")), graph=g_post),
+                quad(iiif_file, ns["schema"] + "name",
+                     F.when(has_iiif,
+                            F.concat(F.lit("pagina "), (k % 7).cast("string"))),
+                     lang="nl", graph=g_post),
+                quad(iiif_file, premis + "originalName",
+                     F.when(has_iiif,
+                            F.concat(F.lit("scan_"), k.cast("string"), F.lit(".jp2"))),
+                     graph=g_post),
+                quad(iiif_file, premis + "storedAt",
+                     F.when(has_iiif, iiif_loc), graph=g_post),
+                quad(iiif_loc, rdfv,
+                     F.when(has_iiif, F.concat(F.lit("s3://iiif/"), k.cast("string"))),
+                     graph=g_post),
+                quad(iiif_file, ns["rel"] + "isi",
+                     F.when(has_iiif, iiif_rep), graph=g_post),
+                quad(iiif_file, ns["ebucore"] + "hasMimeType",
+                     F.when(has_iiif, F.lit("image/jp2")), graph=g_post),
+                # a sibling file with a non-jp2 mime: VALUES must drop it
+                quad(iiif_file2, _RDF_TYPE,
+                     F.when(has_iiif & (k % 6 == 0), F.lit(premis + "File")),
+                     graph=g_post),
+                quad(iiif_file2, ns["schema"] + "name",
+                     F.when(has_iiif & (k % 6 == 0), F.lit("master tiff")),
+                     lang="nl", graph=g_post),
+                quad(iiif_file2, premis + "originalName",
+                     F.when(has_iiif & (k % 6 == 0),
+                            F.concat(F.lit("scan_"), k.cast("string"), F.lit(".tif"))),
+                     graph=g_post),
+                quad(iiif_file2, premis + "storedAt",
+                     F.when(has_iiif & (k % 6 == 0), iiif_loc2), graph=g_post),
+                quad(iiif_loc2, rdfv,
+                     F.when(has_iiif & (k % 6 == 0),
+                            F.concat(F.lit("s3://tiff/"), k.cast("string"))),
+                     graph=g_post),
+                quad(iiif_file2, ns["rel"] + "isi",
+                     F.when(has_iiif & (k % 6 == 0), iiif_rep), graph=g_post),
+                quad(iiif_file2, ns["ebucore"] + "hasMimeType",
+                     F.when(has_iiif & (k % 6 == 0), F.lit("image/tiff")),
+                     graph=g_post),
+                # optional rep/file attributes
+                quad(iiif_rep, ns["schema"] + "inLanguage",
+                     F.when(has_iiif & (k % 10 == 0), F.lit("nl")), graph=g_post),
+                quad(iiif_rep, ns["rel"] + "hsr",
+                     F.when(has_iiif & (k % 10 == 2),
+                            F.concat(F.lit("urn:hsr:"), k.cast("string"))), graph=g_post),
+                quad(iiif_rep, ns["rel"] + "hss",
+                     F.when(has_iiif & (k % 10 == 4),
+                            F.concat(F.lit("urn:hss:"), k.cast("string"))), graph=g_post),
+                quad(iiif_rep, edm + "isNextInSequence",
+                     F.when(has_iiif & (k % 10 == 6),
+                            F.concat(F.lit("urn:prev:"), k.cast("string"))), graph=g_post),
+                quad(iiif_rep, ns["schema"] + "caption",
+                     F.when(has_iiif & (k % 10 == 8),
+                            F.concat(F.lit("urn:cap:"), k.cast("string"))), graph=g_post),
+                quad(iiif_rep, ns["schema"] + "transcript",
+                     F.when(has_iiif & (k % 20 == 0),
+                            F.concat(F.lit("transcript "), (k % 11).cast("string"))),
+                     graph=g_post),
+                quad(iiif_file, edm + "isNextInSequence",
+                     F.when(has_iiif & (k % 14 == 0),
+                            F.concat(F.lit("urn:fprev:"), k.cast("string"))), graph=g_post),
+                quad(iiif_file, ns["schema"] + "thumbnailUrl",
+                     F.when(has_iiif & (k % 14 == 2),
+                            F.concat(F.lit("https://t/"), k.cast("string"))), graph=g_post),
+                quad(iiif_file, ns["schema"] + "duration",
+                     F.when(has_iiif & (k % 14 == 4),
+                            F.concat(F.lit("PT"), (k % 60).cast("string"), F.lit("S"))),
+                     graph=g_post),
+            )
+        )
+    )
+
+    # graph:anet newspaper collections (37 of them, one per coll id)
+    colls = spark.range(37).select(F.col("id").alias("c"))
+    cc = F.col("c")
+    coll_iri = F.when(cc == 13, F.lit(coll_na)).otherwise(
+        F.concat(F.lit(coll_pre), cc.cast("string"))
+    )
+    serie = F.concat(F.lit("https://anet.be/record/serie/s"), cc.cast("string"))
+    loc_node = F.concat(serie, F.lit("/loc"))
+    pub_node = F.concat(serie, F.lit("/pub"))
+    anet_quads = colls.select(
+        F.inline(
+            F.array(
+                quad(coll_iri, _RDF_TYPE, ns["schema"] + "Newspaper", graph=g_anet),
+                quad(coll_iri, ns["schema"] + "name",
+                     F.concat(F.lit("Krant "), cc.cast("string")), graph=g_anet),
+                quad(coll_iri, ns["schema"] + "identifier",
+                     F.concat(F.lit("bnc-"), cc.cast("string")), graph=g_anet),
+                quad(coll_iri, ns["schema"] + "hasPart", serie, graph=g_anet),
+                quad(coll_iri, ns["schema"] + "inLanguage",
+                     F.when(cc % 2 == 1, F.lit("nl")), graph=g_anet),
+                quad(coll_iri, ns["schema"] + "alternateName",
+                     F.when(cc % 5 == 2, F.concat(F.lit("De Krant "), cc.cast("string"))),
+                     graph=g_anet),
+                quad(serie, ns["schema"] + "locationCreated",
+                     F.when(cc % 2 == 0, loc_node), graph=g_anet),
+                quad(loc_node, ns["schema"] + "name",
+                     F.when(cc % 2 == 0, F.concat(F.lit("Gent-"), cc.cast("string"))),
+                     lang="nl", graph=g_anet),
+                quad(loc_node, ns["schema"] + "name",
+                     F.when(cc % 4 == 0, F.concat(F.lit("Ghent-"), cc.cast("string"))),
+                     lang="en", graph=g_anet),
+                quad(serie, ns["schema"] + "endDate",
+                     F.when(cc % 3 == 0, F.concat(F.lit("19"), (cc + 10).cast("string"), F.lit("-12-31"))),
+                     graph=g_anet),
+                quad(serie, ns["schema"] + "startDate",
+                     F.when(cc % 3 == 1, F.concat(F.lit("18"), (cc + 50).cast("string"), F.lit("-01-01"))),
+                     graph=g_anet),
+                quad(serie, ns["schema"] + "publisher",
+                     F.when(cc % 5 == 0, pub_node), graph=g_anet),
+                quad(pub_node, ns["schema"] + "name",
+                     F.when(cc % 5 == 0, F.concat(F.lit("Uitgever "), cc.cast("string"))),
+                     lang="nl", graph=g_anet),
+            )
+        )
+    )
+
     quads = (
         org_quads.unionByName(order_quads)
         .unionByName(person_quads)
+        .unionByName(news_quads)
+        .unionByName(anet_quads)
         .filter(F.col("object").isNotNull())
     )
     quads.write.mode("overwrite").partitionBy("predicate").parquet(path)
@@ -3998,6 +4163,200 @@ WITH frags AS (
   SELECT frag, 'urn:kg-to-postgres:mh_fragment_identifier', mh_id FROM hits
   UNION
   SELECT frag, 'urn:kg-to-postgres:is_deleted', 'true' FROM hits
+)
+SELECT subject, predicate, object FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# A67d/A67e: newspaper-collection.sparql and iiif.sparql verbatim
+
+_NEWS_SPARQL_PATH = (
+    "/root/reference/typescript/queries/newspaper-collection.sparql"
+)
+_IIIF_SPARQL_PATH = "/root/reference/typescript/queries/iiif.sparql"
+
+
+def kg_construct_real_query_newspaper(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """newspaper-collection.sparql VERBATIM — adds to the verbatim set:
+    a THIRD nesting of named graphs (organization -> per-org metadata ->
+    the shared graph:anet catalogue), an IRI inequality FILTER (the
+    #N/A sentinel collection is excluded), a constant-string BIND, and
+    a union whose branches key on TWO DIFFERENT variables (?id for
+    in-language/alternate-name, ?serie for location/dates/publisher) —
+    the grouped-union lowering joins each key group once."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    with open(_NEWS_SPARQL_PATH) as f:
+        text = f.read()
+    return SQ.construct_query(_sparql_person_quads(spark, sf_dir), text)
+
+
+def kg_construct_real_query_iiif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iiif.sparql VERBATIM — adds: a FIXED foreign metadata graph
+    (mgraph:post) nested inside the variable ?ORGraph scope (IIIF
+    copies live in a shared post-processing graph, not the owning
+    org's), a single-value VALUES pinning the mime type (the seeded
+    sibling tiff file must drop), and rep/file attribute unions over
+    two key groups under an identity branch."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    with open(_IIIF_SPARQL_PATH) as f:
+        text = f.read()
+    return SQ.construct_query(_sparql_person_quads(spark, sf_dir), text)
+
+
+_NEWS_QUAL = """
+  SELECT o_orderkey AS okey, o_orderkey % 37 AS cnum,
+         'https://data.hetarchief.be/id/entity/' || CAST(o_orderkey AS VARCHAR) AS ie,
+         'https://anet.be/record/opacbnc/c' || CAST(o_orderkey % 37 AS VARCHAR) AS id
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderkey % 9 IN (5, 6)      -- VALUES ?ie_type (newspaper tiers)
+    AND o_orderkey % 11 < 9           -- license IN (...)
+    AND c_nationkey % 5 <> 4          -- ContentPartner maintainer
+    AND o_orderkey % 37 <> 13         -- ?id != the #N/A sentinel
+"""
+
+KG_REAL_QUERY_NEWS_ORACLE = f"""
+WITH qual AS ({_NEWS_QUAL}
+), colls AS (
+  SELECT DISTINCT cnum, id FROM qual
+), t AS (
+  SELECT id AS subject, 'urn:kg-to-postgres:tableName' AS predicate,
+         'graph.collection' AS object FROM colls
+  UNION
+  SELECT id, 'urn:kg-to-postgres:id', id FROM colls
+  UNION
+  SELECT id, 'urn:kg-to-postgres:collection_type', 'newspaper' FROM colls
+  UNION
+  SELECT id, 'urn:kg-to-postgres:schema_name',
+         'Krant ' || CAST(cnum AS VARCHAR) FROM colls
+  UNION
+  SELECT id, 'urn:kg-to-postgres:schema_identifier',
+         'bnc-' || CAST(cnum AS VARCHAR) FROM colls
+  UNION
+  SELECT id, 'urn:kg-to-postgres:schema_location_created',
+         'Gent-' || CAST(cnum AS VARCHAR) FROM colls WHERE cnum % 2 = 0
+  UNION
+  SELECT id, 'urn:kg-to-postgres:schema_end_date',
+         '19' || CAST(cnum + 10 AS VARCHAR) || '-12-31'
+  FROM colls WHERE cnum % 3 = 0
+  UNION
+  SELECT id, 'urn:kg-to-postgres:schema_start_date',
+         '18' || CAST(cnum + 50 AS VARCHAR) || '-01-01'
+  FROM colls WHERE cnum % 3 = 1
+  UNION
+  SELECT id, 'urn:kg-to-postgres:schema_publisher',
+         'Uitgever ' || CAST(cnum AS VARCHAR) FROM colls WHERE cnum % 5 = 0
+  UNION
+  SELECT id || md5('nl'), 'urn:kg-to-postgres:tableName',
+         'graph.newspaper_schema_in_language' FROM colls WHERE cnum % 2 = 1
+  UNION
+  SELECT id || md5('nl'), 'urn:kg-to-postgres:collection_id', id
+  FROM colls WHERE cnum % 2 = 1
+  UNION
+  SELECT id || md5('nl'), 'urn:kg-to-postgres:schema_in_language', 'nl'
+  FROM colls WHERE cnum % 2 = 1
+  UNION
+  SELECT id || md5('De Krant ' || CAST(cnum AS VARCHAR)),
+         'urn:kg-to-postgres:tableName', 'graph.newspaper_schema_alternate_name'
+  FROM colls WHERE cnum % 5 = 2
+  UNION
+  SELECT id || md5('De Krant ' || CAST(cnum AS VARCHAR)),
+         'urn:kg-to-postgres:collection_id', id FROM colls WHERE cnum % 5 = 2
+  UNION
+  SELECT id || md5('De Krant ' || CAST(cnum AS VARCHAR)),
+         'urn:kg-to-postgres:schema_alternate_name',
+         'De Krant ' || CAST(cnum AS VARCHAR) FROM colls WHERE cnum % 5 = 2
+  UNION
+  SELECT ie || '/' || md5(id), 'urn:kg-to-postgres:tableName',
+         'graph.schema_is_part_of' FROM qual
+  UNION
+  SELECT ie || '/' || md5(id), 'urn:kg-to-postgres:intellectual_entity_id', ie
+  FROM qual
+  UNION
+  SELECT ie || '/' || md5(id), 'urn:kg-to-postgres:type', 'newspaper' FROM qual
+  UNION
+  SELECT ie || '/' || md5(id), 'urn:kg-to-postgres:collection_id', id FROM qual
+)
+SELECT subject, predicate, object FROM t
+"""
+
+KG_REAL_QUERY_IIIF_ORACLE = """
+WITH qual AS (
+  SELECT o_orderkey AS okey,
+         'https://data.hetarchief.be/id/entity/' || CAST(o_orderkey AS VARCHAR) AS ie,
+         'https://data.hetarchief.be/id/entity/' || CAST(o_orderkey AS VARCHAR)
+           || '/iiif' AS rep,
+         'https://data.hetarchief.be/id/entity/' || CAST(o_orderkey AS VARCHAR)
+           || '/iiif/file' AS file
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderkey % 9 IN (5, 6)
+    AND o_orderkey % 11 < 9
+    AND c_nationkey % 5 <> 4
+    AND o_orderkey % 2 = 0            -- has an IIIF copy
+), t AS (
+  SELECT rep AS subject, 'urn:kg-to-postgres:tableName' AS predicate,
+         'graph.representation' AS object FROM qual
+  UNION
+  SELECT rep, 'urn:kg-to-postgres:id', rep FROM qual
+  UNION
+  SELECT rep, 'urn:kg-to-postgres:premis_represents', ie FROM qual
+  UNION
+  SELECT rep, 'urn:kg-to-postgres:schema_name',
+         'IIIF weergave ' || CAST(okey % 5 AS VARCHAR) FROM qual
+  UNION
+  SELECT rep, 'urn:kg-to-postgres:schema_in_language', 'nl'
+  FROM qual WHERE okey % 10 = 0
+  UNION
+  SELECT rep, 'urn:kg-to-postgres:relation_has_root',
+         'urn:hsr:' || CAST(okey AS VARCHAR) FROM qual WHERE okey % 10 = 2
+  UNION
+  SELECT rep, 'urn:kg-to-postgres:relation_has_source',
+         'urn:hss:' || CAST(okey AS VARCHAR) FROM qual WHERE okey % 10 = 4
+  UNION
+  SELECT rep, 'urn:kg-to-postgres:edm_is_next_in_sequence',
+         'urn:prev:' || CAST(okey AS VARCHAR) FROM qual WHERE okey % 10 = 6
+  UNION
+  SELECT rep, 'urn:kg-to-postgres:schema_caption',
+         'urn:cap:' || CAST(okey AS VARCHAR) FROM qual WHERE okey % 10 = 8
+  UNION
+  SELECT rep, 'urn:kg-to-postgres:schema_transcript',
+         'transcript ' || CAST(okey % 11 AS VARCHAR) FROM qual WHERE okey % 20 = 0
+  UNION
+  SELECT file || '/' || md5(rep), 'urn:kg-to-postgres:tableName',
+         'graph.includes' FROM qual
+  UNION
+  SELECT file || '/' || md5(rep), 'urn:kg-to-postgres:representation_id', rep
+  FROM qual
+  UNION
+  SELECT file || '/' || md5(rep), 'urn:kg-to-postgres:file_id', file FROM qual
+  UNION
+  SELECT file, 'urn:kg-to-postgres:tableName', 'graph.file' FROM qual
+  UNION
+  SELECT file, 'urn:kg-to-postgres:id', file FROM qual
+  UNION
+  SELECT file, 'urn:kg-to-postgres:ebucore_has_mime_type', 'image/jp2' FROM qual
+  UNION
+  SELECT file, 'urn:kg-to-postgres:schema_name',
+         'pagina ' || CAST(okey % 7 AS VARCHAR) FROM qual
+  UNION
+  SELECT file, 'urn:kg-to-postgres:premis_original_name',
+         'scan_' || CAST(okey AS VARCHAR) || '.jp2' FROM qual
+  UNION
+  SELECT file, 'urn:kg-to-postgres:premis_stored_at',
+         's3://iiif/' || CAST(okey AS VARCHAR) FROM qual
+  UNION
+  SELECT file, 'urn:kg-to-postgres:edm_is_next_in_sequence',
+         'urn:fprev:' || CAST(okey AS VARCHAR) FROM qual WHERE okey % 14 = 0
+  UNION
+  SELECT file, 'urn:kg-to-postgres:schema_thumbnail_url',
+         'https://t/' || CAST(okey AS VARCHAR) FROM qual WHERE okey % 14 = 2
+  UNION
+  SELECT file, 'urn:kg-to-postgres:schema_duration',
+         'PT' || CAST(okey % 60 AS VARCHAR) || 'S' FROM qual WHERE okey % 14 = 4
 )
 SELECT subject, predicate, object FROM t
 """

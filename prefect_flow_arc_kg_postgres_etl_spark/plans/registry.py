@@ -303,6 +303,12 @@ _SPECS: dict[str, QuerySpec] = {
     "kg_construct_real_query_deletes": QuerySpec(
         kg.kg_construct_real_query_deletes, kg.KG_REAL_QUERY_DEL_ORACLE
     ),
+    "kg_construct_real_query_newspaper": QuerySpec(
+        kg.kg_construct_real_query_newspaper, kg.KG_REAL_QUERY_NEWS_ORACLE
+    ),
+    "kg_construct_real_query_iiif": QuerySpec(
+        kg.kg_construct_real_query_iiif, kg.KG_REAL_QUERY_IIIF_ORACLE
+    ),
     "index_partition_refresh": QuerySpec(
         kg.index_partition_refresh, kg.INDEX_REFRESH_ORACLE
     ),
