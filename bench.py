@@ -118,6 +118,9 @@ HEADLINE = [
     # runs (FROM-dataset org query; param-bound NOT-EXISTS deletes).
     "kg_construct_real_query_org",
     "kg_construct_real_query_deletes",
+    # Round-7 third append: the largest production file (newspaper.
+    # sparql, ~40 union branches + variable-predicate role scan).
+    "kg_construct_real_query_issues",
 ]
 
 

@@ -3307,7 +3307,7 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    fp = hashlib.md5(b"sparql_person_v2")
+    fp = hashlib.md5(b"sparql_person_v3")
     for t in ("customer", "nation", "orders"):
         st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
         fp.update(f"{t}:{st.st_mtime_ns}:{st.st_size};".encode())
@@ -3597,11 +3597,366 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # v3: newspaper.sparql issue/page detail entities — the full
+    # attribute surface its 40+ union branches scan, all inside the
+    # owning ORGraph (plus graph:thesauri labels). Gated on is_news so
+    # the store stays lean; negative rows (wrong-language literals, a
+    # disallowed mime, a LocalIdentifier) pin the query's FILTERs.
+    # No crosstalk: person/newspaper-collection/iiif scan none of these
+    # predicates, and the new rdf:types are outside every VALUES list.
+    dct = "http://purl.org/dc/terms/"
+    mh = "https://data.hetarchief.be/ns/mediahaven/"
+    bf = "http://id.loc.gov/ontologies/bibframe/"
+    skos = "http://www.w3.org/2004/02/skos/core#"
+    eror = "http://id.loc.gov/vocabulary/preservation/eventRelatedObjectRole/"
+    haEvt = "https://data.hetarchief.be/id/event-type/"
+    g_thes = "https://data.hetarchief.be/graph/thesauri"
+    idb = "https://data.hetarchief.be/id/"
+    sch = ns["schema"]
+    ebu = ns["ebucore"]
+    haD = ns["haDes"]
+    w = F.when
+    idn = F.concat(F.lit(idb + "identifier/"), k.cast("string"))
+    hc = F.concat(F.lit(idb + "holder/"), k.cast("string"))
+    bec = F.concat(F.lit(idb + "edition/e"), k.cast("string"))
+    role_n = F.concat(ie, F.lit("/role"))
+    thing_n = F.concat(F.lit(idb + "thing/t"), k.cast("string"))
+    coll2 = F.concat(F.lit(idb + "collection/c"), (k % 29).cast("string"))
+    crep = F.concat(ie, F.lit("/crep"))
+    pc = F.concat(ie, F.lit("/pc"))
+    medium_n = F.concat(F.lit(idb + "medium/m"), (k % 4).cast("string"))
+    pm_n = F.concat(F.lit(idb + "pm/"), (k % 3).cast("string"))
+    ev_n = F.concat(ie, F.lit("/ev"))
+    h_n = F.concat(ie, F.lit("/h"))
+    w_n = F.concat(ie, F.lit("/w"))
+    cap_n = F.concat(ie, F.lit("/cap"))
+    drep = F.concat(ie, F.lit("/drep"))
+    dfile = F.concat(ie, F.lit("/dfile"))
+    floc = F.concat(dfile, F.lit("/loc"))
+    spat_n = F.concat(ie, F.lit("/spat"))
+    role_pred = _sq_pick(
+        [sch + "creator", sch + "contributor", sch + "publisher"], k % 3
+    )
+    nl_unless = lambda cond: w(cond, F.lit("en")).otherwise(F.lit("nl"))  # noqa: E731
+    issue_quads = base.filter((k % 9 == 5) | (k % 9 == 6)).select(
+        F.inline(
+            F.array(
+                # required block
+                quad(ie, sch + "identifier",
+                     F.concat(F.lit("id-"), k.cast("string")), graph=md_graph),
+                quad(ie, sch + "name",
+                     F.concat(F.lit("Uitgave "), (k % 61).cast("string")),
+                     lang="nl", graph=md_graph),
+                quad(ie, dct + "format",
+                     w(k % 9 == 5, F.lit("newspaper")).otherwise("newspaperpage"),
+                     graph=md_graph),
+                quad(prov_node, _RDF_TYPE, mh + "Fragment", graph=md_graph),
+                quad(prov_node, sch + "identifier",
+                     F.concat(F.lit("frag-"), k.cast("string")), graph=md_graph),
+                # single-attribute unions (+ wrong-language negatives)
+                quad(ie, sch + "alternateName",
+                     w(k % 5 == 2, F.concat(F.lit("Alt "), (k % 19).cast("string"))),
+                     lang="nl", graph=md_graph),
+                quad(ie, sch + "alternateName",
+                     w(k % 5 == 4, F.concat(F.lit("Alt EN "), k.cast("string"))),
+                     lang="en", graph=md_graph),
+                quad(ie, sch + "inLanguage",
+                     w(k % 4 == 1, _sq_pick(["nl", "fr", "de"], k % 3)),
+                     graph=md_graph),
+                quad(ie, sch + "keywords",
+                     w(k % 6 == 2, F.concat(F.lit("kw-"), (k % 13).cast("string"))),
+                     graph=md_graph),
+                quad(ie, sch + "genre",
+                     w(k % 6 == 4, F.concat(F.lit("genre-"), (k % 7).cast("string"))),
+                     graph=md_graph),
+                quad(ie, sch + "spatial", w(k % 7 == 1, spat_n), graph=md_graph),
+                quad(spat_n, sch + "name",
+                     w(k % 7 == 1, F.concat(F.lit("Plaats "), (k % 23).cast("string"))),
+                     graph=md_graph),
+                quad(ie, sch + "temporal",
+                     w(k % 7 == 3, F.concat(F.lit("jaren "), (k % 10).cast("string"), F.lit("0"))),
+                     graph=md_graph),
+                quad(ie, sch + "dateCreated",
+                     w(k % 8 == 1, F.concat(F.lit("18"), (k % 40 + 50).cast("string"), F.lit("-03-01"))),
+                     graph=md_graph),
+                quad(ie, haD + "minDateCreated",
+                     w((k % 8 == 1) & (k % 3 == 0),
+                       F.concat(F.lit("18"), (k % 40 + 50).cast("string"), F.lit("-01-01"))),
+                     graph=md_graph),
+                quad(ie, haD + "maxDateCreated",
+                     w((k % 8 == 1) & (k % 3 == 1),
+                       F.concat(F.lit("18"), (k % 40 + 50).cast("string"), F.lit("-12-31"))),
+                     graph=md_graph),
+                quad(ie, sch + "datePublished",
+                     w(k % 8 == 5, F.concat(F.lit("19"), (k % 80 + 10).cast("string"), F.lit("-06-01"))),
+                     graph=md_graph),
+                quad(ie, haD + "minDatePublished",
+                     w((k % 8 == 5) & (k % 3 == 0),
+                       F.concat(F.lit("19"), (k % 80 + 10).cast("string"), F.lit("-01-01"))),
+                     graph=md_graph),
+                quad(ie, haD + "maxDatePublished",
+                     w((k % 8 == 5) & (k % 3 == 2),
+                       F.concat(F.lit("19"), (k % 80 + 10).cast("string"), F.lit("-12-31"))),
+                     graph=md_graph),
+                quad(ie, sch + "description",
+                     w(k % 10 == 7, F.concat(F.lit("Beschrijving "), (k % 31).cast("string"))),
+                     lang="nl", graph=md_graph),
+                quad(ie, sch + "description",
+                     w(k % 10 == 9, F.concat(F.lit("Description "), (k % 31).cast("string"))),
+                     lang="en", graph=md_graph),
+                quad(ie, sch + "abstract",
+                     w(k % 12 == 11, F.concat(F.lit("Samenvatting "), (k % 17).cast("string"))),
+                     lang="nl", graph=md_graph),
+                quad(ie, sch + "abstract",
+                     w(k % 12 == 5, F.concat(F.lit("Abstract "), (k % 17).cast("string"))),
+                     lang="en", graph=md_graph),
+                # premis identifiers (primary / replaceable / local)
+                quad(ie, haObj + "primaryIdentifier",
+                     w((k % 5 == 0) & (k % 3 == 0), idn), graph=md_graph),
+                quad(ie, premis + "identifier",
+                     w(k % 5 == 0, idn), graph=md_graph),
+                quad(idn, _RDF_TYPE,
+                     w(k % 5 == 0, F.concat(
+                         F.lit(haObj),
+                         _sq_pick(["PrimaryIdentifier", "MeemooIdentifier",
+                                   "LocalIdentifier"], k % 3))),
+                     graph=md_graph),
+                quad(idn, rdfv, w(k % 5 == 0, F.concat(F.lit("pid-"), k.cast("string"))),
+                     graph=md_graph),
+                quad(ie, haD + "pageNumber",
+                     w(k % 9 == 6, (k % 50).cast("string")), graph=md_graph),
+                quad(ie, haD + "numberOfPages",
+                     w(k % 9 == 5, (k % 40 + 1).cast("string")), graph=md_graph),
+                quad(ie, sch + "issueNumber",
+                     w(k % 8 == 3, F.concat(F.lit("nr. "), (k % 99).cast("string"))),
+                     graph=md_graph),
+                quad(ie, dct + "available",
+                     w(k % 5 == 4, F.concat((k % 25 + 2000).cast("string"), F.lit("-05-05"))),
+                     graph=md_graph),
+                quad(ie, ebu + "hasObjectType", w(k % 6 == 1, F.lit("krant")),
+                     graph=md_graph),
+                quad(ie, ebu + "hasCastMember",
+                     w(k % 17 == 2, F.concat(F.lit("Cast "), (k % 9).cast("string"))),
+                     graph=md_graph),
+                quad(ie, sch + "copyrightYear",
+                     w(k % 10 == 1, (k % 90 + 1900).cast("string")), graph=md_graph),
+                quad(ie, sch + "copyrightNotice",
+                     w(k % 10 == 3, F.concat(F.lit("copyright "), (k % 5).cast("string"))),
+                     graph=md_graph),
+                quad(ie, dct + "rights",
+                     w(k % 10 == 5, F.concat(F.lit("rechten "), (k % 4).cast("string"))),
+                     graph=md_graph),
+                quad(ie, sch + "creditText",
+                     w(k % 10 == 9, F.concat(F.lit("Credit "), (k % 6).cast("string"))),
+                     graph=md_graph),
+                quad(ie, ebu + "synopsis",
+                     w(k % 12 == 7, F.concat(F.lit("Synopsis "), (k % 21).cast("string"))),
+                     graph=md_graph),
+                # copyright holder: thesauri label XOR org-graph name
+                quad(ie, sch + "copyrightHolder", w(k % 4 == 2, hc), graph=md_graph),
+                quad(hc, skos + "prefLabel",
+                     w(k % 8 == 2, F.concat(F.lit("Holder T "), (k % 15).cast("string"))),
+                     lang="nl", graph=g_thes),
+                quad(hc, sch + "name",
+                     w(k % 8 == 6, F.concat(F.lit("Holder N "), (k % 15).cast("string"))),
+                     graph=md_graph),
+                # bf:edition via thesauri (en-labelled negative)
+                quad(ie, bf + "edition", w(k % 11 == 4, bec), graph=md_graph),
+                quad(bec, skos + "prefLabel",
+                     w(k % 11 == 4, F.concat(F.lit("Editie "), (k % 6).cast("string"))),
+                     lang=nl_unless(k % 22 == 15), graph=g_thes),
+                # roles & things
+                quad(ie, role_pred, w(k % 4 < 3, role_n), graph=md_graph),
+                quad(role_n, _RDF_TYPE, w(k % 4 < 3, F.lit(sch + "Role")),
+                     graph=md_graph),
+                quad(role_n, sch + "roleName",
+                     w(k % 4 < 3, F.concat(F.lit("rol "), (k % 5).cast("string"))),
+                     graph=md_graph),
+                quad(role_n, role_pred, w(k % 4 < 3, thing_n), graph=md_graph),
+                quad(thing_n, _RDF_TYPE, w(k % 4 < 3, F.lit(sch + "Thing")),
+                     graph=md_graph),
+                quad(thing_n, sch + "name",
+                     w(k % 4 < 3, F.concat(F.lit("Maker "), (k % 33).cast("string"))),
+                     graph=md_graph),
+                # org-local collections (typed nodes seeded distinctly below)
+                quad(ie, sch + "isPartOf", w(k % 7 == 0, coll2), graph=md_graph),
+                # carrier chain (en-named negative at k%12==9)
+                quad(ie, ns["rel"] + "isr", w(k % 6 == 3, crep), graph=md_graph),
+                quad(crep, _RDF_TYPE,
+                     w(k % 6 == 3, F.lit(haObj + "CarrierRepresentation")),
+                     graph=md_graph),
+                quad(crep, premis + "storedAt",
+                     w(k % 6 == 3, pc), graph=md_graph),
+                quad(pc, _RDF_TYPE,
+                     w(k % 6 == 3, F.lit(haObj + "PhysicalCarrier")),
+                     graph=md_graph),
+                quad(pc, sch + "name",
+                     w(k % 6 == 3, F.concat(F.lit("Drager "), (k % 12).cast("string"))),
+                     lang=nl_unless(k % 12 == 9), graph=md_graph),
+                quad(pc, "http://www.loc.gov/premis/rdf/v3/medium",
+                     w(k % 6 == 3, medium_n), graph=md_graph),
+                quad(crep, bf + "productionMethod",
+                     w((k % 6 == 3) & (k % 5 == 0), pm_n), graph=md_graph),
+                quad(pc, sch + "identifier",
+                     w((k % 6 == 3) & (k % 4 == 1),
+                       F.concat(F.lit("carr-"), k.cast("string"))), graph=md_graph),
+                quad(ev_n, _RDF_TYPE,
+                     w((k % 6 == 3) & (k % 4 == 2), F.lit(haEvt + "digitization")),
+                     graph=md_graph),
+                quad(ev_n, eror + "sou", w((k % 6 == 3) & (k % 4 == 2), pc),
+                     graph=md_graph),
+                quad(ev_n, ns["prov"] + "startedAtTime",
+                     w((k % 6 == 3) & (k % 4 == 2),
+                       F.concat((k % 8 + 2015).cast("string"), F.lit("-02-02"))),
+                     graph=md_graph),
+                quad(pc, sch + "height", w((k % 6 == 3) & (k % 4 == 3), h_n),
+                     graph=md_graph),
+                quad(h_n, sch + "value",
+                     w((k % 6 == 3) & (k % 4 == 3), (k % 300).cast("string")),
+                     graph=md_graph),
+                quad(h_n, sch + "unitText",
+                     w((k % 6 == 3) & (k % 4 == 3), F.lit("mm")), graph=md_graph),
+                quad(pc, sch + "width", w((k % 6 == 3) & (k % 5 == 2), w_n),
+                     graph=md_graph),
+                quad(w_n, sch + "value",
+                     w((k % 6 == 3) & (k % 5 == 2), (k % 200).cast("string")),
+                     graph=md_graph),
+                quad(w_n, sch + "unitText",
+                     w((k % 6 == 3) & (k % 5 == 2), F.lit("mm")), graph=md_graph),
+                quad(pc, sch + "materialExtent",
+                     w((k % 6 == 3) & (k % 5 == 3),
+                       F.concat(F.lit("dozen "), (k % 4).cast("string"))),
+                     graph=md_graph),
+                quad(pc, sch + "material",
+                     w((k % 6 == 3) & (k % 5 == 4), F.lit("papier")), graph=md_graph),
+                quad(pc, ebu + "hasCaptioning",
+                     w((k % 6 == 3) & (k % 7 == 2), cap_n), graph=md_graph),
+                quad(cap_n, _RDF_TYPE,
+                     w((k % 6 == 3) & (k % 7 == 2),
+                       w(k % 14 == 2, F.lit(ebu + "OpenCaptions"))
+                       .otherwise(ebu + "ClosedCaptions")),
+                     graph=md_graph),
+                # digital representation + file (mime/language negatives)
+                quad(drep, _RDF_TYPE,
+                     w(k % 8 == 7, F.lit(haObj + "DigitalRepresentation")),
+                     graph=md_graph),
+                quad(drep,
+                     w(k % 16 == 7,
+                       F.lit(haObj + "isAccessCopyOf"))
+                     .otherwise(haObj + "isTranscriptionCopyOf"),
+                     w(k % 8 == 7, ie), graph=md_graph),
+                quad(drep, sch + "name",
+                     w(k % 8 == 7, F.concat(F.lit("Weergave "), (k % 5).cast("string"))),
+                     lang=nl_unless(k % 24 == 23), graph=md_graph),
+                quad(drep, sch + "inLanguage",
+                     w((k % 8 == 7) & (k % 5 == 1), F.lit("nl")), graph=md_graph),
+                quad(drep, ns["rel"] + "hsr",
+                     w((k % 8 == 7) & (k % 5 == 2),
+                       F.concat(F.lit("urn:hsr2:"), k.cast("string"))), graph=md_graph),
+                quad(drep, ns["rel"] + "hss",
+                     w((k % 8 == 7) & (k % 5 == 3),
+                       F.concat(F.lit("urn:hss2:"), k.cast("string"))), graph=md_graph),
+                quad(drep, edm + "isNextInSequence",
+                     w((k % 8 == 7) & (k % 6 == 1),
+                       F.concat(F.lit("urn:rprev:"), k.cast("string"))), graph=md_graph),
+                quad(drep, sch + "caption",
+                     w((k % 8 == 7) & (k % 6 == 2),
+                       F.concat(F.lit("urn:rcap:"), k.cast("string"))), graph=md_graph),
+                quad(drep, sch + "transcript",
+                     w((k % 8 == 7) & (k % 6 == 4),
+                       F.concat(F.lit("tr "), (k % 9).cast("string"))), graph=md_graph),
+                quad(dfile, _RDF_TYPE,
+                     w(k % 8 == 7, F.lit(premis + "File")),
+                     graph=md_graph),
+                quad(dfile, sch + "name",
+                     w(k % 8 == 7, F.concat(F.lit("bestand "), (k % 7).cast("string"))),
+                     lang="nl", graph=md_graph),
+                quad(dfile, premis + "originalName",
+                     w(k % 8 == 7, F.concat(F.lit("orig_"), k.cast("string"), F.lit(".jp2"))),
+                     graph=md_graph),
+                quad(dfile, premis + "storedAt",
+                     w(k % 8 == 7, floc), graph=md_graph),
+                quad(floc, rdfv,
+                     w(k % 8 == 7, F.concat(F.lit("s3://np/"), k.cast("string"))),
+                     graph=md_graph),
+                quad(dfile, ns["rel"] + "isi", w(k % 8 == 7, drep), graph=md_graph),
+                quad(dfile, ebu + "hasMimeType",
+                     w(k % 8 == 7,
+                       _sq_pick(["image/jpeg", "application/xml", "image/jp2",
+                                 "text/plain", "image/tiff"], k % 5)),
+                     graph=md_graph),
+                quad(dfile, edm + "isNextInSequence",
+                     w((k % 8 == 7) & (k % 7 == 1),
+                       F.concat(F.lit("urn:fprev2:"), k.cast("string"))), graph=md_graph),
+                quad(dfile, sch + "thumbnailUrl",
+                     w((k % 8 == 7) & (k % 7 == 3),
+                       F.concat(F.lit("https://t2/"), k.cast("string"))), graph=md_graph),
+                quad(dfile, sch + "duration",
+                     w((k % 8 == 7) & (k % 7 == 5),
+                       F.concat(F.lit("PT"), (k % 60).cast("string"), F.lit("S"))),
+                     graph=md_graph),
+            )
+        )
+    )
+
+    # typed collection nodes, deduped per (collection, org graph) so
+    # pattern scans stay duplicate-free (same reason anet colls seed
+    # from range(37))
+    cmeta = (
+        base.filter(((k % 9 == 5) | (k % 9 == 6)) & (k % 7 == 0))
+        .select((k % 29).alias("cn"), md_graph.alias("g"))
+        .distinct()
+    )
+    cn = F.col("cn")
+    cg = F.col("g")
+    coll_iri2 = F.concat(F.lit(idb + "collection/c"), cn.cast("string"))
+    coll_type2 = F.concat(
+        F.lit(sch),
+        _sq_pick(["Episode", "ArchiveComponent", "CreativeWorkSeries",
+                  "CreativeWorkSeason", "BroadcastEvent"], cn % 5),
+    )
+    coll_md_quads = cmeta.select(
+        F.inline(
+            F.array(
+                quad(coll_iri2, _RDF_TYPE, coll_type2, graph=cg),
+                quad(coll_iri2, sch + "name",
+                     F.concat(F.lit("Collectie "), cn.cast("string")), graph=cg),
+                quad(coll_iri2, sch + "seasonNumber",
+                     w(cn % 4 == 1, (cn % 12).cast("string")), graph=cg),
+                quad(coll_iri2, sch + "isPartOf",
+                     w(cn % 4 == 3,
+                       F.concat(F.lit(idb + "collection/parent"), cn.cast("string"))),
+                     graph=cg),
+            )
+        )
+    )
+
+    # thesauri labels for the shared medium / production-method nodes
+    thes = spark.range(4).select(F.col("id").alias("i"))
+    ti = F.col("i")
+    thes_quads = thes.select(
+        F.inline(
+            F.array(
+                quad(F.concat(F.lit(idb + "medium/m"), ti.cast("string")),
+                     skos + "prefLabel",
+                     F.concat(F.lit("Medium "), ti.cast("string")),
+                     lang="nl", graph=g_thes),
+                quad(F.concat(F.lit(idb + "pm/"), ti.cast("string")),
+                     skos + "prefLabel",
+                     w(ti < 3, F.concat(F.lit("Methode "), ti.cast("string"))),
+                     lang="nl", graph=g_thes),
+            )
+        )
+    )
+
     quads = (
         org_quads.unionByName(order_quads)
         .unionByName(person_quads)
         .unionByName(news_quads)
         .unionByName(anet_quads)
+        .unionByName(issue_quads)
+        .unionByName(coll_md_quads)
+        .unionByName(thes_quads)
         .filter(F.col("object").isNotNull())
     )
     quads.write.mode("overwrite").partitionBy("predicate").parquet(path)
@@ -4283,6 +4638,249 @@ WITH qual AS ({_NEWS_QUAL}
 )
 SELECT subject, predicate, object FROM t
 """
+
+# ---------------------------------------------------------------------------
+# A67f: newspaper.sparql verbatim (the full issue/page detail query)
+
+_NP_SPARQL_PATH = "/root/reference/typescript/queries/newspaper.sparql"
+
+
+def kg_construct_real_query_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """newspaper.sparql VERBATIM — the reference's largest production
+    CONSTRUCT run end-to-end (465 lines, ~40 union branches over issue/
+    page detail; typescript/queries/newspaper.sparql, read at run time).
+    Adds to the verbatim surface: a VARIABLE-PREDICATE triple
+    (?ie ?role_pred ?role classified by an IF chain), IF with an
+    unbound-variable else-arm (LocalIdentifier rows keep their value
+    triples but drop :type), EXISTS-in-expression against a property
+    path (BIND(EXISTS{?pc ebucore:hasCaptioning/rdf:type ..} AS ?b)
+    emitting a boolean object), an inverse-path event join (^eror:sou),
+    thesauri labels behind nested GRAPH, per-branch langMatches with
+    seeded wrong-language negatives, and a VALUES mime whitelist with a
+    seeded disallowed sibling."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    with open(_NP_SPARQL_PATH) as f:
+        text = f.read()
+    return SQ.construct_query(_sparql_person_quads(spark, sf_dir), text)
+
+
+def _np_oracle() -> str:
+    """Build the DuckDB mirror of newspaper.sparql over the v3 store.
+
+    Arms mirror the query's union branches one-for-one against the
+    seeding moduli in _sparql_person_quads; UNION (not UNION ALL)
+    matches the construct's output-triple DISTINCT."""
+    P = "'urn:kg-to-postgres:"
+    ie = "ie"
+
+    def v(expr: str) -> str:
+        return f"CAST({expr} AS VARCHAR)"
+
+    arms: list[str] = []
+
+    def arm(subj: str, pred: str, obj: str, where: str = "", frm: str = "qual"):
+        w = f" WHERE {where}" if where else ""
+        arms.append(
+            f"SELECT {subj} AS subject, {P}{pred}' AS predicate, "
+            f"{obj} AS object FROM {frm}{w}"
+        )
+
+    def node3(node: str, table: str, val_pred: str, val: str, where: str = "",
+              key_pred: str = "intellectual_entity_id", key: str = "ie"):
+        arm(node, "tableName", f"'graph.{table}'", where)
+        arm(node, key_pred, key, where)
+        arm(node, val_pred, val, where)
+
+    # required block
+    arm(ie, "tableName", "'graph.intellectual_entity'")
+    arm(ie, "id", ie)
+    arm(ie, "schema_identifier", f"'id-' || {v('k')}")
+    arm(ie, "schema_name", f"'Uitgave ' || {v('k % 61')}")
+    arm(ie, "schema_maintainer", "org")
+    node3("ie || '/dcterms_format/' || md5(fmt)", "dcterms_format",
+          "dcterms_format", "fmt")
+    node3("ie || '/prov'", "mh_fragment_identifier",
+          "mh_fragment_identifier", f"'frag-' || {v('k')}")
+    node3("ie || '/schema_license/' || md5(lic)", "schema_license",
+          "schema_license", "lic")
+    # attribute-node unions
+    node3(f"ie || '/schema_alternate_name/' || md5('Alt ' || {v('k % 19')})",
+          "schema_alternate_name", "schema_alternate_name",
+          f"'Alt ' || {v('k % 19')}", "k % 5 = 2")
+    node3("ie || '/schema_in_language/' || md5(lang3)", "schema_in_language",
+          "schema_in_language", "lang3", "k % 4 = 1")
+    node3(f"ie || '/schema_keywords/' || md5('kw-' || {v('k % 13')})",
+          "schema_keywords", "schema_keywords",
+          f"'kw-' || {v('k % 13')}", "k % 6 = 2")
+    node3(f"ie || '/schema_genre/' || md5('genre-' || {v('k % 7')})",
+          "schema_genre", "schema_genre",
+          f"'genre-' || {v('k % 7')}", "k % 6 = 4")
+    node3(f"ie || '/schema_spatial/' || md5('Plaats ' || {v('k % 23')})",
+          "schema_spatial", "schema_spatial",
+          f"'Plaats ' || {v('k % 23')}", "k % 7 = 1")
+    node3(f"ie || '/schema_temporal/' || md5('jaren ' || {v('k % 10')} || '0')",
+          "schema_temporal", "schema_temporal",
+          f"'jaren ' || {v('k % 10')} || '0'", "k % 7 = 3")
+    # scalar ie attributes
+    arm(ie, "schema_date_created", f"'18' || {v('k % 40 + 50')} || '-03-01'",
+        "k % 8 = 1")
+    arm(ie, "ha_des_min_date_created", f"'18' || {v('k % 40 + 50')} || '-01-01'",
+        "k % 8 = 1 AND k % 3 = 0")
+    arm(ie, "ha_des_max_date_created", f"'18' || {v('k % 40 + 50')} || '-12-31'",
+        "k % 8 = 1 AND k % 3 = 1")
+    arm(ie, "schema_date_published", f"'19' || {v('k % 80 + 10')} || '-06-01'",
+        "k % 8 = 5")
+    arm(ie, "ha_des_min_date_published", f"'19' || {v('k % 80 + 10')} || '-01-01'",
+        "k % 8 = 5 AND k % 3 = 0")
+    arm(ie, "ha_des_max_date_published", f"'19' || {v('k % 80 + 10')} || '-12-31'",
+        "k % 8 = 5 AND k % 3 = 2")
+    arm(ie, "schema_description", f"'Beschrijving ' || {v('k % 31')}", "k % 10 = 7")
+    arm(ie, "schema_abstract", f"'Samenvatting ' || {v('k % 17')}", "k % 12 = 11")
+    arm(ie, "schema_position", v("k % 50"), "k % 9 = 6")
+    arm(ie, "ha_des_number_of_pages", v("k % 40 + 1"), "k % 9 = 5")
+    arm(ie, "schema_issue_number", f"'nr. ' || {v('k % 99')}", "k % 8 = 3")
+    arm(ie, "relation_is_part_of", "ie || '/rep'", "k % 2 = 1")
+    arm(ie, "dcterms_available", f"{v('k % 25 + 2000')} || '-05-05'", "k % 5 = 4")
+    arm(ie, "ebucore_has_object_type", "'krant'", "k % 6 = 1")
+    arm(ie, "ebucore_has_cast_member", f"'Cast ' || {v('k % 9')}", "k % 17 = 2")
+    arm(ie, "schema_copyright_year", v("k % 90 + 1900"), "k % 10 = 1")
+    arm(ie, "schema_copyright_notice", f"'copyright ' || {v('k % 5')}", "k % 10 = 3")
+    arm(ie, "dcterms_rights", f"'rechten ' || {v('k % 4')}", "k % 10 = 5")
+    arm(ie, "schema_credit_text", f"'Credit ' || {v('k % 6')}", "k % 10 = 9")
+    arm(ie, "ebucore_synopsis", f"'Synopsis ' || {v('k % 21')}", "k % 12 = 7")
+    arm(ie, "bibframe_edition", f"'Editie ' || {v('k % 6')}",
+        "k % 11 = 4 AND k % 22 <> 15")
+    # premis identifiers (type dropped for LocalIdentifier)
+    pid_node = ("ie || '/premis_identifier/' || "
+                "md5('https://data.hetarchief.be/id/identifier/' || " + v("k") + ")")
+    arm(pid_node, "tableName", "'graph.premis_identifier'", "k % 5 = 0")
+    arm(pid_node, "intellectual_entity_id", "ie", "k % 5 = 0")
+    arm(pid_node, "value", f"'pid-' || {v('k')}", "k % 5 = 0")
+    arm(pid_node, "type",
+        "CASE WHEN k % 3 = 0 THEN 'primary' ELSE 'MeemooIdentifier' END",
+        "k % 5 = 0 AND k % 3 < 2")
+    # copyright holder (thesauri label XOR org-graph name)
+    ch_val = (f"CASE WHEN k % 8 = 2 THEN 'Holder T ' || {v('k % 15')} "
+              f"ELSE 'Holder N ' || {v('k % 15')} END")
+    node3(f"ie || '/schema_copyright_holder/' || md5({ch_val})",
+          "schema_copyright_holder", "schema_copyright_holder", ch_val,
+          "k % 4 = 2")
+    # roles & things
+    role_type = ("CASE k % 3 WHEN 0 THEN 'schema_creator' "
+                 "WHEN 1 THEN 'schema_contributor' ELSE 'schema_publisher' END")
+    thing = "'https://data.hetarchief.be/id/thing/t' || " + v("k")
+    arm("ie || '/role'", "tableName", "'graph.schema_role'", "k % 4 < 3")
+    arm("ie || '/role'", "id", "ie || '/role'", "k % 4 < 3")
+    arm("ie || '/role'", "type", role_type, "k % 4 < 3")
+    arm("ie || '/role'", "intellectual_entity_id", "ie", "k % 4 < 3")
+    arm("ie || '/role'", "schema_role_name", f"'rol ' || {v('k % 5')}", "k % 4 < 3")
+    arm("ie || '/role'", "thing_id", thing, "k % 4 < 3")
+    arm(thing, "tableName", "'graph.thing'", "k % 4 < 3")
+    arm(thing, "id", thing, "k % 4 < 3")
+    arm(thing, "schema_name", f"'Maker ' || {v('k % 33')}", "k % 4 < 3")
+    # collections
+    coll = "'https://data.hetarchief.be/id/collection/c' || " + v("k % 29")
+    ctype = ("CASE (k % 29) % 5 WHEN 0 THEN 'episode' WHEN 1 THEN 'archive' "
+             "WHEN 2 THEN 'series' WHEN 3 THEN 'season' ELSE 'program' END")
+    arm(f"ie || '/collection/' || md5({coll})", "tableName",
+        "'graph.schema_is_part_of'", "k % 7 = 0")
+    arm(f"ie || '/collection/' || md5({coll})", "intellectual_entity_id", "ie",
+        "k % 7 = 0")
+    arm(f"ie || '/collection/' || md5({coll})", "type", ctype, "k % 7 = 0")
+    arm(f"ie || '/collection/' || md5({coll})", "collection_id", coll, "k % 7 = 0")
+    ccoll = "'https://data.hetarchief.be/id/collection/c' || " + v("cn")
+    cctype = ("CASE cn % 5 WHEN 0 THEN 'episode' WHEN 1 THEN 'archive' "
+              "WHEN 2 THEN 'series' WHEN 3 THEN 'season' ELSE 'program' END")
+    arm(ccoll, "tableName", "'graph.collection'", frm="colls")
+    arm(ccoll, "id", ccoll, frm="colls")
+    arm(ccoll, "collection_type", cctype, frm="colls")
+    arm(ccoll, "schema_name", f"'Collectie ' || {v('cn')}", frm="colls")
+    arm(ccoll, "schema_season_number", v("cn % 12"), "cn % 4 = 1", frm="colls")
+    arm(ccoll, "schema_is_part_of",
+        "'https://data.hetarchief.be/id/collection/parent' || " + v("cn"),
+        "cn % 4 = 3", frm="colls")
+    # carrier (cq = carrier-arm qualification)
+    cq = "k % 6 = 3 AND k % 12 <> 9"
+    pc = "ie || '/pc'"
+    arm(pc, "tableName", "'graph.carrier'", cq)
+    arm(pc, "id", pc, cq)
+    arm(pc, "intellectual_entity_id", "ie", cq)
+    arm(pc, "schema_name", f"'Drager ' || {v('k % 12')}", cq)
+    arm(pc, "premis_medium", f"'Medium ' || {v('k % 4')}", cq)
+    arm(pc, "ebucore_has_captioning",
+        "CASE WHEN k % 14 = 2 THEN 'true' ELSE 'false' END", cq)
+    arm(pc, "bibframe_production_method", f"'Methode ' || {v('k % 3')}",
+        f"{cq} AND k % 5 = 0")
+    arm(pc, "schema_identifier", f"'carr-' || {v('k')}", f"{cq} AND k % 4 = 1")
+    arm(pc, "digitization_date", f"{v('k % 8 + 2015')} || '-02-02'",
+        f"{cq} AND k % 4 = 2")
+    arm(pc, "schema_height", f"{v('k % 300')} || ' mm'", f"{cq} AND k % 4 = 3")
+    arm(pc, "schema_width", f"{v('k % 200')} || ' mm'", f"{cq} AND k % 5 = 2")
+    arm(pc, "schema_material_extent", f"'dozen ' || {v('k % 4')}",
+        f"{cq} AND k % 5 = 3")
+    arm(pc, "schema_material", "'papier'", f"{cq} AND k % 5 = 4")
+    # digital representation + file (rq = rep-arm qualification)
+    rq = "k % 8 = 7 AND k % 24 <> 23 AND k % 5 <> 4"
+    rep = "ie || '/drep'"
+    fil = "ie || '/dfile'"
+    arm(rep, "tableName", "'graph.representation'", rq)
+    arm(rep, "id", rep, rq)
+    arm(rep, "premis_represents", "ie", rq)
+    arm(rep, "schema_name", f"'Weergave ' || {v('k % 5')}", rq)
+    arm(rep, "schema_in_language", "'nl'", f"{rq} AND k % 5 = 1")
+    arm(rep, "relation_has_root", f"'urn:hsr2:' || {v('k')}", f"{rq} AND k % 5 = 2")
+    arm(rep, "relation_has_source", f"'urn:hss2:' || {v('k')}", f"{rq} AND k % 5 = 3")
+    arm(rep, "edm_is_next_in_sequence", f"'urn:rprev:' || {v('k')}",
+        f"{rq} AND k % 6 = 1")
+    arm(rep, "schema_caption", f"'urn:rcap:' || {v('k')}", f"{rq} AND k % 6 = 2")
+    arm(rep, "schema_transcript", f"'tr ' || {v('k % 9')}", f"{rq} AND k % 6 = 4")
+    arm(f"{fil} || '/' || md5({rep})", "tableName", "'graph.includes'", rq)
+    arm(f"{fil} || '/' || md5({rep})", "representation_id", rep, rq)
+    arm(f"{fil} || '/' || md5({rep})", "file_id", fil, rq)
+    arm(fil, "tableName", "'graph.file'", rq)
+    arm(fil, "id", fil, rq)
+    arm(fil, "ebucore_has_mime_type",
+        "list_extract(['image/jpeg','application/xml','image/jp2','text/plain'],"
+        " k % 5 + 1)", rq)
+    arm(fil, "schema_name", f"'bestand ' || {v('k % 7')}", rq)
+    arm(fil, "premis_original_name", f"'orig_' || {v('k')} || '.jp2'", rq)
+    arm(fil, "premis_stored_at", f"'s3://np/' || {v('k')}", rq)
+    arm(fil, "edm_is_next_in_sequence", f"'urn:fprev2:' || {v('k')}",
+        f"{rq} AND k % 7 = 1")
+    arm(fil, "schema_thumbnail_url", f"'https://t2/' || {v('k')}",
+        f"{rq} AND k % 7 = 3")
+    arm(fil, "schema_duration", f"'PT' || {v('k % 60')} || 'S'",
+        f"{rq} AND k % 7 = 5")
+
+    body = "\n  UNION\n  ".join(arms)
+    return f"""
+WITH qual AS (
+  SELECT o_orderkey AS k,
+         'https://data.hetarchief.be/id/entity/' || CAST(o_orderkey AS VARCHAR) AS ie,
+         'https://data.hetarchief.be/id/organization/OR-' || CAST(c_nationkey AS VARCHAR) AS org,
+         CASE WHEN o_orderkey % 9 = 5 THEN 'newspaper' ELSE 'newspaperpage' END AS fmt,
+         list_extract(['VIAA-PUBLIEK-METADATA-LTD','VIAA-PUBLIEK-METADATA-ALL',
+                       'VIAA-PUBLIEK-CONTENT','BEZOEKERTOOL-METADATA-ALL',
+                       'BEZOEKERTOOL-CONTENT','VIAA-INTRA_CP-METADATA-ALL',
+                       'VIAA-INTRA_CP-CONTENT','Publiek-Domein',
+                       'COPYRIGHT-UNDETERMINED'], o_orderkey % 11 + 1) AS lic,
+         list_extract(['nl','fr','de'], o_orderkey % 3 + 1) AS lang3
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderkey % 9 IN (5, 6)
+    AND o_orderkey % 11 < 9
+    AND c_nationkey % 5 <> 4
+), colls AS (
+  SELECT DISTINCT k % 29 AS cn FROM qual WHERE k % 7 = 0
+), t AS (
+  {body}
+)
+SELECT subject, predicate, object FROM t
+"""
+
+
+KG_REAL_QUERY_NP_ORACLE = _np_oracle()
+
 
 KG_REAL_QUERY_IIIF_ORACLE = """
 WITH qual AS (

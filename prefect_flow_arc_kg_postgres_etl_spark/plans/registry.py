@@ -309,6 +309,9 @@ _SPECS: dict[str, QuerySpec] = {
     "kg_construct_real_query_iiif": QuerySpec(
         kg.kg_construct_real_query_iiif, kg.KG_REAL_QUERY_IIIF_ORACLE
     ),
+    "kg_construct_real_query_issues": QuerySpec(
+        kg.kg_construct_real_query_issues, kg.KG_REAL_QUERY_NP_ORACLE
+    ),
     "index_partition_refresh": QuerySpec(
         kg.index_partition_refresh, kg.INDEX_REFRESH_ORACLE
     ),

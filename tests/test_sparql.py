@@ -182,3 +182,89 @@ def test_filter_not_exists(spark):
     )
     rows = {(r.subject, r.object) for r in out.collect()}
     assert rows == {("e2", "yes")}
+
+
+def test_variable_predicate_with_if_classifier(spark):
+    # newspaper.sparql:325-341 — ?ie ?role_pred ?role scans every
+    # predicate; only Role-typed objects survive the type join, and an
+    # IF chain classifies the predicate IRI.
+    quads = _quads(
+        spark,
+        [
+            ("ie1", "urn:creator", "r1", None, None),
+            ("ie1", "urn:other", "x1", None, None),
+            ("r1", "urn:type", "Role", None, None),
+        ],
+    )
+    out = SQ.construct_query(
+        quads,
+        """
+        PREFIX : <urn:out:>
+        CONSTRUCT { ?role :type ?role_type }
+        WHERE {
+          ?ie ?role_pred ?role.
+          ?role <urn:type> "Role"
+          BIND(IF(?role_pred = <urn:creator>, "schema_creator", "unknown")
+               AS ?role_type)
+        }
+        """,
+    )
+    rows = {(r.subject, r.object) for r in out.collect()}
+    assert rows == {("r1", "schema_creator")}
+
+
+def test_if_unbound_else_arm_drops_only_that_triple(spark):
+    # newspaper.sparql:276-283 — IF(.., .., ?unbound): the else arm is
+    # an unbound variable, so rows taking it keep their other template
+    # triples but emit no triple for the IF-bound one.
+    quads = _quads(
+        spark,
+        [
+            ("i1", "urn:kind", "Local", None, None),
+            ("i2", "urn:kind", "Meemoo", None, None),
+        ],
+    )
+    out = SQ.construct_query(
+        quads,
+        """
+        PREFIX : <urn:out:>
+        CONSTRUCT { ?i :value "v"; :type ?t }
+        WHERE {
+          ?i <urn:kind> ?k
+          BIND(IF(?k != "Local", ?k, ?unbound) AS ?t)
+        }
+        """,
+    )
+    rows = {(r.subject, r.predicate, r.object) for r in out.collect()}
+    assert rows == {
+        ("i1", "urn:out:value", "v"),
+        ("i2", "urn:out:value", "v"),
+        ("i2", "urn:out:type", "Meemoo"),
+    }
+
+
+def test_exists_bind_emits_boolean_object(spark):
+    # newspaper.sparql:443-445 — BIND(EXISTS{..path..} AS ?b) emits a
+    # boolean-valued object ("true"/"false") for every row.
+    quads = _quads(
+        spark,
+        [
+            ("c1", "urn:a", "P", None, None),
+            ("c2", "urn:a", "P", None, None),
+            ("c1", "urn:cap", "n1", None, None),
+            ("n1", "urn:type", "Open", None, None),
+        ],
+    )
+    out = SQ.construct_query(
+        quads,
+        """
+        PREFIX : <urn:out:>
+        CONSTRUCT { ?c :captioned ?b }
+        WHERE {
+          ?c <urn:a> "P"
+          BIND(EXISTS { ?c <urn:cap>/<urn:type> "Open" } AS ?b)
+        }
+        """,
+    )
+    rows = {(r.subject, r.object) for r in out.collect()}
+    assert rows == {("c1", "true"), ("c2", "false")}
