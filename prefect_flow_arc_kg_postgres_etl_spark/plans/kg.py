@@ -3307,7 +3307,7 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    fp = hashlib.md5(b"sparql_person_v3")
+    fp = hashlib.md5(b"sparql_person_v5")
     for t in ("customer", "nation", "orders"):
         st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
         fp.update(f"{t}:{st.st_mtime_ns}:{st.st_size};".encode())
@@ -3638,7 +3638,7 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         [sch + "creator", sch + "contributor", sch + "publisher"], k % 3
     )
     nl_unless = lambda cond: w(cond, F.lit("en")).otherwise(F.lit("nl"))  # noqa: E731
-    issue_quads = base.filter((k % 9 == 5) | (k % 9 == 6)).select(
+    issue_quads = base.filter(k % 9 < 7).select(
         F.inline(
             F.array(
                 # required block
@@ -3648,7 +3648,8 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.concat(F.lit("Uitgave "), (k % 61).cast("string")),
                      lang="nl", graph=md_graph),
                 quad(ie, dct + "format",
-                     w(k % 9 == 5, F.lit("newspaper")).otherwise("newspaperpage"),
+                     _sq_pick(["audio", "video", "film", "dvd", "dvdchapter",
+                               "newspaper", "newspaperpage"], k % 9),
                      graph=md_graph),
                 quad(prov_node, _RDF_TYPE, mh + "Fragment", graph=md_graph),
                 quad(prov_node, sch + "identifier",
@@ -3661,7 +3662,7 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
                      w(k % 5 == 4, F.concat(F.lit("Alt EN "), k.cast("string"))),
                      lang="en", graph=md_graph),
                 quad(ie, sch + "inLanguage",
-                     w(k % 4 == 1, _sq_pick(["nl", "fr", "de"], k % 3)),
+                     w(k % 7 == 6, _sq_pick(["nl", "fr", "de"], k % 3)),
                      graph=md_graph),
                 quad(ie, sch + "keywords",
                      w(k % 6 == 2, F.concat(F.lit("kw-"), (k % 13).cast("string"))),
@@ -3677,38 +3678,38 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
                      w(k % 7 == 3, F.concat(F.lit("jaren "), (k % 10).cast("string"), F.lit("0"))),
                      graph=md_graph),
                 quad(ie, sch + "dateCreated",
-                     w(k % 8 == 1, F.concat(F.lit("18"), (k % 40 + 50).cast("string"), F.lit("-03-01"))),
+                     w(k % 7 == 2, F.concat(F.lit("18"), (k % 40 + 50).cast("string"), F.lit("-03-01"))),
                      graph=md_graph),
                 quad(ie, haD + "minDateCreated",
-                     w((k % 8 == 1) & (k % 3 == 0),
+                     w((k % 7 == 2) & (k % 3 == 0),
                        F.concat(F.lit("18"), (k % 40 + 50).cast("string"), F.lit("-01-01"))),
                      graph=md_graph),
                 quad(ie, haD + "maxDateCreated",
-                     w((k % 8 == 1) & (k % 3 == 1),
+                     w((k % 7 == 2) & (k % 3 == 1),
                        F.concat(F.lit("18"), (k % 40 + 50).cast("string"), F.lit("-12-31"))),
                      graph=md_graph),
                 quad(ie, sch + "datePublished",
-                     w(k % 8 == 5, F.concat(F.lit("19"), (k % 80 + 10).cast("string"), F.lit("-06-01"))),
+                     w(k % 7 == 5, F.concat(F.lit("19"), (k % 80 + 10).cast("string"), F.lit("-06-01"))),
                      graph=md_graph),
                 quad(ie, haD + "minDatePublished",
-                     w((k % 8 == 5) & (k % 3 == 0),
+                     w((k % 7 == 5) & (k % 3 == 0),
                        F.concat(F.lit("19"), (k % 80 + 10).cast("string"), F.lit("-01-01"))),
                      graph=md_graph),
                 quad(ie, haD + "maxDatePublished",
-                     w((k % 8 == 5) & (k % 3 == 2),
+                     w((k % 7 == 5) & (k % 3 == 2),
                        F.concat(F.lit("19"), (k % 80 + 10).cast("string"), F.lit("-12-31"))),
                      graph=md_graph),
                 quad(ie, sch + "description",
-                     w(k % 10 == 7, F.concat(F.lit("Beschrijving "), (k % 31).cast("string"))),
+                     w(k % 5 == 1, F.concat(F.lit("Beschrijving "), (k % 31).cast("string"))),
                      lang="nl", graph=md_graph),
                 quad(ie, sch + "description",
-                     w(k % 10 == 9, F.concat(F.lit("Description "), (k % 31).cast("string"))),
+                     w(k % 15 == 13, F.concat(F.lit("Description "), (k % 31).cast("string"))),
                      lang="en", graph=md_graph),
                 quad(ie, sch + "abstract",
-                     w(k % 12 == 11, F.concat(F.lit("Samenvatting "), (k % 17).cast("string"))),
+                     w(k % 5 == 3, F.concat(F.lit("Samenvatting "), (k % 17).cast("string"))),
                      lang="nl", graph=md_graph),
                 quad(ie, sch + "abstract",
-                     w(k % 12 == 5, F.concat(F.lit("Abstract "), (k % 17).cast("string"))),
+                     w(k % 15 == 2, F.concat(F.lit("Abstract "), (k % 17).cast("string"))),
                      lang="en", graph=md_graph),
                 # premis identifiers (primary / replaceable / local)
                 quad(ie, haObj + "primaryIdentifier",
@@ -3733,24 +3734,24 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
                 quad(ie, dct + "available",
                      w(k % 5 == 4, F.concat((k % 25 + 2000).cast("string"), F.lit("-05-05"))),
                      graph=md_graph),
-                quad(ie, ebu + "hasObjectType", w(k % 6 == 1, F.lit("krant")),
+                quad(ie, ebu + "hasObjectType", w(k % 13 == 1, F.lit("krant")),
                      graph=md_graph),
                 quad(ie, ebu + "hasCastMember",
                      w(k % 17 == 2, F.concat(F.lit("Cast "), (k % 9).cast("string"))),
                      graph=md_graph),
                 quad(ie, sch + "copyrightYear",
-                     w(k % 10 == 1, (k % 90 + 1900).cast("string")), graph=md_graph),
+                     w(k % 5 == 2, (k % 90 + 1900).cast("string")), graph=md_graph),
                 quad(ie, sch + "copyrightNotice",
-                     w(k % 10 == 3, F.concat(F.lit("copyright "), (k % 5).cast("string"))),
+                     w(k % 13 == 3, F.concat(F.lit("copyright "), (k % 5).cast("string"))),
                      graph=md_graph),
                 quad(ie, dct + "rights",
-                     w(k % 10 == 5, F.concat(F.lit("rechten "), (k % 4).cast("string"))),
+                     w(k % 13 == 5, F.concat(F.lit("rechten "), (k % 4).cast("string"))),
                      graph=md_graph),
                 quad(ie, sch + "creditText",
-                     w(k % 10 == 9, F.concat(F.lit("Credit "), (k % 6).cast("string"))),
+                     w(k % 13 == 7, F.concat(F.lit("Credit "), (k % 6).cast("string"))),
                      graph=md_graph),
                 quad(ie, ebu + "synopsis",
-                     w(k % 12 == 7, F.concat(F.lit("Synopsis "), (k % 21).cast("string"))),
+                     w(k % 13 == 9, F.concat(F.lit("Synopsis "), (k % 21).cast("string"))),
                      graph=md_graph),
                 # copyright holder: thesauri label XOR org-graph name
                 quad(ie, sch + "copyrightHolder", w(k % 4 == 2, hc), graph=md_graph),
@@ -3801,12 +3802,12 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
                      w((k % 6 == 3) & (k % 4 == 1),
                        F.concat(F.lit("carr-"), k.cast("string"))), graph=md_graph),
                 quad(ev_n, _RDF_TYPE,
-                     w((k % 6 == 3) & (k % 4 == 2), F.lit(haEvt + "digitization")),
+                     w((k % 6 == 3) & (k % 5 == 1), F.lit(haEvt + "digitization")),
                      graph=md_graph),
-                quad(ev_n, eror + "sou", w((k % 6 == 3) & (k % 4 == 2), pc),
+                quad(ev_n, eror + "sou", w((k % 6 == 3) & (k % 5 == 1), pc),
                      graph=md_graph),
                 quad(ev_n, ns["prov"] + "startedAtTime",
-                     w((k % 6 == 3) & (k % 4 == 2),
+                     w((k % 6 == 3) & (k % 5 == 1),
                        F.concat((k % 8 + 2015).cast("string"), F.lit("-02-02"))),
                      graph=md_graph),
                 quad(pc, sch + "height", w((k % 6 == 3) & (k % 4 == 3), h_n),
@@ -3830,10 +3831,11 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
                 quad(pc, sch + "material",
                      w((k % 6 == 3) & (k % 5 == 4), F.lit("papier")), graph=md_graph),
                 quad(pc, ebu + "hasCaptioning",
-                     w((k % 6 == 3) & (k % 7 == 2), cap_n), graph=md_graph),
+                     w((k % 6 == 3) & ((k % 5 == 2) | (k % 5 == 4)), cap_n),
+                     graph=md_graph),
                 quad(cap_n, _RDF_TYPE,
-                     w((k % 6 == 3) & (k % 7 == 2),
-                       w(k % 14 == 2, F.lit(ebu + "OpenCaptions"))
+                     w((k % 6 == 3) & ((k % 5 == 2) | (k % 5 == 4)),
+                       w(k % 10 == 7, F.lit(ebu + "OpenCaptions"))
                        .otherwise(ebu + "ClosedCaptions")),
                      graph=md_graph),
                 # digital representation + file (mime/language negatives)
@@ -3899,11 +3901,225 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # v4: AV detail entities for av-audio/av-video/av-complex.sparql.
+    # The av queries accept ONLY direct licenses (schema:license with no
+    # rel:isp path), i.e. EVEN keys — so these carriers/reps/files are
+    # gated even with even-friendly residues (the newspaper-gated ones
+    # above sit on odd residues and are invisible to av quals). Reel
+    # second-types + graph:ontologies labels, coloring types, fragment
+    # representations with media-fragment file links, and peak-file
+    # chains (rel:isi/rel:inc with a contains()-negative sibling) cover
+    # the av-only grammar.
+    rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+    g_ont = "https://data.hetarchief.be/graph/ontologies"
+    is_av = k % 9 < 5
+    even_k = (k % 2) == 0
+    adrep = F.concat(ie, F.lit("/adrep"))
+    frep = F.concat(ie, F.lit("/frep"))
+    afile = F.concat(ie, F.lit("/afile"))
+    aloc = F.concat(afile, F.lit("/loc"))
+    pk = F.concat(ie, F.lit("/peak"))
+    pkloc = F.concat(pk, F.lit("/loc"))
+    pk2 = F.concat(ie, F.lit("/peak2"))
+    pk2loc = F.concat(pk2, F.lit("/loc"))
+    ct_n = F.concat(F.lit(idb + "coloring/ct"), (k % 13).cast("string"))
+    c0 = k % 10 == 0          # av carrier gate (en-name negative at k%20==10)
+    r0 = k % 14 == 0          # av rep/file gate
+    dig0 = k % 28 == 0        # digital-rep kind
+    frg0 = k % 28 == 14       # fragment-rep kind
+    avrep = w(dig0, adrep).otherwise(frep)
+    av_quads = base.filter(is_av & even_k).select(
+        F.inline(
+            F.array(
+                # carrier chain
+                quad(ie, ns["rel"] + "isr", w(c0, crep), graph=md_graph),
+                quad(crep, _RDF_TYPE,
+                     w(c0, F.lit(haObj + "CarrierRepresentation")), graph=md_graph),
+                quad(crep, premis + "storedAt", w(c0, pc), graph=md_graph),
+                quad(pc, _RDF_TYPE, w(c0, F.lit(haObj + "PhysicalCarrier")),
+                     graph=md_graph),
+                quad(pc, sch + "name",
+                     w(c0, F.concat(F.lit("Drager "), (k % 12).cast("string"))),
+                     lang=nl_unless(k % 20 == 10), graph=md_graph),
+                quad(pc, premis + "medium", w(c0, medium_n), graph=md_graph),
+                quad(crep, bf + "productionMethod",
+                     w(c0 & (k % 7 == 0), pm_n), graph=md_graph),
+                quad(pc, sch + "identifier",
+                     w(c0 & (k % 7 == 1),
+                       F.concat(F.lit("carr-"), k.cast("string"))), graph=md_graph),
+                quad(ev_n, _RDF_TYPE,
+                     w(c0 & (k % 7 == 2), F.lit(haEvt + "digitization")),
+                     graph=md_graph),
+                quad(ev_n, eror + "sou", w(c0 & (k % 7 == 2), pc), graph=md_graph),
+                quad(ev_n, ns["prov"] + "startedAtTime",
+                     w(c0 & (k % 7 == 2),
+                       F.concat((k % 8 + 2015).cast("string"), F.lit("-02-02"))),
+                     graph=md_graph),
+                quad(pc, sch + "height", w(c0 & (k % 7 == 3), h_n), graph=md_graph),
+                quad(h_n, sch + "value",
+                     w(c0 & (k % 7 == 3), (k % 300).cast("string")), graph=md_graph),
+                quad(h_n, sch + "unitText", w(c0 & (k % 7 == 3), F.lit("mm")),
+                     graph=md_graph),
+                quad(pc, sch + "width", w(c0 & (k % 7 == 4), w_n), graph=md_graph),
+                quad(w_n, sch + "value",
+                     w(c0 & (k % 7 == 4), (k % 200).cast("string")), graph=md_graph),
+                quad(w_n, sch + "unitText", w(c0 & (k % 7 == 4), F.lit("mm")),
+                     graph=md_graph),
+                quad(pc, sch + "materialExtent",
+                     w(c0 & (k % 7 == 5),
+                       F.concat(F.lit("dozen "), (k % 4).cast("string"))),
+                     graph=md_graph),
+                quad(pc, sch + "material", w(c0 & (k % 7 == 6), F.lit("papier")),
+                     graph=md_graph),
+                quad(pc, ebu + "hasCaptioning",
+                     w(c0 & (k % 11 < 2), cap_n), graph=md_graph),
+                quad(cap_n, _RDF_TYPE,
+                     w(c0 & (k % 11 < 2),
+                       w(k % 11 == 0, F.lit(ebu + "OpenCaptions"))
+                       .otherwise(ebu + "ClosedCaptions")),
+                     graph=md_graph),
+                # reel second type + coloring (ontologies/thesauri labels)
+                quad(pc, _RDF_TYPE,
+                     w(c0 & (k % 13 < 6),
+                       w(k % 9 == 0, F.lit(haD + "AudioReel"))
+                       .otherwise(haD + "ImageReel")),
+                     graph=md_graph),
+                quad(pc, haD + "coloringType",
+                     w(c0 & (k % 13 < 3), ct_n), graph=md_graph),
+                # representations: digital XOR fragment kind
+                quad(adrep, _RDF_TYPE,
+                     w(dig0, F.lit(haObj + "DigitalRepresentation")), graph=md_graph),
+                quad(adrep, haObj + "isAccessCopyOf", w(dig0, ie), graph=md_graph),
+                quad(frep, _RDF_TYPE,
+                     w(frg0, F.lit(haObj + "FragmentRepresentation")), graph=md_graph),
+                quad(frep, haObj + "isFragmentRepresentationOf", w(frg0, ie),
+                     graph=md_graph),
+                quad(frep, sch + "startTime",
+                     w(frg0, (k % 100).cast("string")), graph=md_graph),
+                quad(frep, sch + "endTime",
+                     w(frg0, (k % 100 + 10).cast("string")), graph=md_graph),
+                quad(frep, ebu + "isMediaFragmentOf", w(frg0, afile),
+                     graph=md_graph),
+                quad(avrep, sch + "name",
+                     w(r0, F.concat(F.lit("AV weergave "), (k % 5).cast("string"))),
+                     lang=nl_unless(k % 11 == 3), graph=md_graph),
+                quad(avrep, sch + "inLanguage",
+                     w(r0 & (k % 11 == 0), F.lit("nl")), graph=md_graph),
+                quad(avrep, ns["rel"] + "hsr",
+                     w(r0 & (k % 11 == 1),
+                       F.concat(F.lit("urn:avhsr:"), k.cast("string"))),
+                     graph=md_graph),
+                quad(avrep, ns["rel"] + "hss",
+                     w(r0 & (k % 11 == 2),
+                       F.concat(F.lit("urn:avhss:"), k.cast("string"))),
+                     graph=md_graph),
+                quad(avrep, edm + "isNextInSequence",
+                     w(r0 & (k % 11 == 4),
+                       F.concat(F.lit("urn:avprev:"), k.cast("string"))),
+                     graph=md_graph),
+                quad(avrep, sch + "caption",
+                     w(r0 & (k % 11 == 5),
+                       F.concat(F.lit("urn:avcap:"), k.cast("string"))),
+                     graph=md_graph),
+                quad(avrep, sch + "transcript",
+                     w(r0 & (k % 11 == 6),
+                       F.concat(F.lit("avtr "), (k % 9).cast("string"))),
+                     graph=md_graph),
+                # the av file (mime whitelist negative at k%5==4 / >=3)
+                quad(afile, _RDF_TYPE, w(r0, F.lit(premis + "File")),
+                     graph=md_graph),
+                quad(afile, sch + "name",
+                     w(r0, F.concat(F.lit("av bestand "), (k % 6).cast("string"))),
+                     lang="nl", graph=md_graph),
+                quad(afile, premis + "originalName",
+                     w(r0, F.concat(F.lit("av_"), k.cast("string"), F.lit(".mp4"))),
+                     graph=md_graph),
+                quad(afile, premis + "storedAt", w(r0, aloc), graph=md_graph),
+                quad(aloc, rdfv,
+                     w(r0, F.concat(F.lit("s3://av/"), k.cast("string"))),
+                     graph=md_graph),
+                quad(afile, ns["rel"] + "isi", w(dig0, adrep), graph=md_graph),
+                quad(afile, ebu + "hasMimeType",
+                     w(r0, _sq_pick(["video/mp4", "audio/mp4", "audio/mpeg",
+                                     "image/jpeg", "application/xml"], k % 5)),
+                     graph=md_graph),
+                quad(afile, edm + "isNextInSequence",
+                     w(r0 & (k % 13 == 0),
+                       F.concat(F.lit("urn:avfprev:"), k.cast("string"))),
+                     graph=md_graph),
+                quad(afile, sch + "thumbnailUrl",
+                     w(r0 & (k % 13 == 1),
+                       F.concat(F.lit("https://avt/"), k.cast("string"))),
+                     graph=md_graph),
+                quad(afile, sch + "duration",
+                     w(r0 & (k % 13 == 2),
+                       F.concat(F.lit("PT"), (k % 60).cast("string"), F.lit("S"))),
+                     graph=md_graph),
+                # peak chain (av-audio): rep --inc--> peak; wave_ sibling
+                # must drop on contains(?name, "peak")
+                quad(adrep, ns["rel"] + "inc", w(dig0 & (k % 13 < 6), pk),
+                     graph=md_graph),
+                quad(pk, _RDF_TYPE, w(dig0 & (k % 13 < 6), F.lit(premis + "File")),
+                     graph=md_graph),
+                quad(pk, sch + "name",
+                     w(dig0 & (k % 13 < 6),
+                       F.concat(F.lit("piek "), (k % 4).cast("string"))),
+                     lang="nl", graph=md_graph),
+                quad(pk, premis + "originalName",
+                     w(dig0 & (k % 13 < 6),
+                       F.concat(F.lit("peak_"), k.cast("string"), F.lit(".json"))),
+                     graph=md_graph),
+                quad(pk, premis + "storedAt", w(dig0 & (k % 13 < 6), pkloc),
+                     graph=md_graph),
+                quad(pkloc, rdfv,
+                     w(dig0 & (k % 13 < 6),
+                       F.concat(F.lit("s3://peak/"), k.cast("string"))),
+                     graph=md_graph),
+                quad(pk, ebu + "hasMimeType",
+                     w(dig0 & (k % 13 < 6), F.lit("application/json")),
+                     graph=md_graph),
+                quad(pk, edm + "isNextInSequence",
+                     w(dig0 & (k % 13 == 0),
+                       F.concat(F.lit("urn:pkprev:"), k.cast("string"))),
+                     graph=md_graph),
+                quad(pk, sch + "thumbnailUrl",
+                     w(dig0 & (k % 13 == 1),
+                       F.concat(F.lit("https://pk/"), k.cast("string"))),
+                     graph=md_graph),
+                quad(pk, sch + "duration",
+                     w(dig0 & (k % 13 == 2),
+                       F.concat(F.lit("PT"), (k % 30).cast("string"), F.lit("S"))),
+                     graph=md_graph),
+                quad(adrep, ns["rel"] + "inc", w(dig0 & (k % 13 == 6), pk2),
+                     graph=md_graph),
+                quad(pk2, _RDF_TYPE, w(dig0 & (k % 13 == 6), F.lit(premis + "File")),
+                     graph=md_graph),
+                quad(pk2, sch + "name",
+                     w(dig0 & (k % 13 == 6),
+                       F.concat(F.lit("golf "), (k % 4).cast("string"))),
+                     lang="nl", graph=md_graph),
+                quad(pk2, premis + "originalName",
+                     w(dig0 & (k % 13 == 6),
+                       F.concat(F.lit("wave_"), k.cast("string"), F.lit(".json"))),
+                     graph=md_graph),
+                quad(pk2, premis + "storedAt", w(dig0 & (k % 13 == 6), pk2loc),
+                     graph=md_graph),
+                quad(pk2loc, rdfv,
+                     w(dig0 & (k % 13 == 6),
+                       F.concat(F.lit("s3://wave/"), k.cast("string"))),
+                     graph=md_graph),
+                quad(pk2, ebu + "hasMimeType",
+                     w(dig0 & (k % 13 == 6), F.lit("application/json")),
+                     graph=md_graph),
+            )
+        )
+    )
+
     # typed collection nodes, deduped per (collection, org graph) so
     # pattern scans stay duplicate-free (same reason anet colls seed
     # from range(37))
     cmeta = (
-        base.filter(((k % 9 == 5) | (k % 9 == 6)) & (k % 7 == 0))
+        base.filter((k % 9 < 7) & (k % 7 == 0))
         .select((k % 29).alias("cn"), md_graph.alias("g"))
         .distinct()
     )
@@ -3945,6 +4161,28 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
                      skos + "prefLabel",
                      w(ti < 3, F.concat(F.lit("Methode "), ti.cast("string"))),
                      lang="nl", graph=g_thes),
+                # coloring types: ct0/ct1 nl-labelled; ct2 en-only (the
+                # av OPTIONAL's langMatches must leave it unbound)
+                quad(F.concat(F.lit(idb + "coloring/ct"), ti.cast("string")),
+                     skos + "prefLabel",
+                     w(ti < 2, F.concat(F.lit("Kleur "), ti.cast("string"))),
+                     lang="nl", graph=g_thes),
+                quad(F.concat(F.lit(idb + "coloring/ct"), ti.cast("string")),
+                     skos + "prefLabel",
+                     w(ti == 2, F.lit("Colour 2")), lang="en", graph=g_thes),
+                # graph:ontologies reel labels (nl kept, en dropped)
+                quad(w(ti == 0, F.lit(haD + "AudioReel"))
+                     .otherwise(haD + "ImageReel"),
+                     rdfs + "label",
+                     w(ti < 2, w(ti == 0, F.lit("Geluidsband"))
+                       .otherwise("Beeldband")),
+                     lang="nl", graph=g_ont),
+                quad(w(ti == 0, F.lit(haD + "AudioReel"))
+                     .otherwise(haD + "ImageReel"),
+                     rdfs + "label",
+                     w(ti < 2, w(ti == 0, F.lit("Audio reel"))
+                       .otherwise("Image reel")),
+                     lang="en", graph=g_ont),
             )
         )
     )
@@ -3955,6 +4193,7 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(news_quads)
         .unionByName(anet_quads)
         .unionByName(issue_quads)
+        .unionByName(av_quads)
         .unionByName(coll_md_quads)
         .unionByName(thes_quads)
         .filter(F.col("object").isNotNull())
@@ -4709,7 +4948,7 @@ def _np_oracle() -> str:
           "schema_alternate_name", "schema_alternate_name",
           f"'Alt ' || {v('k % 19')}", "k % 5 = 2")
     node3("ie || '/schema_in_language/' || md5(lang3)", "schema_in_language",
-          "schema_in_language", "lang3", "k % 4 = 1")
+          "schema_in_language", "lang3", "k % 7 = 6")
     node3(f"ie || '/schema_keywords/' || md5('kw-' || {v('k % 13')})",
           "schema_keywords", "schema_keywords",
           f"'kw-' || {v('k % 13')}", "k % 6 = 2")
@@ -4724,31 +4963,31 @@ def _np_oracle() -> str:
           f"'jaren ' || {v('k % 10')} || '0'", "k % 7 = 3")
     # scalar ie attributes
     arm(ie, "schema_date_created", f"'18' || {v('k % 40 + 50')} || '-03-01'",
-        "k % 8 = 1")
+        "k % 7 = 2")
     arm(ie, "ha_des_min_date_created", f"'18' || {v('k % 40 + 50')} || '-01-01'",
-        "k % 8 = 1 AND k % 3 = 0")
+        "k % 7 = 2 AND k % 3 = 0")
     arm(ie, "ha_des_max_date_created", f"'18' || {v('k % 40 + 50')} || '-12-31'",
-        "k % 8 = 1 AND k % 3 = 1")
+        "k % 7 = 2 AND k % 3 = 1")
     arm(ie, "schema_date_published", f"'19' || {v('k % 80 + 10')} || '-06-01'",
-        "k % 8 = 5")
+        "k % 7 = 5")
     arm(ie, "ha_des_min_date_published", f"'19' || {v('k % 80 + 10')} || '-01-01'",
-        "k % 8 = 5 AND k % 3 = 0")
+        "k % 7 = 5 AND k % 3 = 0")
     arm(ie, "ha_des_max_date_published", f"'19' || {v('k % 80 + 10')} || '-12-31'",
-        "k % 8 = 5 AND k % 3 = 2")
-    arm(ie, "schema_description", f"'Beschrijving ' || {v('k % 31')}", "k % 10 = 7")
-    arm(ie, "schema_abstract", f"'Samenvatting ' || {v('k % 17')}", "k % 12 = 11")
+        "k % 7 = 5 AND k % 3 = 2")
+    arm(ie, "schema_description", f"'Beschrijving ' || {v('k % 31')}", "k % 5 = 1")
+    arm(ie, "schema_abstract", f"'Samenvatting ' || {v('k % 17')}", "k % 5 = 3")
     arm(ie, "schema_position", v("k % 50"), "k % 9 = 6")
     arm(ie, "ha_des_number_of_pages", v("k % 40 + 1"), "k % 9 = 5")
     arm(ie, "schema_issue_number", f"'nr. ' || {v('k % 99')}", "k % 8 = 3")
     arm(ie, "relation_is_part_of", "ie || '/rep'", "k % 2 = 1")
     arm(ie, "dcterms_available", f"{v('k % 25 + 2000')} || '-05-05'", "k % 5 = 4")
-    arm(ie, "ebucore_has_object_type", "'krant'", "k % 6 = 1")
+    arm(ie, "ebucore_has_object_type", "'krant'", "k % 13 = 1")
     arm(ie, "ebucore_has_cast_member", f"'Cast ' || {v('k % 9')}", "k % 17 = 2")
-    arm(ie, "schema_copyright_year", v("k % 90 + 1900"), "k % 10 = 1")
-    arm(ie, "schema_copyright_notice", f"'copyright ' || {v('k % 5')}", "k % 10 = 3")
-    arm(ie, "dcterms_rights", f"'rechten ' || {v('k % 4')}", "k % 10 = 5")
-    arm(ie, "schema_credit_text", f"'Credit ' || {v('k % 6')}", "k % 10 = 9")
-    arm(ie, "ebucore_synopsis", f"'Synopsis ' || {v('k % 21')}", "k % 12 = 7")
+    arm(ie, "schema_copyright_year", v("k % 90 + 1900"), "k % 5 = 2")
+    arm(ie, "schema_copyright_notice", f"'copyright ' || {v('k % 5')}", "k % 13 = 3")
+    arm(ie, "dcterms_rights", f"'rechten ' || {v('k % 4')}", "k % 13 = 5")
+    arm(ie, "schema_credit_text", f"'Credit ' || {v('k % 6')}", "k % 13 = 7")
+    arm(ie, "ebucore_synopsis", f"'Synopsis ' || {v('k % 21')}", "k % 13 = 9")
     arm(ie, "bibframe_edition", f"'Editie ' || {v('k % 6')}",
         "k % 11 = 4 AND k % 22 <> 15")
     # premis identifiers (type dropped for LocalIdentifier)
@@ -4809,12 +5048,12 @@ def _np_oracle() -> str:
     arm(pc, "schema_name", f"'Drager ' || {v('k % 12')}", cq)
     arm(pc, "premis_medium", f"'Medium ' || {v('k % 4')}", cq)
     arm(pc, "ebucore_has_captioning",
-        "CASE WHEN k % 14 = 2 THEN 'true' ELSE 'false' END", cq)
+        "CASE WHEN k % 10 = 7 THEN 'true' ELSE 'false' END", cq)
     arm(pc, "bibframe_production_method", f"'Methode ' || {v('k % 3')}",
         f"{cq} AND k % 5 = 0")
     arm(pc, "schema_identifier", f"'carr-' || {v('k')}", f"{cq} AND k % 4 = 1")
     arm(pc, "digitization_date", f"{v('k % 8 + 2015')} || '-02-02'",
-        f"{cq} AND k % 4 = 2")
+        f"{cq} AND k % 5 = 1")
     arm(pc, "schema_height", f"{v('k % 300')} || ' mm'", f"{cq} AND k % 4 = 3")
     arm(pc, "schema_width", f"{v('k % 200')} || ' mm'", f"{cq} AND k % 5 = 2")
     arm(pc, "schema_material_extent", f"'dozen ' || {v('k % 4')}",
@@ -4880,6 +5119,298 @@ SELECT subject, predicate, object FROM t
 
 
 KG_REAL_QUERY_NP_ORACLE = _np_oracle()
+
+
+# ---------------------------------------------------------------------------
+# A67g/h/i: av-audio / av-video / av-complex verbatim
+
+_AV_AUDIO_PATH = "/root/reference/typescript/queries/av-audio.sparql"
+_AV_VIDEO_PATH = "/root/reference/typescript/queries/av-video.sparql"
+_AV_COMPLEX_PATH = "/root/reference/typescript/queries/av-complex.sparql"
+
+
+def _run_verbatim(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    with open(path) as f:
+        text = f.read()
+    return SQ.construct_query(_sparql_person_quads(spark, sf_dir), text)
+
+
+def kg_construct_real_query_av_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """av-audio.sparql VERBATIM (521 lines) — the av trio's audio cut.
+    Adds to the verbatim surface: DIRECT-license-only qualification (no
+    rel:isp path — only even-keyed ies qualify), license-name
+    suppression via IF(?lic IN (..), ?unbound, REPLACE(..)) (public-
+    content/public-domain AV objects emit NO schema_license rows), reel
+    second-types labelled from a THIRD auxiliary graph
+    (graph:ontologies rdfs:label), coloringType OPTIONAL behind nested
+    thesauri langMatches, FragmentRepresentation with start/end times
+    linked to files by an INVERSE media-fragment path
+    (rel:isi|^ebucore:isMediaFragmentOf), and the peak-file chain
+    (?file rel:isi/rel:inc ?peak with FILTER contains(.., "peak") — a
+    seeded wave_ sibling must drop)."""
+    return _run_verbatim(spark, sf_dir, _AV_AUDIO_PATH)
+
+
+def kg_construct_real_query_av_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """av-video.sparql VERBATIM — same grammar as av-audio minus the
+    peak block, Video-typed ies, image/jpeg added to the mime
+    whitelist (the seeded application/xml sibling still drops)."""
+    return _run_verbatim(spark, sf_dir, _AV_VIDEO_PATH)
+
+
+def kg_construct_real_query_av_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """av-complex.sparql VERBATIM — the Film/DVD/DVDChapter cut: a
+    THREE-VALUE ie-type VALUES over the same av grammar."""
+    return _run_verbatim(spark, sf_dir, _AV_COMPLEX_PATH)
+
+
+def _av_oracle(type_cond: str, n_mimes: int, peaks: bool) -> str:
+    """DuckDB mirror for the av trio, parameterized by the ie-type
+    condition, the mime-whitelist size (audio excludes image/jpeg) and
+    the peak-file block (av-audio only). Only even keys qualify (the av
+    queries accept direct licenses only; odd keys carry theirs via
+    rel:isp), so the odd-gated newspaper arms (rel:isp, pageNumber,
+    issueNumber, the odd carrier/rep populations) are structurally
+    empty and omitted."""
+    P = "'urn:kg-to-postgres:"
+    ie = "ie"
+
+    def v(expr: str) -> str:
+        return f"CAST({expr} AS VARCHAR)"
+
+    arms: list[str] = []
+
+    def arm(subj: str, pred: str, obj: str, where: str = "", frm: str = "qual"):
+        w = f" WHERE {where}" if where else ""
+        arms.append(
+            f"SELECT {subj} AS subject, {P}{pred}' AS predicate, "
+            f"{obj} AS object FROM {frm}{w}"
+        )
+
+    def node3(node: str, table: str, val_pred: str, val: str, where: str = ""):
+        arm(node, "tableName", f"'graph.{table}'", where)
+        arm(node, "intellectual_entity_id", ie, where)
+        arm(node, val_pred, val, where)
+
+    arm(ie, "tableName", "'graph.intellectual_entity'")
+    arm(ie, "id", ie)
+    arm(ie, "schema_identifier", f"'id-' || {v('k')}")
+    arm(ie, "schema_name", f"'Uitgave ' || {v('k % 61')}")
+    arm(ie, "schema_maintainer", "org")
+    node3("ie || '/dcterms_format/' || md5(fmt)", "dcterms_format",
+          "dcterms_format", "fmt")
+    node3("ie || '/prov'", "mh_fragment_identifier",
+          "mh_fragment_identifier", f"'frag-' || {v('k')}")
+    # IF(?lic IN (PUBLIEK-CONTENT, Publiek-Domein), ?unbound, ..):
+    # suppressed license rows for k%11 in (2, 7)
+    node3("ie || '/schema_license/' || md5(lic)", "schema_license",
+          "schema_license", "lic", "k % 11 NOT IN (2, 7)")
+    node3(f"ie || '/schema_alternate_name/' || md5('Alt ' || {v('k % 19')})",
+          "schema_alternate_name", "schema_alternate_name",
+          f"'Alt ' || {v('k % 19')}", "k % 5 = 2")
+    node3("ie || '/schema_in_language/' || md5(lang3)", "schema_in_language",
+          "schema_in_language", "lang3", "k % 7 = 6")
+    node3(f"ie || '/schema_keywords/' || md5('kw-' || {v('k % 13')})",
+          "schema_keywords", "schema_keywords",
+          f"'kw-' || {v('k % 13')}", "k % 6 = 2")
+    node3(f"ie || '/schema_genre/' || md5('genre-' || {v('k % 7')})",
+          "schema_genre", "schema_genre",
+          f"'genre-' || {v('k % 7')}", "k % 6 = 4")
+    node3(f"ie || '/schema_spatial/' || md5('Plaats ' || {v('k % 23')})",
+          "schema_spatial", "schema_spatial",
+          f"'Plaats ' || {v('k % 23')}", "k % 7 = 1")
+    node3(f"ie || '/schema_temporal/' || md5('jaren ' || {v('k % 10')} || '0')",
+          "schema_temporal", "schema_temporal",
+          f"'jaren ' || {v('k % 10')} || '0'", "k % 7 = 3")
+    arm(ie, "schema_date_created", f"'18' || {v('k % 40 + 50')} || '-03-01'",
+        "k % 7 = 2")
+    arm(ie, "ha_des_min_date_created", f"'18' || {v('k % 40 + 50')} || '-01-01'",
+        "k % 7 = 2 AND k % 3 = 0")
+    arm(ie, "ha_des_max_date_created", f"'18' || {v('k % 40 + 50')} || '-12-31'",
+        "k % 7 = 2 AND k % 3 = 1")
+    arm(ie, "schema_date_published", f"'19' || {v('k % 80 + 10')} || '-06-01'",
+        "k % 7 = 5")
+    arm(ie, "ha_des_min_date_published", f"'19' || {v('k % 80 + 10')} || '-01-01'",
+        "k % 7 = 5 AND k % 3 = 0")
+    arm(ie, "ha_des_max_date_published", f"'19' || {v('k % 80 + 10')} || '-12-31'",
+        "k % 7 = 5 AND k % 3 = 2")
+    arm(ie, "schema_description", f"'Beschrijving ' || {v('k % 31')}", "k % 5 = 1")
+    arm(ie, "schema_abstract", f"'Samenvatting ' || {v('k % 17')}", "k % 5 = 3")
+    arm(ie, "dcterms_available", f"{v('k % 25 + 2000')} || '-05-05'", "k % 5 = 4")
+    arm(ie, "ebucore_has_object_type", "'krant'", "k % 13 = 1")
+    arm(ie, "ebucore_has_cast_member", f"'Cast ' || {v('k % 9')}", "k % 17 = 2")
+    arm(ie, "schema_copyright_year", v("k % 90 + 1900"), "k % 5 = 2")
+    arm(ie, "schema_copyright_notice", f"'copyright ' || {v('k % 5')}", "k % 13 = 3")
+    arm(ie, "dcterms_rights", f"'rechten ' || {v('k % 4')}", "k % 13 = 5")
+    arm(ie, "schema_credit_text", f"'Credit ' || {v('k % 6')}", "k % 13 = 7")
+    arm(ie, "ebucore_synopsis", f"'Synopsis ' || {v('k % 21')}", "k % 13 = 9")
+    pid_node = ("ie || '/premis_identifier/' || "
+                "md5('https://data.hetarchief.be/id/identifier/' || " + v("k") + ")")
+    arm(pid_node, "tableName", "'graph.premis_identifier'", "k % 5 = 0")
+    arm(pid_node, "intellectual_entity_id", "ie", "k % 5 = 0")
+    arm(pid_node, "value", f"'pid-' || {v('k')}", "k % 5 = 0")
+    arm(pid_node, "type",
+        "CASE WHEN k % 3 = 0 THEN 'primary' ELSE 'MeemooIdentifier' END",
+        "k % 5 = 0 AND k % 3 < 2")
+    ch_val = (f"CASE WHEN k % 8 = 2 THEN 'Holder T ' || {v('k % 15')} "
+              f"ELSE 'Holder N ' || {v('k % 15')} END")
+    node3(f"ie || '/schema_copyright_holder/' || md5({ch_val})",
+          "schema_copyright_holder", "schema_copyright_holder", ch_val,
+          "k % 4 = 2")
+    role_type = ("CASE k % 3 WHEN 0 THEN 'schema_creator' "
+                 "WHEN 1 THEN 'schema_contributor' ELSE 'schema_publisher' END")
+    thing = "'https://data.hetarchief.be/id/thing/t' || " + v("k")
+    arm("ie || '/role'", "tableName", "'graph.schema_role'", "k % 4 < 3")
+    arm("ie || '/role'", "id", "ie || '/role'", "k % 4 < 3")
+    arm("ie || '/role'", "type", role_type, "k % 4 < 3")
+    arm("ie || '/role'", "intellectual_entity_id", "ie", "k % 4 < 3")
+    arm("ie || '/role'", "schema_role_name", f"'rol ' || {v('k % 5')}", "k % 4 < 3")
+    arm("ie || '/role'", "thing_id", thing, "k % 4 < 3")
+    arm(thing, "tableName", "'graph.thing'", "k % 4 < 3")
+    arm(thing, "id", thing, "k % 4 < 3")
+    arm(thing, "schema_name", f"'Maker ' || {v('k % 33')}", "k % 4 < 3")
+    coll = "'https://data.hetarchief.be/id/collection/c' || " + v("k % 29")
+    ctype = ("CASE (k % 29) % 5 WHEN 0 THEN 'episode' WHEN 1 THEN 'archive' "
+             "WHEN 2 THEN 'series' WHEN 3 THEN 'season' ELSE 'program' END")
+    arm(f"ie || '/collection/' || md5({coll})", "tableName",
+        "'graph.schema_is_part_of'", "k % 7 = 0")
+    arm(f"ie || '/collection/' || md5({coll})", "intellectual_entity_id", "ie",
+        "k % 7 = 0")
+    arm(f"ie || '/collection/' || md5({coll})", "type", ctype, "k % 7 = 0")
+    arm(f"ie || '/collection/' || md5({coll})", "collection_id", coll, "k % 7 = 0")
+    ccoll = "'https://data.hetarchief.be/id/collection/c' || " + v("cn")
+    cctype = ("CASE cn % 5 WHEN 0 THEN 'episode' WHEN 1 THEN 'archive' "
+              "WHEN 2 THEN 'series' WHEN 3 THEN 'season' ELSE 'program' END")
+    arm(ccoll, "tableName", "'graph.collection'", frm="colls")
+    arm(ccoll, "id", ccoll, frm="colls")
+    arm(ccoll, "collection_type", cctype, frm="colls")
+    arm(ccoll, "schema_name", f"'Collectie ' || {v('cn')}", frm="colls")
+    arm(ccoll, "schema_season_number", v("cn % 12"), "cn % 4 = 1", frm="colls")
+    arm(ccoll, "schema_is_part_of",
+        "'https://data.hetarchief.be/id/collection/parent' || " + v("cn"),
+        "cn % 4 = 3", frm="colls")
+    # av carrier (even population; en-name negative at k%20==10)
+    cq = "k % 20 = 0"
+    pc = "ie || '/pc'"
+    arm(pc, "tableName", "'graph.carrier'", cq)
+    arm(pc, "id", pc, cq)
+    arm(pc, "intellectual_entity_id", "ie", cq)
+    arm(pc, "schema_name", f"'Drager ' || {v('k % 12')}", cq)
+    arm(pc, "premis_medium", f"'Medium ' || {v('k % 4')}", cq)
+    arm(pc, "ebucore_has_captioning",
+        "CASE WHEN k % 11 = 0 THEN 'true' ELSE 'false' END", cq)
+    arm(pc, "bibframe_production_method", f"'Methode ' || {v('k % 3')}",
+        f"{cq} AND k % 7 = 0")
+    arm(pc, "schema_identifier", f"'carr-' || {v('k')}", f"{cq} AND k % 7 = 1")
+    arm(pc, "digitization_date", f"{v('k % 8 + 2015')} || '-02-02'",
+        f"{cq} AND k % 7 = 2")
+    arm(pc, "schema_height", f"{v('k % 300')} || ' mm'", f"{cq} AND k % 7 = 3")
+    arm(pc, "schema_width", f"{v('k % 200')} || ' mm'", f"{cq} AND k % 7 = 4")
+    arm(pc, "schema_material_extent", f"'dozen ' || {v('k % 4')}",
+        f"{cq} AND k % 7 = 5")
+    arm(pc, "schema_material", "'papier'", f"{cq} AND k % 7 = 6")
+    arm(pc, "type",
+        "CASE WHEN k % 9 = 0 THEN 'Geluidsband' ELSE 'Beeldband' END",
+        f"{cq} AND k % 13 < 6")
+    ct_val = f"'Kleur ' || {v('k % 13')}"
+    arm(f"{pc} || '/ha_des_coloring_type/' || md5({ct_val})", "tableName",
+        "'graph.ha_des_coloring_type'", f"{cq} AND k % 13 < 2")
+    arm(f"{pc} || '/ha_des_coloring_type/' || md5({ct_val})", "carrier_id", pc,
+        f"{cq} AND k % 13 < 2")
+    arm(f"{pc} || '/ha_des_coloring_type/' || md5({ct_val})",
+        "ha_des_coloring_type", ct_val, f"{cq} AND k % 13 < 2")
+    # av representation + file
+    rq = f"k % 14 = 0 AND k % 11 <> 3 AND k % 5 < {n_mimes}"
+    rep = "CASE WHEN k % 28 = 0 THEN ie || '/adrep' ELSE ie || '/frep' END"
+    fil = "ie || '/afile'"
+    arm(rep, "tableName", "'graph.representation'", rq)
+    arm(rep, "id", rep, rq)
+    arm(rep, "premis_represents", "ie", rq)
+    arm(rep, "schema_name", f"'AV weergave ' || {v('k % 5')}", rq)
+    arm(rep, "schema_start_time", v("k % 100"), f"{rq} AND k % 28 = 14")
+    arm(rep, "schema_end_time", v("k % 100 + 10"), f"{rq} AND k % 28 = 14")
+    arm(rep, "is_media_fragment_of", fil, f"{rq} AND k % 28 = 14")
+    arm(rep, "schema_in_language", "'nl'", f"{rq} AND k % 11 = 0")
+    arm(rep, "relation_has_root", f"'urn:avhsr:' || {v('k')}", f"{rq} AND k % 11 = 1")
+    arm(rep, "relation_has_source", f"'urn:avhss:' || {v('k')}",
+        f"{rq} AND k % 11 = 2")
+    arm(rep, "edm_is_next_in_sequence", f"'urn:avprev:' || {v('k')}",
+        f"{rq} AND k % 11 = 4")
+    arm(rep, "schema_caption", f"'urn:avcap:' || {v('k')}", f"{rq} AND k % 11 = 5")
+    arm(rep, "schema_transcript", f"'avtr ' || {v('k % 9')}", f"{rq} AND k % 11 = 6")
+    arm(f"{fil} || '/' || md5({rep})", "tableName", "'graph.includes'", rq)
+    arm(f"{fil} || '/' || md5({rep})", "representation_id", rep, rq)
+    arm(f"{fil} || '/' || md5({rep})", "file_id", fil, rq)
+    arm(fil, "tableName", "'graph.file'", rq)
+    arm(fil, "id", fil, rq)
+    arm(fil, "ebucore_has_mime_type",
+        "list_extract(['video/mp4','audio/mp4','audio/mpeg','image/jpeg'],"
+        " k % 5 + 1)", rq)
+    arm(fil, "schema_name", f"'av bestand ' || {v('k % 6')}", rq)
+    arm(fil, "premis_original_name", f"'av_' || {v('k')} || '.mp4'", rq)
+    arm(fil, "premis_stored_at", f"'s3://av/' || {v('k')}", rq)
+    arm(fil, "edm_is_next_in_sequence", f"'urn:avfprev:' || {v('k')}",
+        f"{rq} AND k % 13 = 0")
+    arm(fil, "schema_thumbnail_url", f"'https://avt/' || {v('k')}",
+        f"{rq} AND k % 13 = 1")
+    arm(fil, "schema_duration", f"'PT' || {v('k % 60')} || 'S'",
+        f"{rq} AND k % 13 = 2")
+    if peaks:
+        pq = f"{rq} AND k % 28 = 0 AND k % 13 < 6"
+        pkn = "ie || '/peak'"
+        arm(f"{pkn} || '/' || md5(ie || '/adrep')", "tableName",
+            "'graph.includes'", pq)
+        arm(f"{pkn} || '/' || md5(ie || '/adrep')", "representation_id",
+            "ie || '/adrep'", pq)
+        arm(f"{pkn} || '/' || md5(ie || '/adrep')", "file_id", pkn, pq)
+        arm(pkn, "tableName", "'graph.file'", pq)
+        arm(pkn, "id", pkn, pq)
+        arm(pkn, "ebucore_has_mime_type", "'application/json'", pq)
+        arm(pkn, "schema_name", f"'piek ' || {v('k % 4')}", pq)
+        arm(pkn, "premis_original_name", f"'peak_' || {v('k')} || '.json'", pq)
+        arm(pkn, "premis_stored_at", f"'s3://peak/' || {v('k')}", pq)
+        arm(pkn, "edm_is_next_in_sequence", f"'urn:pkprev:' || {v('k')}",
+            f"{pq} AND k % 13 = 0")
+        arm(pkn, "schema_thumbnail_url", f"'https://pk/' || {v('k')}",
+            f"{pq} AND k % 13 = 1")
+        arm(pkn, "schema_duration", f"'PT' || {v('k % 30')} || 'S'",
+            f"{pq} AND k % 13 = 2")
+
+    body = "\n  UNION\n  ".join(arms)
+    return f"""
+WITH qual AS (
+  SELECT o_orderkey AS k,
+         'https://data.hetarchief.be/id/entity/' || CAST(o_orderkey AS VARCHAR) AS ie,
+         'https://data.hetarchief.be/id/organization/OR-' || CAST(c_nationkey AS VARCHAR) AS org,
+         list_extract(['audio','video','film','dvd','dvdchapter'],
+                      o_orderkey % 9 + 1) AS fmt,
+         list_extract(['VIAA-PUBLIEK-METADATA-LTD','VIAA-PUBLIEK-METADATA-ALL',
+                       'VIAA-PUBLIEK-CONTENT','BEZOEKERTOOL-METADATA-ALL',
+                       'BEZOEKERTOOL-CONTENT','VIAA-INTRA_CP-METADATA-ALL',
+                       'VIAA-INTRA_CP-CONTENT','Publiek-Domein',
+                       'COPYRIGHT-UNDETERMINED'], o_orderkey % 11 + 1) AS lic,
+         list_extract(['nl','fr','de'], o_orderkey % 3 + 1) AS lang3
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE {type_cond}
+    AND o_orderkey % 2 = 0
+    AND o_orderkey % 11 < 9
+    AND c_nationkey % 5 <> 4
+), colls AS (
+  SELECT DISTINCT k % 29 AS cn FROM qual WHERE k % 7 = 0
+), t AS (
+  {body}
+)
+SELECT subject, predicate, object FROM t
+"""
+
+
+KG_REAL_QUERY_AV_AUDIO_ORACLE = _av_oracle("o_orderkey % 9 = 0", 3, True)
+KG_REAL_QUERY_AV_VIDEO_ORACLE = _av_oracle("o_orderkey % 9 = 1", 4, False)
+KG_REAL_QUERY_AV_COMPLEX_ORACLE = _av_oracle(
+    "o_orderkey % 9 IN (2, 3, 4)", 4, False
+)
 
 
 KG_REAL_QUERY_IIIF_ORACLE = """

@@ -312,6 +312,15 @@ _SPECS: dict[str, QuerySpec] = {
     "kg_construct_real_query_issues": QuerySpec(
         kg.kg_construct_real_query_issues, kg.KG_REAL_QUERY_NP_ORACLE
     ),
+    "kg_construct_real_query_av_audio": QuerySpec(
+        kg.kg_construct_real_query_av_audio, kg.KG_REAL_QUERY_AV_AUDIO_ORACLE
+    ),
+    "kg_construct_real_query_av_video": QuerySpec(
+        kg.kg_construct_real_query_av_video, kg.KG_REAL_QUERY_AV_VIDEO_ORACLE
+    ),
+    "kg_construct_real_query_av_complex": QuerySpec(
+        kg.kg_construct_real_query_av_complex, kg.KG_REAL_QUERY_AV_COMPLEX_ORACLE
+    ),
     "index_partition_refresh": QuerySpec(
         kg.index_partition_refresh, kg.INDEX_REFRESH_ORACLE
     ),
