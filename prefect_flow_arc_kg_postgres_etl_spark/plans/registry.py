@@ -43,8 +43,10 @@ class QuerySpec:
 # had never had a driver row (50/50 green); r7 (below) grades 50 MORE
 # never-checked entries including the round's new operators
 # (index_partition_rename_invalidation, kg_construct_real_query{,_org,
-# _deletes}). After r7 the never-driver-checked residue is exactly the
-# 31 entries listed above DRIVER_WINDOW — the explicit r8 window.
+# _deletes}). After r7 the never-driver-checked residue is the 31
+# entries listed above DRIVER_WINDOW plus the six late-r7 verbatim
+# SPARQL entries (kg_construct_real_query_{newspaper,iiif,issues,
+# av_audio,av_video,av_complex}) — 37 total, the explicit r8 window.
 _SPECS: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
@@ -804,7 +806,9 @@ _SPECS: dict[str, QuerySpec] = {
 # corpus_dup_rate_report, corpus_mix_sample, corpus_sample_topk_hash,
 # plus the four entries whose slots the r7-new operators took
 # (source_orc_roundtrip, source_json_nested_roundtrip,
-# source_corrupt_tolerant, fk_discovery) — 31 total for r8.
+# source_corrupt_tolerant, fk_discovery) and the six late-r7 verbatim
+# SPARQL entries (newspaper-collection, iiif, newspaper/issues,
+# av-audio, av-video, av-complex) — 37 total for r8.
 DRIVER_WINDOW: list[str] = [
     # A-block: SPARQL forms, property paths, graph/store management,
     # update semantics, maintenance, sources, temporal reads.
