@@ -268,3 +268,38 @@ def test_exists_bind_emits_boolean_object(spark):
     )
     rows = {(r.subject, r.object) for r in out.collect()}
     assert rows == {("c1", "true"), ("c2", "false")}
+
+
+def test_if_in_unbound_suppresses_derived_bind_chain(spark):
+    # av-audio.sparql:224-229 — IF(?lic IN (..), ?unbound, REPLACE(..)):
+    # suppressed rows keep the binding row but every node IRI derived
+    # from the unbound var (md5(str(?lic_name))) is unbound too, so the
+    # whole license triple group vanishes for those rows only.
+    quads = _quads(
+        spark,
+        [
+            ("e1", "urn:lic", "urn:l/PUBLIC", None, None),
+            ("e2", "urn:lic", "urn:l/RESTRICTED", None, None),
+        ],
+    )
+    out = SQ.construct_query(
+        quads,
+        """
+        PREFIX : <urn:out:>
+        CONSTRUCT { ?n :license ?name. ?e :id ?e }
+        WHERE {
+          ?e <urn:lic> ?lic
+          BIND(IF(?lic IN (<urn:l/PUBLIC>), ?unbound,
+                  REPLACE(STR(?lic), "^.*/([^/]*)$", "$1")) AS ?name)
+          BIND(IRI(CONCAT(str(?e), "/", md5(str(?name)))) AS ?n)
+        }
+        """,
+    )
+    rows = {(r.subject, r.predicate, r.object) for r in out.collect()}
+    import hashlib
+    n2 = "e2/" + hashlib.md5(b"RESTRICTED").hexdigest()
+    assert rows == {
+        ("e1", "urn:out:id", "e1"),
+        ("e2", "urn:out:id", "e2"),
+        (n2, "urn:out:license", "RESTRICTED"),
+    }
