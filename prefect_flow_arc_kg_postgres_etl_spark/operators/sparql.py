@@ -659,6 +659,14 @@ class _Eval:
         # resolve to the literal.
         self.params = {k.lstrip("?"): v for k, v in (params or {}).items()}
         self._ex_n = 0
+        # Low-cardinality variables: bound by VALUES rows or by a
+        # variable GRAPH position (a handful of graphs / inline rows).
+        # Joining two entity-sized scans on ONLY these keys is a
+        # near-cartesian — deletes.sparql's `?ie a ?ie_type` (VALUES
+        # type, shared ?ORGraph) against the fragment block measured
+        # 462 s at sf0.1 before _order_triples learned to prefer
+        # entity-variable links (5 s after).
+        self.small_vars: set[str] = set()
 
     def _materialize_exists(self, e, acc: DataFrame):
         """EXISTS inside an expression (av-audio.sparql BIND(IF(EXISTS
@@ -704,6 +712,7 @@ class _Eval:
             if self.datasets:
                 q = q.filter(F.col("graph").isin(self.datasets))
         elif t.graph.startswith("?"):
+            self.small_vars.add(t.graph[1:])
             sel.append(F.col("graph").alias(t.graph[1:]))
         else:
             q = q.filter(F.col("graph") == t.graph)
@@ -721,10 +730,58 @@ class _Eval:
                 q = q.filter(F.col(col) == term)
         return q.select(*sel)
 
+    @staticmethod
+    def _triple_vars(t: Triple) -> set[str]:
+        """Non-graph variables of a triple (path predicates hold no
+        variables except the whole-predicate-var case)."""
+        vs: set[str] = set()
+        if t.s.startswith("?"):
+            vs.add(t.s[1:])
+        if isinstance(t.p, str) and t.p.startswith("?"):
+            vs.add(t.p[1:])
+        if t.o.startswith("?"):
+            vs.add(t.o[1:])
+        return vs
+
+    def _order_triples(
+        self, triples: list[Triple], acc: DataFrame | None
+    ) -> list[Triple]:
+        """Greedy BGP join ordering: always join next a triple that
+        shares a HIGH-cardinality variable (an entity IRI — not a
+        VALUES-bound or GRAPH-position variable) with what is already
+        bound; fall back to any shared variable, then to listed order.
+        Inner joins commute, so this is a pure physical reordering."""
+        if len(triples) < 2:
+            return triples
+        cols: set[str] = set(_value_cols(acc)) if acc is not None else set()
+        for t in triples:
+            if t.graph is not None and t.graph.startswith("?"):
+                self.small_vars.add(t.graph[1:])
+        ordered: list[Triple] = []
+        rem = list(triples)
+        while rem:
+            pick = None
+            if cols:
+                for t in rem:
+                    if (self._triple_vars(t) & cols) - self.small_vars:
+                        pick = t
+                        break
+                if pick is None:
+                    for t in rem:
+                        if self._triple_vars(t) & cols:
+                            pick = t
+                            break
+            if pick is None:
+                pick = rem[0]
+            ordered.append(pick)
+            rem.remove(pick)
+            cols |= self._triple_vars(pick)
+        return ordered
+
     def eval_triples(
         self, triples: list[Triple], acc: DataFrame | None
     ) -> DataFrame:
-        for t in triples:
+        for t in self._order_triples(triples, acc):
             alts = _expand_path_triple(t)
             parts: list[DataFrame] = []
             for alt in alts:
@@ -844,6 +901,7 @@ class _Eval:
                 vars_, rows = el[1], el[2]
                 spark = self.quads.sparkSession
                 names = [v[1:] for v in vars_]
+                self.small_vars.update(names)
                 data = [
                     tuple(None if t is None else _lit_parts(t)[0] for t in row)
                     for row in rows
