@@ -303,3 +303,25 @@ def test_if_in_unbound_suppresses_derived_bind_chain(spark):
         ("e2", "urn:out:id", "e2"),
         (n2, "urn:out:license", "RESTRICTED"),
     }
+
+
+def test_bgp_join_ordering_prefers_entity_links():
+    # deletes.sparql's trap: after the fragment block, `?ie a ?ie_type`
+    # (VALUES-bound type) is listed BEFORE `?ie prov:wasDerivedFrom
+    # ?fragment`; joining in listed order keys only on (ie_type,
+    # ORGraph) — a near-cartesian (462 s at sf0.1). The greedy order
+    # must put the entity-linked triple first.
+    ev = SQ._Eval.__new__(SQ._Eval)
+    ev.small_vars = {"ie_type", "ORGraph"}
+    t_type = SQ.Triple("?ie", SQ.RDF_TYPE, "?ie_type", "?ORGraph")
+    t_link = SQ.Triple("?ie", "urn:derived", "?fragment", "?ORGraph")
+
+    class FakeAcc:
+        columns = ["fragment", "mh", "modified", "ie_type", "ORGraph"]
+
+    ordered = ev._order_triples([t_type, t_link], FakeAcc())
+    assert ordered == [t_link, t_type]
+    # and with no small-var overlap the listed order survives
+    ev.small_vars = set()
+    ordered2 = ev._order_triples([t_type, t_link], FakeAcc())
+    assert ordered2 == [t_type, t_link]
