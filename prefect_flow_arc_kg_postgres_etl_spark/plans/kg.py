@@ -5406,6 +5406,88 @@ SELECT subject, predicate, object FROM t
 """
 
 
+# ---------------------------------------------------------------------------
+# A68: the reference's full view pipeline composed — CONSTRUCT a
+# production query verbatim, then pivot its triple stream into the
+# postgres-shaped record table, exactly what 1_kg_view_construct.ts +
+# 2_database_load.ts/stream.ts do (reference stream.ts:78-105: group
+# quads by subject, ``tableName`` predicate selects the target table,
+# every other urn:kg-to-postgres: predicate becomes a column).
+
+_KG_VIEW_NS = "urn:kg-to-postgres:"
+
+
+def pivot_view_records(
+    triples: DataFrame, table: str, columns: list[str]
+) -> DataFrame:
+    """Pivot a CONSTRUCT triple set into one table's records.
+
+    The reference streams subject-grouped quads and takes the FIRST
+    value per column (with an nl-language override, stream.ts:96-101);
+    a distributed engine has no stream order, so this takes the
+    deterministic MIN per (subject, column) — identical whenever the
+    query emits one value per column (all nine production queries do:
+    their langMatches filters implement the nl preference up front).
+    One hash aggregate keyed by subject; no window, no shuffle beyond
+    the groupBy."""
+    pred_col = F.expr(f"substring(predicate, {len(_KG_VIEW_NS) + 1})")
+    recs = triples.filter(
+        F.col("predicate").startswith(_KG_VIEW_NS)
+    ).select(F.col("subject"), pred_col.alias("col"), F.col("object"))
+    aggs = [
+        F.min(F.when(F.col("col") == c, F.col("object"))).alias(c)
+        for c in ["tableName", *columns]
+    ]
+    return (
+        recs.groupBy("subject")
+        .agg(*aggs)
+        .filter(F.col("tableName") == table)
+        .drop("tableName")
+    )
+
+
+def flow_kg_view_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference view pipeline END-TO-END: person.sparql VERBATIM
+    (A67) -> triple stream -> record pivot -> the graph.thing table,
+    the exact composition kg_view_flow.py + arc_db_load_flow.py
+    execute against TriplyDB/Postgres (construct, stream-pivot by
+    tableName, upsert). The upsert step is merge_upsert (A5) /
+    fk_merge_order (A13); this entry grades the construct->records
+    hand-off itself."""
+    triples = kg_construct_real_query(spark, sf_dir)
+    return pivot_view_records(
+        triples,
+        "graph.thing",
+        ["id", "schema_name", "schema_birth_date", "schema_birth_place",
+         "schema_death_date", "schema_death_place"],
+    )
+
+
+def _kg_view_load_oracle() -> str:
+    """Pivot the person-query oracle's triple set the same way: the
+    triple-level equality is graded by A67; this grades the pivot."""
+    cols = ["id", "schema_name", "schema_birth_date", "schema_birth_place",
+            "schema_death_date", "schema_death_place"]
+    case = ",\n         ".join(
+        f"MIN(CASE WHEN predicate = '{_KG_VIEW_NS}{c}' THEN object END) AS {c}"
+        for c in cols
+    )
+    return f"""
+WITH triples AS ({KG_REAL_QUERY_ORACLE})
+SELECT subject,
+         {case}
+FROM triples
+WHERE subject IN (
+  SELECT subject FROM triples
+  WHERE predicate = '{_KG_VIEW_NS}tableName' AND object = 'graph.thing'
+)
+GROUP BY subject
+"""
+
+
+KG_VIEW_LOAD_ORACLE = _kg_view_load_oracle()
+
+
 KG_REAL_QUERY_AV_AUDIO_ORACLE = _av_oracle("o_orderkey % 9 = 0", 3, True)
 KG_REAL_QUERY_AV_VIDEO_ORACLE = _av_oracle("o_orderkey % 9 = 1", 4, False)
 KG_REAL_QUERY_AV_COMPLEX_ORACLE = _av_oracle(

@@ -46,7 +46,8 @@ class QuerySpec:
 # _deletes}). After r7 the never-driver-checked residue is the 31
 # entries listed above DRIVER_WINDOW plus the six late-r7 verbatim
 # SPARQL entries (kg_construct_real_query_{newspaper,iiif,issues,
-# av_audio,av_video,av_complex}) — 37 total, the explicit r8 window.
+# av_audio,av_video,av_complex}) and the A68 view-pipeline composition
+# (flow_kg_view_load) — 38 total, the explicit r8 window.
 _SPECS: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
@@ -323,6 +324,7 @@ _SPECS: dict[str, QuerySpec] = {
     "kg_construct_real_query_av_complex": QuerySpec(
         kg.kg_construct_real_query_av_complex, kg.KG_REAL_QUERY_AV_COMPLEX_ORACLE
     ),
+    "flow_kg_view_load": QuerySpec(kg.flow_kg_view_load, kg.KG_VIEW_LOAD_ORACLE),
     "index_partition_refresh": QuerySpec(
         kg.index_partition_refresh, kg.INDEX_REFRESH_ORACLE
     ),
@@ -808,7 +810,8 @@ _SPECS: dict[str, QuerySpec] = {
 # (source_orc_roundtrip, source_json_nested_roundtrip,
 # source_corrupt_tolerant, fk_discovery) and the six late-r7 verbatim
 # SPARQL entries (newspaper-collection, iiif, newspaper/issues,
-# av-audio, av-video, av-complex) — 37 total for r8.
+# av-audio, av-video, av-complex) plus flow_kg_view_load (A68) —
+# 38 total for r8.
 DRIVER_WINDOW: list[str] = [
     # A-block: SPARQL forms, property paths, graph/store management,
     # update semantics, maintenance, sources, temporal reads.

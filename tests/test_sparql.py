@@ -325,3 +325,28 @@ def test_bgp_join_ordering_prefers_entity_links():
     ev.small_vars = set()
     ordered2 = ev._order_triples([t_type, t_link], FakeAcc())
     assert ordered2 == [t_type, t_link]
+
+
+def test_pivot_view_records(spark):
+    # A68 — the reference's stream-pivot (stream.ts:78-105): tableName
+    # selects the table, urn: predicates become columns; other tables'
+    # subjects and foreign predicates drop.
+    from prefect_flow_arc_kg_postgres_etl_spark.plans.kg import pivot_view_records
+
+    ns = "urn:kg-to-postgres:"
+    triples = spark.createDataFrame(
+        [
+            ("p1", ns + "tableName", "graph.thing"),
+            ("p1", ns + "id", "p1"),
+            ("p1", ns + "schema_name", "Alice"),
+            ("p2", ns + "tableName", "graph.thing"),
+            ("p2", ns + "id", "p2"),
+            ("m1", ns + "tableName", "graph.highlight"),
+            ("m1", ns + "id", "m1"),
+            ("p1", "urn:other:ignored", "zzz"),
+        ],
+        "subject string, predicate string, object string",
+    )
+    out = pivot_view_records(triples, "graph.thing", ["id", "schema_name"])
+    rows = {(r.subject, r.id, r.schema_name) for r in out.collect()}
+    assert rows == {("p1", "p1", "Alice"), ("p2", "p2", None)}
