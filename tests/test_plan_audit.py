@@ -690,3 +690,27 @@ def test_sessions_overlap_handoff_sessionizes_once(spark):
     a = sorted(map(tuple, forced.collect()))
     b = sorted(map(tuple, inline.collect()))
     assert a == b
+
+
+def test_sparql_deletes_no_small_key_join(spark):
+    """BGP ordering contract (operators/sparql.py _order_triples): no
+    equi-join in the deletes.sparql plan is keyed ONLY on the
+    low-cardinality ?ORGraph / VALUES variables — the 462 s -> 3.7 s
+    near-cartesian the greedy entity-link-first ordering removed.
+    Formatted explain prints one 'Left keys' / 'Right keys' detail
+    block per hash/merge join."""
+    import re
+
+    from prefect_flow_arc_kg_postgres_etl_spark.plans import kg
+
+    df = kg.kg_construct_real_query_deletes(spark, SF_SMOKE)
+    plan = plan_of(df)
+    # ?ORGraph-only joins are fine (attaching the 25-row org dim); the
+    # trap's signature is a join whose keys include the VALUES-bound
+    # ?ie_type with no entity variable alongside.
+    for m in re.finditer(r"Left keys \[\d+\]: \[([^\]]*)\]", plan):
+        keys = [k.strip().split("#")[0] for k in m.group(1).split(",")]
+        if "ie_type" in keys:
+            assert not all(k in ("ORGraph", "ie_type") for k in keys), (
+                "join keyed only on low-cardinality vars: " + m.group(1)
+            )
