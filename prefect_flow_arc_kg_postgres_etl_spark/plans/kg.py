@@ -3307,7 +3307,7 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    fp = hashlib.md5(b"sparql_person_v5")
+    fp = hashlib.md5(b"sparql_person_v6")
     for t in ("customer", "nation", "orders"):
         st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
         fp.update(f"{t}:{st.st_mtime_ns}:{st.st_size};".encode())
@@ -3665,10 +3665,10 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
                      w(k % 7 == 6, _sq_pick(["nl", "fr", "de"], k % 3)),
                      graph=md_graph),
                 quad(ie, sch + "keywords",
-                     w(k % 6 == 2, F.concat(F.lit("kw-"), (k % 13).cast("string"))),
+                     w(k % 13 == 2, F.concat(F.lit("kw-"), (k % 11).cast("string"))),
                      graph=md_graph),
                 quad(ie, sch + "genre",
-                     w(k % 6 == 4, F.concat(F.lit("genre-"), (k % 7).cast("string"))),
+                     w(k % 13 == 4, F.concat(F.lit("genre-"), (k % 7).cast("string"))),
                      graph=md_graph),
                 quad(ie, sch + "spatial", w(k % 7 == 1, spat_n), graph=md_graph),
                 quad(spat_n, sch + "name",
@@ -3681,22 +3681,22 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
                      w(k % 7 == 2, F.concat(F.lit("18"), (k % 40 + 50).cast("string"), F.lit("-03-01"))),
                      graph=md_graph),
                 quad(ie, haD + "minDateCreated",
-                     w((k % 7 == 2) & (k % 3 == 0),
+                     w((k % 7 == 2) & (k % 5 < 2),
                        F.concat(F.lit("18"), (k % 40 + 50).cast("string"), F.lit("-01-01"))),
                      graph=md_graph),
                 quad(ie, haD + "maxDateCreated",
-                     w((k % 7 == 2) & (k % 3 == 1),
+                     w((k % 7 == 2) & (k % 5 >= 3),
                        F.concat(F.lit("18"), (k % 40 + 50).cast("string"), F.lit("-12-31"))),
                      graph=md_graph),
                 quad(ie, sch + "datePublished",
                      w(k % 7 == 5, F.concat(F.lit("19"), (k % 80 + 10).cast("string"), F.lit("-06-01"))),
                      graph=md_graph),
                 quad(ie, haD + "minDatePublished",
-                     w((k % 7 == 5) & (k % 3 == 0),
+                     w((k % 7 == 5) & (k % 5 < 2),
                        F.concat(F.lit("19"), (k % 80 + 10).cast("string"), F.lit("-01-01"))),
                      graph=md_graph),
                 quad(ie, haD + "maxDatePublished",
-                     w((k % 7 == 5) & (k % 3 == 2),
+                     w((k % 7 == 5) & (k % 5 >= 3),
                        F.concat(F.lit("19"), (k % 80 + 10).cast("string"), F.lit("-12-31"))),
                      graph=md_graph),
                 quad(ie, sch + "description",
@@ -3799,7 +3799,7 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
                 quad(crep, bf + "productionMethod",
                      w((k % 6 == 3) & (k % 5 == 0), pm_n), graph=md_graph),
                 quad(pc, sch + "identifier",
-                     w((k % 6 == 3) & (k % 4 == 1),
+                     w((k % 6 == 3) & (k % 7 == 1),
                        F.concat(F.lit("carr-"), k.cast("string"))), graph=md_graph),
                 quad(ev_n, _RDF_TYPE,
                      w((k % 6 == 3) & (k % 5 == 1), F.lit(haEvt + "digitization")),
@@ -3859,13 +3859,13 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
                      w((k % 8 == 7) & (k % 5 == 3),
                        F.concat(F.lit("urn:hss2:"), k.cast("string"))), graph=md_graph),
                 quad(drep, edm + "isNextInSequence",
-                     w((k % 8 == 7) & (k % 6 == 1),
+                     w((k % 8 == 7) & (k % 13 == 5),
                        F.concat(F.lit("urn:rprev:"), k.cast("string"))), graph=md_graph),
                 quad(drep, sch + "caption",
-                     w((k % 8 == 7) & (k % 6 == 2),
+                     w((k % 8 == 7) & (k % 13 == 7),
                        F.concat(F.lit("urn:rcap:"), k.cast("string"))), graph=md_graph),
                 quad(drep, sch + "transcript",
-                     w((k % 8 == 7) & (k % 6 == 4),
+                     w((k % 8 == 7) & (k % 13 == 9),
                        F.concat(F.lit("tr "), (k % 9).cast("string"))), graph=md_graph),
                 quad(dfile, _RDF_TYPE,
                      w(k % 8 == 7, F.lit(premis + "File")),
@@ -4949,12 +4949,12 @@ def _np_oracle() -> str:
           f"'Alt ' || {v('k % 19')}", "k % 5 = 2")
     node3("ie || '/schema_in_language/' || md5(lang3)", "schema_in_language",
           "schema_in_language", "lang3", "k % 7 = 6")
-    node3(f"ie || '/schema_keywords/' || md5('kw-' || {v('k % 13')})",
+    node3(f"ie || '/schema_keywords/' || md5('kw-' || {v('k % 11')})",
           "schema_keywords", "schema_keywords",
-          f"'kw-' || {v('k % 13')}", "k % 6 = 2")
+          f"'kw-' || {v('k % 11')}", "k % 13 = 2")
     node3(f"ie || '/schema_genre/' || md5('genre-' || {v('k % 7')})",
           "schema_genre", "schema_genre",
-          f"'genre-' || {v('k % 7')}", "k % 6 = 4")
+          f"'genre-' || {v('k % 7')}", "k % 13 = 4")
     node3(f"ie || '/schema_spatial/' || md5('Plaats ' || {v('k % 23')})",
           "schema_spatial", "schema_spatial",
           f"'Plaats ' || {v('k % 23')}", "k % 7 = 1")
@@ -4965,15 +4965,15 @@ def _np_oracle() -> str:
     arm(ie, "schema_date_created", f"'18' || {v('k % 40 + 50')} || '-03-01'",
         "k % 7 = 2")
     arm(ie, "ha_des_min_date_created", f"'18' || {v('k % 40 + 50')} || '-01-01'",
-        "k % 7 = 2 AND k % 3 = 0")
+        "k % 7 = 2 AND k % 5 < 2")
     arm(ie, "ha_des_max_date_created", f"'18' || {v('k % 40 + 50')} || '-12-31'",
-        "k % 7 = 2 AND k % 3 = 1")
+        "k % 7 = 2 AND k % 5 >= 3")
     arm(ie, "schema_date_published", f"'19' || {v('k % 80 + 10')} || '-06-01'",
         "k % 7 = 5")
     arm(ie, "ha_des_min_date_published", f"'19' || {v('k % 80 + 10')} || '-01-01'",
-        "k % 7 = 5 AND k % 3 = 0")
+        "k % 7 = 5 AND k % 5 < 2")
     arm(ie, "ha_des_max_date_published", f"'19' || {v('k % 80 + 10')} || '-12-31'",
-        "k % 7 = 5 AND k % 3 = 2")
+        "k % 7 = 5 AND k % 5 >= 3")
     arm(ie, "schema_description", f"'Beschrijving ' || {v('k % 31')}", "k % 5 = 1")
     arm(ie, "schema_abstract", f"'Samenvatting ' || {v('k % 17')}", "k % 5 = 3")
     arm(ie, "schema_position", v("k % 50"), "k % 9 = 6")
@@ -5051,7 +5051,7 @@ def _np_oracle() -> str:
         "CASE WHEN k % 10 = 7 THEN 'true' ELSE 'false' END", cq)
     arm(pc, "bibframe_production_method", f"'Methode ' || {v('k % 3')}",
         f"{cq} AND k % 5 = 0")
-    arm(pc, "schema_identifier", f"'carr-' || {v('k')}", f"{cq} AND k % 4 = 1")
+    arm(pc, "schema_identifier", f"'carr-' || {v('k')}", f"{cq} AND k % 7 = 1")
     arm(pc, "digitization_date", f"{v('k % 8 + 2015')} || '-02-02'",
         f"{cq} AND k % 5 = 1")
     arm(pc, "schema_height", f"{v('k % 300')} || ' mm'", f"{cq} AND k % 4 = 3")
@@ -5071,9 +5071,9 @@ def _np_oracle() -> str:
     arm(rep, "relation_has_root", f"'urn:hsr2:' || {v('k')}", f"{rq} AND k % 5 = 2")
     arm(rep, "relation_has_source", f"'urn:hss2:' || {v('k')}", f"{rq} AND k % 5 = 3")
     arm(rep, "edm_is_next_in_sequence", f"'urn:rprev:' || {v('k')}",
-        f"{rq} AND k % 6 = 1")
-    arm(rep, "schema_caption", f"'urn:rcap:' || {v('k')}", f"{rq} AND k % 6 = 2")
-    arm(rep, "schema_transcript", f"'tr ' || {v('k % 9')}", f"{rq} AND k % 6 = 4")
+        f"{rq} AND k % 13 = 5")
+    arm(rep, "schema_caption", f"'urn:rcap:' || {v('k')}", f"{rq} AND k % 13 = 7")
+    arm(rep, "schema_transcript", f"'tr ' || {v('k % 9')}", f"{rq} AND k % 13 = 9")
     arm(f"{fil} || '/' || md5({rep})", "tableName", "'graph.includes'", rq)
     arm(f"{fil} || '/' || md5({rep})", "representation_id", rep, rq)
     arm(f"{fil} || '/' || md5({rep})", "file_id", fil, rq)
@@ -5212,12 +5212,12 @@ def _av_oracle(type_cond: str, n_mimes: int, peaks: bool) -> str:
           f"'Alt ' || {v('k % 19')}", "k % 5 = 2")
     node3("ie || '/schema_in_language/' || md5(lang3)", "schema_in_language",
           "schema_in_language", "lang3", "k % 7 = 6")
-    node3(f"ie || '/schema_keywords/' || md5('kw-' || {v('k % 13')})",
+    node3(f"ie || '/schema_keywords/' || md5('kw-' || {v('k % 11')})",
           "schema_keywords", "schema_keywords",
-          f"'kw-' || {v('k % 13')}", "k % 6 = 2")
+          f"'kw-' || {v('k % 11')}", "k % 13 = 2")
     node3(f"ie || '/schema_genre/' || md5('genre-' || {v('k % 7')})",
           "schema_genre", "schema_genre",
-          f"'genre-' || {v('k % 7')}", "k % 6 = 4")
+          f"'genre-' || {v('k % 7')}", "k % 13 = 4")
     node3(f"ie || '/schema_spatial/' || md5('Plaats ' || {v('k % 23')})",
           "schema_spatial", "schema_spatial",
           f"'Plaats ' || {v('k % 23')}", "k % 7 = 1")
@@ -5227,15 +5227,15 @@ def _av_oracle(type_cond: str, n_mimes: int, peaks: bool) -> str:
     arm(ie, "schema_date_created", f"'18' || {v('k % 40 + 50')} || '-03-01'",
         "k % 7 = 2")
     arm(ie, "ha_des_min_date_created", f"'18' || {v('k % 40 + 50')} || '-01-01'",
-        "k % 7 = 2 AND k % 3 = 0")
+        "k % 7 = 2 AND k % 5 < 2")
     arm(ie, "ha_des_max_date_created", f"'18' || {v('k % 40 + 50')} || '-12-31'",
-        "k % 7 = 2 AND k % 3 = 1")
+        "k % 7 = 2 AND k % 5 >= 3")
     arm(ie, "schema_date_published", f"'19' || {v('k % 80 + 10')} || '-06-01'",
         "k % 7 = 5")
     arm(ie, "ha_des_min_date_published", f"'19' || {v('k % 80 + 10')} || '-01-01'",
-        "k % 7 = 5 AND k % 3 = 0")
+        "k % 7 = 5 AND k % 5 < 2")
     arm(ie, "ha_des_max_date_published", f"'19' || {v('k % 80 + 10')} || '-12-31'",
-        "k % 7 = 5 AND k % 3 = 2")
+        "k % 7 = 5 AND k % 5 >= 3")
     arm(ie, "schema_description", f"'Beschrijving ' || {v('k % 31')}", "k % 5 = 1")
     arm(ie, "schema_abstract", f"'Samenvatting ' || {v('k % 17')}", "k % 5 = 3")
     arm(ie, "dcterms_available", f"{v('k % 25 + 2000')} || '-05-05'", "k % 5 = 4")
