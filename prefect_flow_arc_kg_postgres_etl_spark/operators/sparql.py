@@ -48,11 +48,16 @@ Evaluation model (Spark-first, no UDFs anywhere):
   unbound term are skipped, per spec) and unions them by name into a
   DISTINCT triple set — one shuffle.
 
+Query forms: CONSTRUCT (``construct_query``) plus SELECT and ASK
+(``select_query``): projection vars, ``(expr AS ?v)``, aggregates
+(COUNT[ DISTINCT]/SUM/MIN/MAX/AVG, COUNT(*)), DISTINCT, GROUP BY,
+ORDER BY ASC()/DESC(), LIMIT/OFFSET; ASK emits a one-row string
+boolean.
+
 Unsupported (not used by the reference files): ``*``/``+``/``?`` path
 modifiers (see ``triples.transitive_closure`` for the closure
-machinery), subqueries inside WHERE, aggregates in CONSTRUCT (the
-SELECT-form aggregate surface lives in plans/kg.py kg_select_agg),
-blank-node syntax, named-graph CONSTRUCT templates.
+machinery), subqueries inside WHERE, blank-node syntax, named-graph
+CONSTRUCT templates, HAVING.
 """
 
 from __future__ import annotations
@@ -154,6 +159,16 @@ class Query:
     template: list[Triple]
     datasets: list[str]
     where: Group
+    # SELECT/ASK query-form extensions (CONSTRUCT leaves the defaults)
+    form: str = "construct"
+    # projection items: ("var", name) | ("expr", expr, alias)
+    #   | ("agg", func, arg|None, distinct, alias); [] = SELECT *
+    select: list = field(default_factory=list)
+    distinct: bool = False
+    group_by: list = field(default_factory=list)
+    order_by: list = field(default_factory=list)  # (var, ascending)
+    limit: int | None = None
+    offset: int | None = None
 
 
 _LIT = "\x00"
@@ -260,21 +275,115 @@ class Parser:
             if iri.kind != "IRIREF":
                 raise SyntaxError(f"bad PREFIX IRI {iri.text!r}")
             self.prefixes[pname.text[:-1]] = iri.text[1:-1]
-        self.eat("CONSTRUCT")
-        self.eat("{")
-        template = self.parse_triples_block(graph=None, in_template=True)
-        self.eat("}")
+        form = "construct"
+        template: list[Triple] = []
+        select: list = []
+        distinct = False
+        if self.at("CONSTRUCT"):
+            self.next()
+            self.eat("{")
+            template = self.parse_triples_block(graph=None, in_template=True)
+            self.eat("}")
+        elif self.at("SELECT"):
+            form = "select"
+            self.next()
+            if self.at("DISTINCT"):
+                distinct = True
+                self.next()
+            while True:
+                t = self.peek()
+                assert t is not None
+                if t.text == "*":
+                    self.next()
+                    break
+                if t.kind == "VAR":
+                    self.next()
+                    select.append(("var", t.text[1:]))
+                    continue
+                if t.text == "(":
+                    self.next()
+                    item = self._parse_projection_expr()
+                    self.eat("AS")
+                    alias = self.next()
+                    assert alias.kind == "VAR", "projection alias must be a var"
+                    self.eat(")")
+                    select.append((*item, alias.text[1:]))
+                    continue
+                break
+        elif self.at("ASK"):
+            form = "ask"
+            self.next()
+        else:
+            raise SyntaxError("expected CONSTRUCT, SELECT or ASK")
         datasets: list[str] = []
         while self.at("FROM"):
             self.next()
             if self.at("NAMED"):
                 self.next()
             datasets.append(self.parse_iri())
-        self.eat("WHERE")
+        if self.at("WHERE"):
+            self.eat("WHERE")
         where = self.parse_group(graph=None)
+        group_by: list = []
+        order_by: list = []
+        limit = offset = None
+        if self.at("GROUP"):
+            self.next()
+            self.eat("BY")
+            while self.at_kind("VAR"):
+                group_by.append(self.next().text[1:])
+        if self.at("ORDER"):
+            self.next()
+            self.eat("BY")
+            while True:
+                asc = True
+                if self.at("ASC") or self.at("DESC"):
+                    asc = self.next().text.upper() == "ASC"
+                    self.eat("(")
+                    v = self.next()
+                    self.eat(")")
+                elif self.at_kind("VAR"):
+                    v = self.next()
+                else:
+                    break
+                assert v.kind == "VAR", "ORDER BY supports variables"
+                order_by.append((v.text[1:], asc))
+        if self.at("LIMIT"):
+            self.next()
+            limit = int(self.next().text)
+        if self.at("OFFSET"):
+            self.next()
+            offset = int(self.next().text)
         if self.peek() is not None:
             raise SyntaxError(f"trailing tokens from {self.peek().text!r}")
-        return Query(self.prefixes, template, datasets, where)
+        return Query(
+            self.prefixes, template, datasets, where,
+            form=form, select=select, distinct=distinct, group_by=group_by,
+            order_by=order_by, limit=limit, offset=offset,
+        )
+
+    _AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+
+    def _parse_projection_expr(self):
+        """Inside ``( ... AS ?v )``: an aggregate call or a plain
+        expression."""
+        t = self.peek()
+        assert t is not None
+        if t.kind == "NAME" and t.text.upper() in self._AGG_FUNCS:
+            func = self.next().text.upper()
+            self.eat("(")
+            agg_distinct = False
+            if self.at("DISTINCT"):
+                agg_distinct = True
+                self.next()
+            if self.at("*"):
+                self.next()
+                arg = None
+            else:
+                arg = self.parse_expr()
+            self.eat(")")
+            return ("agg", func, arg, agg_distinct)
+        return ("expr", self.parse_expr())
 
     # -- groups
     def parse_group(self, graph: str | None) -> Group:
@@ -1112,3 +1221,83 @@ def construct_query(
         )
         .distinct()
     )
+
+
+def select_query(
+    quads: DataFrame, text: str, params: dict[str, str] | None = None
+) -> DataFrame:
+    """Parse and evaluate a SPARQL SELECT (or ASK) against the quad
+    DataFrame. SELECT supports projection variables, ``(expr AS ?v)``,
+    aggregates (COUNT[ DISTINCT]/SUM/MIN/MAX/AVG, COUNT(*)), DISTINCT,
+    GROUP BY, ORDER BY ASC()/DESC(), LIMIT and OFFSET. Numeric
+    aggregates try_cast the string-typed store to double (SPARQL's
+    numeric coercion); MIN/MAX stay lexical on the string domain —
+    identical in DuckDB. ASK returns one row with a string ``ask``
+    column ("true"/"false") so the result stays oracle-hashable."""
+    query = parse(text)
+    ev = _Eval(quads, query.datasets, params)
+    bindings = ev.eval_group(query.where, None)
+    assert bindings is not None, "WHERE clause produced no bindings frame"
+    if query.form == "ask":
+        n = bindings.limit(1).count()
+        spark = quads.sparkSession
+        return spark.createDataFrame(
+            [(("true" if n else "false"),)], "ask string"
+        )
+    assert query.form == "select", f"use construct_query for {query.form}"
+
+    def agg_col(func: str, arg, distinct: bool) -> Column:
+        if func == "COUNT":
+            if arg is None:
+                return F.count(F.lit(1))
+            c = ev.to_column(arg, bindings)
+            return F.countDistinct(c) if distinct else F.count(c)
+        c = ev.to_column(arg, bindings)
+        if func in ("SUM", "AVG"):
+            c = c.try_cast("double")
+        return {"SUM": F.sum, "MIN": F.min, "MAX": F.max, "AVG": F.avg}[func](c)
+
+    has_agg = any(item[0] == "agg" for item in query.select)
+    if has_agg or query.group_by:
+        aggs = []
+        for item in query.select:
+            kind = item[0]
+            if kind == "agg":
+                _, func, arg, adistinct, alias = item
+                aggs.append(agg_col(func, arg, adistinct).alias(alias))
+            elif kind == "var":
+                assert item[1] in query.group_by, (
+                    f"non-aggregated ?{item[1]} must appear in GROUP BY"
+                )
+        out = bindings.groupBy(*query.group_by).agg(*aggs)
+        keep = [
+            i[1] if i[0] == "var" else i[-1] for i in query.select
+        ] or out.columns
+        out = out.select(*keep)
+    else:
+        cols: list[Column] = []
+        for item in query.select:
+            if item[0] == "var":
+                name = item[1]
+                cols.append(
+                    (F.col(name) if name in bindings.columns
+                     else F.lit(None).cast("string")).alias(name)
+                )
+            else:
+                _, expr, alias = item
+                cols.append(ev.to_column(expr, bindings).alias(alias))
+        out = bindings.select(*cols) if cols else bindings.select(
+            *[c for c in _value_cols(bindings)]
+        )
+        if query.distinct:
+            out = out.distinct()
+    if query.order_by:
+        out = out.orderBy(
+            *[F.col(v).asc() if asc else F.col(v).desc()
+              for v, asc in query.order_by]
+        )
+    if query.offset is not None:
+        out = out.offset(query.offset)
+    if query.limit is not None:
+        out = out.limit(query.limit)
+    return out

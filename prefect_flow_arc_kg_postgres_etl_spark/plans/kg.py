@@ -4879,6 +4879,69 @@ SELECT subject, predicate, object FROM t
 """
 
 # ---------------------------------------------------------------------------
+# A69: SPARQL SELECT/ASK text forms through the compiler
+
+_SELECT_TEXT = """
+PREFIX haOrg: <https://data.hetarchief.be/ns/organization/>
+PREFIX org: <http://www.w3.org/ns/org#>
+PREFIX schema: <https://schema.org/>
+PREFIX graph: <https://data.hetarchief.be/graph/>
+SELECT ?maintainer_id (COUNT(*) AS ?n_entities) WHERE {
+  GRAPH graph:organization {
+    ?m a haOrg:ContentPartner ; org:identifier ?maintainer_id
+  }
+  BIND(IRI(CONCAT("https://data.hetarchief.be/graph/metadata/", ?maintainer_id)) AS ?g)
+  GRAPH ?g { ?ie a ?t ; schema:maintainer ?m }
+} GROUP BY ?maintainer_id ORDER BY ?maintainer_id
+"""
+
+_ASK_TEXT = """
+PREFIX schema: <https://schema.org/>
+PREFIX haLicId: <https://data.hetarchief.be/id/license/>
+ASK { ?ie schema:license haLicId:VIAA-ONDERWIJS }
+"""
+
+
+def kg_select_real_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL SELECT query-form through the TEXT compiler (A69): the
+    same tokenizer/parser/evaluator that runs the reference's nine
+    CONSTRUCT files also lowers SELECT — projection, (COUNT(*) AS ?v)
+    aggregates, GROUP BY, ORDER BY — so a reference user's ad-hoc
+    SELECTs run too (the reference ships only CONSTRUCT in
+    production; the form surface mirrors kg_select_agg's hand-built
+    plan, now reachable from query text). Per-org entity counts over
+    the shared verbatim-query store."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    return SQ.select_query(_sparql_person_quads(spark, sf_dir), _SELECT_TEXT)
+
+
+def kg_ask_real_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK through the text compiler: data-dependent (the probed
+    license index 9 is outside every production query's allow-list but
+    present in the store on even keys), emitted as a string boolean so
+    the driver's hash check applies."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    return SQ.select_query(_sparql_person_quads(spark, sf_dir), _ASK_TEXT)
+
+
+KG_SELECT_REAL_TEXT_ORACLE = """
+SELECT 'OR-' || CAST(c_nationkey AS VARCHAR) AS maintainer_id,
+       COUNT(*) AS n_entities
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_nationkey % 5 <> 4
+GROUP BY c_nationkey
+"""
+
+KG_ASK_REAL_TEXT_ORACLE = """
+SELECT CASE WHEN EXISTS (
+  SELECT 1 FROM orders WHERE o_orderkey % 11 = 9 AND o_orderkey % 2 = 0
+) THEN 'true' ELSE 'false' END AS ask
+"""
+
+
+# ---------------------------------------------------------------------------
 # A67f: newspaper.sparql verbatim (the full issue/page detail query)
 
 _NP_SPARQL_PATH = "/root/reference/typescript/queries/newspaper.sparql"

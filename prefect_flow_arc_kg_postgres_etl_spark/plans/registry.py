@@ -47,7 +47,8 @@ class QuerySpec:
 # entries listed above DRIVER_WINDOW plus the six late-r7 verbatim
 # SPARQL entries (kg_construct_real_query_{newspaper,iiif,issues,
 # av_audio,av_video,av_complex}) and the A68 view-pipeline composition
-# (flow_kg_view_load) — 38 total, the explicit r8 window.
+# (flow_kg_view_load) and the A69 SELECT/ASK text forms — 40
+# total, the explicit r8 window.
 _SPECS: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
@@ -325,6 +326,10 @@ _SPECS: dict[str, QuerySpec] = {
         kg.kg_construct_real_query_av_complex, kg.KG_REAL_QUERY_AV_COMPLEX_ORACLE
     ),
     "flow_kg_view_load": QuerySpec(kg.flow_kg_view_load, kg.KG_VIEW_LOAD_ORACLE),
+    "kg_select_real_text": QuerySpec(
+        kg.kg_select_real_text, kg.KG_SELECT_REAL_TEXT_ORACLE
+    ),
+    "kg_ask_real_text": QuerySpec(kg.kg_ask_real_text, kg.KG_ASK_REAL_TEXT_ORACLE),
     "index_partition_refresh": QuerySpec(
         kg.index_partition_refresh, kg.INDEX_REFRESH_ORACLE
     ),
@@ -810,8 +815,8 @@ _SPECS: dict[str, QuerySpec] = {
 # (source_orc_roundtrip, source_json_nested_roundtrip,
 # source_corrupt_tolerant, fk_discovery) and the six late-r7 verbatim
 # SPARQL entries (newspaper-collection, iiif, newspaper/issues,
-# av-audio, av-video, av-complex) plus flow_kg_view_load (A68) —
-# 38 total for r8.
+# av-audio, av-video, av-complex) plus flow_kg_view_load (A68)
+# and kg_select_real_text / kg_ask_real_text (A69) — 40 for r8.
 DRIVER_WINDOW: list[str] = [
     # A-block: SPARQL forms, property paths, graph/store management,
     # update semantics, maintenance, sources, temporal reads.

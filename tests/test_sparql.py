@@ -350,3 +350,43 @@ def test_pivot_view_records(spark):
     out = pivot_view_records(triples, "graph.thing", ["id", "schema_name"])
     rows = {(r.subject, r.id, r.schema_name) for r in out.collect()}
     assert rows == {("p1", "p1", "Alice"), ("p2", "p2", None)}
+
+
+def test_select_form_aggregates_and_modifiers(spark):
+    # A69 — SELECT through the text compiler: GROUP BY + COUNT(*),
+    # COUNT(DISTINCT), SUM numeric coercion, DISTINCT / ORDER BY /
+    # LIMIT / OFFSET.
+    quads = _quads(
+        spark,
+        [
+            ("e1", "urn:t", "A", None, None),
+            ("e2", "urn:t", "A", None, None),
+            ("e3", "urn:t", "B", None, None),
+            ("e1", "urn:v", "10", None, None),
+            ("e2", "urn:v", "5", None, None),
+            ("e3", "urn:v", "2", None, None),
+            ("e1", "urn:n", "x", None, None),
+            ("e2", "urn:n", "x", None, None),
+            ("e3", "urn:n", "y", None, None),
+        ],
+    )
+    agg = SQ.select_query(
+        quads,
+        """
+        SELECT ?t (COUNT(*) AS ?n) (COUNT(DISTINCT ?name) AS ?dn)
+               (SUM(?val) AS ?total)
+        WHERE { ?e <urn:t> ?t ; <urn:v> ?val ; <urn:n> ?name }
+        GROUP BY ?t ORDER BY ?t
+        """,
+    )
+    assert [tuple(r) for r in agg.collect()] == [
+        ("A", 2, 1, 15.0), ("B", 1, 1, 2.0)
+    ]
+    page = SQ.select_query(
+        quads,
+        "SELECT DISTINCT ?name WHERE { ?e <urn:n> ?name } "
+        "ORDER BY DESC(?name) LIMIT 1 OFFSET 1",
+    )
+    assert [r.name for r in page.collect()] == ["x"]
+    assert SQ.select_query(quads, 'ASK { ?e <urn:t> "B" }').collect()[0].ask == "true"
+    assert SQ.select_query(quads, 'ASK { ?e <urn:t> "Z" }').collect()[0].ask == "false"
