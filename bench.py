@@ -121,6 +121,10 @@ HEADLINE = [
     # Round-7 third append: the largest production file (newspaper.
     # sparql, ~40 union branches + variable-predicate role scan).
     "kg_construct_real_query_issues",
+    # Round-7 fourth append: the TPC-H completions — Q17's dim-pushed
+    # correlated average and Q22's anti-joined dormant-customer report.
+    "q17_small_qty_revenue",
+    "q22_dormant_customers",
 ]
 
 

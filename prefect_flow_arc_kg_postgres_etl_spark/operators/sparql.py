@@ -52,12 +52,16 @@ Query forms: CONSTRUCT (``construct_query``) plus SELECT and ASK
 (``select_query``): projection vars, ``(expr AS ?v)``, aggregates
 (COUNT[ DISTINCT]/SUM/MIN/MAX/AVG, COUNT(*)), DISTINCT, GROUP BY,
 ORDER BY ASC()/DESC(), LIMIT/OFFSET; ASK emits a one-row string
-boolean.
+boolean; DESCRIBE (``describe_query``, outgoing-arc closure depth 1 —
+the ``plans.kg.kg_describe`` contract). SPARQL 1.1 UPDATE
+(``update_delta`` / ``update_apply``): INSERT DATA, DELETE DATA,
+DELETE WHERE, DELETE..INSERT..WHERE with optional WITH graph and
+GRAPH blocks in templates — lowered to whole-quad null-safe semi/anti
+hash joins against the store, solution set computed once.
 
 Unsupported (not used by the reference files): ``*``/``+``/``?`` path
 modifiers (see ``triples.transitive_closure`` for the closure
-machinery), subqueries inside WHERE, blank-node syntax, named-graph
-CONSTRUCT templates, HAVING.
+machinery), subqueries inside WHERE, blank-node syntax, HAVING.
 """
 
 from __future__ import annotations
@@ -169,6 +173,18 @@ class Query:
     order_by: list = field(default_factory=list)  # (var, ascending)
     limit: int | None = None
     offset: int | None = None
+
+
+@dataclass
+class Update:
+    """One SPARQL 1.1 Update operation (INSERT DATA / DELETE DATA /
+    DELETE WHERE / DELETE..INSERT..WHERE, optional WITH graph)."""
+
+    prefixes: dict[str, str]
+    delete_tmpl: list[Triple]
+    insert_tmpl: list[Triple]
+    where: Group | None  # None = ground DATA form (no pattern matching)
+    with_graph: str | None
 
 
 _LIT = "\x00"
@@ -313,17 +329,35 @@ class Parser:
         elif self.at("ASK"):
             form = "ask"
             self.next()
+        elif self.at("DESCRIBE"):
+            form = "describe"
+            self.next()
+            while True:
+                t = self.peek()
+                if t is None:
+                    break
+                if t.kind == "VAR":
+                    self.next()
+                    select.append(("var", t.text[1:]))
+                elif t.kind in ("IRIREF", "PNAME"):
+                    select.append(("iri", self.parse_iri()))
+                else:
+                    break
         else:
-            raise SyntaxError("expected CONSTRUCT, SELECT or ASK")
+            raise SyntaxError("expected CONSTRUCT, SELECT, ASK or DESCRIBE")
         datasets: list[str] = []
         while self.at("FROM"):
             self.next()
             if self.at("NAMED"):
                 self.next()
             datasets.append(self.parse_iri())
-        if self.at("WHERE"):
-            self.eat("WHERE")
-        where = self.parse_group(graph=None)
+        if form == "describe" and not (self.at("WHERE") or self.at("{")):
+            # DESCRIBE <iri>... without a pattern: empty WHERE
+            where = Group()
+        else:
+            if self.at("WHERE"):
+                self.eat("WHERE")
+            where = self.parse_group(graph=None)
         group_by: list = []
         order_by: list = []
         limit = offset = None
@@ -360,6 +394,100 @@ class Parser:
             self.prefixes, template, datasets, where,
             form=form, select=select, distinct=distinct, group_by=group_by,
             order_by=order_by, limit=limit, offset=offset,
+        )
+
+    # -- update operations
+    def parse_quad_block(self, default_graph: str | None) -> list[Triple]:
+        """``{ (GRAPH term { triples } | triples)* }`` — the template /
+        data block of an update operation. Unlike WHERE groups it holds
+        only triples (no OPTIONAL/FILTER/...)."""
+        self.eat("{")
+        out: list[Triple] = []
+        while not self.at("}"):
+            if self.at("GRAPH"):
+                self.next()
+                t = self.peek()
+                assert t is not None
+                if t.kind == "VAR":
+                    self.next()
+                    gterm: str | None = "?" + t.text[1:]
+                else:
+                    gterm = self.parse_iri()
+                self.eat("{")
+                out.extend(self.parse_triples_block(gterm, in_template=True))
+                self.eat("}")
+            else:
+                out.extend(
+                    self.parse_triples_block(default_graph, in_template=True)
+                )
+            while self.at("."):
+                self.next()
+        self.eat("}")
+        return out
+
+    def parse_update(self) -> Update:
+        """SPARQL 1.1 Update grammar subset: prologue, optional
+        ``WITH <g>``, then INSERT DATA { quads } | DELETE DATA
+        { quads } | DELETE WHERE { pattern } | DELETE { tmpl }
+        [INSERT { tmpl }] WHERE { pattern } | INSERT { tmpl } WHERE
+        { pattern }."""
+        while self.at("PREFIX"):
+            self.next()
+            pname = self.next()
+            if pname.kind != "PNAME":
+                raise SyntaxError(f"bad PREFIX name {pname.text!r}")
+            iri = self.next()
+            if iri.kind != "IRIREF":
+                raise SyntaxError(f"bad PREFIX IRI {iri.text!r}")
+            self.prefixes[pname.text[:-1]] = iri.text[1:-1]
+        with_graph: str | None = None
+        if self.at("WITH"):
+            self.next()
+            with_graph = self.parse_iri()
+        delete_tmpl: list[Triple] = []
+        insert_tmpl: list[Triple] = []
+        where: Group | None = None
+        if self.at("INSERT"):
+            self.next()
+            if self.at("DATA"):
+                self.next()
+                insert_tmpl = self.parse_quad_block(with_graph)
+            else:
+                insert_tmpl = self.parse_quad_block(with_graph)
+                self.eat("WHERE")
+                where = self.parse_group(with_graph)
+        elif self.at("DELETE"):
+            self.next()
+            if self.at("DATA"):
+                self.next()
+                delete_tmpl = self.parse_quad_block(with_graph)
+            elif self.at("WHERE"):
+                # DELETE WHERE { pattern }: the pattern IS the template
+                self.next()
+                where = self.parse_group(with_graph)
+                delete_tmpl = [
+                    el[1] for el in where.elements if el[0] == "triple"
+                ]
+                assert len(delete_tmpl) == len(where.elements), (
+                    "DELETE WHERE pattern must be plain triples"
+                )
+            else:
+                delete_tmpl = self.parse_quad_block(with_graph)
+                if self.at("INSERT"):
+                    self.next()
+                    insert_tmpl = self.parse_quad_block(with_graph)
+                self.eat("WHERE")
+                where = self.parse_group(with_graph)
+        else:
+            raise SyntaxError("expected INSERT or DELETE")
+        if self.peek() is not None:
+            raise SyntaxError(f"trailing tokens from {self.peek().text!r}")
+        for t in delete_tmpl + insert_tmpl:
+            assert not isinstance(t.p, tuple), (
+                "update templates cannot carry property paths"
+            )
+        return Update(
+            self.prefixes, delete_tmpl, insert_tmpl, where, with_graph
         )
 
     _AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
@@ -1301,3 +1429,188 @@ def select_query(
     if query.limit is not None:
         out = out.limit(query.limit)
     return out
+
+
+def describe_query(
+    quads: DataFrame, text: str, params: dict[str, str] | None = None
+) -> DataFrame:
+    """Parse and evaluate a SPARQL DESCRIBE: ``DESCRIBE <iri>...`` or
+    ``DESCRIBE ?v ... WHERE { ... }`` (both may mix). The description
+    of a resource set is its outgoing-arc closure depth 1 — every quad
+    whose subject is a described resource, the same contract as the
+    hand-built ``plans.kg.kg_describe`` — returned with the full quad
+    schema. The resource set semi-joins the store on subject: one
+    equi-join, broadcast when the set is small (AQE), and with a
+    subject/predicate-partitioned layout the scan prunes."""
+    query = parse(text)
+    assert query.form == "describe", f"not a DESCRIBE query: {query.form}"
+    spark = quads.sparkSession
+    iris = [item[1] for item in query.select if item[0] == "iri"]
+    vars_ = [item[1] for item in query.select if item[0] == "var"]
+    assert iris or vars_, "DESCRIBE needs at least one resource or var"
+    frames: list[DataFrame] = []
+    if iris:
+        frames.append(spark.createDataFrame([(i,) for i in iris], "s string"))
+    if vars_:
+        ev = _Eval(quads, query.datasets, params)
+        bindings = ev.eval_group(query.where, None)
+        assert bindings is not None, "DESCRIBE ?var needs a WHERE pattern"
+        for v in vars_:
+            assert v in bindings.columns, f"?{v} unbound in WHERE"
+            frames.append(bindings.select(F.col(v).alias("s")))
+    resources = frames[0]
+    for f in frames[1:]:
+        resources = resources.unionByName(f)
+    return quads.join(
+        resources.distinct(), quads["subject"] == resources["s"], "leftsemi"
+    )
+
+
+_QUAD_COLS = ["subject", "predicate", "object", "lang", "graph"]
+
+
+def _instantiate(
+    tmpl: list[Triple], bindings: DataFrame | None, spark
+) -> DataFrame:
+    """Instantiate an update template against a solution set (or, for
+    ground DATA forms, against no bindings) into the distinct quad set
+    (subject, predicate, object, lang, graph). Rows with any unbound
+    term emit nothing (same rule as CONSTRUCT)."""
+    if bindings is None:
+        rows = []
+        for t in tmpl:
+            assert isinstance(t.p, str) and not t.p.startswith("?")
+            for term in (t.s, t.o):
+                assert not term.startswith("?"), (
+                    "DATA forms must be ground (no variables)"
+                )
+            if _is_lit(t.o):
+                value, lang = _lit_parts(t.o)
+            else:
+                value, lang = t.o, None
+            s = _lit_parts(t.s)[0] if _is_lit(t.s) else t.s
+            rows.append((s, t.p, value, lang, t.graph))
+        return spark.createDataFrame(
+            rows,
+            "subject string, predicate string, object string, "
+            "lang string, graph string",
+        ).distinct()
+    cols = set(bindings.columns)
+
+    def term_col(term: str) -> Column:
+        if term.startswith("?"):
+            name = term[1:]
+            if name not in cols:
+                return F.lit(None).cast("string")
+            return F.col(name).cast("string")
+        if _is_lit(term):
+            return F.lit(_lit_parts(term)[0])
+        return F.lit(term)
+
+    def lang_col(term: str) -> Column:
+        if term.startswith("?"):
+            lc = term[1:] + "__lang"
+            return F.col(lc) if lc in cols else F.lit(None).cast("string")
+        if _is_lit(term):
+            return F.lit(_lit_parts(term)[1]).cast("string")
+        return F.lit(None).cast("string")
+
+    def graph_col(g: str | None) -> Column:
+        if g is None:
+            return F.lit(None).cast("string")
+        if g.startswith("?"):
+            return term_col(g)
+        return F.lit(g)
+
+    structs = []
+    for t in tmpl:
+        assert isinstance(t.p, str), "update template predicates are IRIs"
+        structs.append(
+            F.struct(
+                term_col(t.s).alias("subject"),
+                term_col(t.p).alias("predicate"),
+                term_col(t.o).alias("object"),
+                lang_col(t.o).alias("lang"),
+                graph_col(t.graph).alias("graph"),
+            )
+        )
+    return (
+        bindings.select(F.inline(F.array(*structs)))
+        .filter(
+            F.col("subject").isNotNull()
+            & F.col("predicate").isNotNull()
+            & F.col("object").isNotNull()
+        )
+        .distinct()
+    )
+
+
+def _quad_match(a: DataFrame, b: DataFrame, how: str) -> DataFrame:
+    """Null-safe whole-quad (semi/anti) join — term equality includes
+    the lang tag and the graph, where NULL means 'no tag'/'default'.
+    The probe side re-aliases its columns so shared lineage (both sides
+    deriving from the same store scan) can't make the condition
+    ambiguous."""
+    bb = b.select(*[F.col(c).alias(f"{c}__m") for c in _QUAD_COLS])
+    cond = None
+    for c in _QUAD_COLS:
+        piece = a[c].eqNullSafe(bb[f"{c}__m"])
+        cond = piece if cond is None else cond & piece
+    return a.join(bb, cond, how)
+
+
+def update_delta(
+    quads: DataFrame, text: str, params: dict[str, str] | None = None
+) -> DataFrame:
+    """Parse a SPARQL 1.1 Update and return its EFFECTIVE change set
+    against the store: op='delete' rows are instantiated delete-template
+    quads that exist in the store; op='insert' rows are instantiated
+    insert-template quads absent from the post-delete store. Both are
+    exact set semantics (SPARQL stores are quad SETS) — re-running the
+    same update yields an empty delta. The WHERE solution set is
+    computed ONCE and feeds both templates; the store is touched by two
+    whole-quad hash joins (semi for deletes, anti for inserts), never
+    row-at-a-time."""
+    up = Parser(text).parse_update()
+    spark = quads.sparkSession
+    bindings = None
+    if up.where is not None:
+        ev = _Eval(quads, [], params)
+        bindings = ev.eval_group(up.where, None)
+        assert bindings is not None, "WHERE produced no bindings frame"
+    deleted = added = None
+    if up.delete_tmpl:
+        del_inst = _instantiate(up.delete_tmpl, bindings, spark)
+        deleted = _quad_match(quads, del_inst, "leftsemi")
+    if up.insert_tmpl:
+        ins_inst = _instantiate(up.insert_tmpl, bindings, spark)
+        post = (
+            quads if up.delete_tmpl is None or not up.delete_tmpl
+            else _quad_match(
+                quads, _instantiate(up.delete_tmpl, bindings, spark),
+                "leftanti",
+            )
+        )
+        added = _quad_match(ins_inst, post, "leftanti")
+    empty = quads.sparkSession.createDataFrame(
+        [],
+        "subject string, predicate string, object string, "
+        "lang string, graph string",
+    )
+    deleted = deleted if deleted is not None else empty
+    added = added if added is not None else empty
+    return deleted.withColumn("op", F.lit("delete")).unionByName(
+        added.withColumn("op", F.lit("insert"))
+    ).select("op", *_QUAD_COLS)
+
+
+def update_apply(
+    quads: DataFrame, text: str, params: dict[str, str] | None = None
+) -> DataFrame:
+    """Apply a SPARQL 1.1 Update to the store: post-state quad set
+    (delete-then-insert, set semantics). Composes with the versioned
+    store: land the result as the table's next version."""
+    delta = update_delta(quads, text, params)
+    deleted = delta.filter(F.col("op") == "delete").select(*_QUAD_COLS)
+    added = delta.filter(F.col("op") == "insert").select(*_QUAD_COLS)
+    return _quad_match(quads, deleted, "leftanti").unionByName(added)

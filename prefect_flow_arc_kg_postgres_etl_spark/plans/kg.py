@@ -4942,6 +4942,118 @@ SELECT CASE WHEN EXISTS (
 
 
 # ---------------------------------------------------------------------------
+# A70: SPARQL DESCRIBE + UPDATE text forms through the compiler
+
+_DESCRIBE_TEXT = """
+PREFIX haOrg: <https://data.hetarchief.be/ns/organization/>
+PREFIX graph: <https://data.hetarchief.be/graph/>
+DESCRIBE ?m <https://data.hetarchief.be/id/organization/OR-4>
+WHERE { GRAPH graph:organization { ?m a haOrg:ContentPartner } }
+"""
+
+_UPDATE_TEXT = """
+PREFIX schema: <https://schema.org/>
+PREFIX haLicId: <https://data.hetarchief.be/id/license/>
+PREFIX haDes: <https://data.hetarchief.be/ns/description/>
+DELETE { GRAPH ?g { ?s schema:license ?lic } }
+INSERT { GRAPH ?g { ?s schema:license haLicId:Publiek-Domein .
+                    ?s haDes:relicensedFrom ?lic } }
+WHERE {
+  GRAPH ?g { ?s schema:license ?lic }
+  FILTER(?lic IN (haLicId:VIAA-ONDERWIJS, haLicId:VIAA-ONDERZOEK))
+}
+"""
+
+
+def kg_describe_real_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE through the TEXT compiler (A70): mixed
+    var-plus-IRI resource list (every ContentPartner org and one named
+    non-partner), WHERE-scoped. The description is the outgoing-arc
+    closure at depth 1 — the contract the hand-built A37 plan
+    (``kg_describe``) defines — produced by ONE subject semi-join
+    against the quad store (broadcast: the resource set is tiny;
+    subject-partition-prunable at scale)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    return SQ.describe_query(_sparql_person_quads(spark, sf_dir), _DESCRIBE_TEXT)
+
+
+def kg_update_real_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 UPDATE through the TEXT compiler (A70): the
+    relicensing sweep — DELETE { ?s schema:license ?lic } INSERT
+    { ?s schema:license Publiek-Domein . ?s relicensedFrom ?lic }
+    WHERE { GRAPH ?g ... FILTER(?lic IN (...)) } — returning the
+    EFFECTIVE delta (op='delete' rows that existed, op='insert' rows
+    genuinely new after the delete). The hand-built A59 plan pins the
+    same delete-then-insert semantics from Python literals; this runs
+    it from update text: solution set computed once, two whole-quad
+    null-safe hash joins against the store, no row-at-a-time path.
+    Exercises GRAPH blocks in both templates and a var graph term."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    return SQ.update_delta(_sparql_person_quads(spark, sf_dir), _UPDATE_TEXT)
+
+
+KG_DESCRIBE_REAL_TEXT_ORACLE = """
+WITH ks AS (
+  SELECT n_nationkey AS k FROM nation
+  WHERE n_nationkey % 5 <> 4 OR n_nationkey = 4
+),
+orgs AS (
+  SELECT k, 'https://data.hetarchief.be/id/organization/OR-'
+           || CAST(k AS VARCHAR) AS s
+  FROM ks
+)
+SELECT s AS subject,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+       CASE WHEN k % 5 <> 4
+            THEN 'https://data.hetarchief.be/ns/organization/ContentPartner'
+            ELSE 'https://data.hetarchief.be/ns/organization/Organization'
+       END AS object,
+       CAST(NULL AS VARCHAR) AS lang,
+       'https://data.hetarchief.be/graph/organization' AS graph
+FROM orgs
+UNION ALL
+SELECT s, 'http://www.w3.org/ns/org#identifier',
+       'OR-' || CAST(k AS VARCHAR), CAST(NULL AS VARCHAR),
+       'https://data.hetarchief.be/graph/organization'
+FROM orgs
+"""
+
+KG_UPDATE_REAL_TEXT_ORACLE = """
+WITH b AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0
+              THEN 'https://data.hetarchief.be/id/entity/'
+                   || CAST(o_orderkey AS VARCHAR)
+              ELSE 'https://data.hetarchief.be/id/entity/'
+                   || CAST(o_orderkey AS VARCHAR) || '/rep'
+         END AS s,
+         'https://data.hetarchief.be/id/license/' ||
+           CASE WHEN o_orderkey % 11 = 9 THEN 'VIAA-ONDERWIJS'
+                ELSE 'VIAA-ONDERZOEK' END AS lic,
+         'https://data.hetarchief.be/graph/metadata/OR-'
+           || CAST(c_nationkey AS VARCHAR) AS g
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderkey % 11 IN (9, 10)
+)
+SELECT 'delete' AS op, s AS subject,
+       'https://schema.org/license' AS predicate, lic AS object,
+       CAST(NULL AS VARCHAR) AS lang, g AS graph
+FROM b
+UNION ALL
+SELECT 'insert', s, 'https://schema.org/license',
+       'https://data.hetarchief.be/id/license/Publiek-Domein',
+       CAST(NULL AS VARCHAR), g
+FROM b
+UNION ALL
+SELECT 'insert', s,
+       'https://data.hetarchief.be/ns/description/relicensedFrom', lic,
+       CAST(NULL AS VARCHAR), g
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
 # A67f: newspaper.sparql verbatim (the full issue/page detail query)
 
 _NP_SPARQL_PATH = "/root/reference/typescript/queries/newspaper.sparql"

@@ -764,6 +764,25 @@ _SPECS: dict[str, QuerySpec] = {
     "corpus_sample_topk_hash": QuerySpec(
         pipeline.corpus_sample_topk_hash, pipeline.SAMPLE_TOPK_HASH_ORACLE
     ),
+    # A70 (NEW r7): SPARQL DESCRIBE + UPDATE text forms — the full
+    # SPARQL 1.1 query+update form surface now runs from query text.
+    "kg_describe_real_text": QuerySpec(
+        kg.kg_describe_real_text, kg.KG_DESCRIBE_REAL_TEXT_ORACLE
+    ),
+    "kg_update_real_text": QuerySpec(
+        kg.kg_update_real_text, kg.KG_UPDATE_REAL_TEXT_ORACLE
+    ),
+    # B55 (NEW r7): TPC-H Q17 verbatim shape — dim filter pushed into
+    # the avg subquery, broadcast slice, exact-cents final sum.
+    "q17_small_qty_revenue": QuerySpec(
+        relational.q17_small_qty_revenue, relational.Q17_ORACLE
+    ),
+    # B56 (NEW r7): TPC-H Q22 shape — integer cross-multiplied global
+    # average threshold + date-pruned LEFT ANTI join. Completes the
+    # 22-query TPC-H plan-shape set.
+    "q22_dormant_customers": QuerySpec(
+        relational.q22_dormant_customers, relational.Q22_ORACLE
+    ),
     # ================= rows-only tail (oracle=None) =================
     # hash/LSH internals are engine-specific; verified in tests against
     # their exact counterparts instead. Streaming rows-only by design.
@@ -816,7 +835,10 @@ _SPECS: dict[str, QuerySpec] = {
 # source_corrupt_tolerant, fk_discovery) and the six late-r7 verbatim
 # SPARQL entries (newspaper-collection, iiif, newspaper/issues,
 # av-audio, av-video, av-complex) plus flow_kg_view_load (A68)
-# and kg_select_real_text / kg_ask_real_text (A69) — 40 for r8.
+# and kg_select_real_text / kg_ask_real_text (A69) and the late-r7
+# B55/B56 TPC-H completions (q17_small_qty_revenue,
+# q22_dormant_customers) and the A70 DESCRIBE/UPDATE text forms
+# (kg_describe_real_text, kg_update_real_text) — 44 for r8.
 DRIVER_WINDOW: list[str] = [
     # A-block: SPARQL forms, property paths, graph/store management,
     # update semantics, maintenance, sources, temporal reads.

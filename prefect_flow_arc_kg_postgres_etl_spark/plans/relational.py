@@ -2688,3 +2688,123 @@ SELECT p.o_custkey, p.recency_days, p.frequency,
          AS rfm_cell
 FROM per_cust p, cuts c
 """
+
+
+# ------------------------------ B55 TPC-H Q17 small-quantity revenue (r7)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B55 (r7): TPC-H Q17 verbatim shape — revenue lost if small-
+    quantity orders (below 20% of the part's average quantity) for one
+    brand/type slice were no longer filled. B12 carries the bare
+    decorrelated-subquery shape; this is the production query around
+    it: the dim filter lands FIRST (part is pruned to a few dozen keys
+    before anything joins), the per-part average is computed only over
+    lineitems of the surviving parts (semi-join pushdown of the dim
+    filter INTO the subquery — at 100 TB the difference between
+    aggregating the whole fact and aggregating 0.1% of it), and the
+    filtered dim side is broadcast so the fact never shuffles. Final
+    sum in exact integer cents (engines disagree in the last ulp of a
+    parallel double sum; bigint cents cannot)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_type") == "MEDIUM")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    # Dim-filtered fact: both the avg subquery and the outer scan read
+    # only this slice — one broadcast semi-join, reused.
+    sliced = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = sliced.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_limit")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        sliced.join(F.broadcast(avg_qty), on="l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round(F.sum(cents) / 700.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+Q17_ORACLE = """
+WITH p AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#4' AND p_type = 'MEDIUM'
+),
+sliced AS (
+  SELECT l.* FROM lineitem l JOIN p ON l.l_partkey = p.p_partkey
+),
+avg_qty AS (
+  SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_limit
+  FROM sliced GROUP BY l_partkey
+)
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 700.0, 2)
+         AS avg_yearly,
+       COUNT(*) AS n_lineitems
+FROM sliced s JOIN avg_qty a ON s.l_partkey = a.l_partkey
+WHERE s.l_quantity < a.qty_limit
+"""
+
+
+# --------------------------- B56 TPC-H Q22 dormant high-balance (r7)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B56 (r7): TPC-H Q22 shape adapted to the harness schema (no
+    c_phone column, so the country-code substring becomes the nation
+    key directly): per nation, count customers whose balance is above
+    the average positive balance AND who have placed no order since
+    2000-06-01 — the 'wealthy but dormant' report. The global-average
+    threshold is an exact INTEGER cross-multiplication (bal_cents * n
+    > sum_cents), never a double divide: a customer a hair's breadth
+    from the mean classifies identically on every engine. The recent-
+    orders side is date-pruned before the LEFT ANTI join (predicate
+    reaches the parquet scan), and the 2-value threshold row is a
+    broadcast cross join — the only shuffles are the anti join and
+    the final nation aggregation."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    pos = cust.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    eligible = cust.crossJoin(F.broadcast(pos)).filter(
+        F.col("bal_cents") * F.col("n") > F.col("s")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-06-01")
+        .select("o_custkey")
+    )
+    return (
+        eligible.join(
+            recent, eligible.c_custkey == recent.o_custkey, "left_anti"
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("bal_cents") / 100.0, 2).alias("totacctbal"),
+        )
+    )
+
+
+Q22_ORACLE = """
+WITH cents AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+pos AS (
+  SELECT SUM(bal_cents) AS s, COUNT(*) AS n FROM cents WHERE bal_cents > 0
+),
+no_recent AS (
+  SELECT c.* FROM cents c, pos
+  WHERE c.bal_cents * pos.n > pos.s
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'
+    )
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       ROUND(SUM(bal_cents) / 100.0, 2) AS totacctbal
+FROM no_recent GROUP BY c_nationkey
+"""

@@ -390,3 +390,123 @@ def test_select_form_aggregates_and_modifiers(spark):
     assert [r.name for r in page.collect()] == ["x"]
     assert SQ.select_query(quads, 'ASK { ?e <urn:t> "B" }').collect()[0].ask == "true"
     assert SQ.select_query(quads, 'ASK { ?e <urn:t> "Z" }').collect()[0].ask == "false"
+
+
+# ---------------------------------------------------------------- A70 forms
+def test_describe_iri_only_no_where(spark):
+    quads = _quads(
+        spark,
+        [
+            ("s1", "p", "o1", None, "g"),
+            ("s1", "q", "hallo", "nl", "g"),
+            ("s2", "p", "o2", None, "g"),
+        ],
+    )
+    out = SQ.describe_query(quads, "DESCRIBE <s1>")
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {
+        ("s1", "p", "o1", None, "g"),
+        ("s1", "q", "hallo", "nl", "g"),
+    }
+
+
+def test_describe_var_and_iri_mixed(spark):
+    quads = _quads(
+        spark,
+        [
+            ("s1", "a", "T", None, "g"),
+            ("s1", "p", "x", None, "g"),
+            ("s2", "a", "U", None, "g"),
+            ("s2", "p", "y", None, "g"),
+            ("s3", "p", "z", None, "g"),
+        ],
+    )
+    out = SQ.describe_query(
+        quads, 'DESCRIBE ?s <s3> WHERE { ?s <a> "T" }'
+    )
+    assert {r.subject for r in out.collect()} == {"s1", "s3"}
+    assert out.count() == 3
+
+
+def test_update_insert_data_and_delete_data(spark):
+    quads = _quads(spark, [("s1", "p", "old", None, "g")])
+    delta = SQ.update_delta(
+        quads, 'INSERT DATA { GRAPH <g> { <s2> <p> "new" } }'
+    )
+    assert [tuple(r) for r in delta.collect()] == [
+        ("insert", "s2", "p", "new", None, "g")
+    ]
+    # inserting an existing quad is a no-op (set semantics)
+    assert SQ.update_delta(
+        quads, 'INSERT DATA { GRAPH <g> { <s1> <p> "old" } }'
+    ).count() == 0
+    deld = SQ.update_delta(
+        quads, 'DELETE DATA { GRAPH <g> { <s1> <p> "old" } }'
+    )
+    assert [tuple(r) for r in deld.collect()] == [
+        ("delete", "s1", "p", "old", None, "g")
+    ]
+    # deleting an absent quad is a no-op
+    assert SQ.update_delta(
+        quads, 'DELETE DATA { GRAPH <g> { <s1> <p> "other" } }'
+    ).count() == 0
+
+
+def test_update_delete_where_sugar(spark):
+    quads = _quads(
+        spark,
+        [
+            ("s1", "p", "x", None, "g"),
+            ("s2", "p", "y", None, "g"),
+            ("s2", "q", "z", None, "g"),
+        ],
+    )
+    delta = SQ.update_delta(quads, "DELETE WHERE { GRAPH <g> { ?s <p> ?o } }")
+    assert {(r.op, r.subject, r.object) for r in delta.collect()} == {
+        ("delete", "s1", "x"),
+        ("delete", "s2", "y"),
+    }
+
+
+def test_update_delete_insert_where_apply_and_idempotence(spark):
+    quads = _quads(
+        spark,
+        [
+            ("s1", "lic", "A", None, "g1"),
+            ("s2", "lic", "B", None, "g2"),
+            ("s3", "lic", "C", None, "g1"),
+        ],
+    )
+    text = """
+    DELETE { GRAPH ?g { ?s <lic> ?l } }
+    INSERT { GRAPH ?g { ?s <lic> "PD" . ?s <was> ?l } }
+    WHERE { GRAPH ?g { ?s <lic> ?l } FILTER(?l IN ("A", "B")) }
+    """
+    post = SQ.update_apply(quads, text)
+    rows = {tuple(r) for r in post.collect()}
+    assert rows == {
+        ("s1", "lic", "PD", None, "g1"),
+        ("s1", "was", "A", None, "g1"),
+        ("s2", "lic", "PD", None, "g2"),
+        ("s2", "was", "B", None, "g2"),
+        ("s3", "lic", "C", None, "g1"),
+    }
+    # applying the same update to the post-state changes nothing: the
+    # filter no longer matches, so the delta is empty
+    assert SQ.update_delta(post, text).count() == 0
+
+
+def test_update_lang_tag_term_equality(spark):
+    quads = _quads(
+        spark,
+        [
+            ("s1", "name", "Jan", "nl", "g"),
+            ("s1", "name", "Jan", "en", "g"),
+        ],
+    )
+    delta = SQ.update_delta(
+        quads, 'DELETE DATA { GRAPH <g> { <s1> <name> "Jan"@nl } }'
+    )
+    rows = [tuple(r) for r in delta.collect()]
+    # only the nl-tagged term matches: (value, lang) is term identity
+    assert rows == [("delete", "s1", "name", "Jan", "nl", "g")]
