@@ -2338,3 +2338,46 @@ SELECT t.doc_id,
 FROM tg t JOIN intro i ON i.g = t.g
 GROUP BY t.doc_id
 """
+
+
+# --------------------------- D54 ALTO-XML transcript extraction (r7)
+def alto_transcript_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D54 (r7): ALTO OCR XML -> transcript — the engine-side
+    counterpart of the reference's external ``arc_alto_to_json``
+    deployment (flows/main_flow.py:112-140 schedules it; the
+    implementation is not in the reference repo, so the contract is
+    the public ALTO schema). Each document's text round-trips through
+    a synthesized ALTO payload (Page/TextBlock/TextLine/String with
+    per-word WC confidences) and is recovered by JVM-side xpath
+    extraction: page id, transcript, word/line counts, exact-integer
+    confidence mass. Everything — synthesis and parse — runs scan-side
+    in whole-stage codegen: zero UDFs, zero shuffles (plan-audited),
+    so a 100 TB ALTO corpus transcribes embarrassingly parallel. The
+    oracle recomputes every output closed-form from the source text,
+    which fails if the XML parse drops, reorders or mangles any word."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import alto
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_xml = docs.select(
+        "doc_id",
+        alto.synth_alto_xml(
+            F.col("text"),
+            F.concat(F.lit("P"), F.col("doc_id").cast("string")),
+        ).alias("alto_xml"),
+    )
+    return alto.extract_transcript(with_xml, "alto_xml")
+
+
+ALTO_TRANSCRIPT_ORACLE = """
+WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+)
+SELECT doc_id,
+       'P' || CAST(doc_id AS VARCHAR) AS page_id,
+       text AS transcript,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST((len(words) + 7) // 8 AS BIGINT) AS n_lines,
+       CAST(list_sum(list_transform(words, x -> strlen(x) % 10)) AS BIGINT)
+         AS sum_wc_e2
+FROM w
+"""

@@ -764,6 +764,12 @@ _SPECS: dict[str, QuerySpec] = {
     "corpus_sample_topk_hash": QuerySpec(
         pipeline.corpus_sample_topk_hash, pipeline.SAMPLE_TOPK_HASH_ORACLE
     ),
+    # D54 (NEW r7): ALTO OCR XML -> transcript, the engine-side
+    # counterpart of the reference's external arc_alto_to_json flow;
+    # scan-side xpath, zero shuffles, closed-form oracle.
+    "alto_transcript_extract": QuerySpec(
+        pipeline.alto_transcript_extract, pipeline.ALTO_TRANSCRIPT_ORACLE
+    ),
     # A70 (NEW r7): SPARQL DESCRIBE + UPDATE text forms — the full
     # SPARQL 1.1 query+update form surface now runs from query text.
     "kg_describe_real_text": QuerySpec(
@@ -838,7 +844,8 @@ _SPECS: dict[str, QuerySpec] = {
 # and kg_select_real_text / kg_ask_real_text (A69) and the late-r7
 # B55/B56 TPC-H completions (q17_small_qty_revenue,
 # q22_dormant_customers) and the A70 DESCRIBE/UPDATE text forms
-# (kg_describe_real_text, kg_update_real_text) — 44 for r8.
+# (kg_describe_real_text, kg_update_real_text) and the D54 ALTO
+# transcript extraction (alto_transcript_extract) — 45 for r8.
 DRIVER_WINDOW: list[str] = [
     # A-block: SPARQL forms, property paths, graph/store management,
     # update semantics, maintenance, sources, temporal reads.

@@ -586,11 +586,13 @@ def test_interval_overlap_join_is_bucketed_not_nested_loop(spark):
         "corpus_chunk_overlap",
         "embedding_random_projection",
         "corpus_quality_resample",
+        "alto_transcript_extract",
     ],
 )
 def test_scan_fused_ops_have_no_exchange(spark, name):
-    """D40/D41/D43 claim to be pure scan-side projections/generators —
-    a shuffle appearing in any of these plans is a regression."""
+    """D40/D41/D43/D54 claim to be pure scan-side projections/
+    generators — a shuffle appearing in any of these plans is a
+    regression."""
     plan = build(spark, name)
     assert "Exchange" not in plan, f"{name} grew a shuffle"
 

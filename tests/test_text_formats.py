@@ -101,3 +101,60 @@ def test_csv_corrupt_records_are_isolated_not_fatal(spark, tmp_path):
     assert len(bad) == 2
     assert {r._corrupt_record for r in bad} == {"not,enough", "2,bob,oops"}
     df.unpersist()
+
+
+# ------------------------------------------------ ALTO XML (operators/alto)
+def test_alto_synth_extract_round_trip(spark):
+    """Synthesized ALTO parses back to the exact source text with
+    word order preserved across TextLine boundaries, and the
+    confidence mass matches the closed form."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import alto
+
+    rows = [
+        (1, "aa bbb c dddd ee fff gg hhhh iiii j"),  # 10 words, 2 lines
+        (2, "solo"),
+        (3, " ".join(f"w{i}" for i in range(17))),  # 17 words, 3 lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = alto.extract_transcript(
+        df.select(
+            "doc_id",
+            "text",
+            alto.synth_alto_xml(
+                F.col("text"), F.concat(F.lit("P"), F.col("doc_id"))
+            ).alias("alto_xml"),
+        )
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    for doc_id, text in rows:
+        r = by_id[doc_id]
+        assert r.transcript == text
+        words = text.split(" ")
+        assert r.n_words == len(words)
+        assert r.n_lines == (len(words) + 7) // 8
+        assert r.sum_wc_e2 == sum(len(w) % 10 for w in words)
+        assert r.page_id == f"P{doc_id}"
+
+
+def test_alto_extract_on_handwritten_nested_xml(spark):
+    """The extractor is schema-driven, not synthesis-driven: a
+    hand-written ALTO with multiple TextBlocks and attribute order
+    variations parses identically."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import alto
+
+    xml = (
+        '<alto><Layout><Page ID="pg9">'
+        '<TextBlock><TextLine><String WC="0.03" CONTENT="hello"/>'
+        '<String CONTENT="old" WC="0.09"/></TextLine></TextBlock>'
+        '<TextBlock><TextLine><String CONTENT="world" WC="0.05"/>'
+        "</TextLine></TextBlock>"
+        "</Page></Layout></alto>"
+    )
+    df = spark.createDataFrame([(1, xml)], "doc_id long, alto_xml string")
+    r = alto.extract_transcript(df).collect()[0]
+    assert r.transcript == "hello old world"
+    assert r.page_id == "pg9"
+    assert (r.n_words, r.n_lines) == (3, 2)
+    assert r.sum_wc_e2 == 3 + 9 + 5
