@@ -59,9 +59,17 @@ DELETE WHERE, DELETE..INSERT..WHERE with optional WITH graph and
 GRAPH blocks in templates — lowered to whole-quad null-safe semi/anti
 hash joins against the store, solution set computed once.
 
-Unsupported (not used by the reference files): ``*``/``+``/``?`` path
-modifiers (see ``triples.transitive_closure`` for the closure
-machinery), subqueries inside WHERE, blank-node syntax, HAVING.
+Closure property paths ``p+`` / ``p*`` / ``p?`` (postfix modifiers,
+composable with ``/ | ^`` and constant graph scoping) lower to the
+pointer-doubling ``triples.transitive_closure`` operator — the inner
+path evaluates to an edge DataFrame through the normal BGP machinery,
+closure is ceil(log2(depth)) keyed self-joins of the PAIR set, and
+``p*``'s identity set is the edge endpoints (the A28b contract).
+
+Unsupported (not used by the reference files): subqueries inside
+WHERE, blank-node syntax, HAVING, closure modifiers nested INSIDE a
+sequence/alternation (``(a+/b)``; top-level closure over any
+seq/alt/inverse body is supported).
 """
 
 from __future__ import annotations
@@ -695,8 +703,18 @@ class Parser:
             self.next()
             p = self.parse_path_alt()
             self.eat(")")
-            return p
-        return self.parse_iri()
+        else:
+            p = self.parse_iri()
+        # postfix closure modifiers: p+ (one-or-more), p* (zero-or-
+        # more), p? (zero-or-one); `? ` followed by a name is a VAR
+        # token, so a bare OP `?` here is unambiguous
+        while True:
+            t = self.peek()
+            if t is not None and t.kind == "OP" and t.text in "+*?":
+                self.next()
+                p = ({"+": "plus", "*": "star", "?": "opt"}[t.text], p)
+            else:
+                return p
 
     # -- expressions (precedence: || < && < unary ! < relational < primary)
     def parse_bracketed_expr(self):
@@ -1015,10 +1033,92 @@ class _Eval:
             cols |= self._triple_vars(pick)
         return ordered
 
+    _CLOSURE_KINDS = ("plus", "star", "opt")
+
+    def _closure_scan(self, t: Triple) -> DataFrame:
+        """Lower a closure-path triple (``p+``/``p*``/``p?``) to a pair
+        relation: the inner path's edge set evaluates through the
+        normal BGP machinery (so it composes with seq/alt/inverse and
+        graph scoping), then ``p+`` is the pointer-doubling transitive
+        closure of that DataFrame (ceil(log2(depth)) keyed self-joins,
+        never a corpus re-scan), ``p*`` adds the identity pair for
+        every edge endpoint (the A28b ``kg_path_zero_or_more``
+        contract), ``p?`` is edges plus those identities without the
+        closure. Constant ends filter the pair set; the result joins
+        into the group like any pattern scan."""
+        from prefect_flow_arc_kg_postgres_etl_spark.operators.triples import (
+            transitive_closure,
+        )
+
+        kind, inner = t.p
+        assert t.graph is None or not t.graph.startswith("?"), (
+            "closure paths need a constant graph scope"
+        )
+        sv, ov = _fresh_var(), _fresh_var()
+        edges_df: DataFrame | None = None
+        for alt in _expand_path_triple(Triple(sv, inner, ov, t.graph)):
+            part: DataFrame | None = None
+            for pat in alt:
+                scan = self.pattern_scan(pat)
+                part = scan if part is None else _join(part, scan)
+            assert part is not None
+            part = part.select(sv[1:], ov[1:])
+            edges_df = (
+                part if edges_df is None else edges_df.unionByName(part)
+            )
+        assert edges_df is not None
+        edges = edges_df.select(
+            F.col(sv[1:]).alias("child"), F.col(ov[1:]).alias("parent")
+        ).distinct()
+        if kind == "plus":
+            pairs = transitive_closure(edges)
+        else:
+            ident = (
+                edges.select(F.col("child").alias("node"))
+                .unionByName(edges.select(F.col("parent").alias("node")))
+                .distinct()
+            )
+            ident = ident.select("node", F.col("node").alias("ancestor"))
+            base = (
+                transitive_closure(edges)
+                if kind == "star"
+                else edges.select(
+                    F.col("child").alias("node"),
+                    F.col("parent").alias("ancestor"),
+                )
+            )
+            pairs = base.unionByName(ident).distinct()
+        sel: list[Column] = []
+        for term, col in ((t.s, "node"), (t.o, "ancestor")):
+            if term.startswith("?"):
+                sel.append(F.col(col).alias(term[1:]))
+                if col == "ancestor":
+                    sel.append(
+                        F.lit(None).cast("string").alias(term[1:] + "__lang")
+                    )
+            elif _is_lit(term):
+                pairs = pairs.filter(F.col(col) == _lit_parts(term)[0])
+            else:
+                pairs = pairs.filter(F.col(col) == term)
+        return pairs.select(*sel)
+
     def eval_triples(
         self, triples: list[Triple], acc: DataFrame | None
     ) -> DataFrame:
         for t in self._order_triples(triples, acc):
+            p = t.p
+            if (
+                isinstance(p, tuple)
+                and p[0] == "inv"
+                and isinstance(p[1], tuple)
+                and p[1][0] in self._CLOSURE_KINDS
+            ):
+                t = Triple(t.o, p[1], t.s, t.graph)
+                p = t.p
+            if isinstance(p, tuple) and p[0] in self._CLOSURE_KINDS:
+                part = self._closure_scan(t)
+                acc = part if acc is None else _join(acc, part)
+                continue
             alts = _expand_path_triple(t)
             parts: list[DataFrame] = []
             for alt in alts:

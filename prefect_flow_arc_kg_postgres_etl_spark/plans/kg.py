@@ -5020,6 +5020,56 @@ SELECT s, 'http://www.w3.org/ns/org#identifier',
 FROM orgs
 """
 
+def kg_path_text_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ``p+`` FROM QUERY TEXT (A71): ``?node <urn:kg:partOf>+
+    ?ancestor`` over the store's containment hierarchy — the text
+    compiler now parses the ``+``/``*``/``?`` postfix modifiers and
+    lowers them to the pointer-doubling closure operator (A28's
+    machinery: ceil(log2(depth)) keyed self-joins of the pair set,
+    exact pair-count fixpoint — never a corpus re-scan), so closure
+    queries compose with BGPs, inverse paths and graph scoping from
+    verbatim query text. Same edge relation as A28/A28b
+    (_hierarchy_edges), so the text path and the hand-built plan can
+    never diverge."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    edges = _hierarchy_edges(spark, sf_dir)
+    quads = edges.select(
+        F.col("child").alias("subject"),
+        F.lit("urn:kg:partOf").alias("predicate"),
+        F.col("parent").alias("object"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit("urn:kg:hierarchy").alias("graph"),
+    )
+    return SQ.select_query(
+        quads,
+        "SELECT ?node ?ancestor WHERE { ?node <urn:kg:partOf>+ ?ancestor }",
+    )
+
+
+KG_PATH_TEXT_CLOSURE_ORACLE = """
+WITH RECURSIVE edges AS (
+  SELECT 'O' || CAST(o_orderkey AS VARCHAR) AS child,
+         'C' || CAST(o_custkey AS VARCHAR) AS parent
+  FROM orders
+  UNION ALL
+  SELECT 'C' || CAST(c_custkey AS VARCHAR),
+         'N' || CAST(c_nationkey AS VARCHAR)
+  FROM customer
+  UNION ALL
+  SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+         'R' || CAST(n_regionkey AS VARCHAR)
+  FROM nation
+), closure AS (
+  SELECT child AS node, parent AS ancestor FROM edges
+  UNION
+  SELECT c.node, e.parent
+  FROM closure c JOIN edges e ON c.ancestor = e.child
+)
+SELECT node, ancestor FROM closure
+"""
+
+
 KG_UPDATE_REAL_TEXT_ORACLE = """
 WITH b AS (
   SELECT CASE WHEN o_orderkey % 2 = 0

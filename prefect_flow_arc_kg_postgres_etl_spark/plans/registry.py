@@ -778,6 +778,11 @@ _SPECS: dict[str, QuerySpec] = {
     "kg_update_real_text": QuerySpec(
         kg.kg_update_real_text, kg.KG_UPDATE_REAL_TEXT_ORACLE
     ),
+    # A71 (NEW r7): closure property paths (+/*/?) from query text —
+    # lowered to the pointer-doubling closure operator.
+    "kg_path_text_closure": QuerySpec(
+        kg.kg_path_text_closure, kg.KG_PATH_TEXT_CLOSURE_ORACLE
+    ),
     # B55 (NEW r7): TPC-H Q17 verbatim shape — dim filter pushed into
     # the avg subquery, broadcast slice, exact-cents final sum.
     "q17_small_qty_revenue": QuerySpec(
@@ -845,7 +850,8 @@ _SPECS: dict[str, QuerySpec] = {
 # B55/B56 TPC-H completions (q17_small_qty_revenue,
 # q22_dormant_customers) and the A70 DESCRIBE/UPDATE text forms
 # (kg_describe_real_text, kg_update_real_text) and the D54 ALTO
-# transcript extraction (alto_transcript_extract) — 45 for r8.
+# transcript extraction (alto_transcript_extract) and the A71 text
+# closure paths (kg_path_text_closure) — 46 for r8.
 DRIVER_WINDOW: list[str] = [
     # A-block: SPARQL forms, property paths, graph/store management,
     # update semantics, maintenance, sources, temporal reads.

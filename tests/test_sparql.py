@@ -510,3 +510,71 @@ def test_update_lang_tag_term_equality(spark):
     rows = [tuple(r) for r in delta.collect()]
     # only the nl-tagged term matches: (value, lang) is term identity
     assert rows == [("delete", "s1", "name", "Jan", "nl", "g")]
+
+
+# ------------------------------------------------------ path modifiers
+def _chain_quads(spark):
+    # a -> b -> c -> d plus a side edge x -> y
+    return _quads(
+        spark,
+        [
+            ("a", "p", "b", None, "g"),
+            ("b", "p", "c", None, "g"),
+            ("c", "p", "d", None, "g"),
+            ("x", "p", "y", None, "g"),
+        ],
+    )
+
+
+def test_path_plus_transitive_closure(spark):
+    out = SQ.select_query(
+        _chain_quads(spark), "SELECT ?s ?o WHERE { ?s <p>+ ?o }"
+    )
+    pairs = {(r.s, r.o) for r in out.collect()}
+    assert pairs == {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"), ("x", "y"),
+    }
+
+
+def test_path_star_adds_identity_and_constant_end(spark):
+    out = SQ.select_query(
+        _chain_quads(spark), "SELECT ?o WHERE { <b> <p>* ?o }"
+    )
+    assert {r.o for r in out.collect()} == {"b", "c", "d"}
+
+
+def test_path_opt_zero_or_one(spark):
+    out = SQ.select_query(
+        _chain_quads(spark), "SELECT ?o WHERE { <a> <p>? ?o }"
+    )
+    assert {r.o for r in out.collect()} == {"a", "b"}
+
+
+def test_path_plus_composes_with_bgp_join(spark):
+    quads = _quads(
+        spark,
+        [
+            ("a", "p", "b", None, "g"),
+            ("b", "p", "c", None, "g"),
+            ("c", "name", "Cee", "nl", "g"),
+        ],
+    )
+    out = SQ.construct_query(
+        quads,
+        """
+        PREFIX : <urn:>
+        CONSTRUCT { ?s :reaches ?n }
+        WHERE { ?s <p>+ ?o . ?o <name> ?n }
+        """,
+    )
+    assert {(r.subject, r.object) for r in out.collect()} == {
+        ("a", "Cee"), ("b", "Cee"),
+    }
+
+
+def test_path_inverse_of_closure(spark):
+    out = SQ.select_query(
+        _chain_quads(spark), "SELECT ?s WHERE { <d> ^<p>+ ?s }"
+    )
+    assert {r.s for r in out.collect()} == {"a", "b", "c"}
