@@ -66,10 +66,17 @@ path evaluates to an edge DataFrame through the normal BGP machinery,
 closure is ceil(log2(depth)) keyed self-joins of the PAIR set, and
 ``p*``'s identity set is the edge endpoints (the A28b contract).
 
-Unsupported (not used by the reference files): subqueries inside
-WHERE, blank-node syntax, HAVING, closure modifiers nested INSIDE a
-sequence/alternation (``(a+/b)``; top-level closure over any
-seq/alt/inverse body is supported).
+Subqueries (``{ SELECT ... }`` inside WHERE, evaluated once and joined
+on the projected variables), HAVING (aggregate calls hoisted into
+hidden columns of the same single aggregation) and blank-node property
+lists (``[ p o ; ... ]``, existentials lowered to fresh variables) are
+supported beyond the reference surface.
+
+Unsupported (not used by the reference files): closure modifiers
+nested INSIDE a sequence/alternation (``(a+/b)``; top-level closure
+over any seq/alt/inverse body is supported), VALUES inside a
+subselect projection, lang tags surviving subselect projection
+(outer joins on projected vars are value equality).
 """
 
 from __future__ import annotations
@@ -97,7 +104,7 @@ _TOKEN_RE = re.compile(
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*?:[A-Za-z0-9_\-\.]*[A-Za-z0-9_\-]|[A-Za-z_][A-Za-z0-9_\-]*:|:[A-Za-z0-9_\-\.]*[A-Za-z0-9_\-]|:)
   | (?P<NUMBER>[+-]?\d+(?:\.\d+)?)
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>\|\||&&|!=|<=|>=|[{}();,.|/^!=<>*+?])
+  | (?P<OP>\|\||&&|!=|<=|>=|[{}();,.|/^!=<>*+?\[\]])
   | (?P<WS>\s+)
     """,
     re.VERBOSE,
@@ -178,6 +185,7 @@ class Query:
     select: list = field(default_factory=list)
     distinct: bool = False
     group_by: list = field(default_factory=list)
+    having: Any = None  # expression over aggregates, applied post-agg
     order_by: list = field(default_factory=list)  # (var, ascending)
     limit: int | None = None
     offset: int | None = None
@@ -220,6 +228,7 @@ class Parser:
         self.prefixes: dict[str, str] = {}
         self._anon = 0
         self._graph_ctx: str | None = None  # for EXISTS groups in expressions
+        self._pending_bnodes: list[Triple] = []  # [ .. ] property lists
 
     # -- token helpers
     def peek(self, k: int = 0) -> Tok | None:
@@ -268,6 +277,19 @@ class Parser:
         if t.kind == "VAR":
             self.next()
             return "?" + t.text[1:]
+        if t.text == "[":
+            # WHERE-side blank node [ p o ; ... ]: an existential =
+            # a fresh variable; its property list queues as pending
+            # triples drained by the enclosing triples block.
+            self.next()
+            self._anon += 1
+            var = f"?__bn{self._anon}"
+            if not self.at("]"):
+                self._pending_bnodes.extend(
+                    self.parse_property_list(var, self._graph_ctx)
+                )
+            self.eat("]")
+            return var
         if t.kind == "STRING":
             self.next()
             value = _unescape(t.text[1:-1])
@@ -311,29 +333,7 @@ class Parser:
         elif self.at("SELECT"):
             form = "select"
             self.next()
-            if self.at("DISTINCT"):
-                distinct = True
-                self.next()
-            while True:
-                t = self.peek()
-                assert t is not None
-                if t.text == "*":
-                    self.next()
-                    break
-                if t.kind == "VAR":
-                    self.next()
-                    select.append(("var", t.text[1:]))
-                    continue
-                if t.text == "(":
-                    self.next()
-                    item = self._parse_projection_expr()
-                    self.eat("AS")
-                    alias = self.next()
-                    assert alias.kind == "VAR", "projection alias must be a var"
-                    self.eat(")")
-                    select.append((*item, alias.text[1:]))
-                    continue
-                break
+            select, distinct = self._parse_select_clause()
         elif self.at("ASK"):
             form = "ask"
             self.next()
@@ -366,6 +366,46 @@ class Parser:
             if self.at("WHERE"):
                 self.eat("WHERE")
             where = self.parse_group(graph=None)
+        mods = self._parse_solution_modifiers()
+        if self.peek() is not None:
+            raise SyntaxError(f"trailing tokens from {self.peek().text!r}")
+        return Query(
+            self.prefixes, template, datasets, where,
+            form=form, select=select, distinct=distinct, **mods,
+        )
+
+    def _parse_select_clause(self) -> tuple[list, bool]:
+        """Projection of a SELECT (after the SELECT keyword): DISTINCT,
+        ``*``, variables and ``(expr|agg AS ?v)`` items."""
+        select: list = []
+        distinct = False
+        if self.at("DISTINCT"):
+            distinct = True
+            self.next()
+        while True:
+            t = self.peek()
+            assert t is not None
+            if t.text == "*":
+                self.next()
+                break
+            if t.kind == "VAR":
+                self.next()
+                select.append(("var", t.text[1:]))
+                continue
+            if t.text == "(":
+                self.next()
+                item = self._parse_projection_expr()
+                self.eat("AS")
+                alias = self.next()
+                assert alias.kind == "VAR", "projection alias must be a var"
+                self.eat(")")
+                select.append((*item, alias.text[1:]))
+                continue
+            break
+        return select, distinct
+
+    def _parse_solution_modifiers(self) -> dict:
+        """GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET."""
         group_by: list = []
         order_by: list = []
         limit = offset = None
@@ -374,6 +414,10 @@ class Parser:
             self.eat("BY")
             while self.at_kind("VAR"):
                 group_by.append(self.next().text[1:])
+        having = None
+        if self.at("HAVING"):
+            self.next()
+            having = self.parse_bracketed_expr()
         if self.at("ORDER"):
             self.next()
             self.eat("BY")
@@ -396,12 +440,25 @@ class Parser:
         if self.at("OFFSET"):
             self.next()
             offset = int(self.next().text)
-        if self.peek() is not None:
-            raise SyntaxError(f"trailing tokens from {self.peek().text!r}")
+        return {
+            "group_by": group_by, "having": having, "order_by": order_by,
+            "limit": limit, "offset": offset,
+        }
+
+    def parse_subselect(self) -> Query:
+        """A subquery inside WHERE: ``{ SELECT ... WHERE { ... }
+        GROUP BY ... }`` (the opening ``{`` already consumed, the
+        closing one left for the caller). Scoped to the enclosing
+        GRAPH context, per spec."""
+        self.eat("SELECT")
+        select, distinct = self._parse_select_clause()
+        if self.at("WHERE"):
+            self.eat("WHERE")
+        where = self.parse_group(self._graph_ctx)
+        mods = self._parse_solution_modifiers()
         return Query(
-            self.prefixes, template, datasets, where,
-            form=form, select=select, distinct=distinct, group_by=group_by,
-            order_by=order_by, limit=limit, offset=offset,
+            self.prefixes, [], [], where,
+            form="select", select=select, distinct=distinct, **mods,
         )
 
     # -- update operations
@@ -565,6 +622,14 @@ class Parser:
             elif self.at("VALUES"):
                 self.next()
                 g.elements.append(self.parse_values())
+            elif self.at("{") and (
+                (nxt := self.peek(1)) is not None
+                and nxt.kind == "NAME"
+                and nxt.text.upper() == "SELECT"
+            ):
+                self.next()
+                g.elements.append(("subselect", self.parse_subselect()))
+                self.eat("}")
             elif self.at("{"):
                 first = self.parse_group(graph)
                 if self.at("UNION"):
@@ -631,12 +696,15 @@ class Parser:
             t = self.peek()
             if (
                 t is None
-                or t.text in ("}", "{")
+                or t.text in ("}", "{", "]")
                 or (t.kind == "NAME" and t.text.upper() in self._KEYWORDS)
             ):
                 return out
             subj = self.parse_term()
             out.extend(self.parse_property_list(subj, graph))
+            if self._pending_bnodes:
+                out.extend(self._pending_bnodes)
+                self._pending_bnodes = []
             # tolerate any run of '.' separators (the reference files mix
             # '.', ';}' and bare '}' termination styles)
             while self.at("."):
@@ -652,7 +720,7 @@ class Parser:
             t = self.peek()
             if (
                 t is None
-                or t.text in ("}", ".", "{")
+                or t.text in ("}", ".", "{", "]")
                 or (t.kind == "NAME" and t.text.upper() in self._KEYWORDS)
             ):
                 return out
@@ -778,6 +846,10 @@ class Parser:
         self.eat("(")
         args = []
         while not self.at(")"):
+            if self.at("*"):  # COUNT(*) in a HAVING expression
+                self.next()
+                args.append(("star",))
+                continue
             args.append(self.parse_expr())
             if self.at(","):
                 self.next()
@@ -1216,6 +1288,16 @@ class _Eval:
                         for p in parts[1:]:
                             res = res.unionByName(p, allowMissingColumns=True)
                         acc = res
+            elif kind == "subselect":
+                # { SELECT ... }: evaluate the subquery to a solution
+                # set and join it on its projected variables. Projected
+                # columns are plain values (lang tags do not survive
+                # projection — the outer join is value equality).
+                sub = el[1]
+                sub_bindings = self.eval_group(sub.where, None)
+                assert sub_bindings is not None, "empty subselect WHERE"
+                sub_df = _lower_select(self, sub, sub_bindings)
+                acc = sub_df if acc is None else _join(acc, sub_df)
             elif kind == "group":
                 inner = self.eval_group(el[1], None)
                 if inner is not None:
@@ -1473,6 +1555,14 @@ def select_query(
             [(("true" if n else "false"),)], "ask string"
         )
     assert query.form == "select", f"use construct_query for {query.form}"
+    return _lower_select(ev, query, bindings)
+
+
+def _lower_select(ev: "_Eval", query: Query, bindings: DataFrame) -> DataFrame:
+    """Projection/aggregation/modifier lowering of a (sub)SELECT over
+    an evaluated solution set — shared by ``select_query`` and the
+    ``{ SELECT ... }`` subquery element (whose output joins back into
+    the enclosing group on its projected variables)."""
 
     def agg_col(func: str, arg, distinct: bool) -> Column:
         if func == "COUNT":
@@ -1497,10 +1587,42 @@ def select_query(
                 assert item[1] in query.group_by, (
                     f"non-aggregated ?{item[1]} must appear in GROUP BY"
                 )
+        having = query.having
+        if having is not None:
+            # HAVING references aggregates directly (COUNT(*) > n):
+            # hoist each aggregate call into a hidden output column and
+            # rewrite the expression to reference it — one aggregation,
+            # filter applied post-agg, hidden columns dropped.
+            def hoist(e):
+                if isinstance(e, tuple):
+                    if e[0] == "call" and e[1] in Parser._AGG_FUNCS:
+                        args = e[2]
+                        arg = (
+                            None
+                            if not args or args[0] == ("star",)
+                            else args[0]
+                        )
+                        name = f"__hav{len(aggs)}"
+                        aggs.append(agg_col(e[1], arg, False).alias(name))
+                        return ("var", "?" + name)
+                    return tuple(
+                        hoist(x) if isinstance(x, (tuple, list)) else x
+                        for x in e
+                    )
+                if isinstance(e, list):
+                    return [
+                        hoist(x) if isinstance(x, (tuple, list)) else x
+                        for x in e
+                    ]
+                return e
+
+            having = hoist(having)
         out = bindings.groupBy(*query.group_by).agg(*aggs)
+        if having is not None:
+            out = out.filter(ev.to_column(having, out))
         keep = [
             i[1] if i[0] == "var" else i[-1] for i in query.select
-        ] or out.columns
+        ] or [c for c in out.columns if not c.startswith("__hav")]
         out = out.select(*keep)
     else:
         cols: list[Column] = []

@@ -5020,6 +5020,50 @@ SELECT s, 'http://www.w3.org/ns/org#identifier',
 FROM orgs
 """
 
+_SUBSELECT_TEXT = """
+PREFIX haOrg: <https://data.hetarchief.be/ns/organization/>
+PREFIX org: <http://www.w3.org/ns/org#>
+PREFIX schema: <https://schema.org/>
+PREFIX graph: <https://data.hetarchief.be/graph/>
+SELECT ?maintainer_id ?n_entities WHERE {
+  GRAPH graph:organization {
+    ?m a haOrg:ContentPartner ; org:identifier ?maintainer_id
+  }
+  { SELECT ?m (COUNT(*) AS ?n_entities)
+    WHERE { GRAPH ?g2 { [ schema:maintainer ?m ] } }
+    GROUP BY ?m HAVING(COUNT(*) >= 600) }
+}
+"""
+
+
+def kg_select_subquery_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL SUBSELECT + HAVING + blank-node syntax from TEXT (A72):
+    ``{ SELECT ?m (COUNT(*) AS ?n) WHERE { [ schema:maintainer ?m ] }
+    GROUP BY ?m HAVING(COUNT(*) >= t) }`` nested inside an outer BGP —
+    the aggregation runs ONCE in the subquery (grouped pre-aggregation
+    below the join, exactly the TPC-H Q13-style plan Catalyst cannot
+    derive if the engine forced the join first), HAVING hoists its
+    aggregate into a hidden output column of the same single
+    aggregation, and the ``[ .. ]`` existential lowers to a fresh
+    variable. High-volume ContentPartners only — the HAVING threshold
+    genuinely filters at the graded scale."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    return SQ.select_query(_sparql_person_quads(spark, sf_dir), _SUBSELECT_TEXT)
+
+
+KG_SELECT_SUBQUERY_TEXT_ORACLE = """
+WITH per_org AS (
+  SELECT c_nationkey AS k, COUNT(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey
+)
+SELECT 'OR-' || CAST(k AS VARCHAR) AS maintainer_id, n AS n_entities
+FROM per_org
+WHERE k % 5 <> 4 AND n >= 600
+"""
+
+
 def kg_path_text_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL ``p+`` FROM QUERY TEXT (A71): ``?node <urn:kg:partOf>+
     ?ancestor`` over the store's containment hierarchy — the text

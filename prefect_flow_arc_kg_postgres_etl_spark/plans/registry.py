@@ -778,6 +778,11 @@ _SPECS: dict[str, QuerySpec] = {
     "kg_update_real_text": QuerySpec(
         kg.kg_update_real_text, kg.KG_UPDATE_REAL_TEXT_ORACLE
     ),
+    # A72 (NEW r7): subselect + HAVING + blank-node syntax from text —
+    # grouped pre-aggregation below the join, single-agg HAVING hoist.
+    "kg_select_subquery_text": QuerySpec(
+        kg.kg_select_subquery_text, kg.KG_SELECT_SUBQUERY_TEXT_ORACLE
+    ),
     # A71 (NEW r7): closure property paths (+/*/?) from query text —
     # lowered to the pointer-doubling closure operator.
     "kg_path_text_closure": QuerySpec(
@@ -851,7 +856,8 @@ _SPECS: dict[str, QuerySpec] = {
 # q22_dormant_customers) and the A70 DESCRIBE/UPDATE text forms
 # (kg_describe_real_text, kg_update_real_text) and the D54 ALTO
 # transcript extraction (alto_transcript_extract) and the A71 text
-# closure paths (kg_path_text_closure) — 46 for r8.
+# closure paths (kg_path_text_closure) and the A72 subselect/HAVING/
+# blank-node text form (kg_select_subquery_text) — 47 for r8.
 DRIVER_WINDOW: list[str] = [
     # A-block: SPARQL forms, property paths, graph/store management,
     # update semantics, maintenance, sources, temporal reads.

@@ -578,3 +578,75 @@ def test_path_inverse_of_closure(spark):
         _chain_quads(spark), "SELECT ?s WHERE { <d> ^<p>+ ?s }"
     )
     assert {r.s for r in out.collect()} == {"a", "b", "c"}
+
+
+# -------------------------------------- subselect / HAVING / blank nodes
+def test_having_hoists_aggregates(spark):
+    quads = _quads(
+        spark,
+        [
+            ("s1", "p", "a", None, "g"),
+            ("s1", "p", "b", None, "g"),
+            ("s2", "p", "c", None, "g"),
+        ],
+    )
+    out = SQ.select_query(
+        quads,
+        "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s <p> ?o } "
+        "GROUP BY ?s HAVING(COUNT(*) > 1)",
+    )
+    assert [tuple(r) for r in out.collect()] == [("s1", 2)]
+    # compound HAVING mixing two aggregate hoists
+    out2 = SQ.select_query(
+        quads,
+        "SELECT ?s WHERE { ?s <p> ?o } "
+        'GROUP BY ?s HAVING(COUNT(*) >= 2 && MIN(?o) = "a")',
+    )
+    assert [r.s for r in out2.collect()] == ["s1"]
+
+
+def test_subselect_aggregate_joins_outer(spark):
+    quads = _quads(
+        spark,
+        [
+            ("u1", "bought", "a", None, "g"),
+            ("u1", "bought", "b", None, "g"),
+            ("u2", "bought", "a", None, "g"),
+            ("u1", "name", "Ann", None, "g"),
+            ("u2", "name", "Bob", None, "g"),
+        ],
+    )
+    out = SQ.select_query(
+        quads,
+        """
+        SELECT ?n ?cnt WHERE {
+          ?u <name> ?n .
+          { SELECT ?u (COUNT(*) AS ?cnt) WHERE { ?u <bought> ?x }
+            GROUP BY ?u }
+        }
+        """,
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [("Ann", 2), ("Bob", 1)]
+
+
+def test_blank_node_property_list(spark):
+    quads = _quads(
+        spark,
+        [
+            ("s1", "knows", "p1", None, "g"),
+            ("p1", "name", "Ann", None, "g"),
+            ("p1", "age", "30", None, "g"),
+            ("s2", "knows", "p2", None, "g"),
+            ("p2", "name", "Bob", None, "g"),
+        ],
+    )
+    out = SQ.select_query(
+        quads,
+        'SELECT ?s WHERE { ?s <knows> [ <name> "Ann" ; <age> ?a ] }',
+    )
+    assert [r.s for r in out.collect()] == ["s1"]
+    # nested blank nodes: both levels become existentials
+    out2 = SQ.select_query(
+        quads, "SELECT ?n WHERE { [ <knows> [ <name> ?n ] ] }"
+    )
+    assert sorted(r.n for r in out2.collect()) == ["Ann", "Bob"]
