@@ -387,3 +387,122 @@ def bigram_lm(
             ).alias("cond_p"),
         )
     )
+
+
+def _bpe_lit(s: str) -> str:
+    """Escape a data-derived symbol for splicing into a Spark SQL
+    string literal (symbols come from corpus text, not trusted)."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _bpe_flags_expr(a: str, b: str) -> str:
+    """Boolean flag per 1-based symbol position: does a merge of pair
+    (a, b) START here under greedy leftmost-non-overlapping BPE?
+
+    The sequential greedy scan is re-expressed POSITIONALLY so both
+    engines evaluate the identical closed form. For a != b two match
+    positions can never be adjacent (that would need b == a), so every
+    match merges. For a == b, matches chain through runs of the same
+    symbol and greedy-leftmost merges exactly the even offsets within
+    each run: the offset is recovered as i-1-lastbreak(i), where
+    lastbreak is the largest position before i holding a different
+    symbol (a bounded fold over the prefix — words are short; this is
+    O(len^2) per word on arrays already in memory, not a shuffle).
+
+    Operates on a materialized ``syms`` array column — NOT a re-split
+    of a string column: re-splitting inside every subexpression made
+    the per-round tree ~10x bigger, and four nested rounds blew
+    Catalyst analysis past any timeout."""
+    qa, qb = _bpe_lit(a), _bpe_lit(b)
+    same = "true" if a == b else "false"
+    return f"""
+    transform(sequence(1, size(syms)), i ->
+      element_at(syms, i) = '{qa}'
+      AND i < size(syms)
+      AND element_at(syms, i + 1) = '{qb}'
+      AND (NOT {same}
+           OR (i - 1 - (CASE WHEN i = 1 THEN 0 ELSE
+                 aggregate(sequence(1, i - 1), 0, (acc, j) ->
+                   IF(element_at(syms, j) != '{qa}', j, acc))
+               END)) % 2 = 0))
+    """
+
+
+_BPE_APPLY_EXPR = """
+transform(
+  filter(sequence(1, size(syms)),
+         i -> NOT (i > 1 AND element_at(__bpe_flags, i - 1))),
+  i -> IF(element_at(__bpe_flags, i), '{m}',
+          element_at(syms, i)))
+"""
+
+
+def bpe_learn(words_df: DataFrame, rounds: int = 4) -> DataFrame:
+    """Learn BPE merges from a (word, cnt) vocabulary — the tokenizer-
+    training pass of an LLM data pipeline. Each round: count adjacent
+    symbol pairs weighted by word frequency (ONE shuffle on the pair
+    key — the vocabulary is orders of magnitude smaller than the
+    corpus, which is the whole point of counting over the vocab), pick
+    the global argmax with a deterministic tiebreak (count desc, pair
+    asc — one 1-row collect per round, the same driver-coordination
+    pattern as the k-means/PageRank iterations), and apply the merge
+    to every word's segmentation scan-side. Returns the merge table
+    (rnd, sym_left, sym_right, merged, pair_count) — K rows.
+
+    Greedy leftmost application is positional (``_bpe_flags_expr``), so
+    a SQL oracle can unroll the rounds and reproduce every merge
+    decision bit-for-bit, including the equal-symbol run case ('t t'
+    in 'tttt' merges twice, never overlapping).
+    """
+    spark = words_df.sparkSession
+    # The vocabulary (post word-count) is orders of magnitude smaller
+    # than the corpus — materialize it once, then truncate lineage per
+    # round: without the checkpoint each round's seg column nests the
+    # previous round's whole expression tree (~10x growth per round)
+    # and every 1-row argmax collect replays all prior rounds.
+    cur = words_df.select(
+        F.col("cnt"),
+        F.split(
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), " "
+        ).alias("syms"),
+    ).localCheckpoint()
+    merges: list[tuple] = []
+    for rnd in range(rounds):
+        syms = F.col("syms")
+        pairs = cur.filter(F.size(syms) >= 2).select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.concat(
+                        F.element_at(syms, i), F.lit(" "),
+                        F.element_at(syms, i + 1),
+                    ),
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0].pair.split(" ")
+        merges.append((rnd, a, b, a + b, top[0].pair_count))
+        cur = (
+            cur.withColumn("__bpe_flags", F.expr(_bpe_flags_expr(a, b)))
+            .withColumn(
+                "syms",
+                F.expr(_BPE_APPLY_EXPR.format(m=_bpe_lit(a + b))),
+            )
+            .drop("__bpe_flags")
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        merges,
+        "rnd int, sym_left string, sym_right string, "
+        "merged string, pair_count long",
+    )

@@ -2381,3 +2381,82 @@ SELECT doc_id,
          AS sum_wc_e2
 FROM w
 """
+
+
+# ------------------------------------ D55 BPE merge learning (r7)
+_BPE_ROUNDS = 4
+
+
+def corpus_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D55 (r7): BPE MERGE LEARNING — the tokenizer-training pass.
+    Word-frequency vocabulary (one corpus shuffle; the iterative part
+    then runs over the VOCAB, orders of magnitude smaller than the
+    corpus — the standard trick that makes BPE training tractable at
+    100 TB), then per round: adjacent-pair counts weighted by word
+    frequency (one tiny shuffle on the pair key), deterministic global
+    argmax (count desc, pair asc; 1-row collect — the k-means/PageRank
+    driver-coordination pattern), merge applied scan-side. Greedy
+    leftmost application is POSITIONAL (operators/text.bpe_learn:
+    equal-symbol runs merge at even offsets via a last-break-index
+    fold), so the unrolled SQL oracle reproduces every merge decision
+    bit-for-bit — the iterative ALGORITHM is oracle-checked, not just
+    its output shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return TX.bpe_learn(words, rounds=_BPE_ROUNDS)
+
+
+def _bpe_oracle(rounds: int) -> str:
+    ctes = [
+        """w0 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+), seg0 AS (
+  SELECT cnt, TRIM(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seg FROM w0
+)"""
+    ]
+    for r in range(rounds):
+        ctes.append(f"""pc{r} AS (
+  SELECT string_split(seg, ' ')[i] || ' ' || string_split(seg, ' ')[i+1]
+           AS pair, cnt
+  FROM seg{r}, UNNEST(range(1, len(string_split(seg, ' ')))) AS t(i)
+  WHERE len(string_split(seg, ' ')) >= 2
+), top{r} AS (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count,
+         split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+  FROM pc{r} GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 1
+), seg{r + 1} AS (
+  SELECT cnt,
+    array_to_string(
+      list_transform(
+        list_filter(range(1, len(syms) + 1),
+                    i -> NOT (i > 1 AND flags[i - 1])),
+        i -> CASE WHEN flags[i] THEN a || b ELSE syms[i] END),
+      ' ') AS seg
+  FROM (
+    SELECT s.cnt, s.syms, t.a, t.b,
+      list_transform(range(1, len(syms) + 1), i ->
+        syms[i] = t.a AND i < len(syms) AND syms[i + 1] = t.b
+        AND (t.a != t.b
+             OR (i - 1 - list_reduce(list_prepend(0, range(1, i)),
+                   (acc, j) -> CASE WHEN syms[j] != t.a THEN j
+                               ELSE acc END)) % 2 = 0)
+      ) AS flags
+    FROM (SELECT cnt, string_split(seg, ' ') AS syms FROM seg{r}) s,
+         top{r} t
+  )
+)""")
+    selects = [
+        f"SELECT CAST({r} AS INTEGER) AS rnd, a AS sym_left, b AS sym_right,"
+        f" a || b AS merged, pair_count FROM top{r}"
+        for r in range(rounds)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+CORPUS_BPE_ORACLE = _bpe_oracle(_BPE_ROUNDS)

@@ -778,6 +778,11 @@ _SPECS: dict[str, QuerySpec] = {
     "kg_update_real_text": QuerySpec(
         kg.kg_update_real_text, kg.KG_UPDATE_REAL_TEXT_ORACLE
     ),
+    # D55 (NEW r7): BPE merge learning over the vocabulary — the
+    # iterative tokenizer-training algorithm, oracle-unrolled.
+    "corpus_bpe_learn": QuerySpec(
+        pipeline.corpus_bpe_learn, pipeline.CORPUS_BPE_ORACLE
+    ),
     # A72 (NEW r7): subselect + HAVING + blank-node syntax from text —
     # grouped pre-aggregation below the join, single-agg HAVING hoist.
     "kg_select_subquery_text": QuerySpec(

@@ -291,3 +291,50 @@ def test_chunk_overlap_reconstructs_documents(spark):
         assert rebuilt == texts[doc_id], f"doc {doc_id} does not tile"
         for a, b in zip(ordered, ordered[1:]):
             assert a[_CHUNK_S:] == b[: _CHUNK_W - _CHUNK_S], "overlap mismatch"
+
+
+def test_bpe_learn_greedy_leftmost_and_equal_symbol_runs(spark):
+    """BPE merge learning (D55): pin the greedy leftmost-non-overlapping
+    contract against a hand-computed vocabulary, including the
+    equal-symbol run case where 'tttt' must merge as (tt)(tt) — two
+    non-overlapping merges, never three overlapping ones."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.text import bpe_learn
+
+    words = spark.createDataFrame(
+        [("tttt", 10), ("low", 6), ("lower", 2)], "w string, cnt long"
+    )
+    got = {r["rnd"]: r for r in bpe_learn(words, rounds=3).collect()}
+    # Round 0: pairs — (t,t) appears 3x per 'tttt' occurrence = 30;
+    # (l,o) = 8; (o,w) = 8; (w,e) = 2; (e,r) = 2. Argmax = (t,t).
+    assert (got[0]["sym_left"], got[0]["sym_right"]) == ("t", "t")
+    assert got[0]["pair_count"] == 30
+    # Round 1: 'tttt' is now [tt, tt] (greedy leftmost: offsets 0 and 2;
+    # the overlapping middle pair must NOT have merged). (tt,tt) = 10;
+    # (l,o) = 8 — tiebreak/count picks (tt,tt) only if runs merged right.
+    assert (got[1]["sym_left"], got[1]["sym_right"]) == ("tt", "tt")
+    assert got[1]["pair_count"] == 10
+    # Round 2: (l,o) = 8 beats (o,w) = 8 on the pair-asc tiebreak.
+    assert (got[2]["sym_left"], got[2]["sym_right"]) == ("l", "o")
+    assert got[2]["pair_count"] == 8
+
+
+def test_bpe_learn_quote_and_odd_run_symbols(spark):
+    """Symbols are data-derived: quotes must be escaped when spliced
+    into the flag expression, and an ODD-length equal-symbol run must
+    merge floor(n/2) times ('ttt' -> [tt, t])."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.text import bpe_learn
+
+    words = spark.createDataFrame(
+        [("t't't", 5), ("ttt", 4)], "w string, cnt long"
+    )
+    rows = bpe_learn(words, rounds=2).collect()
+    got = {r["rnd"]: r for r in rows}
+    # Round 0 pairs: (t,') = 10, (',t) = 10, (t,t) = 8 -> tiebreak asc
+    # picks "' t" (quote sorts below 't').
+    assert (got[0]["sym_left"], got[0]["sym_right"]) == ("'", "t")
+    assert got[0]["pair_count"] == 10
+    # After merging: t't't -> [t, 't, 't]; ttt -> unchanged.
+    # Round 1 pairs: (t,'t) = 5, ('t,'t) = 5, (t,t) = 8 -> (t,t) wins;
+    # 'ttt' merges once (greedy leftmost, odd run).
+    assert (got[1]["sym_left"], got[1]["sym_right"]) == ("t", "t")
+    assert got[1]["pair_count"] == 8
