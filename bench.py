@@ -125,6 +125,11 @@ HEADLINE = [
     # correlated average and Q22's anti-joined dormant-customer report.
     "q17_small_qty_revenue",
     "q22_dormant_customers",
+    # Round-7 fifth append: scan-side ALTO OCR extraction and BPE
+    # tokenizer training+application (vocab-bounded loop, corpus
+    # touched twice; encode runs the learn loop internally).
+    "alto_transcript_extract",
+    "corpus_bpe_encode",
 ]
 
 

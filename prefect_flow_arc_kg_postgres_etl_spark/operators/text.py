@@ -454,13 +454,40 @@ def bpe_learn(words_df: DataFrame, rounds: int = 4) -> DataFrame:
     decision bit-for-bit, including the equal-symbol run case ('t t'
     in 'tttt' merges twice, never overlapping).
     """
-    spark = words_df.sparkSession
+    merges, _ = _bpe_iterate(words_df, rounds)
+    return words_df.sparkSession.createDataFrame(
+        merges,
+        "rnd int, sym_left string, sym_right string, "
+        "merged string, pair_count long",
+    )
+
+
+def bpe_segment(words_df: DataFrame, rounds: int = 4) -> DataFrame:
+    """Learn ``rounds`` BPE merges over the (w, cnt) vocabulary and
+    return each word's FINAL segmentation: (w, n_tokens). The loop's
+    working set already holds every vocab word's segmentation after
+    the last merge, so tokenizer APPLICATION is free once training
+    ends — the corpus itself is never touched here; callers broadcast
+    this vocab-sized table back onto the corpus (one join), which is
+    what keeps per-document token counting corpus-linear."""
+    _, cur = _bpe_iterate(words_df, rounds)
+    return cur.select(
+        "w", F.size("syms").cast("long").alias("n_tokens")
+    )
+
+
+def _bpe_iterate(
+    words_df: DataFrame, rounds: int
+) -> tuple[list[tuple], DataFrame]:
+    """Shared merge-learning loop: returns (merge rows, final working
+    set (w, cnt, syms))."""
     # The vocabulary (post word-count) is orders of magnitude smaller
     # than the corpus — materialize it once, then truncate lineage per
     # round: without the checkpoint each round's seg column nests the
     # previous round's whole expression tree (~10x growth per round)
     # and every 1-row argmax collect replays all prior rounds.
     cur = words_df.select(
+        F.col("w"),
         F.col("cnt"),
         F.split(
             F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), " "
@@ -501,8 +528,4 @@ def bpe_learn(words_df: DataFrame, rounds: int = 4) -> DataFrame:
             .drop("__bpe_flags")
             .localCheckpoint()
         )
-    return spark.createDataFrame(
-        merges,
-        "rnd int, sym_left string, sym_right string, "
-        "merged string, pair_count long",
-    )
+    return merges, cur

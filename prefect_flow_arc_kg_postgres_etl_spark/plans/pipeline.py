@@ -2417,7 +2417,7 @@ def _bpe_oracle(rounds: int) -> str:
   FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
   GROUP BY w
 ), seg0 AS (
-  SELECT cnt, TRIM(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seg FROM w0
+  SELECT w, cnt, TRIM(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seg FROM w0
 )"""
     ]
     for r in range(rounds):
@@ -2431,7 +2431,7 @@ def _bpe_oracle(rounds: int) -> str:
          split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
   FROM pc{r} GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 1
 ), seg{r + 1} AS (
-  SELECT cnt,
+  SELECT w, cnt,
     array_to_string(
       list_transform(
         list_filter(range(1, len(syms) + 1),
@@ -2439,7 +2439,7 @@ def _bpe_oracle(rounds: int) -> str:
         i -> CASE WHEN flags[i] THEN a || b ELSE syms[i] END),
       ' ') AS seg
   FROM (
-    SELECT s.cnt, s.syms, t.a, t.b,
+    SELECT s.w, s.cnt, s.syms, t.a, t.b,
       list_transform(range(1, len(syms) + 1), i ->
         syms[i] = t.a AND i < len(syms) AND syms[i + 1] = t.b
         AND (t.a != t.b
@@ -2447,7 +2447,7 @@ def _bpe_oracle(rounds: int) -> str:
                    (acc, j) -> CASE WHEN syms[j] != t.a THEN j
                                ELSE acc END)) % 2 = 0)
       ) AS flags
-    FROM (SELECT cnt, string_split(seg, ' ') AS syms FROM seg{r}) s,
+    FROM (SELECT w, cnt, string_split(seg, ' ') AS syms FROM seg{r}) s,
          top{r} t
   )
 )""")
@@ -2460,3 +2460,52 @@ def _bpe_oracle(rounds: int) -> str:
 
 
 CORPUS_BPE_ORACLE = _bpe_oracle(_BPE_ROUNDS)
+
+
+# ------------------------------------ D56 BPE tokenizer application (r7)
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D56 (r7): BPE TOKENIZER APPLICATION — per-document token counts
+    under the D55-learned merges. The scale shape is the point: the
+    iterative loop never sees the corpus (it runs over the word-count
+    VOCAB, and the loop's working set already holds every word's final
+    segmentation when training ends, so application is free); the
+    corpus is touched exactly twice — one explode+count to build the
+    vocab, one BROADCAST join of the vocab-sized (word -> n_tokens)
+    table back onto the exploded words. No quadratic re-segmentation
+    of documents, no corpus-wide merge rewriting. Exact integers end
+    to end; oracle = the D55 unrolled merge chain + the same join."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    seg = TX.bpe_segment(vocab, rounds=_BPE_ROUNDS)
+    return (
+        words.join(F.broadcast(seg), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    learn = _bpe_oracle(rounds)
+    ctes = learn[len("WITH ") : learn.index("\nSELECT CAST(0 AS INTEGER)")]
+    return f"""WITH {ctes},
+tok AS (
+  SELECT w, CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_tokens
+  FROM seg{rounds}
+), dw AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+)
+SELECT dw.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens
+FROM dw JOIN tok t USING (w)
+GROUP BY dw.doc_id
+"""
+
+
+CORPUS_BPE_ENCODE_ORACLE = _bpe_encode_oracle(_BPE_ROUNDS)

@@ -43,12 +43,15 @@ class QuerySpec:
 # had never had a driver row (50/50 green); r7 (below) grades 50 MORE
 # never-checked entries including the round's new operators
 # (index_partition_rename_invalidation, kg_construct_real_query{,_org,
-# _deletes}). After r7 the never-driver-checked residue is the 31
-# entries listed above DRIVER_WINDOW plus the six late-r7 verbatim
-# SPARQL entries (kg_construct_real_query_{newspaper,iiif,issues,
-# av_audio,av_video,av_complex}) and the A68 view-pipeline composition
-# (flow_kg_view_load) and the A69 SELECT/ASK text forms — 40
-# total, the explicit r8 window.
+# _deletes}). After r7 the never-driver-checked residue is 49
+# oracle-backed entries: the 31 listed above DRIVER_WINDOW plus the
+# six late-r7 verbatim SPARQL entries (kg_construct_real_query_
+# {newspaper,iiif,issues,av_audio,av_video,av_complex}), the A68
+# view-pipeline composition (flow_kg_view_load), the A69-A72 text
+# forms (kg_{select,ask,describe,update}_real_text,
+# kg_path_text_closure, kg_select_subquery_text), D54
+# alto_transcript_extract and D55/D56 corpus_bpe_{learn,encode} —
+# 49 <= 50, so the r8 window closes driver coverage completely.
 _SPECS: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
@@ -782,6 +785,11 @@ _SPECS: dict[str, QuerySpec] = {
     # iterative tokenizer-training algorithm, oracle-unrolled.
     "corpus_bpe_learn": QuerySpec(
         pipeline.corpus_bpe_learn, pipeline.CORPUS_BPE_ORACLE
+    ),
+    # D56 (NEW r7): BPE tokenizer application — vocab-bounded iterative
+    # phase, corpus touched twice (explode + broadcast join back).
+    "corpus_bpe_encode": QuerySpec(
+        pipeline.corpus_bpe_encode, pipeline.CORPUS_BPE_ENCODE_ORACLE
     ),
     # A72 (NEW r7): subselect + HAVING + blank-node syntax from text —
     # grouped pre-aggregation below the join, single-agg HAVING hoist.

@@ -338,3 +338,17 @@ def test_bpe_learn_quote_and_odd_run_symbols(spark):
     # 'ttt' merges once (greedy leftmost, odd run).
     assert (got[1]["sym_left"], got[1]["sym_right"]) == ("t", "t")
     assert got[1]["pair_count"] == 8
+
+
+def test_bpe_segment_final_token_counts(spark):
+    """bpe_segment (D56's vocab half) returns each word's token count
+    under the learned merges: after (t,t) then (tt,tt) then (l,o),
+    'tttt' is one token, 'low' is two, 'lower' is four."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.text import bpe_segment
+
+    words = spark.createDataFrame(
+        [("tttt", 10), ("low", 6), ("lower", 2)], "w string, cnt long"
+    )
+    got = {r["w"]: r["n_tokens"] for r in bpe_segment(words, rounds=3).collect()}
+    # merges learned: (t,t)->tt, (tt,tt)->tttt, (l,o)->lo
+    assert got == {"tttt": 1, "low": 2, "lower": 4}
