@@ -970,6 +970,18 @@ def _join(a: DataFrame, b: DataFrame, how: str = "inner") -> DataFrame:
     return out.select(*keep)
 
 
+def _expr_has_exists(e) -> bool:
+    """True if the expression AST contains an EXISTS subgroup (those
+    need accumulator-correlated evaluation — never fusible)."""
+    if isinstance(e, tuple):
+        if e[0] == "exists_expr":
+            return True
+        return any(_expr_has_exists(p) for p in e[1:])
+    if isinstance(e, list):
+        return any(_expr_has_exists(p) for p in e)
+    return False
+
+
 class _Eval:
     def __init__(
         self,
@@ -1105,6 +1117,169 @@ class _Eval:
             cols |= self._triple_vars(pick)
         return ordered
 
+    def _fuse_union_branches(
+        self, groups: list["Group"], acc: DataFrame | None
+    ) -> tuple[list[DataFrame], list["Group"]]:
+        """UNION branch fusion — the posting-list optimization for the
+        production query shape ``{?e p1 ?v1} UNION {?e p2 ?v2} UNION
+        ...`` (newspaper.sparql strings 20+ such branches together):
+        every single-triple branch with a constant predicate, variable
+        subject/object and a constant graph scope compiles into ONE
+        scan of ``predicate IN (p1..pn)`` whose rows map to per-branch
+        columns by a predicate test, instead of n separate scans +
+        plan trees. Branch-local FILTERs apply predicate-guarded (a
+        row only has to satisfy its own branch's filter); BINDs add
+        predicate-guarded columns. Exact bag semantics: each quad row
+        matches exactly one branch because fused predicates are kept
+        pairwise distinct — duplicates, multi-triple branches, paths,
+        variable predicates/graphs and EXISTS expressions stay on the
+        general per-branch path. Returns (fused frames, remaining
+        groups)."""
+        cands: list[tuple | None] = []
+        for g in groups:
+            t = None
+            extras: list = []
+            ok = True
+            for el in g.elements:
+                if el[0] == "triple":
+                    if t is not None:
+                        ok = False
+                        break
+                    t = el[1]
+                elif el[0] in ("filter", "bind"):
+                    extras.append(el)
+                else:
+                    ok = False
+                    break
+            if (
+                not ok
+                or t is None
+                or not isinstance(t.p, str)
+                or t.p.startswith("?")
+                or "|" in t.p
+                or not t.s.startswith("?")
+                or not t.o.startswith("?")
+                or t.s == t.o
+                or (
+                    t.graph is not None
+                    and t.graph.startswith("?")
+                    and t.graph in (t.s, t.o)
+                )
+                or any(_expr_has_exists(el[-1]) for el in extras)
+            ):
+                cands.append(None)
+            else:
+                cands.append((t, extras))
+        # Bucket by (graph scope, shared-with-acc key set): the fused
+        # frame joins the accumulator on ITS value-column intersection,
+        # so fusing a branch binding ?id with one binding ?serie would
+        # make the join require both non-null and silently drop every
+        # branch row (newspaper-collection.sparql mixes exactly those).
+        # Predicates are kept pairwise distinct within a bucket.
+        acc_cols = set(_value_cols(acc)) if acc is not None else set()
+        buckets: dict[object, list[int]] = {}
+        for i, c in enumerate(cands):
+            if c is not None:
+                t, extras = c
+                branch_vars = {t.s[1:], t.o[1:]} | {
+                    el[1][1:] for el in extras if el[0] == "bind"
+                }
+                if t.graph is not None and t.graph.startswith("?"):
+                    branch_vars.add(t.graph[1:])
+                key = (t.graph, frozenset(branch_vars & acc_cols))
+                buckets.setdefault(key, []).append(i)
+        fused_idx: set[int] = set()
+        fused_frames: list[DataFrame] = []
+        for (gkey, _), idxs in buckets.items():
+            seen_preds: set[str] = set()
+            items: list[tuple] = []
+            take: list[int] = []
+            for i in idxs:
+                t, extras = cands[i]
+                if t.p in seen_preds:
+                    continue
+                seen_preds.add(t.p)
+                items.append((t, extras))
+                take.append(i)
+            if len(items) < 2:
+                continue  # nothing saved by fusing one branch
+            fused_idx.update(take)
+            fused_frames.append(self._fused_scan(gkey, items))
+        rest = [g for i, g in enumerate(groups) if i not in fused_idx]
+        return fused_frames, rest
+
+    def _fused_scan(
+        self, gkey: str | None, items: list[tuple]
+    ) -> DataFrame:
+        """Build the single-scan frame for a fused branch set."""
+        q = self.quads.filter(
+            F.col("predicate").isin([t.p for t, _ in items])
+        )
+        graph_var: str | None = None
+        if gkey is None:
+            if self.datasets:
+                q = q.filter(F.col("graph").isin(self.datasets))
+        elif gkey.startswith("?"):
+            # variable graph position: bound from the graph column for
+            # every fused row (same var for the whole bucket), never
+            # dataset-filtered — exactly pattern_scan's treatment
+            graph_var = gkey[1:]
+            self.small_vars.add(graph_var)
+        else:
+            q = q.filter(F.col("graph") == gkey)
+        # var -> guarded source columns: a var bound as subject by some
+        # branches and object by others maps through one chained CASE.
+        s_preds: dict[str, list[str]] = {}
+        o_preds: dict[str, list[str]] = {}
+        for t, _ in items:
+            s_preds.setdefault(t.s[1:], []).append(t.p)
+            o_preds.setdefault(t.o[1:], []).append(t.p)
+        sel: list[Column] = [F.col("predicate")]
+        for v in {**s_preds, **o_preds}:
+            c = None
+            if v in s_preds:
+                c = F.when(
+                    F.col("predicate").isin(s_preds[v]), F.col("subject")
+                )
+            if v in o_preds:
+                cond = F.col("predicate").isin(o_preds[v])
+                c = (
+                    F.when(cond, F.col("object"))
+                    if c is None
+                    else c.when(cond, F.col("object"))
+                )
+            sel.append(c.alias(v))
+        for v, preds in o_preds.items():
+            sel.append(
+                F.when(F.col("predicate").isin(preds), F.col("lang")).alias(
+                    v + "__lang"
+                )
+            )
+        if graph_var is not None:
+            sel.append(F.col("graph").alias(graph_var))
+        df = q.select(*sel)
+        # branch-local BINDs (predicate-guarded; rows of other branches
+        # keep any same-named column they produced) then FILTERs
+        # (guarded: a row only answers to its own branch's filter; a
+        # NULL/error filter result drops the row, as eval_group does).
+        guarded_filters: list[Column] = []
+        for t, extras in items:
+            pk = F.col("predicate") == t.p
+            for el in extras:
+                if el[0] == "bind":
+                    var = el[1][1:]
+                    c = F.when(pk, self.to_column(el[2], df))
+                    if var in df.columns:
+                        c = c.otherwise(F.col(var))
+                    df = df.withColumn(var, c)
+                else:
+                    guarded_filters.append((pk, el[1]))
+        for pk, fexpr in guarded_filters:
+            df = df.filter(
+                F.when(pk, self.to_column(fexpr, df)).otherwise(F.lit(True))
+            )
+        return df.drop("predicate")
+
     _CLOSURE_KINDS = ("plus", "star", "opt")
 
     def _closure_scan(self, t: Triple) -> DataFrame:
@@ -1235,7 +1410,10 @@ class _Eval:
                 if opt is not None:
                     acc = _join(acc, opt, how="left")
             elif kind == "union":
-                branches = [self.eval_group(b, None) for b in el[1]]
+                fused, rest = self._fuse_union_branches(el[1], acc)
+                branches = list(fused) + [
+                    self.eval_group(b, None) for b in rest
+                ]
                 if acc is None:
                     non_empty = [b for b in branches if b is not None]
                     assert non_empty, "union of empty groups"

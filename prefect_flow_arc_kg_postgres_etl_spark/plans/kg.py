@@ -159,7 +159,7 @@ def _kg_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    graph.write.mode("overwrite").partitionBy("predicate").parquet(path)
+    graph.repartition("predicate").write.mode("overwrite").partitionBy("predicate").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -4198,7 +4198,7 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(thes_quads)
         .filter(F.col("object").isNotNull())
     )
-    quads.write.mode("overwrite").partitionBy("predicate").parquet(path)
+    quads.repartition("predicate").write.mode("overwrite").partitionBy("predicate").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -4457,7 +4457,7 @@ def _sparql_org_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     ).filter(F.col("object").isNotNull())
-    quads.write.mode("overwrite").partitionBy("predicate").parquet(path)
+    quads.repartition("predicate").write.mode("overwrite").partitionBy("predicate").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -4705,7 +4705,12 @@ def _sparql_del_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("object").isNotNull())
 
     quads = org_quads.unionByName(frag_quads)
-    quads.write.mode("overwrite").partitionBy("predicate").parquet(path)
+    # repartition("predicate") lands each posting list in ONE task ->
+    # one file per partition dir (355 -> 96 files; layout hygiene — a
+    # compiled SPARQL plan re-scans the store hundreds of times). At
+    # real scale the writer would cap file size per predicate instead
+    # of forcing exactly one.
+    quads.repartition("predicate").write.mode("overwrite").partitionBy("predicate").parquet(path)
     return spark.read.parquet(path)
 
 

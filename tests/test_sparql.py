@@ -650,3 +650,81 @@ def test_blank_node_property_list(spark):
         quads, "SELECT ?n WHERE { [ <knows> [ <name> ?n ] ] }"
     )
     assert sorted(r.n for r in out2.collect()) == ["Ann", "Bob"]
+
+
+def test_union_branch_fusion_differential(spark):
+    """Single-pattern UNION branches fuse into one posting-list scan;
+    the fused evaluation must be row-for-row identical to the general
+    per-branch path: mixed subject vars (different join-key sets with
+    the accumulator — fusing across them once silently dropped every
+    branch row), variable GRAPH position, branch-local lang FILTER,
+    branch-local BIND, and an unfusible multi-triple branch."""
+    quads = _quads(
+        spark,
+        [
+            ("e1", "urn:a", "Doc", None, "g1"),
+            ("e2", "urn:a", "Doc", None, "g2"),
+            ("e1", "urn:name", "boek", "nl", "g1"),
+            ("e1", "urn:name", "book", "en", "g1"),
+            ("e2", "urn:name", "krant", "nl", "g2"),
+            ("e1", "urn:genre", "news", None, "g1"),
+            ("e2", "urn:lang", "nl", None, "g2"),
+            # second entity var reachable via part
+            ("e1", "urn:part", "s1", None, "g1"),
+            ("s1", "urn:title", "serie", None, "g1"),
+            # multi-triple branch data
+            ("e2", "urn:part", "s2", None, "g2"),
+            ("s2", "urn:title", "reeks", None, "g2"),
+            ("s2", "urn:kind", "K", None, "g2"),
+        ],
+    )
+    text = """
+    PREFIX : <urn:>
+    CONSTRUCT {
+      ?e :name ?n. ?e :genre ?g2. ?e :lang ?l.
+      ?s :title ?t. ?s :kindid ?kid.
+    }
+    WHERE {
+      GRAPH ?gr { ?e :a "Doc". }
+      OPTIONAL { GRAPH ?gr { ?e :part ?s. } }
+      {} UNION {
+        GRAPH ?gr { ?e :name ?n. }
+        FILTER langMatches(lang(?n), "nl")
+      }
+      UNION { GRAPH ?gr { ?e :genre ?g2. } }
+      UNION { GRAPH ?gr { ?e :lang ?l. } }
+      UNION { GRAPH ?gr { ?s :title ?t. } }
+      UNION {
+        GRAPH ?gr { ?s :title ?t2. ?s :kind ?k. }
+        BIND(CONCAT(?k, "-id") AS ?kid)
+      }
+    }
+    """
+    fused_impl = SQ._Eval._fuse_union_branches
+    calls = []
+
+    def spy(self, groups, acc):
+        fused, rest = fused_impl(self, groups, acc)
+        calls.append((len(groups), len(fused), len(rest)))
+        return fused, rest
+
+    def no_fuse(self, groups, acc):
+        return [], groups
+
+    try:
+        SQ._Eval._fuse_union_branches = spy
+        fused_rows = set(map(tuple, SQ.construct_query(quads, text).collect()))
+        SQ._Eval._fuse_union_branches = no_fuse
+        plain_rows = set(map(tuple, SQ.construct_query(quads, text).collect()))
+    finally:
+        SQ._Eval._fuse_union_branches = fused_impl
+    assert fused_rows == plain_rows
+    # the 6-branch union must fuse: name/genre/lang share {e, gr} (one
+    # frame), title has key set {s, gr} (not fused with them or alone
+    # it stays put), the {} identity and multi-triple branch stay out
+    assert any(n_fused >= 1 for _, n_fused, _ in calls)
+    # semantics spot checks: nl-only name, bind-derived kid
+    objs = {(r[0], r[1], r[2]) for r in fused_rows}
+    assert ("e1", "urn:name", "boek") in objs
+    assert ("e1", "urn:name", "book") not in objs
+    assert ("s2", "urn:kindid", "K-id") in objs
