@@ -34,7 +34,7 @@ TS_SHIFT_DAYS = 35  # events copies shift in TIME too (source spans 30
 # would stack all copies into the same 30 days and grow range-join /
 # window fan-in quadratically, which is a different (hot-window)
 # experiment than data volume.
-BLOWN = {"customer", "orders", "lineitem", "events"}
+BLOWN = {"customer", "orders", "lineitem", "events", "documents"}
 KEY_COLS = {
     "c_custkey",
     "o_orderkey",
@@ -42,6 +42,7 @@ KEY_COLS = {
     "l_orderkey",
     "l_partkey",  # parts/suppliers are dims: do NOT shift their keys
     "l_suppkey",
+    "doc_id",
 }
 DIM_KEYS = {"l_partkey", "l_suppkey"}  # keep joinable to unblown dims
 DEFAULT_QUERIES = ["kg_pivot_records", "merge_upsert", "index_documents"]
@@ -70,6 +71,16 @@ def build_dir(spark, factor: int, root: str) -> str:
                     for c in base.columns
                 ]
             )
+            if table == "documents":
+                # Perturb each copy's text with a copy-marker word so
+                # the vocabulary grows (Heaps-ish) instead of staying
+                # bit-identical across copies — a pure doc_id shift
+                # would flatter vocab-bounded operators (D55/D56) with
+                # an artificially constant vocabulary.
+                copy = copy.withColumn(
+                    "text",
+                    F.concat(F.lit(f"cp{i} "), F.col("text")),
+                ).withColumn("n_chars", F.length("text"))
             if table == "events":
                 copy = copy.withColumn(
                     "event_id", F.col("event_id") + SHIFT * i
