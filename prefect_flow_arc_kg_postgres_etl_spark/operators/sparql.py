@@ -1655,6 +1655,45 @@ def parse(text: str) -> Query:
     return Parser(text).parse_query()
 
 
+# Prepared-plan cache: the reference runner executes the same nine
+# production query files every sync cycle (main_flow.py drives each
+# record type's CONSTRUCT per run); compiling a 465-line file to a
+# DataFrame DAG costs seconds of driver-side work that is identical
+# across cycles. Keyed by (session, quad-store analyzed-plan semantic
+# hash, query text, params) — a store swap or param change misses; the
+# cached object is only the immutable plan, never materialized data.
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
+_PLAN_CACHE_MAX = 64
+
+
+def clear_plan_cache() -> None:
+    """Drop all prepared plans (tests that patch evaluator internals
+    between runs of the same query text must bust the cache)."""
+    _PLAN_CACHE.clear()
+
+
+def _plan_cached(kind: str, quads: DataFrame, text: str, params, build):
+    try:
+        qh = quads._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return build()
+    key = (
+        id(quads.sparkSession),
+        kind,
+        qh,
+        text,
+        tuple(sorted((params or {}).items())),
+    )
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = build()
+    if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+        _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+    _PLAN_CACHE[key] = df
+    return df
+
+
 def construct_query(
     quads: DataFrame, text: str, params: dict[str, str] | None = None
 ) -> DataFrame:
@@ -1669,6 +1708,18 @@ def construct_query(
     Rows with any unbound template term emit no triple (SPARQL 1.1
     §16.2); the final distinct is the construct's single full shuffle.
     """
+    return _plan_cached(
+        "construct",
+        quads,
+        text,
+        params,
+        lambda: _construct_query_impl(quads, text, params),
+    )
+
+
+def _construct_query_impl(
+    quads: DataFrame, text: str, params: dict[str, str] | None
+) -> DataFrame:
     query = parse(text)
     ev = _Eval(quads, query.datasets, params)
     bindings = ev.eval_group(query.where, None)
@@ -1723,17 +1774,25 @@ def select_query(
     identical in DuckDB. ASK returns one row with a string ``ask``
     column ("true"/"false") so the result stays oracle-hashable."""
     query = parse(text)
-    ev = _Eval(quads, query.datasets, params)
-    bindings = ev.eval_group(query.where, None)
-    assert bindings is not None, "WHERE clause produced no bindings frame"
+
+    def build() -> DataFrame:
+        ev = _Eval(quads, query.datasets, params)
+        bindings = ev.eval_group(query.where, None)
+        assert bindings is not None, "WHERE clause produced no bindings frame"
+        if query.form == "ask":
+            n = bindings.limit(1).count()
+            spark = quads.sparkSession
+            return spark.createDataFrame(
+                [(("true" if n else "false"),)], "ask string"
+            )
+        assert query.form == "select", f"use construct_query for {query.form}"
+        return _lower_select(ev, query, bindings)
+
     if query.form == "ask":
-        n = bindings.limit(1).count()
-        spark = quads.sparkSession
-        return spark.createDataFrame(
-            [(("true" if n else "false"),)], "ask string"
-        )
-    assert query.form == "select", f"use construct_query for {query.form}"
-    return _lower_select(ev, query, bindings)
+        # ASK materializes its answer at build time — caching would
+        # freeze it against a store whose content changed in place.
+        return build()
+    return _plan_cached("select", quads, text, params, build)
 
 
 def _lower_select(ev: "_Eval", query: Query, bindings: DataFrame) -> DataFrame:
@@ -1842,6 +1901,18 @@ def describe_query(
     schema. The resource set semi-joins the store on subject: one
     equi-join, broadcast when the set is small (AQE), and with a
     subject/predicate-partitioned layout the scan prunes."""
+    return _plan_cached(
+        "describe",
+        quads,
+        text,
+        params,
+        lambda: _describe_query_impl(quads, text, params),
+    )
+
+
+def _describe_query_impl(
+    quads: DataFrame, text: str, params: dict[str, str] | None
+) -> DataFrame:
     query = parse(text)
     assert query.form == "describe", f"not a DESCRIBE query: {query.form}"
     spark = quads.sparkSession

@@ -713,11 +713,14 @@ def test_union_branch_fusion_differential(spark):
 
     try:
         SQ._Eval._fuse_union_branches = spy
+        SQ.clear_plan_cache()
         fused_rows = set(map(tuple, SQ.construct_query(quads, text).collect()))
         SQ._Eval._fuse_union_branches = no_fuse
+        SQ.clear_plan_cache()
         plain_rows = set(map(tuple, SQ.construct_query(quads, text).collect()))
     finally:
         SQ._Eval._fuse_union_branches = fused_impl
+        SQ.clear_plan_cache()
     assert fused_rows == plain_rows
     # the 6-branch union must fuse: name/genre/lang share {e, gr} (one
     # frame), title has key set {s, gr} (not fused with them or alone
@@ -728,3 +731,23 @@ def test_union_branch_fusion_differential(spark):
     assert ("e1", "urn:name", "boek") in objs
     assert ("e1", "urn:name", "book") not in objs
     assert ("s2", "urn:kindid", "K-id") in objs
+
+
+def test_plan_cache_identity_and_keying(spark):
+    """Prepared-plan cache: same (store, text, params) returns the
+    SAME plan object; changing any key component misses."""
+    quads = _quads(spark, [("s", "urn:p", "o", None, "g")])
+    text = "PREFIX : <urn:> CONSTRUCT { ?s :q ?o } WHERE { ?s :p ?o }"
+    SQ.clear_plan_cache()
+    a = SQ.construct_query(quads, text)
+    assert SQ.construct_query(quads, text) is a
+    assert SQ.construct_query(quads, text, params={"since": "x"}) is not a
+    quads2 = _quads(
+        spark,
+        [("s", "urn:p", "o", None, "g"), ("s2", "urn:p", "o2", None, "g")],
+    )
+    b = SQ.construct_query(quads2, text)
+    assert b is not a
+    assert [r.object for r in a.collect()] == ["o"]
+    assert sorted(r.object for r in b.collect()) == ["o", "o2"]
+    SQ.clear_plan_cache()
