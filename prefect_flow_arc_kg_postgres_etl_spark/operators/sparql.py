@@ -767,6 +767,30 @@ class Parser:
         if self.at("^"):
             self.next()
             return ("inv", self.parse_path_elt())
+        if self.at("!"):
+            # negated property set: !iri or !(p1|p2|...) — any
+            # predicate NOT in the member set (SPARQL 1.1 §9.1;
+            # forward members only — inverse members ^p inside a NPS
+            # are not supported)
+            self.next()
+
+            def member() -> str:
+                t = self.peek()
+                if t is not None and t.kind == "NAME" and t.text == "a":
+                    self.next()
+                    return RDF_TYPE
+                return self.parse_iri()
+
+            if self.at("("):
+                self.next()
+                members = [member()]
+                while self.at("|"):
+                    self.next()
+                    members.append(member())
+                self.eat(")")
+            else:
+                members = [member()]
+            return ("nps", members)
         if self.at("("):
             self.next()
             p = self.parse_path_alt()
@@ -914,6 +938,8 @@ def _expand_path_triple(t: Triple) -> list[list[Triple]]:
     if isinstance(p, str):
         return [[t]]
     kind = p[0]
+    if kind == "nps":
+        return [[t]]  # atomic: pattern_scan filters predicate NOT IN
     if kind == "inv":
         return _expand_path_triple(Triple(t.o, p[1], t.s, t.graph))
     if kind == "seq":
@@ -1040,7 +1066,12 @@ class _Eval:
         q = self.quads
         sel: list[Column] = []
         p = t.p
-        if isinstance(p, str) and p.startswith("?"):
+        if isinstance(p, tuple) and p[0] == "nps":
+            # negated property set: everything BUT the members — at
+            # scale this is a full-store scan by construction (no
+            # posting list can serve a negation), same as any engine
+            q = q.filter(~F.col("predicate").isin(p[1]))
+        elif isinstance(p, str) and p.startswith("?"):
             sel.append(F.col("predicate").alias(p[1:]))
         elif isinstance(p, str) and "|" in p:
             q = q.filter(F.col("predicate").isin(p.split("|")))

@@ -5119,6 +5119,51 @@ SELECT node, ancestor FROM closure
 """
 
 
+def kg_path_nps_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL NEGATED PROPERTY SET from query text (A73): ``?o
+    !(<status>|<odate>) ?v`` — any predicate OUTSIDE the member set
+    (SPARQL 1.1 §9.1), the last path form the text grammar lacked.
+    Lowered to a NOT-IN predicate filter on the quad scan; by
+    construction a negation can't be served from a posting list, so
+    this is the one pattern shape that scans the whole store — same
+    as any RDF engine. Composes with a plain BGP here (status = 'F'
+    orders keep their non-status, non-date attributes)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    orders = load_table(spark, sf_dir, "orders")
+    okey = F.concat(F.lit("O"), F.col("o_orderkey").cast("string"))
+
+    def q(pred: str, val) -> Column:
+        return F.struct(
+            okey.cast("string").alias("subject"),
+            F.lit(pred).alias("predicate"),
+            val.cast("string").alias("object"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit("urn:kg:meta").alias("graph"),
+        )
+
+    quads = orders.select(
+        F.inline(
+            F.array(
+                q("urn:kg:status", F.col("o_orderstatus")),
+                q("urn:kg:prio", F.col("o_orderpriority")),
+                q("urn:kg:odate", F.col("o_orderdate")),
+            )
+        )
+    )
+    return SQ.select_query(
+        quads,
+        'SELECT ?o ?v WHERE { ?o <urn:kg:status> "F" . '
+        "?o !(<urn:kg:status>|<urn:kg:odate>) ?v }",
+    )
+
+
+KG_PATH_NPS_TEXT_ORACLE = """
+SELECT 'O' || CAST(o_orderkey AS VARCHAR) AS o, o_orderpriority AS v
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
 KG_UPDATE_REAL_TEXT_ORACLE = """
 WITH b AS (
   SELECT CASE WHEN o_orderkey % 2 = 0

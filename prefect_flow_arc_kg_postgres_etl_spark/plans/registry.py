@@ -47,11 +47,11 @@ class QuerySpec:
 # oracle-backed entries: the 31 listed above DRIVER_WINDOW plus the
 # six late-r7 verbatim SPARQL entries (kg_construct_real_query_
 # {newspaper,iiif,issues,av_audio,av_video,av_complex}), the A68
-# view-pipeline composition (flow_kg_view_load), the A69-A72 text
+# view-pipeline composition (flow_kg_view_load), the A69-A73 text
 # forms (kg_{select,ask,describe,update}_real_text,
-# kg_path_text_closure, kg_select_subquery_text), D54
-# alto_transcript_extract and D55/D56 corpus_bpe_{learn,encode} —
-# 49 <= 50, so the r8 window closes driver coverage completely.
+# kg_path_text_closure, kg_select_subquery_text, kg_path_nps_text),
+# D54 alto_transcript_extract and D55/D56 corpus_bpe_{learn,encode} —
+# exactly 50, one full window: r8 closes driver coverage completely.
 _SPECS: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
@@ -780,6 +780,11 @@ _SPECS: dict[str, QuerySpec] = {
     ),
     "kg_update_real_text": QuerySpec(
         kg.kg_update_real_text, kg.KG_UPDATE_REAL_TEXT_ORACLE
+    ),
+    # A73 (NEW r7): negated property set from text — !(p1|p2) NOT-IN
+    # scan, the last SPARQL 1.1 path form the grammar lacked.
+    "kg_path_nps_text": QuerySpec(
+        kg.kg_path_nps_text, kg.KG_PATH_NPS_TEXT_ORACLE
     ),
     # D55 (NEW r7): BPE merge learning over the vocabulary — the
     # iterative tokenizer-training algorithm, oracle-unrolled.

@@ -751,3 +751,36 @@ def test_plan_cache_identity_and_keying(spark):
     assert [r.object for r in a.collect()] == ["o"]
     assert sorted(r.object for r in b.collect()) == ["o", "o2"]
     SQ.clear_plan_cache()
+
+
+def test_negated_property_set(spark):
+    """!(p1|p2) matches any predicate NOT in the member set; bare !p
+    and the `a` keyword as a member both parse."""
+    quads = _quads(
+        spark,
+        [
+            ("e1", "urn:a", "T", None, None),
+            ("e1", "urn:keep", "v1", None, None),
+            ("e1", "urn:drop", "v2", None, None),
+            ("e1", "urn:other", "v3", None, None),
+        ],
+    )
+    out = SQ.construct_query(
+        quads,
+        """
+        PREFIX : <urn:>
+        CONSTRUCT { ?e :val ?v }
+        WHERE { ?e :a "T". ?e !(:a|:drop) ?v }
+        """,
+    )
+    rows = {(r.subject, r.object) for r in out.collect()}
+    assert rows == {("e1", "v1"), ("e1", "v3")}
+    out2 = SQ.construct_query(
+        quads,
+        """
+        PREFIX : <urn:>
+        CONSTRUCT { ?e :val ?v }
+        WHERE { ?e !:a ?v }
+        """,
+    )
+    assert {r.object for r in out2.collect()} == {"v1", "v2", "v3"}
