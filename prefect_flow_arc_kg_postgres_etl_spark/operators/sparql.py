@@ -1178,6 +1178,12 @@ class _Eval:
                         break
                     t = el[1]
                 elif el[0] in ("filter", "bind"):
+                    # triple must come first: a BIND before its triple
+                    # is an error on the per-branch path (BIND cannot
+                    # start a group) and must stay one here
+                    if t is None and el[0] == "bind":
+                        ok = False
+                        break
                     extras.append(el)
                 else:
                     ok = False
@@ -1265,8 +1271,15 @@ class _Eval:
         for t, _ in items:
             s_preds.setdefault(t.s[1:], []).append(t.p)
             o_preds.setdefault(t.o[1:], []).append(t.p)
+        n_branches = len(items)
         sel: list[Column] = [F.col("predicate")]
         for v in {**s_preds, **o_preds}:
+            if len(s_preds.get(v, ())) == n_branches and v not in o_preds:
+                # bound as subject by EVERY branch (the common shared
+                # entity var): no guard needed — every scanned row
+                # belongs to some branch
+                sel.append(F.col("subject").alias(v))
+                continue
             c = None
             if v in s_preds:
                 c = F.when(
