@@ -159,6 +159,7 @@ def _kg_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    graph = graph.distinct()  # RDF graphs are SETS of triples
     graph.repartition("predicate").write.mode("overwrite").partitionBy("predicate").parquet(path)
     return spark.read.parquet(path)
 
@@ -4198,6 +4199,7 @@ def _sparql_person_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(thes_quads)
         .filter(F.col("object").isNotNull())
     )
+    quads = quads.distinct()  # RDF graphs are SETS of triples
     quads.repartition("predicate").write.mode("overwrite").partitionBy("predicate").parquet(path)
     return spark.read.parquet(path)
 
@@ -4457,6 +4459,7 @@ def _sparql_org_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     ).filter(F.col("object").isNotNull())
+    quads = quads.distinct()  # RDF graphs are SETS of triples
     quads.repartition("predicate").write.mode("overwrite").partitionBy("predicate").parquet(path)
     return spark.read.parquet(path)
 
@@ -4710,6 +4713,7 @@ def _sparql_del_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compiled SPARQL plan re-scans the store hundreds of times). At
     # real scale the writer would cap file size per predicate instead
     # of forcing exactly one.
+    quads = quads.distinct()  # RDF graphs are SETS of triples
     quads.repartition("predicate").write.mode("overwrite").partitionBy("predicate").parquet(path)
     return spark.read.parquet(path)
 
