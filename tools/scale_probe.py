@@ -72,15 +72,34 @@ def build_dir(spark, factor: int, root: str) -> str:
                 ]
             )
             if table == "documents":
-                # Perturb each copy's text with a copy-marker word so
-                # the vocabulary grows (Heaps-ish) instead of staying
-                # bit-identical across copies — a pure doc_id shift
-                # would flatter vocab-bounded operators (D55/D56) with
-                # an artificially constant vocabulary.
-                copy = copy.withColumn(
-                    "text",
-                    F.concat(F.lit(f"cp{i} "), F.col("text")),
-                ).withColumn("n_chars", F.length("text"))
+                # SCALE_PROBE_DOC_MODE picks the text-growth model:
+                # - "marker" (default): prefix one copy-marker word —
+                #   copies stay near-duplicates of the original (a
+                #   ~96%-near-dup corpus at 25x; vocabulary ~constant,
+                #   the shape that exercises vocab-bounded operators
+                #   like BPE without flattering them with bit-identical
+                #   text).
+                # - "distinct": prefix EVERY word with a copy tag —
+                #   copies share no shingles, modeling volume growth by
+                #   mostly-new documents (the realistic corpus-growth
+                #   shape for dedup/similarity operators, whose
+                #   candidate-pair count would otherwise grow
+                #   quadratically from the 24 near-dup siblings the
+                #   marker mode creates BY CONSTRUCTION of the data).
+                if os.environ.get("SCALE_PROBE_DOC_MODE") == "distinct":
+                    copy = copy.withColumn(
+                        "text",
+                        F.concat(
+                            F.lit(f"c{i}"),
+                            F.regexp_replace(F.col("text"), " ", f" c{i}"),
+                        ),
+                    )
+                else:
+                    copy = copy.withColumn(
+                        "text",
+                        F.concat(F.lit(f"cp{i} "), F.col("text")),
+                    )
+                copy = copy.withColumn("n_chars", F.length("text"))
             if table == "events":
                 copy = copy.withColumn(
                     "event_id", F.col("event_id") + SHIFT * i
