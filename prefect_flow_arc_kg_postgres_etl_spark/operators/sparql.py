@@ -1086,6 +1086,13 @@ class _Eval:
             sel.append(F.col("graph").alias(t.graph[1:]))
         else:
             q = q.filter(F.col("graph") == t.graph)
+        if t.s == t.o and t.s.startswith("?"):
+            # self-referential pattern (?x p ?x): rows where subject
+            # equals object, the variable bound once
+            q = q.filter(F.col("subject") == F.col("object"))
+            sel.append(F.col("subject").alias(t.s[1:]))
+            sel.append(F.col("lang").alias(t.s[1:] + "__lang"))
+            return q.select(*sel)
         for term, col in ((t.s, "subject"), (t.o, "object")):
             if term.startswith("?"):
                 sel.append(F.col(col).alias(term[1:]))
