@@ -784,3 +784,32 @@ def test_negated_property_set(spark):
         """,
     )
     assert {r.object for r in out2.collect()} == {"v1", "v2", "v3"}
+
+
+def test_shared_object_var_joins_on_term_identity(spark):
+    """Two patterns binding the SAME object variable join on (value,
+    lang) term identity: "fiets"@nl and "fiets"@en are different terms
+    and must not join; matching value+lang must."""
+    quads = _quads(
+        spark,
+        [
+            ("e1", "urn:label", "fiets", "nl", None),
+            ("e1", "urn:alias", "fiets", "en", None),
+            ("e2", "urn:label", "fiets", "nl", None),
+            ("e2", "urn:alias", "fiets", "nl", None),
+            ("e3", "urn:label", "kar", None, None),
+            ("e3", "urn:alias", "kar", None, None),
+        ],
+    )
+    out = SQ.construct_query(
+        quads,
+        """
+        PREFIX : <urn:out:>
+        CONSTRUCT { ?e :both ?v }
+        WHERE { ?e <urn:label> ?v . ?e <urn:alias> ?v }
+        """,
+    )
+    rows = {(r.subject, r.object) for r in out.collect()}
+    # e1: nl vs en -> no term match; e2: nl vs nl -> match;
+    # e3: plain vs plain (null lang, null-safe) -> match
+    assert rows == {("e2", "fiets"), ("e3", "kar")}
