@@ -34,7 +34,7 @@ TS_SHIFT_DAYS = 35  # events copies shift in TIME too (source spans 30
 # would stack all copies into the same 30 days and grow range-join /
 # window fan-in quadratically, which is a different (hot-window)
 # experiment than data volume.
-BLOWN = {"customer", "orders", "lineitem", "events", "documents"}
+BLOWN = {"customer", "orders", "lineitem", "events", "documents", "embeddings"}
 KEY_COLS = {
     "c_custkey",
     "o_orderkey",
@@ -43,6 +43,7 @@ KEY_COLS = {
     "l_partkey",  # parts/suppliers are dims: do NOT shift their keys
     "l_suppkey",
     "doc_id",
+    "vec_id",
 }
 DIM_KEYS = {"l_partkey", "l_suppkey"}  # keep joinable to unblown dims
 DEFAULT_QUERIES = ["kg_pivot_records", "merge_upsert", "index_documents"]
@@ -100,6 +101,18 @@ def build_dir(spark, factor: int, root: str) -> str:
                         F.concat(F.lit(f"cp{i} "), F.col("text")),
                     )
                 copy = copy.withColumn("n_chars", F.length("text"))
+            if table == "embeddings":
+                # Perturb each copy's vector deterministically (rotate
+                # a small offset into the first component) so copies
+                # are distinct points, not 24 exact duplicates that
+                # would make every ANN result set degenerate.
+                copy = copy.withColumn(
+                    "embedding",
+                    F.expr(
+                        "transform(embedding, (x, j) -> "
+                        f"IF(j = 0, x + {i} * 0.001f, x))"
+                    ),
+                )
             if table == "events":
                 copy = copy.withColumn(
                     "event_id", F.col("event_id") + SHIFT * i
