@@ -159,3 +159,127 @@ def test_construct_matches_reference_evaluator(spark, store, q):
         for r in SQ.construct_query(quads_df, _to_text(q)).collect()
     }
     assert got == _ref_eval(q, store)
+
+
+# ---- model 2: lang-tagged literals + GRAPH scoping -----------------
+LANGS = [None, "nl", "en"]
+GRAPHS = ["urn:g0", "urn:g1"]
+LITS = ["fiets", "kar"]
+
+lquad_st = st.tuples(
+    st.sampled_from(SUBJECTS),
+    st.sampled_from(PREDS),
+    st.sampled_from(SUBJECTS[:2] + LITS),
+    st.sampled_from(LANGS),
+    st.sampled_from(GRAPHS),
+)
+lstore_st = st.lists(lquad_st, min_size=2, max_size=14, unique=True).map(
+    # lang only makes sense on literals; IRIs carry no tag
+    lambda rows: [
+        (s, p, o, (lang if o in LITS else None), g)
+        for s, p, o, lang, g in rows
+    ]
+)
+
+ltriple_st = st.tuples(
+    st.sampled_from(VARS + SUBJECTS[:1]),
+    st.sampled_from(PREDS),
+    st.sampled_from(VARS),
+    st.sampled_from([None] + GRAPHS),  # graph scope of this pattern
+)
+
+lquery_st = st.fixed_dictionaries(
+    {
+        "bgp": st.lists(ltriple_st, min_size=1, max_size=3),
+        "lang_filter": st.sampled_from([None, "nl", "en"]),
+    }
+)
+
+
+def _lrender_triple(tr) -> str:
+    s, p, o, g = tr
+    inner = f"{_render(s)} <{p}> {_render(o)} ."
+    return f"GRAPH <{g}> {{ {inner} }}" if g else inner
+
+
+def _lto_text(q) -> str:
+    lines = [_lrender_triple(t) for t in q["bgp"]]
+    fvars = sorted({t[2] for t in q["bgp"] if t[2].startswith("?")})
+    if q["lang_filter"] and fvars:
+        lines.append(
+            f'FILTER langMatches(lang({fvars[0]}), "{q["lang_filter"]}")'
+        )
+    body = "\n  ".join(lines)
+    return (
+        "PREFIX out: <urn:out:>\n"
+        "CONSTRUCT { ?a out:r1 ?b . ?b out:r2 ?c }\n"
+        "WHERE {\n  %s\n}" % body
+    )
+
+
+def _lmatch(tr, quads, binding):
+    """Bindings carry TERMS: (value, lang) pairs for object positions,
+    plain strings for subjects. Shared vars must agree on the full
+    term — value AND lang (the engine's null-safe __lang join)."""
+    s, p, o, g = tr
+    for qs, qp, qo, qlang, qg in quads:
+        if qp != p or (g is not None and qg != g):
+            continue
+        b = dict(binding)
+        ok = True
+        if s.startswith("?"):
+            prev = b.get(s)
+            if prev is not None and prev != (qs, None):
+                ok = False
+            b[s] = (qs, None)
+        elif s != qs:
+            ok = False
+        if ok:
+            term = (qo, qlang)
+            if o.startswith("?"):
+                prev = b.get(o)
+                if prev is not None and prev != term:
+                    ok = False
+                b[o] = term
+            elif o != qo:
+                ok = False
+        if ok:
+            yield b
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(store=lstore_st, q=lquery_st)
+def test_lang_and_graph_semantics_match_reference(spark, store, q):
+    quads_df = spark.createDataFrame(
+        store,
+        "subject string, predicate string, object string, "
+        "lang string, graph string",
+    )
+    SQ.clear_plan_cache()
+    got = {
+        (r.subject, r.predicate, r.object)
+        for r in SQ.construct_query(quads_df, _lto_text(q)).collect()
+    }
+    sols = [{}]
+    for tr in q["bgp"]:
+        sols = [b2 for b in sols for b2 in _lmatch(tr, store, b)]
+    fvars = sorted({t[2] for t in q["bgp"] if t[2].startswith("?")})
+    if q["lang_filter"] and fvars:
+        want_lang = q["lang_filter"]
+        sols = [
+            b
+            for b in sols
+            if fvars[0] in b and (b[fvars[0]][1] or "") == want_lang
+        ]
+    exp = set()
+    for b in sols:
+        a, bb, c = b.get("?a"), b.get("?b"), b.get("?c")
+        if a is not None and bb is not None:
+            exp.add((a[0], "urn:out:r1", bb[0]))
+        if bb is not None and c is not None:
+            exp.add((bb[0], "urn:out:r2", c[0]))
+    assert got == exp
