@@ -89,9 +89,15 @@ def extract_transcript(df: DataFrame, xml_col: str = "alto_xml") -> DataFrame:
     sf0.1). CollapseProject keeps the stage split because a non-cheap
     alias referenced more than once is never inlined — the executed
     plan carries exactly one ``from_xml``."""
+    # ignoreNamespace: real ALTO payloads carry the loc.gov namespace —
+    # usually as the default namespace (matches bare field names) but
+    # sometimes with an explicit prefix (<alto:Layout>), which would
+    # otherwise parse to null
     staged = df.select(
         *[c for c in df.columns if c != xml_col],
-        F.from_xml(xml_col, _ALTO_SCHEMA).alias("__p"),
+        F.from_xml(
+            xml_col, _ALTO_SCHEMA, {"ignoreNamespace": "true"}
+        ).alias("__p"),
     )
     page = F.col("__p")["Layout"]["Page"]
     lines = F.flatten(page["TextBlock"]["TextLine"])

@@ -158,3 +158,31 @@ def test_alto_extract_on_handwritten_nested_xml(spark):
     assert r.page_id == "pg9"
     assert (r.n_words, r.n_lines) == (3, 2)
     assert r.sum_wc_e2 == 3 + 9 + 5
+
+
+def test_alto_extract_namespaced_payloads(spark):
+    """Real ALTO carries the loc.gov namespace — as the default
+    namespace or with an explicit element prefix; both must parse."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import alto
+
+    ns = "http://www.loc.gov/standards/alto/ns-v2#"
+    default_ns = (
+        f'<alto xmlns="{ns}"><Layout><Page ID="p1"><TextBlock>'
+        '<TextLine><String CONTENT="hoi" WC="0.03"/>'
+        '<String CONTENT="daar" WC="0.04"/></TextLine>'
+        "</TextBlock></Page></Layout></alto>"
+    )
+    prefixed = (
+        f'<a:alto xmlns:a="{ns}"><a:Layout><a:Page ID="p1">'
+        '<a:TextBlock><a:TextLine><a:String CONTENT="hoi" WC="0.03"/>'
+        '<a:String CONTENT="daar" WC="0.04"/></a:TextLine>'
+        "</a:TextBlock></a:Page></a:Layout></a:alto>"
+    )
+    df = spark.createDataFrame(
+        [(1, default_ns), (2, prefixed)], "doc_id long, alto_xml string"
+    )
+    rows = {r.doc_id: r for r in alto.extract_transcript(df).collect()}
+    for doc_id in (1, 2):
+        r = rows[doc_id]
+        assert (r.page_id, r.transcript) == ("p1", "hoi daar")
+        assert (r.n_words, r.n_lines, r.sum_wc_e2) == (2, 1, 7)
