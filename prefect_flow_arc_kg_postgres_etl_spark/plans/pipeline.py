@@ -2383,6 +2383,51 @@ FROM w
 """
 
 
+def alto_transcript_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D57 (r7): CORRUPT-TOLERANT ALTO extraction — the dead-letter
+    split for OCR lakes, the XML sibling of D58's corrupt-tolerant CSV
+    ingestion: a 100 TB scan of scanned-newspaper ALTO always contains
+    truncated/mangled payloads, and one bad file must neither kill the
+    job nor silently vanish. Docs with doc_id % 7 == 3 get their XML
+    truncated mid-tag; ``from_xml`` parses PERMISSIVE (malformed ->
+    null struct, no task failure), the null parse classifies the row
+    into the dead letter with its identity preserved, and good rows
+    keep their transcript. Scan-side end to end — the classify is a
+    null test on the single staged parse, zero extra passes."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import alto
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    xml = alto.synth_alto_xml(
+        F.col("text"), F.concat(F.lit("P"), F.col("doc_id").cast("string"))
+    )
+    with_xml = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 3, F.substring(xml, 1, 40))
+        .otherwise(xml)
+        .alias("alto_xml"),
+    )
+    parsed = alto.extract_transcript(with_xml)
+    return parsed.select(
+        "doc_id",
+        F.when(F.col("page_id").isNull(), F.lit("corrupt"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+        "transcript",
+        "n_words",
+    )
+
+
+ALTO_TOLERANT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 3 THEN 'corrupt' ELSE 'ok' END AS status,
+       CASE WHEN doc_id % 7 = 3 THEN NULL ELSE text END AS transcript,
+       CASE WHEN doc_id % 7 = 3 THEN NULL
+            ELSE CAST(len(string_split(text, ' ')) AS BIGINT)
+       END AS n_words
+FROM documents
+"""
+
+
 # ------------------------------------ D55 BPE merge learning (r7)
 _BPE_ROUNDS = 4
 

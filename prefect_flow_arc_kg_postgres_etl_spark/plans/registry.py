@@ -43,15 +43,17 @@ class QuerySpec:
 # had never had a driver row (50/50 green); r7 (below) grades 50 MORE
 # never-checked entries including the round's new operators
 # (index_partition_rename_invalidation, kg_construct_real_query{,_org,
-# _deletes}). After r7 the never-driver-checked residue is 49
+# _deletes}). After r7 the never-driver-checked residue is 51
 # oracle-backed entries: the 31 listed above DRIVER_WINDOW plus the
 # six late-r7 verbatim SPARQL entries (kg_construct_real_query_
 # {newspaper,iiif,issues,av_audio,av_video,av_complex}), the A68
 # view-pipeline composition (flow_kg_view_load), the A69-A73 text
 # forms (kg_{select,ask,describe,update}_real_text,
 # kg_path_text_closure, kg_select_subquery_text, kg_path_nps_text),
-# D54 alto_transcript_extract and D55/D56 corpus_bpe_{learn,encode} —
-# exactly 50, one full window: r8 closes driver coverage completely.
+# D54 alto_transcript_extract{,_tolerant (D57)} and D55/D56
+# corpus_bpe_{learn,encode} — 51 total: the r8 window takes 50, the
+# one residual entry lands in r9 (judge-local mirror covers it in
+# the interim).
 _SPECS: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
@@ -785,6 +787,11 @@ _SPECS: dict[str, QuerySpec] = {
     # scan, the last SPARQL 1.1 path form the grammar lacked.
     "kg_path_nps_text": QuerySpec(
         kg.kg_path_nps_text, kg.KG_PATH_NPS_TEXT_ORACLE
+    ),
+    # D57 (NEW r7): corrupt-tolerant ALTO extraction — permissive
+    # parse, null-struct classify, dead-letter rows keep identity.
+    "alto_transcript_tolerant": QuerySpec(
+        pipeline.alto_transcript_tolerant, pipeline.ALTO_TOLERANT_ORACLE
     ),
     # D55 (NEW r7): BPE merge learning over the vocabulary — the
     # iterative tokenizer-training algorithm, oracle-unrolled.
