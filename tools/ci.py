@@ -53,6 +53,10 @@ _SHARDS: list[list[str]] = [
         "tests/test_merge_properties.py",
         "tests/test_catalog_drift.py",
     ],
+    # the SPARQL compiler suites (incl. Hypothesis differential runs)
+    # grew past the rest-shard budget in r7 — their own shard keeps
+    # the gate's critical path near the oracle sweep's
+    ["tests/test_sparql.py", "tests/test_sparql_properties.py"],
 ]
 
 
