@@ -698,6 +698,17 @@ def build_dedup_index(
         .partitionBy("id_p")
         .parquet(f"{path}/grams")
     )
+    # The probe derives partition ids and band keys from (k, bands, n,
+    # partitions); a probe called with DIFFERENT values would read the
+    # wrong partitions and silently drop candidate pairs. Persist the
+    # build parameters alongside the index so probes ADOPT them instead
+    # of trusting their caller's defaults. Written through Spark (one
+    # tiny file) so the index works on any filesystem the index itself
+    # lives on, not just the driver's local disk.
+    history.sparkSession.createDataFrame(
+        [(int(k), int(bands), int(n), int(partitions))],
+        "k int, bands int, n int, partitions int",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
 
 
 def incremental_dup_pairs_indexed(
@@ -721,8 +732,21 @@ def incremental_dup_pairs_indexed(
     partition-pruning subquery would compute.
 
     Assumes (and asserts nothing about) batch ids disjoint from history
-    ids — the ingest contract flows.ingest_flow documents."""
+    ids — the ingest contract flows.ingest_flow documents.
+
+    The index's persisted ``_meta`` (k, bands, n, partitions — written
+    by build_dedup_index) OVERRIDES the keyword arguments: probing with
+    parameters that differ from the build's would derive wrong band
+    keys / partition ids and silently drop candidate pairs. Indexes
+    built before ``_meta`` existed fall back to the caller's values."""
     spark = new.sparkSession
+    try:
+        m = spark.read.json(f"{index_path}/_meta").collect()[0]
+        k, bands, n, partitions = (
+            int(m["k"]), int(m["bands"]), int(m["n"]), int(m["partitions"])
+        )
+    except Exception:
+        pass  # pre-_meta index: trust the caller's parameters
     r = k // bands
     sig_new = minhash_signatures(new, k, id_col, text_col, n).localCheckpoint(
         eager=True

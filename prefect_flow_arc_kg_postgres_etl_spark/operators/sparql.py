@@ -967,10 +967,29 @@ def _value_cols(df: DataFrame) -> list[str]:
     return [c for c in df.columns if not c.endswith("__lang")]
 
 
-def _join(a: DataFrame, b: DataFrame, how: str = "inner") -> DataFrame:
+def _join(
+    a: DataFrame,
+    b: DataFrame,
+    how: str = "inner",
+    compat: "tuple[str, ...] | list[str] | set[str]" = (),
+) -> DataFrame:
     """SPARQL join of two solution sets: equi-join on shared variables,
-    (value, lang) null-safe on shared language columns (term equality)."""
+    (value, lang) null-safe on shared language columns (term equality).
+
+    ``compat`` names shared variables that may be UNBOUND (null) on
+    either side — introduced by OPTIONAL, a UNION branch that does not
+    bind them, or a VALUES UNDEF. SPARQL compatible-binding semantics
+    (spec §18.3: unbound is compatible with anything; the merged
+    binding takes the bound side) then replace plain equality for
+    those columns. The callers compute ``compat`` by static
+    certainly-bound analysis of the query AST (``_group_cb``), so the
+    overwhelmingly common all-bound case keeps the pure hash
+    equi-join fast path — no theta join appears in any plan unless
+    the query actually re-joins a maybe-unbound variable."""
     shared = sorted(set(_value_cols(a)) & set(_value_cols(b)))
+    compat = sorted(set(compat) & set(shared))
+    if compat:
+        return _compat_join(a, b, how, shared, compat)
     lang_shared = sorted(
         c for c in set(a.columns) & set(b.columns) if c.endswith("__lang")
     )
@@ -994,6 +1013,255 @@ def _join(a: DataFrame, b: DataFrame, how: str = "inner") -> DataFrame:
     keep = [a[c] for c in a.columns]
     keep += [bb[c] for c in bb.columns if c not in a.columns and not c.endswith("__r")]
     return out.select(*keep)
+
+
+def _compat_join(
+    a: DataFrame, b: DataFrame, how: str, shared: list[str], compat: list[str]
+) -> DataFrame:
+    """Compatible-binding join for maybe-unbound shared variables.
+
+    Inner form: decomposed into 3^n disjoint branches (n = number of
+    compat variables; per variable: both-bound-and-equal / a-unbound /
+    a-bound-and-b-unbound), each an equality-conjunct join that
+    Catalyst extracts hash keys from — shuffle-hash/broadcast joinable
+    at scale, never a nested loop. n is capped at 3 (the analysis
+    over-approximates; real queries re-join one OPTIONAL variable);
+    beyond that a single OR-condition join is still correct.
+
+    Left form (OPTIONAL whose shared variable is itself maybe-null):
+    inner compat result plus the exceptAll complement of the matched
+    left rows, null-extended — bag-exact.
+    """
+    a_cols = list(a.columns)
+    b_only = [c for c in b.columns if c not in a_cols]
+    eq_shared = [c for c in shared if c not in compat]
+    lang_shared = sorted(
+        c
+        for c in set(a.columns) & set(b.columns)
+        if c.endswith("__lang")
+    )
+
+    def branch(assign: dict[str, str], keep_a_orig: bool) -> DataFrame:
+        aa, bb = a, b
+        for c, kind in assign.items():
+            if kind == "anull":
+                aa = aa.filter(F.col(c).isNull())
+            elif kind == "bnull":
+                aa = aa.filter(F.col(c).isNotNull())
+                bb = bb.filter(F.col(c).isNull())
+            else:  # both bound
+                aa = aa.filter(F.col(c).isNotNull())
+                bb = bb.filter(F.col(c).isNotNull())
+        ren = {}
+        for c in bb.columns:
+            if c in a_cols:
+                ren[c] = c + "__r"
+        for c, n in ren.items():
+            bb = bb.withColumnRenamed(c, n)
+        cond = F.lit(True)
+        for c in eq_shared:
+            cond = cond & (aa[c] == bb[c + "__r"])
+        for c, kind in assign.items():
+            if kind == "both":
+                cond = cond & (aa[c] == bb[c + "__r"])
+        for c in lang_shared:
+            base = c[: -len("__lang")]
+            kind = assign.get(base)
+            if base in eq_shared or kind == "both":
+                cond = cond & aa[c].eqNullSafe(bb[c + "__r"])
+            # a-null branch: b's (value, lang) is taken wholesale;
+            # b-null branch: a's — no lang comparison either way.
+        out = aa.join(bb, cond, "inner")
+        sel: list[Column] = []
+        for c in a_cols:
+            base = c[: -len("__lang")] if c.endswith("__lang") else c
+            kind = assign.get(base)
+            src = bb[c + "__r"] if (kind == "anull" and c + "__r" in ren.values()) else aa[c]
+            sel.append(src.alias(c))
+        if keep_a_orig:
+            sel += [aa[c].alias("__orig_" + c) for c in a_cols]
+        sel += [bb[c] for c in b_only]
+        return out.select(*sel)
+
+    if len(compat) <= 3:
+        import itertools
+
+        branches = [
+            branch(dict(zip(compat, kinds)), keep_a_orig=(how == "left"))
+            for kinds in itertools.product(["both", "anull", "bnull"], repeat=len(compat))
+        ]
+        inner = branches[0]
+        for extra in branches[1:]:
+            inner = inner.unionByName(extra)
+    else:
+        # over-wide compat set: one OR-condition join (correct, rare)
+        bb = b
+        ren = {c: c + "__r" for c in b.columns if c in a_cols}
+        for c, n in ren.items():
+            bb = bb.withColumnRenamed(c, n)
+        cond = F.lit(True)
+        for c in eq_shared:
+            cond = cond & (a[c] == bb[c + "__r"])
+        for c in compat:
+            cond = cond & (
+                a[c].isNull() | bb[c + "__r"].isNull() | (a[c] == bb[c + "__r"])
+            )
+        for c in lang_shared:
+            base = c[: -len("__lang")]
+            if base in compat:
+                cond = cond & (
+                    a[base].isNull()
+                    | bb[base + "__r"].isNull()
+                    | a[c].eqNullSafe(bb[c + "__r"])
+                )
+            else:
+                cond = cond & a[c].eqNullSafe(bb[c + "__r"])
+        out = a.join(bb, cond, "inner")
+        sel = []
+        for c in a_cols:
+            base = c[: -len("__lang")] if c.endswith("__lang") else c
+            if base in compat and c + "__r" in ren.values():
+                src = F.when(a[base].isNull(), bb[c + "__r"]).otherwise(a[c])
+            else:
+                src = a[c]
+            sel.append(src.alias(c))
+        if how == "left":
+            sel += [a[c].alias("__orig_" + c) for c in a_cols]
+        sel += [bb[c] for c in b_only]
+        inner = out.select(*sel)
+
+    if how == "inner":
+        return inner
+    assert how == "left", how
+    matched_orig = inner.select(
+        *[F.col("__orig_" + c).alias(c) for c in a_cols]
+    )
+    unmatched = a.exceptAll(matched_orig)
+    for c in b_only:
+        unmatched = unmatched.withColumn(c, F.lit(None).cast("string"))
+    return inner.drop(*["__orig_" + c for c in a_cols]).unionByName(unmatched)
+
+
+def _path_endpoint_vars(t: Triple) -> set[str]:
+    """Variables a triple pattern certainly binds in every solution:
+    subject/object/graph/predicate variables. Path predicates bind
+    their endpoints (closure ``p*``/``p?`` identity rows still bind
+    both ends); the path itself carries no variables in this grammar."""
+    out = set()
+    for term in (t.s, t.o):
+        if isinstance(term, str) and term.startswith("?"):
+            out.add(term[1:])
+    if isinstance(t.p, str) and t.p.startswith("?"):
+        out.add(t.p[1:])
+    if t.graph is not None and t.graph.startswith("?"):
+        out.add(t.graph[1:])
+    return out
+
+
+def _expr_certainly_bound(e, cb: set[str]) -> bool:
+    """True if the expression certainly evaluates to a non-error,
+    non-null value given that the variables in ``cb`` are certainly
+    bound. Used to decide whether a BIND target stays on the hash
+    equi-join fast path (person.sparql BINDs IRIs of bound variables
+    that later joins consume — those must not degrade to
+    compatible-binding joins). Conservative: anything not provably
+    non-null returns False."""
+    if not isinstance(e, tuple):
+        return False
+    kind = e[0]
+    if kind == "var":
+        return e[1][1:] in cb
+    if kind in ("term", "boolean"):
+        return True
+    if kind == "call":
+        name, args = e[1], e[2]
+        if name == "COALESCE":
+            return any(_expr_certainly_bound(a, cb) for a in args)
+        if name == "BOUND":
+            return True
+        if name in (
+            "CONCAT", "IRI", "URI", "STR", "MD5", "UCASE", "LCASE",
+            "STRLEN", "SUBSTR", "REPLACE", "STRSTARTS", "STRENDS",
+            "CONTAINS", "ENCODE_FOR_URI", "LANG",
+        ):
+            return all(_expr_certainly_bound(a, cb) for a in args)
+        return False
+    if kind == "in":
+        return _expr_certainly_bound(e[1], cb)
+    if kind in ("=", "!=", "<", ">", "<=", ">=", "||", "&&"):
+        return _expr_certainly_bound(e[1], cb) and _expr_certainly_bound(e[2], cb)
+    if kind == "!":
+        return _expr_certainly_bound(e[1], cb)
+    # num:* arithmetic try_casts (may null), IF (condition may error),
+    # exists markers: not certain
+    return False
+
+
+def _group_cb(g: "Group") -> set[str]:
+    """Certainly-bound variables of a group pattern (SPARQL §18.2.1's
+    'variables bound in every solution'): the static analysis behind
+    compatible-binding join placement. Triples bind their variables;
+    UNION binds the intersection of its branches; OPTIONAL, FILTER and
+    error-capable BINDs bind nothing certainly; VALUES binds columns
+    with no UNDEF; a subselect binds its certainly-bound projected
+    variables."""
+    cb: set[str] = set()
+    for el in g.elements:
+        cb |= _element_cb(el, cb)
+    return cb
+
+
+def _element_cb(el, acc_cb: set[str]) -> set[str]:
+    kind = el[0]
+    if kind == "triple":
+        return _path_endpoint_vars(el[1])
+    if kind == "union":
+        sets = [_group_cb(b) for b in el[1]]
+        out = set(sets[0]) if sets else set()
+        for s in sets[1:]:
+            out &= s
+        return out
+    if kind == "group":
+        return _group_cb(el[1])
+    if kind == "values":
+        vars_, rows = el[1], el[2]
+        out = set()
+        for i, v in enumerate(vars_):
+            if all(row[i] is not None for row in rows):
+                out.add(v[1:])
+        return out
+    if kind == "bind":
+        if _expr_certainly_bound(el[2], acc_cb):
+            return {el[1][1:]}
+        return set()
+    if kind == "subselect":
+        sub = el[1]
+        inner = _group_cb(sub.where)
+        if not sub.select:
+            return inner
+        out = set()
+        for item in sub.select:
+            if item[0] == "var" and item[1].lstrip("?") in inner:
+                out.add(item[1].lstrip("?"))
+        return out
+    # optional / filter / not_exists / exists
+    return set()
+
+
+_NUMERIC_RE = re.compile(r"[+-]?\d+(?:\.\d+)?\Z")
+
+
+def _is_numeric_literal(e) -> bool:
+    """Expression node is a plain numeric literal (NUMBER token or a
+    numeric arithmetic result) — triggers numeric comparison dispatch."""
+    if not isinstance(e, tuple):
+        return False
+    if e[0] == "term":
+        value, lang = _lit_parts(e[1])
+        return lang is None and bool(_NUMERIC_RE.match(value))
+    if e[0].startswith("num:"):
+        return True
+    return False
 
 
 def _expr_has_exists(e) -> bool:
@@ -1157,7 +1425,7 @@ class _Eval:
 
     def _fuse_union_branches(
         self, groups: list["Group"], acc: DataFrame | None
-    ) -> tuple[list[DataFrame], list["Group"]]:
+    ) -> tuple[list[tuple[DataFrame, set]], list["Group"]]:
         """UNION branch fusion — the posting-list optimization for the
         production query shape ``{?e p1 ?v1} UNION {?e p2 ?v2} UNION
         ...`` (newspaper.sparql strings 20+ such branches together):
@@ -1248,7 +1516,19 @@ class _Eval:
             if len(items) < 2:
                 continue  # nothing saved by fusing one branch
             fused_idx.update(take)
-            fused_frames.append(self._fused_scan(gkey, items))
+            # certainly-bound columns of the fused frame: variables
+            # bound (as subject or object) by EVERY fused branch — all
+            # other per-branch columns are predicate-guarded nulls —
+            # plus the bucket's graph variable (bound on every row).
+            n = len(items)
+            bind_count: dict[str, int] = {}
+            for t, _extras in items:
+                for v in {t.s[1:], t.o[1:]}:
+                    bind_count[v] = bind_count.get(v, 0) + 1
+            f_cb = {v for v, c in bind_count.items() if c == n}
+            if gkey is not None and gkey.startswith("?"):
+                f_cb.add(gkey[1:])
+            fused_frames.append((self._fused_scan(gkey, items), f_cb))
         rest = [g for i, g in enumerate(groups) if i not in fused_idx]
         return fused_frames, rest
 
@@ -1401,8 +1681,24 @@ class _Eval:
         return pairs.select(*sel)
 
     def eval_triples(
-        self, triples: list[Triple], acc: DataFrame | None
+        self,
+        triples: list[Triple],
+        acc: DataFrame | None,
+        acc_cb: set[str] | None = None,
     ) -> DataFrame:
+        # Scans certainly bind their variables, so scan-to-scan joins
+        # stay pure equi-joins; only the join against the accumulator
+        # needs compatible-binding treatment for variables the
+        # accumulator may carry unbound (acc_cb = its certainly-bound
+        # set; None = everything certainly bound, the historical
+        # behavior for callers without OPTIONAL/UNION context).
+        def acc_compat(df_acc: DataFrame) -> set[str]:
+            if acc_cb is None:
+                return set()
+            return {
+                c for c in _value_cols(df_acc) if c not in acc_cb
+            }
+
         for t in self._order_triples(triples, acc):
             p = t.p
             if (
@@ -1415,7 +1711,13 @@ class _Eval:
                 p = t.p
             if isinstance(p, tuple) and p[0] in self._CLOSURE_KINDS:
                 part = self._closure_scan(t)
-                acc = part if acc is None else _join(acc, part)
+                acc = (
+                    part
+                    if acc is None
+                    else _join(acc, part, compat=acc_compat(acc))
+                )
+                if acc_cb is not None:
+                    acc_cb |= _path_endpoint_vars(t)
                 continue
             alts = _expand_path_triple(t)
             parts: list[DataFrame] = []
@@ -1436,17 +1738,30 @@ class _Eval:
                 df = df.unionByName(extra, allowMissingColumns=True)
             if len(parts) > 1:
                 df = df.distinct()
-            acc = df if acc is None else _join(acc, df)
+            acc = df if acc is None else _join(acc, df, compat=acc_compat(acc))
+            if acc_cb is not None:
+                acc_cb |= _path_endpoint_vars(t)
         return acc  # type: ignore[return-value]
 
     def eval_group(self, g: Group, acc: DataFrame | None) -> DataFrame | None:
         filters = []
         pending_triples: list[Triple] = []
+        # Certainly-bound variables of the accumulator (SPARQL §18.2.1
+        # static analysis): a shared variable OUTSIDE this set may be
+        # unbound (OPTIONAL / UNION / UNDEF-introduced) and joins
+        # against it use compatible-binding semantics; everything
+        # inside keeps the hash equi-join fast path.
+        cb: set[str] = set()
+
+        def compat_for(b_df: DataFrame, b_cb: set[str]) -> set[str]:
+            assert acc is not None
+            shared = set(_value_cols(acc)) & set(_value_cols(b_df))
+            return {c for c in shared if c not in cb or c not in b_cb}
 
         def flush_triples():
             nonlocal acc, pending_triples
             if pending_triples:
-                acc = self.eval_triples(pending_triples, acc)
+                acc = self.eval_triples(pending_triples, acc, acc_cb=cb)
                 pending_triples = []
 
         for el in g.elements:
@@ -1459,12 +1774,30 @@ class _Eval:
                 opt = self.eval_group(el[1], None)
                 assert acc is not None, "OPTIONAL cannot start a group"
                 if opt is not None:
-                    acc = _join(acc, opt, how="left")
+                    acc = _join(
+                        acc,
+                        opt,
+                        how="left",
+                        compat=compat_for(opt, _group_cb(el[1])),
+                    )
             elif kind == "union":
+                branch_cbs = [_group_cb(b) for b in el[1]]
+                union_cb = set(branch_cbs[0]) if branch_cbs else set()
+                for s in branch_cbs[1:]:
+                    union_cb &= s
                 fused, rest = self._fuse_union_branches(el[1], acc)
-                branches = list(fused) + [
+                rest_set = {id(b) for b in rest}
+                rest_cbs = [
+                    c for b, c in zip(el[1], branch_cbs) if id(b) in rest_set
+                ]
+                branches = [f for f, _ in fused] + [
                     self.eval_group(b, None) for b in rest
                 ]
+                # per-branch certainly-bound sets, aligned with
+                # `branches`: a fused frame certainly binds only the
+                # variables bound by every branch it fuses (other
+                # per-branch columns are predicate-guarded nulls).
+                branch_cb_list = [c for _, c in fused] + rest_cbs
                 if acc is None:
                     non_empty = [b for b in branches if b is not None]
                     assert non_empty, "union of empty groups"
@@ -1472,6 +1805,7 @@ class _Eval:
                     for b in non_empty[1:]:
                         u = u.unionByName(b, allowMissingColumns=True)
                     acc = u
+                    cb |= union_cb
                 else:
                     # Join(acc, Union(b1..bn)) distributes over the
                     # union — but joining per branch recomputes the acc
@@ -1481,42 +1815,58 @@ class _Eval:
                     # branch rows are fully bound on them); each empty
                     # {} branch contributes acc itself. person.sparql's
                     # 5-branch union evaluates acc twice, not 5 times.
-                    groups: dict[frozenset, list[DataFrame]] = {}
+                    groups: dict[frozenset, list[tuple[DataFrame, set]]] = {}
                     identity = 0
-                    for b in branches:
+                    for b, b_cb in zip(branches, branch_cb_list):
                         if b is None:
                             identity += 1
                             continue
                         shared = frozenset(
                             set(_value_cols(acc)) & set(_value_cols(b))
                         )
-                        groups.setdefault(shared, []).append(b)
-                    unions: list[tuple[list[str], DataFrame]] = []
+                        groups.setdefault(shared, []).append((b, b_cb))
+                    unions: list[tuple[list[str], DataFrame, set[str]]] = []
                     for shared, dfs in groups.items():
-                        u = dfs[0]
-                        for d in dfs[1:]:
+                        u = dfs[0][0]
+                        g_cb = set(dfs[0][1])
+                        for d, d_cb in dfs[1:]:
                             u = u.unionByName(d, allowMissingColumns=True)
-                        unions.append((sorted(shared), u))
-                    if identity == 1 and len(unions) == 1 and unions[0][0]:
+                            g_cb &= d_cb
+                        unions.append((sorted(shared), u, g_cb))
+                    if (
+                        identity == 1
+                        and len(unions) == 1
+                        and unions[0][0]
+                        and not compat_for(unions[0][1], unions[0][2])
+                    ):
                         # {} UNION {b1} .. {bn}, one key set: evaluate
                         # acc ONCE via a left join against the branch
                         # union extended with one null-binding row per
                         # distinct key — matched acc rows get their
                         # bare copy from that row, unmatched from the
-                        # left join itself. Exact bag semantics.
-                        keys, u = unions[0]
+                        # left join itself. Exact bag semantics. (Only
+                        # when every key is certainly bound on both
+                        # sides — the injected null-binding row would
+                        # otherwise collide with compatible-binding
+                        # matching of genuinely unbound keys.)
+                        keys, u, _ = unions[0]
                         u2 = u.unionByName(
                             u.select(*keys).distinct(),
                             allowMissingColumns=True,
                         )
                         acc = _join(acc, u2, how="left")
                     else:
-                        parts = [_join(acc, u) for _, u in unions]
+                        parts = [
+                            _join(acc, u, compat=compat_for(u, g_cb))
+                            for _, u, g_cb in unions
+                        ]
                         parts.extend([acc] * identity)
                         res = parts[0]
                         for p in parts[1:]:
                             res = res.unionByName(p, allowMissingColumns=True)
                         acc = res
+                    if identity == 0:
+                        cb |= union_cb
             elif kind == "subselect":
                 # { SELECT ... }: evaluate the subquery to a solution
                 # set and join it on its projected variables. Projected
@@ -1526,11 +1876,23 @@ class _Eval:
                 sub_bindings = self.eval_group(sub.where, None)
                 assert sub_bindings is not None, "empty subselect WHERE"
                 sub_df = _lower_select(self, sub, sub_bindings)
-                acc = sub_df if acc is None else _join(acc, sub_df)
+                el_cb = _element_cb(el, cb)
+                acc = (
+                    sub_df
+                    if acc is None
+                    else _join(acc, sub_df, compat=compat_for(sub_df, el_cb))
+                )
+                cb |= el_cb
             elif kind == "group":
                 inner = self.eval_group(el[1], None)
                 if inner is not None:
-                    acc = inner if acc is None else _join(acc, inner)
+                    el_cb = _group_cb(el[1])
+                    acc = (
+                        inner
+                        if acc is None
+                        else _join(acc, inner, compat=compat_for(inner, el_cb))
+                    )
+                    cb |= el_cb
             elif kind in ("not_exists", "exists"):
                 sub = self.eval_group(el[1], None)
                 assert acc is not None and sub is not None
@@ -1545,6 +1907,8 @@ class _Eval:
                 var = el[1][1:]
                 expr, acc = self._materialize_exists(el[2], acc)
                 acc = acc.withColumn(var, self.to_column(expr, acc))
+                if _expr_certainly_bound(el[2], cb):
+                    cb.add(var)
             elif kind == "values":
                 vars_, rows = el[1], el[2]
                 spark = self.quads.sparkSession
@@ -1557,7 +1921,17 @@ class _Eval:
                 frame = spark.createDataFrame(
                     data, ", ".join(f"`{n}` string" for n in names)
                 )
-                acc = frame if acc is None else _join(acc, F.broadcast(frame))
+                el_cb = _element_cb(el, cb)
+                acc = (
+                    frame
+                    if acc is None
+                    else _join(
+                        acc,
+                        F.broadcast(frame),
+                        compat=compat_for(frame, el_cb),
+                    )
+                )
+                cb |= el_cb
             else:
                 raise ValueError(f"unknown group element {kind!r}")
         flush_triples()
@@ -1605,6 +1979,17 @@ class _Eval:
                 return ~go(x[1])
             if kind in ("=", "!=", "<", ">", "<=", ">="):
                 a, b = go(x[1]), go(x[2])
+                # SPARQL operator dispatch: when either operand is a
+                # NUMBER-kind literal the comparison is numeric, not
+                # lexicographic ("10" < "9" as strings, 10 > 9 as
+                # numbers) — try_cast both sides so a non-numeric
+                # store value yields NULL (type error -> no solution),
+                # mirroring the num:* arithmetic treatment.
+                if kind in ("<", ">", "<=", ">=") and (
+                    _is_numeric_literal(x[1]) or _is_numeric_literal(x[2])
+                ):
+                    a = a.try_cast("double")
+                    b = b.try_cast("double")
                 return {
                     "=": a == b, "!=": a != b, "<": a < b,
                     ">": a > b, "<=": a <= b, ">=": a >= b,

@@ -205,7 +205,8 @@ def validate_statement_syntax(
     """
     stmt = statement.lstrip()
     if stmt.upper().startswith("MERGE"):
-        assert spark is not None, "MERGE validation needs a SparkSession"
+        if spark is None:  # explicit raise: an assert vanishes under -O
+            raise ValueError("MERGE validation needs a SparkSession")
         try:
             spark._jsparkSession.sessionState().sqlParser().parsePlan(stmt)
         except Exception as e:  # pyspark converts the Java
@@ -241,7 +242,16 @@ def validate_statement_syntax(
                 con.execute("EXPLAIN " + stmt)
             except duckdb.CatalogException:
                 pass
-    except (duckdb.ParserException, duckdb.BinderException) as e:
+    except (
+        duckdb.ParserException,
+        duckdb.BinderException,
+        # shadow-table path: a statement referencing a table/schema not
+        # in ``tables`` is a validation failure like any binder error —
+        # wrap it in the documented ValueError instead of leaking a raw
+        # duckdb exception (the grammar-only path above still tolerates
+        # CatalogException by design: no shadow tables exist there).
+        duckdb.CatalogException,
+    ) as e:
         raise ValueError(f"generated statement failed to parse: {e}") from e
     finally:
         con.close()

@@ -547,16 +547,31 @@ def commit_tables(store_dir: str, tables: dict) -> str:
     # live pointer, unpinned — vacuum reclaims them after the grace
     # window).
     lock = os.path.join(store_dir, "_commit.lock")
+    lock_token = f"{os.getpid()}:{token}"
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
+            os.write(fd, lock_token.encode())
             os.close(fd)
             break
         except FileExistsError:
             try:
                 if time.time() - os.stat(lock).st_mtime > _COMMIT_LOCK_TTL:
-                    os.unlink(lock)
+                    # Stale-lock takeover must be ATOMIC: two waiters
+                    # that both stat the lock as expired must not both
+                    # unlink — waiter B's pending unlink would delete
+                    # the fresh lock waiter A just created, letting two
+                    # committers into the rename/manifest critical
+                    # section. rename() to a unique name arbitrates:
+                    # exactly one waiter's rename succeeds (the path is
+                    # gone for everyone else), and the stale file is
+                    # removed under a name no other waiter targets.
+                    takeover = f"{lock}.takeover.{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(lock, takeover)
+                    except OSError:
+                        continue  # lost the takeover race; re-check
+                    os.unlink(takeover)
                     continue
             except OSError:
                 continue
@@ -591,8 +606,16 @@ def commit_tables(store_dir: str, tables: dict) -> str:
                 f.write(str(v))
             os.replace(tmp, os.path.join(tp, _POINTER))
     finally:
+        # Release only OUR lock: if this committer overstayed
+        # _COMMIT_LOCK_TTL and a waiter took the lock over, the file
+        # now belongs to someone else — unlinking unconditionally
+        # would unlock THEIR critical section. (Read-then-unlink is
+        # not atomic, but the window is microseconds against a TTL of
+        # seconds — strictly safer than the unconditional unlink.)
         try:
-            os.unlink(lock)
+            with open(lock) as f:
+                if f.read() == lock_token:
+                    os.unlink(lock)
         except OSError:
             pass
     return path

@@ -813,3 +813,102 @@ def test_shared_object_var_joins_on_term_identity(spark):
     # e1: nl vs en -> no term match; e2: nl vs nl -> match;
     # e3: plain vs plain (null lang, null-safe) -> match
     assert rows == {("e2", "fiets"), ("e3", "kar")}
+
+
+def test_optional_var_reused_in_union_compatible_join(spark):
+    """SPARQL §18.3 compatible bindings: a variable null-filled by an
+    unmatched OPTIONAL is compatible with ANY value a later UNION
+    branch binds — the join must not drop those solutions (it did,
+    pre-fix: plain equi-join on the nullable column)."""
+    quads = _quads(
+        spark,
+        [
+            ("e1", "urn:p0", "x", None, None),
+            ("e2", "urn:p0", "x", None, None),
+            # OPTIONAL matches only e1
+            ("e1", "urn:p1", "c1", None, None),
+            # union branch binds ?c for both subjects
+            ("e1", "urn:p2", "c1", None, None),
+            ("e1", "urn:p2", "c9", None, None),
+            ("e2", "urn:p2", "c2", None, None),
+        ],
+    )
+    out = SQ.construct_query(
+        quads,
+        """
+        PREFIX out: <urn:out:>
+        CONSTRUCT { ?e out:r ?c }
+        WHERE {
+          ?e <urn:p0> ?x .
+          OPTIONAL { ?e <urn:p1> ?c }
+          { ?e <urn:p2> ?c } UNION { ?e <urn:p3> ?c }
+        }
+        """,
+    )
+    rows = {(r.subject, r.object) for r in out.collect()}
+    # e1: ?c bound to c1 by OPTIONAL -> union branch must agree (c1
+    # only; c9 is incompatible). e2: ?c unbound after OPTIONAL ->
+    # compatible with the branch's c2.
+    assert rows == {("e1", "c1"), ("e2", "c2")}
+
+
+def test_optional_var_reused_in_later_optional_left_compat(spark):
+    """Left compatible-binding join: a second OPTIONAL sharing a
+    maybe-unbound variable extends solutions where compatible and
+    null-fills where not matched."""
+    quads = _quads(
+        spark,
+        [
+            ("e1", "urn:p0", "x", None, None),
+            ("e2", "urn:p0", "x", None, None),
+            ("e3", "urn:p0", "x", None, None),
+            ("e1", "urn:p1", "c1", None, None),      # opt1 matches e1
+            ("e1", "urn:p2", "c1", None, None),      # opt2 agrees for e1
+            ("e2", "urn:p2", "c2", None, None),      # opt2 binds ?c for e2
+            # e3: neither optional matches
+        ],
+    )
+    out = SQ.construct_query(
+        quads,
+        """
+        PREFIX out: <urn:out:>
+        CONSTRUCT { ?e out:c ?c . ?e out:mark <urn:seen> }
+        WHERE {
+          ?e <urn:p0> ?x .
+          OPTIONAL { ?e <urn:p1> ?c }
+          OPTIONAL { ?e <urn:p2> ?c . ?e <urn:p0> ?y }
+        }
+        """,
+    )
+    rows = {(r.subject, r.predicate, r.object) for r in out.collect()}
+    assert rows == {
+        ("e1", "urn:out:c", "c1"),
+        ("e2", "urn:out:c", "c2"),
+        ("e1", "urn:out:mark", "urn:seen"),
+        ("e2", "urn:out:mark", "urn:seen"),
+        ("e3", "urn:out:mark", "urn:seen"),
+    }
+
+
+def test_numeric_literal_comparison_is_numeric(spark):
+    """FILTER(?n > 9) compares numerically when one operand is a
+    NUMBER literal: "10" > 9 holds (lexicographic would say "10"<"9");
+    non-numeric values type-error to no solution."""
+    quads = _quads(
+        spark,
+        [
+            ("e1", "urn:n", "10", None, None),
+            ("e2", "urn:n", "9", None, None),
+            ("e3", "urn:n", "100", None, None),
+            ("e4", "urn:n", "abc", None, None),
+        ],
+    )
+    out = SQ.construct_query(
+        quads,
+        """
+        PREFIX out: <urn:out:>
+        CONSTRUCT { ?e out:big ?n }
+        WHERE { ?e <urn:n> ?n . FILTER (?n > 9) }
+        """,
+    )
+    assert {r.subject for r in out.collect()} == {"e1", "e3"}
