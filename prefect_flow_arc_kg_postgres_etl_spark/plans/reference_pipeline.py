@@ -1,0 +1,1151 @@
+"""The reference's FULL production cycle composed end-to-end.
+
+Reference: flows/main_flow.py runs (1) the nine production CONSTRUCT
+queries into the view graph (typescript/src/1_kg_view_construct.ts),
+(2) streams that graph into the ~30 ``graph.*`` Postgres tables in FK
+topological order (typescript/src/2_database_load.ts + stream.ts:
+group quads by subject, ``tableName`` picks the target table, every
+other ``urn:kg-to-postgres:`` predicate becomes a column), then (3)
+rebuilds the per-organisation Elasticsearch index documents with
+flows/queries/update_partition.sql — a ~15-way join over
+intellectual_entity with one LATERAL aggregate per related table —
+fed to ES as NDJSON (flows/arc_db_load_index_tables_flow.py).
+
+This module is that composition on Spark:
+
+- ``all_view_triples``     = step 1: the nine verbatim .sparql files
+  (read from the reference at run time, executed by operators/sparql)
+  unioned into one RDF-set-semantics triple stream.
+- ``pivot_view_tables``    = step 2's record construction: ONE
+  subject-keyed aggregation pass pivots the whole stream into every
+  ``graph.*`` table (stream.ts's RecordConstructor, distributed);
+  ``GRAPH_FK_DEPENDENCIES`` + operators.merge.fk_merge_order give the
+  same topological load order DepGraph computes in 2_database_load.ts.
+- ``build_reference_index_documents`` = step 3: update_partition.sql
+  translated join-for-join and aggregate-for-aggregate (each LATERAL
+  becomes a pre-aggregated side reduced to one row per entity BEFORE
+  the star join — map-side partials, no fan-out through the join).
+- ``flow_reference_pipeline`` composes the three; the flows-level
+  store-backed variant (full/incremental convergence) lives in
+  tests/test_reference_pipeline.py against sources/store.
+
+Scale design: every construct result is localCheckpoint'ed (nine
+~200-scan plans would otherwise union into one driver-crushing DAG);
+the pivot is one shuffle pair over the triple stream, cached and
+shared by every table extraction; each update_partition side is a
+single groupBy to one row per entity; the organization dimension
+broadcasts. No per-row Python anywhere.
+
+Data-model adapters (the synthetic quad stores are per-query
+deterministic and do not share the production store's referential
+links — each adapter keeps the SQL's join STRUCTURE and is pinned
+live by the fixture tests in tests/test_reference_pipeline.py):
+- maintainer -> organization joins on the OR identifier
+  (``org_identifier``, update_partition.sql:57's business key) rather
+  than the organization IRI: the stores mint org IRIs from different
+  key spaces.
+- ``schema_transcript`` aggregates representation.schema_transcript
+  (the stores emit no graph.schema_transcript_url table; the child ->
+  representation -> transcript join path is unchanged,
+  update_partition.sql:348-357).
+- the ``audio`` carrier types are the stores' 'Geluidsband'/
+  'Beeldband' (for the SQL's 'Geluidsspoel'/'Beeldspoel',
+  update_partition.sql:242-243).
+- lookup.reuse_category (a static table the reference seeds out of
+  band) is an inline two-row lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_kg_postgres_etl_spark.operators import merge as M
+
+_NS = "urn:kg-to-postgres:"
+
+# Every table the nine production queries emit, with the full column
+# set observed across all nine (stream.ts derives these from the live
+# information_schema; the stores are synthetic, so the map is pinned).
+GRAPH_TABLE_COLUMNS: dict[str, list[str]] = {
+    "graph.carrier": ["bibframe_production_method", "digitization_date", "ebucore_has_captioning", "id", "intellectual_entity_id", "premis_medium", "schema_height", "schema_identifier", "schema_material", "schema_material_extent", "schema_name", "schema_width", "type"],
+    "graph.collection": ["collection_type", "id", "schema_end_date", "schema_identifier", "schema_is_part_of", "schema_location_created", "schema_name", "schema_publisher", "schema_season_number", "schema_start_date"],
+    "graph.dcterms_format": ["dcterms_format", "intellectual_entity_id"],
+    "graph.file": ["ebucore_has_mime_type", "edm_is_next_in_sequence", "id", "premis_original_name", "premis_stored_at", "schema_duration", "schema_name", "schema_thumbnail_url"],
+    "graph.ha_des_coloring_type": ["carrier_id", "ha_des_coloring_type"],
+    "graph.highlight": ["height", "id", "width", "x", "y"],
+    "graph.includes": ["file_id", "representation_id"],
+    "graph.intellectual_entity": ["bibframe_edition", "dcterms_available", "dcterms_rights", "ebucore_has_cast_member", "ebucore_has_object_type", "ebucore_synopsis", "ha_des_max_date_created", "ha_des_max_date_published", "ha_des_min_date_created", "ha_des_min_date_published", "ha_des_number_of_pages", "id", "relation_is_part_of", "schema_abstract", "schema_copyright_notice", "schema_copyright_year", "schema_credit_text", "schema_date_created", "schema_date_published", "schema_description", "schema_identifier", "schema_issue_number", "schema_maintainer", "schema_name", "schema_position"],
+    "graph.mh_fragment_identifier": ["intellectual_entity_id", "is_deleted", "mh_fragment_identifier"],
+    "graph.newspaper_schema_alternate_name": ["collection_id", "schema_alternate_name"],
+    "graph.newspaper_schema_in_language": ["collection_id", "schema_in_language"],
+    "graph.organization": ["dcterms_description", "foaf_homepage", "ha_org_has_logo", "ha_org_request_form", "ha_org_sector", "id", "org_classification", "org_identifier", "schema_vat_id", "skos_pref_label"],
+    "graph.organization_has_postal_address": ["organization_id", "postal_address_id"],
+    "graph.organization_has_preference": ["ha_pref", "organization_id"],
+    "graph.premis_identifier": ["intellectual_entity_id", "type", "value"],
+    "graph.representation": ["edm_is_next_in_sequence", "id", "is_media_fragment_of", "premis_represents", "relation_has_root", "relation_has_source", "schema_caption", "schema_end_time", "schema_in_language", "schema_name", "schema_start_time", "schema_transcript"],
+    "graph.schema_alternate_name": ["intellectual_entity_id", "schema_alternate_name"],
+    "graph.schema_contact_point": ["id", "organization_id", "schema_contact_type", "schema_email", "schema_telephone"],
+    "graph.schema_copyright_holder": ["intellectual_entity_id", "schema_copyright_holder"],
+    "graph.schema_genre": ["intellectual_entity_id", "schema_genre"],
+    "graph.schema_in_language": ["intellectual_entity_id", "schema_in_language"],
+    "graph.schema_is_part_of": ["collection_id", "intellectual_entity_id", "type"],
+    "graph.schema_keywords": ["intellectual_entity_id", "schema_keywords"],
+    "graph.schema_license": ["intellectual_entity_id", "schema_license"],
+    "graph.schema_mentions": ["confidence", "id", "intellectual_entity_id", "thing_id"],
+    "graph.schema_mentions_highlight": ["highlight_id", "schema_mentions_id"],
+    "graph.schema_postal_address": ["id", "organization_id", "schema_address_country", "schema_address_locality", "schema_address_region", "schema_contact_type", "schema_postal_code", "schema_street_address"],
+    "graph.schema_role": ["id", "intellectual_entity_id", "schema_role_name", "thing_id", "type"],
+    "graph.schema_spatial": ["intellectual_entity_id", "schema_spatial"],
+    "graph.schema_temporal": ["intellectual_entity_id", "schema_temporal"],
+    "graph.thing": ["id", "schema_birth_date", "schema_birth_place", "schema_death_date", "schema_death_place", "schema_name"],
+}
+
+# The FK graph 2_database_load.ts discovers via get_dependent_tables
+# (database.ts): dependencies[t] = tables t references, toposorted by
+# operators.merge.fk_merge_order into parallel merge levels.
+# intellectual_entity's relation_is_part_of self-FK is excluded (a
+# self-edge is not a load-order constraint; the reference's DepGraph
+# holds table-level nodes and cannot represent it either).
+GRAPH_FK_DEPENDENCIES: dict[str, set[str]] = {
+    "graph.organization": set(),
+    "graph.thing": set(),
+    "graph.collection": set(),
+    "graph.highlight": set(),
+    "graph.file": set(),
+    "graph.intellectual_entity": {"graph.organization"},
+    "graph.carrier": {"graph.intellectual_entity"},
+    "graph.ha_des_coloring_type": {"graph.carrier"},
+    "graph.representation": {"graph.intellectual_entity", "graph.file"},
+    "graph.includes": {"graph.representation", "graph.file"},
+    "graph.dcterms_format": {"graph.intellectual_entity"},
+    "graph.premis_identifier": {"graph.intellectual_entity"},
+    "graph.schema_alternate_name": {"graph.intellectual_entity"},
+    "graph.schema_spatial": {"graph.intellectual_entity"},
+    "graph.schema_temporal": {"graph.intellectual_entity"},
+    "graph.schema_keywords": {"graph.intellectual_entity"},
+    "graph.schema_genre": {"graph.intellectual_entity"},
+    "graph.schema_in_language": {"graph.intellectual_entity"},
+    "graph.schema_license": {"graph.intellectual_entity"},
+    "graph.schema_copyright_holder": {"graph.intellectual_entity"},
+    "graph.mh_fragment_identifier": {"graph.intellectual_entity"},
+    "graph.schema_is_part_of": {"graph.intellectual_entity", "graph.collection"},
+    "graph.schema_role": {"graph.intellectual_entity", "graph.thing"},
+    "graph.schema_mentions": {"graph.intellectual_entity", "graph.thing"},
+    "graph.schema_mentions_highlight": {"graph.schema_mentions", "graph.highlight"},
+    "graph.newspaper_schema_alternate_name": {"graph.collection"},
+    "graph.newspaper_schema_in_language": {"graph.collection"},
+    "graph.schema_postal_address": {"graph.organization"},
+    "graph.organization_has_postal_address": {"graph.organization", "graph.schema_postal_address"},
+    "graph.organization_has_preference": {"graph.organization"},
+    "graph.schema_contact_point": {"graph.organization"},
+}
+
+
+def graph_load_order() -> list[list[str]]:
+    """Topological merge levels for the full graph.* table set — the
+    DepGraph.overallOrder() of 2_database_load.ts:189-207, leveled so
+    each level's merges can run as parallel Spark jobs."""
+    return M.fk_merge_order(GRAPH_FK_DEPENDENCIES)
+
+
+def all_view_triples(
+    spark: SparkSession, sf_dir: str, spill_dir: str | None = None
+) -> DataFrame:
+    """Step 1: the nine production queries VERBATIM, one triple stream.
+
+    Each query's CONSTRUCT result is MATERIALIZED to parquet as its own
+    job before the union — exactly what the reference does between its
+    steps (2_database_load.ts:64 downloads the whole view graph to
+    graph.ttl.gz and streams the file). Operationally this bounds
+    memory to one compiled query plan at a time (the nine plans total
+    many hundreds of scan stages; a single composed DAG OOMs a
+    default-sized driver JVM and would crush a cluster scheduler), and
+    the downstream pivot starts from nine clean columnar scans instead
+    of a megaplan. The union is DISTINCT — the view graph is an RDF
+    set, and set semantics at ingest is exactly the r7 lesson (a bag
+    here blows up every downstream join)."""
+    import tempfile
+
+    from prefect_flow_arc_kg_postgres_etl_spark.plans import kg
+
+    builders = [
+        kg.kg_construct_real_query,
+        kg.kg_construct_real_query_org,
+        kg.kg_construct_real_query_deletes,
+        kg.kg_construct_real_query_newspaper,
+        kg.kg_construct_real_query_iiif,
+        kg.kg_construct_real_query_issues,
+        kg.kg_construct_real_query_av_audio,
+        kg.kg_construct_real_query_av_video,
+        kg.kg_construct_real_query_av_complex,
+    ]
+    spill = spill_dir or tempfile.mkdtemp(prefix="kg_view_graph_")
+    paths = []
+    for i, b in enumerate(builders):
+        p = f"{spill}/q{i}"
+        b(spark, sf_dir).write.mode("overwrite").parquet(p)
+        paths.append(p)
+    return spark.read.parquet(*paths).distinct()
+
+
+def pivot_wide(triples: DataFrame) -> DataFrame:
+    """Step 2a: ONE aggregation pass turning the triple stream into a
+    wide (subject, column->value map) frame — stream.ts:78-105's
+    RecordConstructor, distributed. Two-phase: MIN per (subject,
+    column) first (the deterministic stand-in for the reference's
+    take-first-value stream order; the queries emit one value per
+    column), then one map per subject. Both phases are hash
+    aggregates with map-side partials; no window, no sort."""
+    recs = triples.filter(F.col("predicate").startswith(_NS)).select(
+        "subject",
+        F.expr(f"substring(predicate, {len(_NS) + 1})").alias("c"),
+        "object",
+    )
+    pairs = recs.groupBy("subject", "c").agg(F.min("object").alias("v"))
+    return pairs.groupBy("subject").agg(
+        F.map_from_entries(F.collect_list(F.struct("c", "v"))).alias("m")
+    )
+
+
+def table_from_wide(wide: DataFrame, table: str, cols: list[str]) -> DataFrame:
+    """Step 2b: extract one graph.* table from the wide pivot."""
+    return wide.filter(F.col("m")["tableName"] == table).select(
+        F.col("subject"),
+        *[F.col("m")[c].alias(c) for c in cols],
+    )
+
+
+def pivot_view_tables(
+    triples: DataFrame,
+    tables: dict[str, list[str]] | None = None,
+) -> dict[str, DataFrame]:
+    """The full graph.* table set from one triple stream, in FK load
+    order (the dict is ordered by merge level, then name — iterate it
+    to replay 2_database_load.ts's upsert sequence)."""
+    tables = tables if tables is not None else GRAPH_TABLE_COLUMNS
+    wide = pivot_wide(triples).persist()
+    out: dict[str, DataFrame] = {}
+    for level in graph_load_order():
+        for name in level:
+            if name in tables:
+                out[name] = table_from_wide(wide, name, tables[name])
+    for name in tables:  # tables outside the FK map load last
+        if name not in out:
+            out[name] = table_from_wide(wide, name, tables[name])
+    return out
+
+
+def _sorted_join(col, sep: str = "|", distinct: bool = False):
+    """Deterministic aggregate-to-string: sorted, null-skipping,
+    NULL (not '') when no values — matching DuckDB's
+    string_agg(.. ORDER BY ..) exactly."""
+    collected = F.collect_set(col) if distinct else F.collect_list(col)
+    return F.nullif(F.array_join(F.array_sort(collected), sep), F.lit(""))
+
+
+_SLUG = r"[^a-zA-Z0-9]+"
+
+
+def _slug(col):
+    """graph.create_slug(update_partition.sql:58): lowercase,
+    non-alphanumeric runs to single dashes, trimmed."""
+    return F.expr(
+        f"trim(BOTH '-' FROM lower(regexp_replace({col}, '{_SLUG}', '-')))"
+    )
+
+
+def build_reference_index_documents(t: dict[str, DataFrame]) -> DataFrame:
+    """update_partition.sql:1-366 translated structure-for-structure.
+
+    One output row per TOP-LEVEL intellectual entity (relation_is_part_of
+    IS NULL, update_partition.sql:358) with a qualifying dcterms_format
+    (INNER LATERAL :62-74) and a resolvable maintainer organisation
+    (INNER join :54-60). Every LEFT JOIN LATERAL becomes a side
+    DataFrame pre-aggregated to ONE row per entity id and left-joined —
+    the star join carries no multi-value fan-out, each side is a single
+    groupBy (map-side combine), the org dimension broadcasts.
+    jsonb_agg(...) document fields are emitted as deterministic sorted
+    '|'-joined strings (the document consumer is full-text search; the
+    reference's jsonb arrays are unordered Postgres aggregates).
+    ``updated_at``/``%(since)s`` are the incremental window (A10/A46's
+    domain) — this build is the full-sync form.
+    """
+    ie = t["graph.intellectual_entity"]
+    org = t["graph.organization"]
+    rep = t["graph.representation"]
+    file = t["graph.file"]
+    inc = t["graph.includes"]
+
+    key = F.col("intellectual_entity_id").alias("k")
+
+    # -- org (update_partition.sql:54-60), with the slug'd alt label.
+    org_side = F.broadcast(
+        org.select(
+            F.col("org_identifier").alias("_org_code"),
+            F.col("org_identifier").alias("schema_maintainer_identifier"),
+            F.col("skos_pref_label").alias("schema_maintainer_name"),
+            F.col("ha_org_sector").alias("organization_sector"),
+            F.col("org_classification").alias("organization_type"),
+            _slug("skos_pref_label").alias("schema_maintainer_alt_label"),
+        )
+    )
+
+    # -- dcterms_format pick-one (INNER, :62-74): exclude 'set',
+    # ' document', 'newspaperpage'; prefer newspaper, then image, then
+    # anything (min as the deterministic tiebreak).
+    fmt_rank = (
+        F.when(F.col("dcterms_format") == "newspaper", "1")
+        .when(F.col("dcterms_format") == "image", "2")
+        .otherwise("3")
+    )
+    fmt_side = (
+        t["graph.dcterms_format"]
+        .filter(
+            ~F.col("dcterms_format").isin("set", " document", "newspaperpage")
+        )
+        .select(key, F.concat(fmt_rank, F.lit(":"), "dcterms_format").alias("rf"))
+        .groupBy("k")
+        .agg(F.substring(F.min("rf"), 3, 1000).alias("dcterms_format"))
+    )
+
+    # -- premis_identifier jsonb_agg of {type: value} (:76-81)
+    pid_side = (
+        t["graph.premis_identifier"]
+        .select(
+            key,
+            F.concat(
+                F.coalesce(F.col("type"), F.lit("")), F.lit(":"), F.col("value")
+            ).alias("e"),
+        )
+        .groupBy("k")
+        .agg(_sorted_join(F.col("e")).alias("premis_identifier"))
+    )
+
+    # -- schema_duration (:83-103): MAX over the UNION of file-based
+    # (video/mp4 via includes+representation) and media-fragment-based
+    # (end - start) durations, in integer seconds.
+    file_secs = F.regexp_extract("schema_duration", r"(\d+)", 1).cast("long")
+    dur_file = (
+        file.filter(
+            (F.col("ebucore_has_mime_type") == "video/mp4")
+            & F.col("schema_duration").isNotNull()
+        )
+        .select(F.col("subject").alias("fid"), file_secs.alias("d"))
+        .join(inc.select(F.col("file_id").alias("fid"), "representation_id"), "fid")
+        .join(
+            rep.select(F.col("subject").alias("representation_id"), "premis_represents"),
+            "representation_id",
+        )
+        .select(F.col("premis_represents").alias("k"), "d")
+    )
+    dur_frag = rep.filter(F.col("is_media_fragment_of").isNotNull()).select(
+        F.col("premis_represents").alias("k"),
+        (
+            F.col("schema_end_time").cast("long")
+            - F.col("schema_start_time").cast("long")
+        ).alias("d"),
+    )
+    dur_side = (
+        dur_file.unionByName(dur_frag)
+        .groupBy("k")
+        .agg(F.max("d").alias("schema_duration"))
+    )
+
+    # -- thumbnails (:105-153): three derivations unioned, DISTINCT.
+    th_frag = rep.join(
+        file.select(
+            F.col("subject").alias("_f"), F.col("schema_thumbnail_url").alias("u")
+        ).filter(F.col("u").isNotNull()),
+        rep.is_media_fragment_of == F.col("_f"),
+    ).select(F.col("premis_represents").alias("k"), "u")
+    th_rep = (
+        file.filter(F.col("schema_thumbnail_url").isNotNull())
+        .select(F.col("subject").alias("fid"), F.col("schema_thumbnail_url").alias("u"))
+        .join(inc.select(F.col("file_id").alias("fid"), "representation_id"), "fid")
+        .join(
+            rep.filter(F.col("is_media_fragment_of").isNull()).select(
+                F.col("subject").alias("representation_id"), "premis_represents"
+            ),
+            "representation_id",
+        )
+        .select(F.col("premis_represents").alias("k"), "u")
+    )
+    # first-position child leg (:130-151): per parent, the thumbnail of
+    # the lowest-schema_position child (child id as the tiebreak).
+    # schema_position order: TRY_CAST (non-numeric -> null) with nulls
+    # coalesced BELOW every real position — DuckDB sorts nulls last,
+    # Spark first; pinning the sentinel makes both engines agree.
+    pos_order = F.coalesce(
+        F.expr("try_cast(schema_position AS int)"), F.lit(2147483647)
+    )
+    child_thumbs = (
+        ie.filter(F.col("relation_is_part_of").isNotNull())
+        .select(
+            F.col("subject").alias("cid"),
+            F.col("relation_is_part_of").alias("k"),
+            pos_order.alias("pos"),
+        )
+        .join(
+            rep.select(F.col("premis_represents").alias("cid"), F.col("subject").alias("rid")),
+            "cid",
+        )
+        .join(inc.select(F.col("representation_id").alias("rid"), "file_id"), "rid")
+        .join(
+            file.filter(F.col("schema_thumbnail_url").isNotNull()).select(
+                F.col("subject").alias("file_id"),
+                F.col("schema_thumbnail_url").alias("u"),
+            ),
+            "file_id",
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.col("pos"), F.col("cid"), F.col("u"))
+    th_child = (
+        child_thumbs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "u")
+    )
+    thumb_side = (
+        th_frag.unionByName(th_rep)
+        .unionByName(th_child)
+        .groupBy("k")
+        .agg(_sorted_join(F.col("u"), distinct=True).alias("schema_thumbnail_url"))
+    )
+
+    # -- roles (:155-169): per (entity, type, role_name) the thing
+    # names, then per (entity, type) the 'role=[names]' entries.
+    thing_names = t["graph.thing"].select(
+        F.col("subject").alias("thing_id"), F.col("schema_name").alias("tn")
+    )
+    role_names = (
+        t["graph.schema_role"]
+        .join(thing_names, "thing_id", "left")
+        .filter(F.col("tn").isNotNull())
+        .groupBy(
+            F.col("intellectual_entity_id").alias("k"), "type", "schema_role_name"
+        )
+        .agg(_sorted_join(F.col("tn")).alias("names"))
+    )
+    role_entry = F.concat(
+        F.col("schema_role_name"), F.lit("=["), F.coalesce("names", F.lit("")), F.lit("]")
+    )
+    roles_side = role_names.groupBy("k").agg(
+        F.nullif(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("type") == "schema_creator", role_entry)
+                    )
+                ),
+                ";",
+            ),
+            F.lit(""),
+        ).alias("schema_creator"),
+        F.nullif(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("type") == "schema_contributor", role_entry)
+                    )
+                ),
+                ";",
+            ),
+            F.lit(""),
+        ).alias("schema_contributor"),
+        F.nullif(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("type") == "schema_publisher", role_entry)
+                    )
+                ),
+                ";",
+            ),
+            F.lit(""),
+        ).alias("schema_publisher"),
+    )
+
+    # -- creator/publisher text (:171-187): flat name arrays.
+    def _role_text(role_type: str, alias: str) -> DataFrame:
+        return (
+            t["graph.schema_role"]
+            .filter(F.col("type") == role_type)
+            .join(thing_names, "thing_id", "left")
+            .groupBy(F.col("intellectual_entity_id").alias("k"))
+            .agg(_sorted_join(F.col("tn")).alias(alias))
+        )
+
+    creator_text = _role_text("schema_creator", "schema_creator_text")
+    publisher_text = _role_text("schema_publisher", "schema_publisher_text")
+
+    # -- plain per-entity value aggregates (:189-237 spatial, temporal,
+    # keywords, genre, in_language, license + :334-346 medium, alt name)
+    def _agg(table: str, col: str, alias: str, distinct: bool = False) -> DataFrame:
+        return (
+            t[table]
+            .select(key, F.col(col))
+            .groupBy("k")
+            .agg(_sorted_join(F.col(col), distinct=distinct).alias(alias))
+        )
+
+    spatial = _agg("graph.schema_spatial", "schema_spatial", "schema_spatial_coverage")
+    temporal = _agg("graph.schema_temporal", "schema_temporal", "schema_temporal_coverage")
+    keywords = _agg("graph.schema_keywords", "schema_keywords", "schema_keywords")
+    genre = _agg("graph.schema_genre", "schema_genre", "schema_genre")
+    language = _agg("graph.schema_in_language", "schema_in_language", "schema_in_language")
+    medium = _agg("graph.carrier", "premis_medium", "dcterms_medium", distinct=True)
+    alt_name = _agg(
+        "graph.schema_alternate_name", "schema_alternate_name", "schema_alternate_name"
+    )
+
+    # -- meemoofilm_color (:224-230): coloring type via carrier.
+    color_side = (
+        t["graph.ha_des_coloring_type"]
+        .select(F.col("carrier_id").alias("_c"), "ha_des_coloring_type")
+        .join(
+            t["graph.carrier"].select(F.col("subject").alias("_c"), key),
+            "_c",
+        )
+        .groupBy("k")
+        .agg(_sorted_join(F.col("ha_des_coloring_type")).alias("meemoofilm_color"))
+    )
+
+    # -- schema_license (:232-237) + dcterms_rights_statement (:263-273)
+    lic = t["graph.schema_license"].select(key, "schema_license")
+    lic_side = lic.groupBy("k").agg(
+        _sorted_join(F.col("schema_license")).alias("schema_license"),
+        F.max(
+            F.when(F.col("schema_license") == "Publiek-Domein", 2)
+            .when(F.col("schema_license") == "COPYRIGHT-UNDETERMINED", 1)
+        ).alias("_rs_rank"),
+    )
+    rights_statement = (
+        F.when(
+            F.col("_rs_rank") == 2,
+            F.lit("https://creativecommons.org/publicdomain/mark/1.0/"),
+        )
+        .when(
+            F.col("_rs_rank") == 1,
+            F.lit("https://rightsstatements.org/page/UND/1.0/"),
+        )
+        .cast("string")
+    )
+
+    # -- audio (:239-252): carrier types of film-format entities.
+    film_ids = (
+        t["graph.dcterms_format"]
+        .filter(F.col("dcterms_format") == "film")
+        .select(key)
+        .distinct()
+    )
+    audio_side = (
+        t["graph.carrier"]
+        .select(key, "type")
+        .join(film_ids, "k", "left_semi")
+        .groupBy("k")
+        .agg(
+            F.max(
+                F.when(F.col("type") == "Geluidsband", 2)
+                .when(F.col("type") == "Beeldband", 1)
+            ).alias("_a")
+        )
+        .select(
+            "k",
+            F.when(F.col("_a") == 2, "true")
+            .when(F.col("_a") == 1, "false")
+            .cast("string")
+            .alias("audio"),
+        )
+    )
+
+    # -- schema_mentions (:254-261): mentions on CHILD entities roll up
+    # to the parent (newspaper person mentions live on pages).
+    child_of = ie.filter(F.col("relation_is_part_of").isNotNull()).select(
+        F.col("subject").alias("_child"), F.col("relation_is_part_of").alias("k")
+    )
+    mentions_side = (
+        t["graph.schema_mentions"]
+        .select(F.col("intellectual_entity_id").alias("_child"), "thing_id")
+        .join(child_of, "_child")
+        .join(thing_names, "thing_id", "left")
+        .groupBy("k")
+        .agg(_sorted_join(F.col("tn"), distinct=True).alias("schema_mentions"))
+    )
+
+    # -- schema_location_created (:294-301): via collection membership.
+    loc_side = (
+        t["graph.schema_is_part_of"]
+        .select(key, "collection_id")
+        .join(
+            t["graph.collection"]
+            .filter(F.col("schema_location_created").isNotNull())
+            .select(
+                F.col("subject").alias("collection_id"), "schema_location_created"
+            ),
+            "collection_id",
+        )
+        .groupBy("k")
+        .agg(
+            _sorted_join(
+                F.col("schema_location_created"), distinct=True
+            ).alias("schema_location_created")
+        )
+    )
+
+    # -- children (:303-310): fragment-format children count.
+    children_side = (
+        ie.filter(F.col("relation_is_part_of").isNotNull())
+        .select(F.col("subject").alias("_cid"), F.col("relation_is_part_of").alias("k"))
+        .join(
+            t["graph.dcterms_format"]
+            .filter(F.col("dcterms_format").like("%fragment"))
+            .select(F.col("intellectual_entity_id").alias("_cid")),
+            "_cid",
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("_children"))
+    )
+
+    # -- schema_is_part_of object agg (:312-324).
+    ipo_names = (
+        t["graph.schema_is_part_of"]
+        .select(key, "collection_id", "type")
+        .join(
+            t["graph.collection"].select(
+                F.col("subject").alias("collection_id"),
+                F.col("schema_name").alias("cn"),
+            ),
+            "collection_id",
+            "left",
+        )
+        .groupBy("k", "type")
+        .agg(_sorted_join(F.col("cn")).alias("names"))
+    )
+    ipo_side = ipo_names.groupBy("k").agg(
+        F.nullif(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(
+                            F.col("type"),
+                            F.lit("=["),
+                            F.coalesce("names", F.lit("")),
+                            F.lit("]"),
+                        )
+                    )
+                ),
+                ";",
+            ),
+            F.lit(""),
+        ).alias("schema_is_part_of")
+    )
+
+    # -- is_deleted (:326-332): bool_or over the MAM fragments.
+    mf_side = (
+        t["graph.mh_fragment_identifier"]
+        .select(key, "is_deleted")
+        .groupBy("k")
+        .agg(
+            F.max(
+                F.when(F.col("is_deleted") == "true", 2)
+                .when(F.col("is_deleted") == "false", 1)
+            ).alias("_d")
+        )
+        .select(
+            "k",
+            F.when(F.col("_d") == 2, "true")
+            .when(F.col("_d") == 1, "false")
+            .cast("string")
+            .alias("is_deleted"),
+        )
+    )
+
+    # -- schema_transcript (:348-357): child transcripts in page order.
+    transcript_side = (
+        ie.filter(F.col("relation_is_part_of").isNotNull())
+        .select(
+            F.col("subject").alias("cid"),
+            F.col("relation_is_part_of").alias("k"),
+            pos_order.alias("pos"),
+        )
+        .join(
+            rep.filter(F.col("schema_transcript").isNotNull()).select(
+                F.col("premis_represents").alias("cid"),
+                F.col("schema_transcript").alias("tx"),
+            ),
+            "cid",
+        )
+        .groupBy("k")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cid", "tx"))),
+                    lambda s: s["tx"],
+                ),
+                "\n",
+            ).alias("schema_transcript")
+        )
+    )
+
+    # -- the star join: top-level entities, INNER org + format, every
+    # aggregate side LEFT on the entity key.
+    base = (
+        ie.filter(F.col("relation_is_part_of").isNull())
+        .withColumn(
+            "_org_code", F.regexp_extract("schema_maintainer", "OR-[0-9]+$", 0)
+        )
+        .join(org_side, "_org_code")
+        .withColumnRenamed("subject", "k")
+    )
+    doc = (
+        base.join(fmt_side, "k")
+        .join(pid_side, "k", "left")
+        .join(dur_side, "k", "left")
+        .join(thumb_side, "k", "left")
+        .join(roles_side, "k", "left")
+        .join(creator_text, "k", "left")
+        .join(publisher_text, "k", "left")
+        .join(spatial, "k", "left")
+        .join(temporal, "k", "left")
+        .join(keywords, "k", "left")
+        .join(genre, "k", "left")
+        .join(language, "k", "left")
+        .join(medium, "k", "left")
+        .join(alt_name, "k", "left")
+        .join(color_side, "k", "left")
+        .join(lic_side, "k", "left")
+        .join(audio_side, "k", "left")
+        .join(mentions_side, "k", "left")
+        .join(loc_side, "k", "left")
+        .join(children_side, "k", "left")
+        .join(ipo_side, "k", "left")
+        .join(mf_side, "k", "left")
+        .join(transcript_side, "k", "left")
+    )
+
+    rs = rights_statement.alias("dcterms_rights_statement")
+    # reuse rights (:275-292): the rights-table leg of the UNION is
+    # empty (no query emits graph.rights); the statement-derived id
+    # joins the inline lookup.reuse_category stand-in.
+    reuse_id = rights_statement.alias("reuse_category_id")
+    reuse_label = (
+        F.when(
+            F.col("_rs_rank") == 2, F.lit("Publiek domein")
+        )
+        .when(F.col("_rs_rank") == 1, F.lit("Copyright onbepaald"))
+        .cast("string")
+        .alias("reuse_category_label")
+    )
+
+    return doc.select(
+        F.col("schema_identifier").alias("id"),
+        F.lower("schema_maintainer_identifier").alias("index"),
+        F.col("k").alias("iri"),
+        "schema_name",
+        "schema_alternate_name",
+        "schema_description",
+        "schema_abstract",
+        "schema_transcript",
+        F.col("ebucore_has_cast_member").alias("meemoo_description_cast"),
+        F.col("ebucore_synopsis").alias("meemoo_description_programme"),
+        F.col("ebucore_has_object_type").alias("ebucore_object_type"),
+        "schema_identifier",
+        "premis_identifier",
+        "schema_maintainer_identifier",
+        "schema_maintainer_name",
+        "organization_sector",
+        "organization_type",
+        "schema_maintainer_alt_label",
+        F.col("relation_is_part_of").cast("string").alias("premis_is_part_of"),
+        "schema_is_part_of",
+        F.col("ha_des_min_date_created").alias("schema_date_created"),
+        F.col("ha_des_min_date_published").alias("schema_date_published"),
+        "dcterms_available",
+        "dcterms_format",
+        "dcterms_medium",
+        "schema_duration",
+        "schema_thumbnail_url",
+        "schema_creator",
+        "schema_contributor",
+        "schema_publisher",
+        "schema_creator_text",
+        "schema_publisher_text",
+        "schema_spatial_coverage",
+        "schema_temporal_coverage",
+        "schema_keywords",
+        "schema_genre",
+        "schema_in_language",
+        "meemoofilm_color",
+        "schema_license",
+        F.col("schema_copyright_notice").alias("dcterms_rights"),
+        "audio",
+        F.col("ha_des_number_of_pages").alias("schema_number_of_pages"),
+        "schema_mentions",
+        rs,
+        reuse_id,
+        reuse_label,
+        "schema_location_created",
+        F.coalesce(F.col("_children"), F.lit(0)).cast("long").alias("children"),
+        "is_deleted",
+    )
+
+
+def flow_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A74: the reference's full production cycle — nine verbatim
+    queries -> triple stream -> graph.* record pivot in FK order ->
+    update_partition.sql index documents. The ES NDJSON feed over this
+    result is ``index_documents_ndjson``."""
+    triples = all_view_triples(spark, sf_dir)
+    tables = pivot_view_tables(triples)
+    return build_reference_index_documents(tables)
+
+
+def index_documents_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES bulk feed over the composed documents: one JSON document
+    per entity (to_json of the full document struct), the NDJSON body
+    arc_db_load_index_tables_flow.py ships per partition."""
+    docs = flow_reference_pipeline(spark, sf_dir)
+    payload = F.to_json(F.struct(*[c for c in docs.columns if c not in ("id", "index")]))
+    return docs.select("id", "index", payload.alias("document"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: the same composition over the nine query oracles.
+
+
+def _pivot_cte(table: str, cols: list[str]) -> str:
+    name = "p_" + table.split(".", 1)[1]
+    pick = ",\n         ".join(
+        f"MIN(CASE WHEN c = '{c}' THEN object END) AS {c}" for c in cols
+    )
+    return f"""{name} AS MATERIALIZED (
+  SELECT subject,
+         {pick}
+  FROM recs JOIN tn USING (subject)
+  WHERE tn.tbl = '{table}'
+  GROUP BY subject
+)"""
+
+
+def reference_pipeline_oracle() -> str:
+    from prefect_flow_arc_kg_postgres_etl_spark.plans import kg
+
+    nine = [
+        kg.KG_REAL_QUERY_ORACLE,
+        kg.KG_REAL_QUERY_ORG_ORACLE,
+        kg.KG_REAL_QUERY_DEL_ORACLE,
+        kg.KG_REAL_QUERY_NEWS_ORACLE,
+        kg.KG_REAL_QUERY_IIIF_ORACLE,
+        kg.KG_REAL_QUERY_NP_ORACLE,
+        kg.KG_REAL_QUERY_AV_AUDIO_ORACLE,
+        kg.KG_REAL_QUERY_AV_VIDEO_ORACLE,
+        kg.KG_REAL_QUERY_AV_COMPLEX_ORACLE,
+    ]
+    union = "\n  UNION\n  ".join(f"SELECT subject, predicate, object FROM ({q})" for q in nine)
+    pivots = ",\n".join(
+        _pivot_cte(tbl, cols)
+        for tbl, cols in GRAPH_TABLE_COLUMNS.items()
+        if tbl in _ORACLE_TABLES
+    )
+    return f"""
+WITH trip AS MATERIALIZED (
+  {union}
+),
+recs AS MATERIALIZED (
+  SELECT subject, substring(predicate, {len(_NS) + 1}) AS c, object
+  FROM trip WHERE starts_with(predicate, '{_NS}') AND predicate <> '{_NS}tableName'
+),
+tn AS MATERIALIZED (
+  SELECT subject, MIN(object) AS tbl FROM trip
+  WHERE predicate = '{_NS}tableName' GROUP BY subject
+),
+{pivots},
+{_ORACLE_BODY}
+"""
+
+
+# Only the tables update_partition.sql touches need oracle pivots.
+_ORACLE_TABLES = {
+    "graph.intellectual_entity", "graph.organization",
+    "graph.dcterms_format", "graph.premis_identifier", "graph.file",
+    "graph.includes", "graph.representation", "graph.schema_role",
+    "graph.thing", "graph.schema_spatial", "graph.schema_temporal",
+    "graph.schema_keywords", "graph.schema_genre",
+    "graph.schema_in_language", "graph.ha_des_coloring_type",
+    "graph.carrier", "graph.schema_license", "graph.schema_mentions",
+    "graph.collection", "graph.schema_is_part_of",
+    "graph.mh_fragment_identifier", "graph.schema_alternate_name",
+}
+
+
+_ORACLE_BODY = """
+fmt AS (
+  SELECT intellectual_entity_id AS k,
+         substring(MIN(CASE WHEN dcterms_format = 'newspaper' THEN '1'
+                            WHEN dcterms_format = 'image' THEN '2'
+                            ELSE '3' END || ':' || dcterms_format), 3) AS dcterms_format
+  FROM p_dcterms_format
+  WHERE dcterms_format NOT IN ('set', ' document', 'newspaperpage')
+  GROUP BY 1
+),
+pid AS (
+  SELECT intellectual_entity_id AS k,
+         string_agg(COALESCE(type, '') || ':' || value, '|' ORDER BY COALESCE(type, '') || ':' || value) AS premis_identifier
+  FROM p_premis_identifier GROUP BY 1
+),
+dur AS (
+  SELECT k, MAX(d) AS schema_duration FROM (
+    SELECT r.premis_represents AS k,
+           CAST(regexp_extract(f.schema_duration, '(\\d+)', 1) AS BIGINT) AS d
+    FROM p_file f
+    JOIN p_includes i ON i.file_id = f.subject
+    JOIN p_representation r ON r.subject = i.representation_id
+    WHERE f.ebucore_has_mime_type = 'video/mp4' AND f.schema_duration IS NOT NULL
+    UNION ALL
+    SELECT premis_represents,
+           CAST(schema_end_time AS BIGINT) - CAST(schema_start_time AS BIGINT)
+    FROM p_representation WHERE is_media_fragment_of IS NOT NULL
+  ) GROUP BY 1
+),
+thumbs AS (
+  SELECT k, string_agg(DISTINCT u, '|' ORDER BY u) AS schema_thumbnail_url FROM (
+    SELECT r.premis_represents AS k, f.schema_thumbnail_url AS u
+    FROM p_representation r
+    JOIN p_file f ON f.subject = r.is_media_fragment_of
+    WHERE f.schema_thumbnail_url IS NOT NULL
+    UNION ALL
+    SELECT r.premis_represents, f.schema_thumbnail_url
+    FROM p_file f
+    JOIN p_includes i ON i.file_id = f.subject
+    JOIN p_representation r ON r.subject = i.representation_id
+    WHERE f.schema_thumbnail_url IS NOT NULL AND r.is_media_fragment_of IS NULL
+    UNION ALL
+    SELECT k, u FROM (
+      SELECT c.relation_is_part_of AS k, f.schema_thumbnail_url AS u,
+             row_number() OVER (
+               PARTITION BY c.relation_is_part_of
+               ORDER BY COALESCE(TRY_CAST(c.schema_position AS INTEGER), 2147483647),
+                        c.subject, f.schema_thumbnail_url
+             ) AS rn
+      FROM p_intellectual_entity c
+      JOIN p_representation r ON r.premis_represents = c.subject
+      JOIN p_includes i ON i.representation_id = r.subject
+      JOIN p_file f ON f.subject = i.file_id
+      WHERE c.relation_is_part_of IS NOT NULL
+        AND f.schema_thumbnail_url IS NOT NULL
+    ) WHERE rn = 1
+  ) GROUP BY 1
+),
+role_names AS (
+  SELECT sr.intellectual_entity_id AS k, sr.type, sr.schema_role_name,
+         string_agg(th.schema_name, '|' ORDER BY th.schema_name) AS names
+  FROM p_schema_role sr
+  LEFT JOIN p_thing th ON th.subject = sr.thing_id
+  WHERE th.schema_name IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+roles AS (
+  SELECT k,
+         NULLIF(string_agg(CASE WHEN type = 'schema_creator'
+           THEN schema_role_name || '=[' || COALESCE(names, '') || ']' END, ';'
+           ORDER BY CASE WHEN type = 'schema_creator'
+           THEN schema_role_name || '=[' || COALESCE(names, '') || ']' END), '') AS schema_creator,
+         NULLIF(string_agg(CASE WHEN type = 'schema_contributor'
+           THEN schema_role_name || '=[' || COALESCE(names, '') || ']' END, ';'
+           ORDER BY CASE WHEN type = 'schema_contributor'
+           THEN schema_role_name || '=[' || COALESCE(names, '') || ']' END), '') AS schema_contributor,
+         NULLIF(string_agg(CASE WHEN type = 'schema_publisher'
+           THEN schema_role_name || '=[' || COALESCE(names, '') || ']' END, ';'
+           ORDER BY CASE WHEN type = 'schema_publisher'
+           THEN schema_role_name || '=[' || COALESCE(names, '') || ']' END), '') AS schema_publisher
+  FROM role_names GROUP BY 1
+),
+creator_text AS (
+  SELECT sr.intellectual_entity_id AS k,
+         string_agg(th.schema_name, '|' ORDER BY th.schema_name) AS schema_creator_text
+  FROM p_schema_role sr LEFT JOIN p_thing th ON th.subject = sr.thing_id
+  WHERE sr.type = 'schema_creator' GROUP BY 1
+),
+publisher_text AS (
+  SELECT sr.intellectual_entity_id AS k,
+         string_agg(th.schema_name, '|' ORDER BY th.schema_name) AS schema_publisher_text
+  FROM p_schema_role sr LEFT JOIN p_thing th ON th.subject = sr.thing_id
+  WHERE sr.type = 'schema_publisher' GROUP BY 1
+),
+spatial AS (SELECT intellectual_entity_id AS k, string_agg(schema_spatial, '|' ORDER BY schema_spatial) AS v FROM p_schema_spatial GROUP BY 1),
+temporal AS (SELECT intellectual_entity_id AS k, string_agg(schema_temporal, '|' ORDER BY schema_temporal) AS v FROM p_schema_temporal GROUP BY 1),
+keywords AS (SELECT intellectual_entity_id AS k, string_agg(schema_keywords, '|' ORDER BY schema_keywords) AS v FROM p_schema_keywords GROUP BY 1),
+genre AS (SELECT intellectual_entity_id AS k, string_agg(schema_genre, '|' ORDER BY schema_genre) AS v FROM p_schema_genre GROUP BY 1),
+language AS (SELECT intellectual_entity_id AS k, string_agg(schema_in_language, '|' ORDER BY schema_in_language) AS v FROM p_schema_in_language GROUP BY 1),
+medium AS (SELECT intellectual_entity_id AS k, string_agg(DISTINCT premis_medium, '|' ORDER BY premis_medium) AS v FROM p_carrier WHERE premis_medium IS NOT NULL GROUP BY 1),
+alt_name AS (SELECT intellectual_entity_id AS k, string_agg(schema_alternate_name, '|' ORDER BY schema_alternate_name) AS v FROM p_schema_alternate_name GROUP BY 1),
+color AS (
+  SELECT ca.intellectual_entity_id AS k,
+         string_agg(ct.ha_des_coloring_type, '|' ORDER BY ct.ha_des_coloring_type) AS v
+  FROM p_ha_des_coloring_type ct
+  JOIN p_carrier ca ON ca.subject = ct.carrier_id
+  GROUP BY 1
+),
+lic AS (
+  SELECT intellectual_entity_id AS k,
+         string_agg(schema_license, '|' ORDER BY schema_license) AS schema_license,
+         MAX(CASE WHEN schema_license = 'Publiek-Domein' THEN 2
+                  WHEN schema_license = 'COPYRIGHT-UNDETERMINED' THEN 1 END) AS rs_rank
+  FROM p_schema_license GROUP BY 1
+),
+audio AS (
+  SELECT ca.intellectual_entity_id AS k,
+         CASE MAX(CASE WHEN ca.type = 'Geluidsband' THEN 2
+                       WHEN ca.type = 'Beeldband' THEN 1 END)
+           WHEN 2 THEN 'true' WHEN 1 THEN 'false' END AS audio
+  FROM p_carrier ca
+  WHERE ca.intellectual_entity_id IN (
+    SELECT intellectual_entity_id FROM p_dcterms_format WHERE dcterms_format = 'film'
+  )
+  GROUP BY 1
+),
+mentions AS (
+  SELECT c.relation_is_part_of AS k,
+         string_agg(DISTINCT th.schema_name, '|' ORDER BY th.schema_name) AS v
+  FROM p_schema_mentions sm
+  JOIN p_intellectual_entity c ON c.subject = sm.intellectual_entity_id
+    AND c.relation_is_part_of IS NOT NULL
+  LEFT JOIN p_thing th ON th.subject = sm.thing_id
+  WHERE th.schema_name IS NOT NULL
+  GROUP BY 1
+),
+loc AS (
+  SELECT po.intellectual_entity_id AS k,
+         string_agg(DISTINCT co.schema_location_created, '|' ORDER BY co.schema_location_created) AS v
+  FROM p_schema_is_part_of po
+  JOIN p_collection co ON co.subject = po.collection_id
+  WHERE co.schema_location_created IS NOT NULL
+  GROUP BY 1
+),
+children AS (
+  SELECT c.relation_is_part_of AS k, COUNT(*) AS n
+  FROM p_intellectual_entity c
+  JOIN p_dcterms_format dcf ON dcf.intellectual_entity_id = c.subject
+  WHERE c.relation_is_part_of IS NOT NULL AND dcf.dcterms_format LIKE '%fragment'
+  GROUP BY 1
+),
+ipo_names AS (
+  SELECT po.intellectual_entity_id AS k, po.type,
+         string_agg(coll.schema_name, '|' ORDER BY coll.schema_name) AS names
+  FROM p_schema_is_part_of po
+  LEFT JOIN p_collection coll ON coll.subject = po.collection_id
+  GROUP BY 1, 2
+),
+ipo AS (
+  SELECT k, NULLIF(string_agg(type || '=[' || COALESCE(names, '') || ']', ';'
+           ORDER BY type || '=[' || COALESCE(names, '') || ']'), '') AS v
+  FROM ipo_names GROUP BY 1
+),
+mf AS (
+  SELECT intellectual_entity_id AS k,
+         CASE MAX(CASE WHEN is_deleted = 'true' THEN 2
+                       WHEN is_deleted = 'false' THEN 1 END)
+           WHEN 2 THEN 'true' WHEN 1 THEN 'false' END AS is_deleted
+  FROM p_mh_fragment_identifier GROUP BY 1
+),
+transcript AS (
+  SELECT c.relation_is_part_of AS k,
+         string_agg(r.schema_transcript, chr(10)
+           ORDER BY COALESCE(TRY_CAST(c.schema_position AS INTEGER), 2147483647),
+                    c.subject, r.schema_transcript) AS v
+  FROM p_intellectual_entity c
+  JOIN p_representation r ON r.premis_represents = c.subject
+  WHERE c.relation_is_part_of IS NOT NULL AND r.schema_transcript IS NOT NULL
+  GROUP BY 1
+),
+org AS (
+  SELECT org_identifier AS org_code,
+         org_identifier AS schema_maintainer_identifier,
+         skos_pref_label AS schema_maintainer_name,
+         ha_org_sector AS organization_sector,
+         org_classification AS organization_type,
+         trim(lower(regexp_replace(skos_pref_label, '[^a-zA-Z0-9]+', '-', 'g')), '-') AS schema_maintainer_alt_label
+  FROM p_organization
+)
+SELECT
+  ie.schema_identifier AS id,
+  lower(org.schema_maintainer_identifier) AS index,
+  ie.subject AS iri,
+  ie.schema_name,
+  alt_name.v AS schema_alternate_name,
+  ie.schema_description,
+  ie.schema_abstract,
+  transcript.v AS schema_transcript,
+  ie.ebucore_has_cast_member AS meemoo_description_cast,
+  ie.ebucore_synopsis AS meemoo_description_programme,
+  ie.ebucore_has_object_type AS ebucore_object_type,
+  ie.schema_identifier,
+  pid.premis_identifier,
+  org.schema_maintainer_identifier,
+  org.schema_maintainer_name,
+  org.organization_sector,
+  org.organization_type,
+  org.schema_maintainer_alt_label,
+  CAST(ie.relation_is_part_of AS VARCHAR) AS premis_is_part_of,
+  ipo.v AS schema_is_part_of,
+  ie.ha_des_min_date_created AS schema_date_created,
+  ie.ha_des_min_date_published AS schema_date_published,
+  ie.dcterms_available,
+  fmt.dcterms_format,
+  medium.v AS dcterms_medium,
+  dur.schema_duration,
+  thumbs.schema_thumbnail_url,
+  roles.schema_creator,
+  roles.schema_contributor,
+  roles.schema_publisher,
+  creator_text.schema_creator_text,
+  publisher_text.schema_publisher_text,
+  spatial.v AS schema_spatial_coverage,
+  temporal.v AS schema_temporal_coverage,
+  keywords.v AS schema_keywords,
+  genre.v AS schema_genre,
+  language.v AS schema_in_language,
+  color.v AS meemoofilm_color,
+  lic.schema_license,
+  ie.schema_copyright_notice AS dcterms_rights,
+  audio.audio,
+  ie.ha_des_number_of_pages AS schema_number_of_pages,
+  mentions.v AS schema_mentions,
+  CASE lic.rs_rank WHEN 2 THEN 'https://creativecommons.org/publicdomain/mark/1.0/'
+                   WHEN 1 THEN 'https://rightsstatements.org/page/UND/1.0/' END
+    AS dcterms_rights_statement,
+  CASE lic.rs_rank WHEN 2 THEN 'https://creativecommons.org/publicdomain/mark/1.0/'
+                   WHEN 1 THEN 'https://rightsstatements.org/page/UND/1.0/' END
+    AS reuse_category_id,
+  CASE lic.rs_rank WHEN 2 THEN 'Publiek domein'
+                   WHEN 1 THEN 'Copyright onbepaald' END AS reuse_category_label,
+  loc.v AS schema_location_created,
+  COALESCE(children.n, 0) AS children,
+  mf.is_deleted
+FROM p_intellectual_entity ie
+JOIN org ON org.org_code = regexp_extract(ie.schema_maintainer, 'OR-[0-9]+$', 0)
+JOIN fmt ON fmt.k = ie.subject
+LEFT JOIN pid ON pid.k = ie.subject
+LEFT JOIN dur ON dur.k = ie.subject
+LEFT JOIN thumbs ON thumbs.k = ie.subject
+LEFT JOIN roles ON roles.k = ie.subject
+LEFT JOIN creator_text ON creator_text.k = ie.subject
+LEFT JOIN publisher_text ON publisher_text.k = ie.subject
+LEFT JOIN spatial ON spatial.k = ie.subject
+LEFT JOIN temporal ON temporal.k = ie.subject
+LEFT JOIN keywords ON keywords.k = ie.subject
+LEFT JOIN genre ON genre.k = ie.subject
+LEFT JOIN language ON language.k = ie.subject
+LEFT JOIN medium ON medium.k = ie.subject
+LEFT JOIN alt_name ON alt_name.k = ie.subject
+LEFT JOIN color ON color.k = ie.subject
+LEFT JOIN lic ON lic.k = ie.subject
+LEFT JOIN audio ON audio.k = ie.subject
+LEFT JOIN mentions ON mentions.k = ie.subject
+LEFT JOIN loc ON loc.k = ie.subject
+LEFT JOIN children ON children.k = ie.subject
+LEFT JOIN ipo ON ipo.k = ie.subject
+LEFT JOIN mf ON mf.k = ie.subject
+LEFT JOIN transcript ON transcript.k = ie.subject
+WHERE ie.relation_is_part_of IS NULL
+"""

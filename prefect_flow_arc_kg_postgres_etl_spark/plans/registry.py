@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from prefect_flow_arc_kg_postgres_etl_spark.plans import (
     kg,
     pipeline,
+    reference_pipeline,
     relational,
     streaming_plans,
 )
@@ -331,6 +332,13 @@ _SPECS: dict[str, QuerySpec] = {
         kg.kg_construct_real_query_av_complex, kg.KG_REAL_QUERY_AV_COMPLEX_ORACLE
     ),
     "flow_kg_view_load": QuerySpec(kg.flow_kg_view_load, kg.KG_VIEW_LOAD_ORACLE),
+    # A74: the full reference production cycle composed — all NINE
+    # verbatim queries -> triple stream -> graph.* record pivot in FK
+    # load order -> update_partition.sql-faithful index documents.
+    "flow_reference_pipeline": QuerySpec(
+        reference_pipeline.flow_reference_pipeline,
+        reference_pipeline.reference_pipeline_oracle(),
+    ),
     "kg_select_real_text": QuerySpec(
         kg.kg_select_real_text, kg.KG_SELECT_REAL_TEXT_ORACLE
     ),

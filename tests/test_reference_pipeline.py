@@ -1,0 +1,321 @@
+"""The composed reference pipeline (plans/reference_pipeline).
+
+Three layers:
+- differential fixture tests: a hand-built graph.* table set exercises
+  every update_partition.sql arm the composed synthetic corpus leaves
+  dead (fragment children, child transcripts in page order, mention
+  roll-up, first-position child thumbnails, the image-priority format
+  pick, the audio carrier flag) — Spark build vs the SAME oracle SQL
+  body over the SAME tables in DuckDB.
+- targeted value assertions on those arms (the oracle could be wrong
+  the same way the build is; these pin absolute values).
+- full/incremental convergence: re-syncing a subject-complete batch of
+  the view graph through the FK-ordered upsert fold reaches the same
+  index documents as one full sync (the reference's since-window
+  re-emission pattern, 2_database_load.ts USE_MERGE path).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from prefect_flow_arc_kg_postgres_etl_spark.operators import merge as M
+from prefect_flow_arc_kg_postgres_etl_spark.plans import reference_pipeline as RP
+
+E = "https://x/e/"
+
+
+def _fixture_rows() -> dict[str, list[dict]]:
+    """A graph.* table set with every previously-dead arm live."""
+    ie = [
+        # E1: newspaper parent with two children, licenses incl PD.
+        dict(subject=E + "1", id=E + "1", schema_identifier="e1",
+             schema_name="Krant", schema_maintainer="https://x/org/OR-1",
+             schema_description="desc1", ha_des_number_of_pages="2"),
+        dict(subject=E + "1c1", id=E + "1c1", schema_identifier="e1c1",
+             schema_name="p2", schema_maintainer="https://x/org/OR-1",
+             relation_is_part_of=E + "1", schema_position="2"),
+        dict(subject=E + "1c2", id=E + "1c2", schema_identifier="e1c2",
+             schema_name="p1", schema_maintainer="https://x/org/OR-1",
+             relation_is_part_of=E + "1", schema_position="1"),
+        # E2: film with a sound carrier -> audio true.
+        dict(subject=E + "2", id=E + "2", schema_identifier="e2",
+             schema_name="Spoel", schema_maintainer="https://x/org/OR-1"),
+        # E3: film with an image carrier -> audio false.
+        dict(subject=E + "3", id=E + "3", schema_identifier="e3",
+             schema_name="Beeld", schema_maintainer="https://x/org/OR-2"),
+        # E4: image beats video in the priority pick.
+        dict(subject=E + "4", id=E + "4", schema_identifier="e4",
+             schema_name="Foto", schema_maintainer="https://x/org/OR-2"),
+        # E5: only excluded formats -> dropped by the INNER format join.
+        dict(subject=E + "5", id=E + "5", schema_identifier="e5",
+             schema_name="Set", schema_maintainer="https://x/org/OR-1"),
+        # E6: unresolvable maintainer -> dropped by the INNER org join.
+        dict(subject=E + "6", id=E + "6", schema_identifier="e6",
+             schema_name="Wees", schema_maintainer="https://x/org/OR-999"),
+    ]
+    fmt = [
+        dict(subject="f1", intellectual_entity_id=E + "1", dcterms_format="newspaper"),
+        dict(subject="f1b", intellectual_entity_id=E + "1", dcterms_format="dvd"),
+        dict(subject="f1c1", intellectual_entity_id=E + "1c1", dcterms_format="pagefragment"),
+        dict(subject="f1c2", intellectual_entity_id=E + "1c2", dcterms_format="audio"),
+        dict(subject="f2", intellectual_entity_id=E + "2", dcterms_format="film"),
+        dict(subject="f3", intellectual_entity_id=E + "3", dcterms_format="film"),
+        dict(subject="f4a", intellectual_entity_id=E + "4", dcterms_format="image"),
+        dict(subject="f4b", intellectual_entity_id=E + "4", dcterms_format="video"),
+        dict(subject="f5", intellectual_entity_id=E + "5", dcterms_format="newspaperpage"),
+        dict(subject="f6", intellectual_entity_id=E + "6", dcterms_format="video"),
+    ]
+    org = [
+        dict(subject="o1", id="o1", org_identifier="OR-1",
+             skos_pref_label="Het Archief (v z w)", ha_org_sector="cultuur",
+             org_classification="ContentPartner"),
+        dict(subject="o2", id="o2", org_identifier="OR-2",
+             skos_pref_label="Stad", ha_org_sector="overheid",
+             org_classification="ContentPartner"),
+    ]
+    rep = [
+        # children's representations carrying transcripts
+        dict(subject="r1", id="r1", premis_represents=E + "1c1",
+             schema_transcript="tweede blad"),
+        dict(subject="r2", id="r2", premis_represents=E + "1c2",
+             schema_transcript="eerste blad"),
+        # E2: media fragment -> duration 40
+        dict(subject="r3", id="r3", premis_represents=E + "2",
+             is_media_fragment_of="fv", schema_start_time="10",
+             schema_end_time="50"),
+        # E2: plain representation holding the mp4 -> duration 42
+        dict(subject="r4", id="r4", premis_represents=E + "2"),
+    ]
+    inc = [
+        dict(subject="i1", representation_id="r1", file_id="ft1"),
+        dict(subject="i2", representation_id="r2", file_id="ft2"),
+        dict(subject="i3", representation_id="r4", file_id="fv"),
+    ]
+    file = [
+        dict(subject="ft1", id="ft1", schema_thumbnail_url="https://t/2"),
+        dict(subject="ft2", id="ft2", schema_thumbnail_url="https://t/1"),
+        dict(subject="fv", id="fv", ebucore_has_mime_type="video/mp4",
+             schema_duration="PT42S"),
+    ]
+    carrier = [
+        dict(subject="c1", id="c1", intellectual_entity_id=E + "2",
+             type="Geluidsband", premis_medium="band"),
+        dict(subject="c2", id="c2", intellectual_entity_id=E + "3",
+             type="Beeldband", premis_medium="band"),
+        dict(subject="c3", id="c3", intellectual_entity_id=E + "3",
+             premis_medium="doos"),
+    ]
+    lic = [
+        dict(subject="l1", intellectual_entity_id=E + "1",
+             schema_license="Publiek-Domein"),
+        dict(subject="l1b", intellectual_entity_id=E + "1",
+             schema_license="VIAA-PUBLIEK-METADATA-ALL"),
+        dict(subject="l2", intellectual_entity_id=E + "2",
+             schema_license="COPYRIGHT-UNDETERMINED"),
+    ]
+    mentions = [
+        dict(subject="m1", id="m1", intellectual_entity_id=E + "1c1",
+             thing_id="t1", confidence="0.9"),
+        dict(subject="m2", id="m2", intellectual_entity_id=E + "1c2",
+             thing_id="t2", confidence="0.8"),
+    ]
+    thing = [
+        dict(subject="t1", id="t1", schema_name="Ada"),
+        dict(subject="t2", id="t2", schema_name="Bert"),
+    ]
+    pid = [
+        dict(subject="pi1", intellectual_entity_id=E + "1",
+             type="meemoo-pid", value="abc"),
+        dict(subject="pi2", intellectual_entity_id=E + "1", value="raw"),
+    ]
+    sipo = [
+        dict(subject="po1", intellectual_entity_id=E + "1",
+             collection_id="co1", type="serie"),
+        dict(subject="po2", intellectual_entity_id=E + "1",
+             collection_id="coX", type="archief"),  # missing collection
+    ]
+    coll = [
+        dict(subject="co1", id="co1", schema_name="De Krant",
+             schema_location_created="Gent"),
+    ]
+    mf = [
+        dict(subject="mf1", intellectual_entity_id=E + "1", is_deleted="true",
+             mh_fragment_identifier="F1"),
+        dict(subject="mf2", intellectual_entity_id=E + "1", is_deleted="false",
+             mh_fragment_identifier="F2"),
+        dict(subject="mf3", intellectual_entity_id=E + "2", is_deleted="false",
+             mh_fragment_identifier="F3"),
+    ]
+    role = [
+        dict(subject="sr1", id="sr1", intellectual_entity_id=E + "1",
+             thing_id="t1", type="schema_creator", schema_role_name="auteur"),
+        dict(subject="sr2", id="sr2", intellectual_entity_id=E + "1",
+             thing_id="t2", type="schema_creator", schema_role_name="auteur"),
+        dict(subject="sr3", id="sr3", intellectual_entity_id=E + "1",
+             thing_id="t1", type="schema_publisher", schema_role_name="uitgever"),
+    ]
+    return {
+        "graph.intellectual_entity": ie,
+        "graph.organization": org,
+        "graph.dcterms_format": fmt,
+        "graph.representation": rep,
+        "graph.includes": inc,
+        "graph.file": file,
+        "graph.carrier": carrier,
+        "graph.schema_license": lic,
+        "graph.schema_mentions": mentions,
+        "graph.thing": thing,
+        "graph.premis_identifier": pid,
+        "graph.schema_is_part_of": sipo,
+        "graph.collection": coll,
+        "graph.mh_fragment_identifier": mf,
+        "graph.schema_role": role,
+        # untouched-by-fixture tables: empty
+        "graph.ha_des_coloring_type": [],
+        "graph.schema_spatial": [],
+        "graph.schema_temporal": [],
+        "graph.schema_keywords": [],
+        "graph.schema_genre": [],
+        "graph.schema_in_language": [],
+        "graph.schema_alternate_name": [],
+    }
+
+
+def _spark_tables(spark, rows_by_table):
+    out = {}
+    for tbl, rows in rows_by_table.items():
+        cols = ["subject", *RP.GRAPH_TABLE_COLUMNS[tbl]]
+        schema = ", ".join(f"`{c}` string" for c in cols)
+        data = [tuple(r.get(c) for c in cols) for r in rows]
+        out[tbl] = spark.createDataFrame(data, schema)
+    return out
+
+
+def _duck_tables(con, rows_by_table):
+    for tbl, rows in rows_by_table.items():
+        name = "p_" + tbl.split(".", 1)[1]
+        cols = ["subject", *RP.GRAPH_TABLE_COLUMNS[tbl]]
+        defs = ", ".join(f"{c} VARCHAR" for c in cols)
+        con.execute(f"CREATE TABLE {name} ({defs})")
+        for r in rows:
+            con.execute(
+                f"INSERT INTO {name} VALUES ({', '.join('?' for _ in cols)})",
+                [r.get(c) for c in cols],
+            )
+
+
+def _docs_pdf(spark, rows_by_table):
+    t = _spark_tables(spark, rows_by_table)
+    return (
+        RP.build_reference_index_documents(t)
+        .toPandas()
+        .sort_values("iri")
+        .reset_index(drop=True)
+    )
+
+
+def test_fixture_matches_oracle_body(spark):
+    rows = _fixture_rows()
+    got = _docs_pdf(spark, rows)
+    con = duckdb.connect()
+    _duck_tables(con, rows)
+    want = (
+        con.execute("WITH " + RP._ORACLE_BODY)
+        .df()
+        .sort_values("iri")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), c
+
+
+def test_previously_dead_arms_are_live(spark):
+    got = _docs_pdf(spark, _fixture_rows()).set_index("iri")
+    # INNER joins drop E5 (excluded formats) and E6 (unknown org).
+    assert sorted(got.index) == [E + "1", E + "2", E + "3", E + "4"]
+    e1, e2, e3, e4 = got.loc[E + "1"], got.loc[E + "2"], got.loc[E + "3"], got.loc[E + "4"]
+    # transcript: child page order (position 1 before 2), newline-joined
+    assert e1["schema_transcript"] == "eerste blad\ntweede blad"
+    # fragment children count: only the %fragment-format child counts
+    assert e1["children"] == 1 and e2["children"] == 0
+    # mentions roll up from the children to the parent, sorted distinct
+    assert e1["schema_mentions"] == "Ada|Bert"
+    # first-position child thumbnail leg
+    assert e1["schema_thumbnail_url"] == "https://t/1"
+    # format priority: newspaper beats dvd; image beats video
+    assert e1["dcterms_format"] == "newspaper"
+    assert e4["dcterms_format"] == "image"
+    # audio carrier flag, gated on the film format
+    assert e2["audio"] == "true" and e3["audio"] == "false"
+    # duration: max(union(file-based 42, fragment-based 40))
+    assert e2["schema_duration"] == 42
+    # rights statements + inline reuse lookup
+    assert e1["dcterms_rights_statement"].endswith("publicdomain/mark/1.0/")
+    assert e1["reuse_category_label"] == "Publiek domein"
+    assert e2["reuse_category_label"] == "Copyright onbepaald"
+    # bool_or over MAM fragments
+    assert e1["is_deleted"] == "true" and e2["is_deleted"] == "false"
+    # untyped premis identifier keeps the ':value' form, sorted
+    assert e1["premis_identifier"] == ":raw|meemoo-pid:abc"
+    # is_part_of object agg: missing collection -> empty name list
+    assert e1["schema_is_part_of"] == "archief=[];serie=[De Krant]"
+    # roles: names aggregated per (type, role)
+    assert e1["schema_creator"] == "auteur=[Ada|Bert]"
+    assert e1["schema_publisher"] == "uitgever=[Ada]"
+    # the slug'd maintainer alt label
+    assert e1["schema_maintainer_alt_label"] == "het-archief-v-z-w"
+
+
+def test_graph_load_order_respects_fk():
+    levels = RP.graph_load_order()
+    seen: set[str] = set()
+    for level in levels:
+        for tbl in level:
+            assert RP.GRAPH_FK_DEPENDENCIES[tbl] <= seen, tbl
+        seen |= set(level)
+    assert seen == set(RP.GRAPH_FK_DEPENDENCIES)
+
+
+def test_full_vs_incremental_convergence(spark):
+    """Re-syncing a subject-complete slice of the view graph through
+    the FK-ordered upsert fold converges to the full-sync documents."""
+    sf = "/root/testdata/sf0.001"
+    triples = RP.all_view_triples(spark, sf).persist()
+    full_tables = RP.pivot_view_tables(triples)
+    full = (
+        RP.build_reference_index_documents(full_tables)
+        .toPandas()
+        .sort_values("iri")
+        .reset_index(drop=True)
+    )
+    # batch 2 re-emits ~1/3 of subjects (the reference's since-window
+    # re-emission); upserting it over the full state must be a no-op.
+    resync = triples.filter(F.pmod(F.xxhash64("subject"), F.lit(3)) == 0)
+    resync_tables = RP.pivot_view_tables(resync)
+    merged: dict[str, object] = {}
+    for level in RP.graph_load_order():
+        for name in level:
+            merged[name] = M.upsert(
+                full_tables[name], resync_tables[name], keys=["subject"]
+            )
+    inc = (
+        RP.build_reference_index_documents(merged)
+        .toPandas()
+        .sort_values("iri")
+        .reset_index(drop=True)
+    )
+    assert len(full) == len(inc) and len(full) > 0
+    for c in full.columns:
+        assert full[c].astype(str).tolist() == inc[c].astype(str).tolist(), c
+    triples.unpersist()
