@@ -2108,6 +2108,38 @@ def clear_plan_cache() -> None:
     _PLAN_CACHE.clear()
 
 
+def _bind_params_in_group(g: "Group", params: dict[str, str]) -> None:
+    """Apply injected parameter bindings to TRIPLE PATTERNS, in place —
+    the reference's runner substitutes parameter text into the query
+    before sending (1_kg_view_construct.ts:47-63 binds ?maintainer_id
+    per organisation), so a parameter variable in a pattern's object
+    position must CONSTRAIN the scan, not bind from data. Expression
+    references already resolve through _Eval.params; this closes the
+    triple-position half. Parameters are plain literals (helpers.ts
+    declares them as xsd literals), so only the object position can
+    carry one."""
+    for i, el in enumerate(g.elements):
+        kind = el[0]
+        if kind == "triple":
+            t = el[1]
+            if (
+                isinstance(t.o, str)
+                and t.o.startswith("?")
+                and t.o[1:] in params
+            ):
+                g.elements[i] = (
+                    "triple",
+                    Triple(t.s, t.p, _lit_term(params[t.o[1:]]), t.graph),
+                )
+        elif kind in ("optional", "group", "not_exists", "exists"):
+            _bind_params_in_group(el[1], params)
+        elif kind == "union":
+            for b in el[1]:
+                _bind_params_in_group(b, params)
+        elif kind == "subselect":
+            _bind_params_in_group(el[1].where, params)
+
+
 def _plan_cached(kind: str, quads: DataFrame, text: str, params, build):
     try:
         qh = quads._jdf.queryExecution().analyzed().semanticHash()
@@ -2157,6 +2189,8 @@ def _construct_query_impl(
     quads: DataFrame, text: str, params: dict[str, str] | None
 ) -> DataFrame:
     query = parse(text)
+    if params:
+        _bind_params_in_group(query.where, params)
     ev = _Eval(quads, query.datasets, params)
     bindings = ev.eval_group(query.where, None)
     assert bindings is not None, "WHERE clause produced no bindings frame"
@@ -2210,6 +2244,8 @@ def select_query(
     identical in DuckDB. ASK returns one row with a string ``ask``
     column ("true"/"false") so the result stays oracle-hashable."""
     query = parse(text)
+    if params:
+        _bind_params_in_group(query.where, params)
 
     def build() -> DataFrame:
         ev = _Eval(quads, query.datasets, params)
@@ -2359,6 +2395,8 @@ def _describe_query_impl(
     if iris:
         frames.append(spark.createDataFrame([(i,) for i in iris], "s string"))
     if vars_:
+        if params:
+            _bind_params_in_group(query.where, params)
         ev = _Eval(quads, query.datasets, params)
         bindings = ev.eval_group(query.where, None)
         assert bindings is not None, "DESCRIBE ?var needs a WHERE pattern"
@@ -2482,6 +2520,8 @@ def update_delta(
     spark = quads.sparkSession
     bindings = None
     if up.where is not None:
+        if params:
+            _bind_params_in_group(up.where, params)
         ev = _Eval(quads, [], params)
         bindings = ev.eval_group(up.where, None)
         assert bindings is not None, "WHERE produced no bindings frame"

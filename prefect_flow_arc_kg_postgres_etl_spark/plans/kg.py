@@ -5476,6 +5476,31 @@ def kg_construct_real_query_av_audio(spark: SparkSession, sf_dir: str) -> DataFr
     return _run_verbatim(spark, sf_dir, _AV_AUDIO_PATH)
 
 
+def kg_construct_real_query_av_audio_org(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """av-audio.sparql VERBATIM with ?maintainer_id BOUND — the
+    reference's per-organisation fan-out (1_kg_view_construct.ts:47-63
+    runs every query once per OR id with maintainer_id injected;
+    helpers.ts:62-89 declares the parameter). The binding constrains
+    the ``?schema_maintainer org:identifier ?maintainer_id`` pattern
+    (operators/sparql._bind_params_in_group — the engine-side
+    equivalent of TriplyDB's text substitution) and flows into the
+    ``BIND(iri(concat(...metadata/, ?maintainer_id)))`` graph
+    selection, so ONE organisation's metadata graph is read. The
+    result equals the unscoped av-audio run filtered to that org
+    (pinned by tests/test_sparql.py)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    with open(_AV_AUDIO_PATH) as f:
+        text = f.read()
+    return SQ.construct_query(
+        _sparql_person_quads(spark, sf_dir),
+        text,
+        params={"maintainer_id": "OR-3"},
+    )
+
+
 def kg_construct_real_query_av_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """av-video.sparql VERBATIM — same grammar as av-audio minus the
     peak block, Video-typed ies, image/jpeg added to the mime
@@ -5812,6 +5837,10 @@ KG_VIEW_LOAD_ORACLE = _kg_view_load_oracle()
 
 
 KG_REAL_QUERY_AV_AUDIO_ORACLE = _av_oracle("o_orderkey % 9 = 0", 3, True)
+# maintainer_id = 'OR-3' scopes the run to nationkey 3's metadata graph
+KG_REAL_QUERY_AV_AUDIO_ORG_ORACLE = _av_oracle(
+    "o_orderkey % 9 = 0 AND c_nationkey = 3", 3, True
+)
 KG_REAL_QUERY_AV_VIDEO_ORACLE = _av_oracle("o_orderkey % 9 = 1", 4, False)
 KG_REAL_QUERY_AV_COMPLEX_ORACLE = _av_oracle(
     "o_orderkey % 9 IN (2, 3, 4)", 4, False

@@ -339,6 +339,12 @@ _SPECS: dict[str, QuerySpec] = {
         reference_pipeline.flow_reference_pipeline,
         reference_pipeline.reference_pipeline_oracle(),
     ),
+    # A75: the reference's per-organisation fan-out — av-audio.sparql
+    # verbatim with ?maintainer_id bound through the params API.
+    "kg_construct_real_query_av_audio_org": QuerySpec(
+        kg.kg_construct_real_query_av_audio_org,
+        kg.KG_REAL_QUERY_AV_AUDIO_ORG_ORACLE,
+    ),
     "kg_select_real_text": QuerySpec(
         kg.kg_select_real_text, kg.KG_SELECT_REAL_TEXT_ORACLE
     ),

@@ -912,3 +912,73 @@ def test_numeric_literal_comparison_is_numeric(spark):
         """,
     )
     assert {r.subject for r in out.collect()} == {"e1", "e3"}
+
+
+def test_param_in_triple_position_constrains_scan(spark):
+    """An injected parameter appearing in a pattern's OBJECT position
+    constrains the scan (the reference runner's text substitution),
+    rather than binding from data; expression references resolve to
+    the same literal and BOUND() is true."""
+    quads = _quads(
+        spark,
+        [
+            ("org1", "urn:ident", "OR-1", None, None),
+            ("org2", "urn:ident", "OR-2", None, None),
+            ("org1", "urn:name", "Archief", None, None),
+            ("org2", "urn:name", "Stad", None, None),
+        ],
+    )
+    out = SQ.construct_query(
+        quads,
+        """
+        PREFIX out: <urn:out:>
+        CONSTRUCT { ?o out:name ?n . ?o out:code ?code }
+        WHERE {
+          ?o <urn:ident> ?maintainer_id .
+          ?o <urn:name> ?n .
+          BIND (CONCAT("code-", ?maintainer_id) AS ?code)
+          FILTER (BOUND(?maintainer_id))
+        }
+        """,
+        params={"maintainer_id": "OR-2"},
+    )
+    rows = {(r.subject, r.predicate, r.object) for r in out.collect()}
+    assert rows == {
+        ("org2", "urn:out:name", "Stad"),
+        ("org2", "urn:out:code", "code-OR-2"),
+    }
+    # and WITHOUT the binding, the variable binds from data as before
+    SQ.clear_plan_cache()
+    out2 = SQ.construct_query(
+        quads,
+        """
+        PREFIX out: <urn:out:>
+        CONSTRUCT { ?o out:name ?n }
+        WHERE { ?o <urn:ident> ?maintainer_id . ?o <urn:name> ?n }
+        """,
+    )
+    assert {r.subject for r in out2.collect()} == {"org1", "org2"}
+
+
+def test_av_audio_maintainer_scoped_equals_filtered(spark):
+    """The per-org fan-out invariant (1_kg_view_construct.ts:47-63):
+    av-audio bound to maintainer_id=OR-3 returns exactly the unscoped
+    result's triples for that organisation's entities."""
+    from prefect_flow_arc_kg_postgres_etl_spark.plans import kg
+
+    sf = "/root/testdata/sf0.001"
+    scoped = {
+        tuple(r)
+        for r in kg.kg_construct_real_query_av_audio_org(spark, sf).collect()
+    }
+    full = {
+        tuple(r)
+        for r in kg.kg_construct_real_query_av_audio(spark, sf).collect()
+    }
+    assert scoped, "scoped run is empty — OR-3 must exist in the store"
+    assert scoped < full
+    # every scoped triple subject belongs to OR-3's entity set: the
+    # unscoped triples NOT in the scoped set share no subject with it
+    scoped_subjects = {s for s, _, _ in scoped}
+    rest_subjects = {s for s, _, _ in full - scoped}
+    assert not (scoped_subjects & rest_subjects)
