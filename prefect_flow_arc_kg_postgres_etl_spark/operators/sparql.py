@@ -768,18 +768,24 @@ class Parser:
             self.next()
             return ("inv", self.parse_path_elt())
         if self.at("!"):
-            # negated property set: !iri or !(p1|p2|...) — any
-            # predicate NOT in the member set (SPARQL 1.1 §9.1;
-            # forward members only — inverse members ^p inside a NPS
-            # are not supported)
+            # negated property set: !iri, !^iri or !(p1|^p2|...) — any
+            # predicate NOT in the member set (SPARQL 1.1 §9.1).
+            # Inverse members split the set: !(P|^Q) matches (x,y) when
+            # some triple (x,p,y) has p NOT IN P, or some triple
+            # (y,q,x) has q NOT IN Q — lowered as the alternation of
+            # the forward complement and the role-swapped complement.
             self.next()
 
-            def member() -> str:
+            def member() -> tuple[str, bool]:
+                inv = False
+                if self.at("^"):
+                    self.next()
+                    inv = True
                 t = self.peek()
                 if t is not None and t.kind == "NAME" and t.text == "a":
                     self.next()
-                    return RDF_TYPE
-                return self.parse_iri()
+                    return RDF_TYPE, inv
+                return self.parse_iri(), inv
 
             if self.at("("):
                 self.next()
@@ -790,7 +796,13 @@ class Parser:
                 self.eat(")")
             else:
                 members = [member()]
-            return ("nps", members)
+            fwd = [m for m, inv in members if not inv]
+            rev = [m for m, inv in members if inv]
+            if not rev:
+                return ("nps", fwd)
+            if not fwd:
+                return ("inv", ("nps", rev))
+            return ("alt", [("nps", fwd), ("inv", ("nps", rev))])
         if self.at("("):
             self.next()
             p = self.parse_path_alt()

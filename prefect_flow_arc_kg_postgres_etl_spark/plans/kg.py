@@ -5168,6 +5168,62 @@ FROM orders WHERE o_orderstatus = 'F'
 """
 
 
+def kg_path_nps_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATED PROPERTY SET WITH INVERSE MEMBERS (A73b, SPARQL 1.1
+    §9.1): ``?o !(<status>|^<placed>) ?v`` matches (o,v) when some
+    triple (o,p,v) has p outside the FORWARD members, or some triple
+    (v,q,o) has q outside the INVERSE members — lowered as the union
+    of the forward complement scan and the role-swapped complement
+    scan (operators/sparql parse_path: ("alt", [nps, inv(nps)])).
+    Here ?o's forward arcs are status/prio and its incoming arcs are
+    placed/owns: the forward complement yields the prio values, the
+    inverse complement yields the owning customers (placed is
+    excluded)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    orders = load_table(spark, sf_dir, "orders")
+    okey = F.concat(F.lit("O"), F.col("o_orderkey").cast("string"))
+    cust = F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+
+    def q(s, pred: str, val) -> Column:
+        return F.struct(
+            s.cast("string").alias("subject"),
+            F.lit(pred).alias("predicate"),
+            val.cast("string").alias("object"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit("urn:kg:meta").alias("graph"),
+        )
+
+    quads = orders.select(
+        F.inline(
+            F.array(
+                q(okey, "urn:kg:status", F.col("o_orderstatus")),
+                q(okey, "urn:kg:prio", F.col("o_orderpriority")),
+                q(cust, "urn:kg:placed", okey),
+                q(cust, "urn:kg:owns", okey),
+            )
+        )
+    ).filter(  # owns only for every third order: the inverse
+        # complement must see a real subset, not a mirror of placed
+        (F.col("predicate") != "urn:kg:owns")
+        | (F.expr("CAST(substring(object, 2) AS BIGINT) % 3") == 0)
+    )
+    return SQ.select_query(
+        quads,
+        'SELECT ?o ?v WHERE { ?o <urn:kg:status> "F" . '
+        "?o !(<urn:kg:status>|^<urn:kg:placed>) ?v }",
+    )
+
+
+KG_PATH_NPS_INVERSE_ORACLE = """
+SELECT 'O' || CAST(o_orderkey AS VARCHAR) AS o, o_orderpriority AS v
+FROM orders WHERE o_orderstatus = 'F'
+UNION
+SELECT 'O' || CAST(o_orderkey AS VARCHAR), 'C' || CAST(o_custkey AS VARCHAR)
+FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0
+"""
+
+
 KG_UPDATE_REAL_TEXT_ORACLE = """
 WITH b AS (
   SELECT CASE WHEN o_orderkey % 2 = 0

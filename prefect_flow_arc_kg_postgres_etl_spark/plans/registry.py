@@ -345,6 +345,10 @@ _SPECS: dict[str, QuerySpec] = {
         kg.kg_construct_real_query_av_audio_org,
         kg.KG_REAL_QUERY_AV_AUDIO_ORG_ORACLE,
     ),
+    # A73b: negated property set with inverse members (!(p|^q)).
+    "kg_path_nps_inverse": QuerySpec(
+        kg.kg_path_nps_inverse, kg.KG_PATH_NPS_INVERSE_ORACLE
+    ),
     "kg_select_real_text": QuerySpec(
         kg.kg_select_real_text, kg.KG_SELECT_REAL_TEXT_ORACLE
     ),

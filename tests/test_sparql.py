@@ -982,3 +982,30 @@ def test_av_audio_maintainer_scoped_equals_filtered(spark):
     scoped_subjects = {s for s, _, _ in scoped}
     rest_subjects = {s for s, _, _ in full - scoped}
     assert not (scoped_subjects & rest_subjects)
+
+
+def test_nps_inverse_members(spark):
+    """!(^p) and !(p|^q): inverse members negate over INCOMING arcs
+    (SPARQL 1.1 §9.1), composing with forward complements as a union."""
+    quads = _quads(
+        spark,
+        [
+            ("a", "urn:p", "b", None, None),
+            ("a", "urn:r", "c", None, None),
+            ("x", "urn:q", "a", None, None),
+            ("y", "urn:s", "a", None, None),
+        ],
+    )
+    # pure inverse: !(^q) over incoming arcs of ?v -> only the s-arc
+    out = SQ.select_query(
+        quads, "SELECT ?v WHERE { <a> !(^<urn:q>) ?v }"
+    )
+    # forward complement absent (no fwd members): matches (a,v) where
+    # some triple (v, ?, a) has predicate outside {q} -> v = y
+    assert {r.v for r in out.collect()} == {"y"}
+    # mixed: forward complement of {p} plus inverse complement of {q}
+    SQ.clear_plan_cache()
+    out2 = SQ.select_query(
+        quads, "SELECT ?v WHERE { <a> !(<urn:p>|^<urn:q>) ?v }"
+    )
+    assert {r.v for r in out2.collect()} == {"c", "y"}
