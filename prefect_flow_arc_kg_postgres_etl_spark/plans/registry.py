@@ -52,9 +52,12 @@ class QuerySpec:
 # forms (kg_{select,ask,describe,update}_real_text,
 # kg_path_text_closure, kg_select_subquery_text, kg_path_nps_text),
 # D54 alto_transcript_extract{,_tolerant (D57)} and D55/D56
-# corpus_bpe_{learn,encode} — 51 total: the r8 window takes 50, the
-# one residual entry lands in r9 (judge-local mirror covers it in
-# the interim).
+# corpus_bpe_{learn,encode} — 51 total. r8 (the list below) grades 50
+# of those 51 plus the three r8-new operators (A74
+# flow_reference_pipeline, A75 kg_construct_real_query_av_audio_org,
+# A73b kg_path_nps_inverse); the residue of 4 (cube_agg,
+# events_funnel3, corpus_mix_sample, orders_running_distinct) lands
+# in r9 (judge-local mirror covers it in the interim).
 _SPECS: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
@@ -902,66 +905,69 @@ _SPECS: dict[str, QuerySpec] = {
 # closure paths (kg_path_text_closure) and the A72 subselect/HAVING/
 # blank-node text form (kg_select_subquery_text) — 47 for r8.
 DRIVER_WINDOW: list[str] = [
-    # A-block: SPARQL forms, property paths, graph/store management,
-    # update semantics, maintenance, sources, temporal reads.
-    "kg_path_zero_or_more",
-    "kg_path_negated",
-    "kg_construct_minus",
-    "kg_construct_subquery",
-    "kg_construct_values_rows",
-    "kg_select_agg",
-    "kg_update_delete_insert",
-    "kg_graph_management",
-    "merge_upsert_conditional",
-    "scd2_point_in_time",
-    "flow_snapshot_read",
-    "store_validated_commit",
-    "store_multi_commit",
-    "maintenance_vacuum",
-    "schema_drift_report",
-    # r7-new: dim-drift invalidation (A66) and the three verbatim
-    # reference SPARQL runs (A67/A67b/A67c) take the three
-    # source-roundtrip slots + fk_discovery's; those join the r8
-    # residue.
-    "index_partition_rename_invalidation",
-    "kg_construct_real_query",
-    "kg_construct_real_query_org",
-    "kg_construct_real_query_deletes",
-    "graph_pagerank_resumable",
-    "join_view_incremental",
-    "agg_join_view_refresh",
-    "agg_refresh_retractable",
-    # B-block: the distinct-machinery analytics shapes.
-    "sessionize_native",
-    "sessions_overlap_join",
-    "asof_join_tolerance",
-    # C-block: every stateful streaming operator still unchecked.
-    "stream_topk",
-    "stream_dedup_state",
-    "stream_pivot_records",
-    "stream_scd2_enrich",
-    "stream_interval_join_outer",
-    "stream_gap_fill",
-    "stream_windowed_distinct",
-    "stream_agg_retractable",
-    "stream_funnel_buffered",
-    # D-block: incremental dedup, ANN index/eval, embeddings, corpus
-    # management, multimodal.
-    "dedup_incremental",
-    "dedup_survivors",
-    "ann_ivf_topk",
-    "ann_recall_eval",
-    "embedding_random_projection",
-    "embedding_label_centroids",
-    "embedding_outliers",
-    "corpus_split_assign",
-    "corpus_chunk_overlap",
-    "corpus_quality_resample",
-    "corpus_contamination_report",
-    "corpus_interleave_shards",
-    "corpus_shard_layout",
-    "multimodal_binary_source",
-    "multimodal_audio_stats",
+    # r8 rotation: the FINAL never-driver-checked sweep. All 50 slots
+    # are first-time entries: the three r8-new operators (the composed
+    # reference pipeline A74, the maintainer-bound per-org run A75,
+    # the inverse negated property set A73b), the six late-r7 verbatim
+    # SPARQL runs, the A68-A73 text forms, and the r7-verdict-deferred
+    # B/D analytics set. After r8 the never-checked residue is 4
+    # (cube_agg, events_funnel3, corpus_mix_sample,
+    # orders_running_distinct — all green under tools/check_oracle.py
+    # and pytest; they take r9 slots).
+    # A-block: composed pipeline, verbatim queries, text forms, sources.
+    "flow_reference_pipeline",
+    "kg_construct_real_query_av_audio_org",
+    "kg_path_nps_inverse",
+    "kg_construct_real_query_newspaper",
+    "kg_construct_real_query_iiif",
+    "kg_construct_real_query_issues",
+    "kg_construct_real_query_av_audio",
+    "kg_construct_real_query_av_video",
+    "kg_construct_real_query_av_complex",
+    "flow_kg_view_load",
+    "kg_select_real_text",
+    "kg_ask_real_text",
+    "kg_describe_real_text",
+    "kg_update_real_text",
+    "kg_path_nps_text",
+    "kg_path_text_closure",
+    "kg_select_subquery_text",
+    "source_orc_roundtrip",
+    "source_json_nested_roundtrip",
+    "fk_discovery",
+    "source_corrupt_tolerant",
+    # B-block: deferred analytics shapes.
+    "q4_order_priority",
+    "q12_priority_lines",
+    "window_range_interval",
+    "events_funnel",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q16_supplier_count",
+    "q18_large_orders",
+    "orders_value_histogram",
+    "orders_except_intersect",
+    "events_anomaly_mad",
+    "supplier_pareto_abc",
+    "events_mode_per_user",
+    "orders_yoy_growth",
+    "orders_rfm_segmentation",
+    "q17_small_qty_revenue",
+    "q22_dormant_customers",
+    # D-block: text/corpus analytics, ALTO, BPE.
+    "text_repetition",
+    "corpus_length_band_filter",
+    "corpus_dup_rate_report",
+    "text_boilerplate_fraction",
+    "text_ngram_novelty",
+    "corpus_sample_topk_hash",
+    "alto_transcript_extract",
+    "alto_transcript_tolerant",
+    "corpus_bpe_learn",
+    "corpus_bpe_encode",
+    "text_lm_score",
+    "text_sentence_split",
+
 ]
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
