@@ -274,6 +274,7 @@ def vocabulary(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    two_phase: bool = True,
 ) -> DataFrame:
     """Corpus vocabulary with dense id assignment: one row per distinct
     term with its total occurrence count, document frequency, and rank
@@ -285,16 +286,25 @@ def vocabulary(
     partial aggs ship |local vocab| rows per task); document frequency
     reuses the (doc, term) distinct agg. Both shuffles key on the term.
 
-    The dense rank is TWO-PHASE (r7 — a web-scale corpus's
-    post-min_count vocab is 1e8-1e9 terms; a global row_number window
-    moves all of it to ONE partition): range-partition the vocab on the
-    rank order, row_number WITHIN each range partition (parallel), then
-    add each partition's exclusive prefix-sum offset. The only
-    single-partition step is the offset window over ONE ROW PER
-    PARTITION — bounded by shuffle parallelism, not vocab size. Range
-    partitions are contiguous in the sort order (and AQE only coalesces
-    adjacent ones), so local rank + partition offset IS the global
-    rank, independent of where sampling placed the range boundaries.
+    The dense rank is TWO-PHASE when ``two_phase`` (the default — a
+    web-scale corpus's post-min_count vocab is 1e8-1e9 terms; a global
+    row_number window moves all of it to ONE partition):
+    range-partition the vocab on the rank order, row_number WITHIN
+    each range partition (parallel), then add each partition's
+    exclusive prefix-sum offset. The only single-partition step is the
+    offset window over ONE ROW PER PARTITION — bounded by shuffle
+    parallelism, not vocab size. Range partitions are contiguous in
+    the sort order (and AQE only coalesces adjacent ones), so local
+    rank + partition offset IS the global rank, independent of where
+    sampling placed the range boundaries.
+
+    ``two_phase=False`` is the SMALL-CORPUS fast path: one global
+    row_number window, no checkpoint, no extra stages. The two-phase
+    machinery costs a fixed ~0.5-1 s (range exchange + checkpoint
+    materialization + offset stage) that dominates when the vocab fits
+    one partition anyway — r7's bench regression on exactly this
+    operator. Callers with size information (the plans layer reads the
+    input's file bytes) pick the path; the default stays scale-safe.
 
     Returns (term, total_count, doc_freq, term_rank)."""
     toks = docs.select(
@@ -305,9 +315,17 @@ def vocabulary(
     vocab = per_doc.groupBy("term").agg(
         F.sum("tf").alias("total_count"), F.count("*").alias("doc_freq")
     )
+    kept = vocab.filter(F.col("total_count") >= min_count)
+    if not two_phase:
+        w_global = Window.orderBy(F.desc("total_count"), F.asc("term"))
+        return kept.select(
+            "term",
+            "total_count",
+            "doc_freq",
+            F.row_number().over(w_global).cast("bigint").alias("term_rank"),
+        )
     ranked = (
-        vocab.filter(F.col("total_count") >= min_count)
-        .repartitionByRange(F.desc("total_count"), F.asc("term"))
+        kept.repartitionByRange(F.desc("total_count"), F.asc("term"))
         # spark_partition_id() is non-deterministic to Catalyst, so the
         # projection pins to THIS exchange's output and cannot be
         # collapsed past the window's pid re-shuffle below.
@@ -319,22 +337,22 @@ def vocabulary(
     local = ranked.withColumn("lr", F.row_number().over(w_local)).localCheckpoint(
         eager=True
     )
-    # Exclusive prefix-sum offsets: ONE ROW PER PARTITION collected to
-    # the driver (bounded by shuffle parallelism — metadata scale, the
-    # same class as a partition-pruning subquery), summed in plain
-    # Python, broadcast back. No unpartitioned window anywhere; the
-    # checkpoint pins pid/lr so the collected counts and the joined
-    # frame can never diverge.
-    counts = sorted(
-        (r["pid"], r["cnt"])
-        for r in local.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    )
-    offsets, running = [], 0
-    for pid, cnt in counts:
-        offsets.append((pid, running))
-        running += cnt
-    offsets_df = local.sparkSession.createDataFrame(
-        offsets or [(0, 0)], "pid int, off long"
+    # Exclusive prefix-sum offsets, IN-PLAN (r8 — the former driver
+    # collect + Python sum + createDataFrame round-trip cost three
+    # driver syncs): per-partition counts, running sum over ONE ROW
+    # PER PARTITION (the lone unpartitioned window — parallelism-
+    # bounded, not data-bounded), broadcast back. The checkpoint pins
+    # pid/lr so both consumers (this aggregation and the final join)
+    # read the same materialized rows — nondeterministic partition ids
+    # can never diverge between them.
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets_df = (
+        local.groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        )
     )
     return (
         local.join(F.broadcast(offsets_df), "pid")

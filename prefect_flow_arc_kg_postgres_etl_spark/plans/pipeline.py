@@ -869,14 +869,42 @@ SELECT node, MIN(label) AS component FROM reach GROUP BY node
 
 
 # ------------------------------------------- D24 corpus vocabulary
+def _input_bytes(sf_dir: str, table: str) -> int:
+    """On-disk bytes of one parquet table — driver-side file metadata
+    (no Spark job), the statistic plan selection keys on."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for base, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(base, f)) for f in files)
+    return total
+
+
+# Above this input size the vocabulary's dense rank uses the two-phase
+# range-partitioned form; below it the vocab trivially fits one
+# partition and a global window is both exact and ~3x cheaper (the
+# two-phase checkpoint/offset machinery is a fixed ~0.5-1 s — r7's
+# flagged bench regression). 1 GiB of text yields a vocab around 1e6
+# terms — far inside one partition.
+_VOCAB_TWO_PHASE_BYTES = 1 << 30
+
+
 def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary with dense rank ids (tokenizer-training /
     vocab-building pass). Term totals aggregate with map-side combine;
-    the only ordered window runs over the VOCABULARY, not the corpus."""
+    the ordered window runs over the VOCABULARY, not the corpus, and
+    the rank strategy is picked from the input's file size the way AQE
+    picks join strategies from stats: global window below 1 GiB (the
+    vocab fits one partition), two-phase range-partitioned rank above
+    (operators/text.vocabulary)."""
     from prefect_flow_arc_kg_postgres_etl_spark.operators.text import vocabulary
 
     docs = _spread(spark, load_table(spark, sf_dir, "documents"))
-    return vocabulary(docs, min_count=2)
+    big = _input_bytes(sf_dir, "documents") > _VOCAB_TWO_PHASE_BYTES
+    return vocabulary(docs, min_count=2, two_phase=big)
 
 
 VOCABULARY_ORACLE = r"""

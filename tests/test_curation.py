@@ -352,3 +352,16 @@ def test_bpe_segment_final_token_counts(spark):
     got = {r["w"]: r["n_tokens"] for r in bpe_segment(words, rounds=3).collect()}
     # merges learned: (t,t)->tt, (tt,tt)->tttt, (l,o)->lo
     assert got == {"tttt": 1, "low": 2, "lower": 4}
+
+
+def test_vocabulary_two_phase_equals_global(spark):
+    """The two-phase range-partitioned dense rank (scale path) and the
+    global-window rank (small-corpus fast path) are the SAME function —
+    identical (term, total_count, doc_freq, term_rank) on any input."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.text import vocabulary
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fast = {tuple(r) for r in vocabulary(docs, 2, two_phase=False).collect()}
+    twop = {tuple(r) for r in vocabulary(docs, 2, two_phase=True).collect()}
+    assert fast == twop and fast

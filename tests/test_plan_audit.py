@@ -620,17 +620,32 @@ def _unpartitioned_windows(plan: str) -> int:
 
 
 def test_vocabulary_rank_is_partitioned():
-    """D24 (r7): the dense-id rank must be the two-phase form — a
-    row_number PARTITIONED by the range-partition id plus broadcast
-    offsets. A global (unpartitioned) row_number over the vocabulary
-    single-partitions a 1e8-1e9-term vocab at 100 TB; zero
-    unpartitioned window specs may appear in the plan."""
-    import tests.conftest as C
+    """D24 (r7/r8): at scale the dense-id rank must be the two-phase
+    form — a row_number PARTITIONED by the range-partition id plus
+    broadcast offsets; the ONLY unpartitioned window allowed is the
+    offset prefix-sum over one row per partition (parallelism-bounded).
+    Below the size threshold the plans layer picks the global-window
+    fast path (r7's flagged bench regression was the two-phase fixed
+    cost paid on a vocab that fits one partition) — that path's window
+    is bounded by the 1 GiB input gate in plans/pipeline."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.text import vocabulary
     from prefect_flow_arc_kg_postgres_etl_spark.session import get_spark
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
 
     spark = get_spark("tests", cpus=8)
-    plan = build(spark, "corpus_vocabulary")
-    assert _unpartitioned_windows(plan) == 0, plan
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # scale path: the rank window is pid-partitioned (it sits behind
+    # the checkpoint, so the visible plan shows the pid column and the
+    # ONLY unpartitioned window spec is the per-partition offset sum —
+    # formatted explain prints tree + detail, so one logical window
+    # can count twice)
+    plan = plan_of(vocabulary(docs, min_count=2, two_phase=True))
+    assert _unpartitioned_windows(plan) <= 2, plan
+    assert "pid" in plan, plan
+    # small path (what the registry builder picks under 1 GiB): the
+    # global window, NO checkpoint/offset machinery in the plan
+    small = plan_of(vocabulary(docs, min_count=2, two_phase=False))
+    assert "pid" not in small, small
 
 
 # The remaining unpartitioned windows in the repo, each bounded by a
