@@ -3245,7 +3245,20 @@ WHERE org_key NOT IN (SELECT org_key FROM rebuild)
 # ---------------------------------------------------------------------------
 # A67: run a verbatim reference SPARQL file through the text compiler
 
-_PERSON_SPARQL_PATH = "/root/reference/typescript/queries/person.sparql"
+# The nine production .sparql files are read VERBATIM from the public
+# reference checkout at run time (never transcribed). The location is
+# overridable for foreign checkouts/working directories:
+#   REFERENCE_QUERY_DIR=/path/to/typescript/queries
+def _reference_query_path(name: str) -> str:
+    import os
+
+    base = os.environ.get(
+        "REFERENCE_QUERY_DIR", "/root/reference/typescript/queries"
+    )
+    return os.path.join(base, name)
+
+
+_PERSON_SPARQL_PATH = _reference_query_path("person.sparql")
 
 _SQ_NS = {
     "org": "https://data.hetarchief.be/id/organization/",
@@ -4308,7 +4321,7 @@ SELECT subject, predicate, object FROM t
 # ---------------------------------------------------------------------------
 # A67b: organization.sparql verbatim (FROM datasets + nested OPTIONALs)
 
-_ORG_SPARQL_PATH = "/root/reference/typescript/queries/organization.sparql"
+_ORG_SPARQL_PATH = _reference_query_path("organization.sparql")
 
 _OQ = {
     "w3org": "http://www.w3.org/ns/org#",
@@ -4615,7 +4628,7 @@ SELECT subject, predicate, object FROM t
 # ---------------------------------------------------------------------------
 # A67c: deletes.sparql verbatim (parameter bindings + FILTER NOT EXISTS)
 
-_DEL_SPARQL_PATH = "/root/reference/typescript/queries/deletes.sparql"
+_DEL_SPARQL_PATH = _reference_query_path("deletes.sparql")
 _DEL_SINCE = "1999-01-01 00:00:00"
 
 
@@ -4774,10 +4787,8 @@ SELECT subject, predicate, object FROM t
 # ---------------------------------------------------------------------------
 # A67d/A67e: newspaper-collection.sparql and iiif.sparql verbatim
 
-_NEWS_SPARQL_PATH = (
-    "/root/reference/typescript/queries/newspaper-collection.sparql"
-)
-_IIIF_SPARQL_PATH = "/root/reference/typescript/queries/iiif.sparql"
+_NEWS_SPARQL_PATH = _reference_query_path("newspaper-collection.sparql")
+_IIIF_SPARQL_PATH = _reference_query_path("iiif.sparql")
 
 
 def kg_construct_real_query_newspaper(
@@ -5260,7 +5271,7 @@ FROM b
 # ---------------------------------------------------------------------------
 # A67f: newspaper.sparql verbatim (the full issue/page detail query)
 
-_NP_SPARQL_PATH = "/root/reference/typescript/queries/newspaper.sparql"
+_NP_SPARQL_PATH = _reference_query_path("newspaper.sparql")
 
 
 def kg_construct_real_query_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5503,9 +5514,9 @@ KG_REAL_QUERY_NP_ORACLE = _np_oracle()
 # ---------------------------------------------------------------------------
 # A67g/h/i: av-audio / av-video / av-complex verbatim
 
-_AV_AUDIO_PATH = "/root/reference/typescript/queries/av-audio.sparql"
-_AV_VIDEO_PATH = "/root/reference/typescript/queries/av-video.sparql"
-_AV_COMPLEX_PATH = "/root/reference/typescript/queries/av-complex.sparql"
+_AV_AUDIO_PATH = _reference_query_path("av-audio.sparql")
+_AV_VIDEO_PATH = _reference_query_path("av-video.sparql")
+_AV_COMPLEX_PATH = _reference_query_path("av-complex.sparql")
 
 
 def _run_verbatim(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:

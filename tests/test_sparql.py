@@ -1009,3 +1009,21 @@ def test_nps_inverse_members(spark):
         quads, "SELECT ?v WHERE { <a> !(<urn:p>|^<urn:q>) ?v }"
     )
     assert {r.v for r in out2.collect()} == {"c", "y"}
+
+
+def test_reference_query_dir_env_override(monkeypatch, tmp_path):
+    """REFERENCE_QUERY_DIR points the verbatim entries at any checkout
+    of the reference's query files; the default stays the harness
+    path. Module paths are resolved at import time, so the override is
+    exercised through the resolver itself."""
+    import importlib
+
+    from prefect_flow_arc_kg_postgres_etl_spark.plans import kg
+
+    assert kg._reference_query_path("person.sparql") == (
+        "/root/reference/typescript/queries/person.sparql"
+    )
+    monkeypatch.setenv("REFERENCE_QUERY_DIR", str(tmp_path))
+    assert kg._reference_query_path("person.sparql") == str(
+        tmp_path / "person.sparql"
+    )
