@@ -283,3 +283,163 @@ def test_lang_and_graph_semantics_match_reference(spark, store, q):
         if bb is not None and c is not None:
             exp.add((bb[0], "urn:out:r2", c[0]))
     assert got == exp
+
+
+# ---- model 3: closure property paths (+ / * / ?), inverse, GRAPH ----
+# The repo's pinned closure contract (A28b): ``p*`` / ``p?`` identity
+# pairs cover every ENDPOINT of the path's edge set (not every graph
+# term) — the reference evaluator below implements exactly that.
+PNODES = [f"urn:n{i}" for i in range(5)]
+
+pedge_st = st.tuples(st.sampled_from(PNODES), st.sampled_from(PNODES))
+pstore_st = st.fixed_dictionaries(
+    {
+        "edges": st.lists(pedge_st, min_size=1, max_size=8, unique=True),
+        "attrs": st.lists(
+            st.tuples(st.sampled_from(PNODES), st.sampled_from(["v1", "v2"])),
+            min_size=0,
+            max_size=6,
+            unique=True,
+        ),
+    }
+)
+pquery_st = st.fixed_dictionaries(
+    {
+        "mod": st.sampled_from(["+", "*", "?"]),
+        "inverse": st.booleans(),
+        "src": st.one_of(st.none(), st.sampled_from(PNODES[:2])),
+        "with_attr": st.booleans(),
+        "graph_scope": st.booleans(),
+    }
+)
+
+
+def _closure(edges, mod):
+    plus = set(edges)
+    changed = True
+    while changed:
+        changed = False
+        for a, b in list(plus):
+            for c, d in list(plus):
+                if b == c and (a, d) not in plus:
+                    plus.add((a, d))
+                    changed = True
+    endpoints = {x for e in edges for x in e}
+    ident = {(x, x) for x in endpoints}
+    if mod == "+":
+        return plus
+    if mod == "*":
+        return plus | ident
+    return set(edges) | ident  # ?
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(store=pstore_st, q=pquery_st)
+def test_closure_paths_match_reference_evaluator(spark, store, q):
+    g = "urn:g0" if q["graph_scope"] else None
+    rows = [(s, "urn:e", o, None, g or "urn:gx") for s, o in store["edges"]]
+    rows += [(s, "urn:attr", v, None, g or "urn:gx") for s, v in store["attrs"]]
+    quads_df = spark.createDataFrame(
+        rows,
+        "subject string, predicate string, object string, "
+        "lang string, graph string",
+    )
+    path = f"^<urn:e>{q['mod']}" if q["inverse"] else f"<urn:e>{q['mod']}"
+    src = _render(q["src"]) if q["src"] else "?a"
+    lines = [f"{src} {path} ?b ."]
+    if q["with_attr"]:
+        lines.append("?b <urn:attr> ?c .")
+    body = "\n  ".join(lines)
+    if q["graph_scope"]:
+        body = "GRAPH <urn:g0> { %s }" % body
+    text = (
+        "PREFIX out: <urn:out:>\n"
+        "CONSTRUCT { ?a out:r ?b . ?b out:attr ?c }\n"
+        "WHERE {\n  %s\n}" % body
+    )
+    SQ.clear_plan_cache()
+    got = {
+        (r.subject, r.predicate, r.object)
+        for r in SQ.construct_query(quads_df, text).collect()
+    }
+    pairs = _closure(store["edges"], q["mod"])
+    if q["inverse"]:
+        pairs = {(b, a) for a, b in pairs}
+    attrs = dict()
+    for s, v in store["attrs"]:
+        attrs.setdefault(s, set()).add(v)
+    exp = set()
+    for a, b in pairs:
+        if q["src"] and a != q["src"]:
+            continue
+        exts = (
+            [(b, c) for c in attrs.get(b, ())] if q["with_attr"] else [(b, None)]
+        )
+        if q["with_attr"] and not attrs.get(b):
+            continue
+        for _, c in exts:
+            if not q["src"]:
+                exp.add((a, "urn:out:r", b))
+            if c is not None:
+                exp.add((b, "urn:out:attr", c))
+    assert got == exp
+
+
+# ---- model 4: subselects with aggregation --------------------------
+squery_st = st.fixed_dictionaries(
+    {
+        "min_n": st.sampled_from([1, 2]),
+        "outer_attr": st.booleans(),
+    }
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(store=store_st, q=squery_st)
+def test_subselect_aggregate_matches_reference_evaluator(spark, store, q):
+    quads_df = spark.createDataFrame(
+        [(s, p, o, None, None) for s, p, o in store],
+        "subject string, predicate string, object string, "
+        "lang string, graph string",
+    )
+    lines = ["{ SELECT ?a (COUNT(*) AS ?n) WHERE { ?a <urn:p0> ?y } GROUP BY ?a }"]
+    if q["outer_attr"]:
+        lines.append("?a <urn:p1> ?b .")
+    lines.append(f"FILTER (?n >= {q['min_n']})")
+    text = (
+        "PREFIX out: <urn:out:>\n"
+        "CONSTRUCT { ?a out:n ?n . ?a out:b ?b }\n"
+        "WHERE {\n  %s\n}" % "\n  ".join(lines)
+    )
+    SQ.clear_plan_cache()
+    got = {
+        (r.subject, r.predicate, r.object)
+        for r in SQ.construct_query(quads_df, text).collect()
+    }
+    from collections import Counter
+
+    counts = Counter(s for s, p, o in store if p == "urn:p0")
+    exp = set()
+    for a, n in counts.items():
+        if n < q["min_n"]:
+            continue
+        exts = (
+            [o for s, p, o in store if p == "urn:p1" and s == a]
+            if q["outer_attr"]
+            else [None]
+        )
+        for b in exts:
+            if q["outer_attr"] and b is None:
+                continue
+            exp.add((a, "urn:out:n", str(n)))
+            if b is not None:
+                exp.add((a, "urn:out:b", b))
+    assert got == exp
