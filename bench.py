@@ -130,6 +130,14 @@ HEADLINE = [
     # touched twice; encode runs the learn loop internally).
     "alto_transcript_extract",
     "corpus_bpe_encode",
+    # Round-8 append: the per-org maintainer-bound verbatim run, the
+    # inverse negated property set, and the FULL composed reference
+    # pipeline (nine verbatim queries -> graph.* pivot ->
+    # update_partition index documents; the view-graph landing is
+    # session-cached, so timed passes measure the pivot + star join).
+    "kg_construct_real_query_av_audio_org",
+    "kg_path_nps_inverse",
+    "flow_reference_pipeline",
 ]
 
 
