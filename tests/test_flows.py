@@ -586,3 +586,45 @@ def test_commit_tables_stage_then_rename_allocates_disjoint_versions(
     assert not os.path.exists(f"{tp}/_stage_deadbeef")
     # no stale lock left behind
     assert not os.path.exists(f"{sd}/_commit.lock")
+
+
+def test_run_exclusive_skip_if_running(tmp_path):
+    """The engine-side at-most-one-running guard (main_flow.py:31-42):
+    a held lock skips, a crashed (stale) lock is reclaimed atomically,
+    and release only removes a lock the runner still owns."""
+    import os
+    import time
+
+    from prefect_flow_arc_kg_postgres_etl_spark.flows import run_exclusive
+
+    calls = []
+
+    def work():
+        calls.append(1)
+        return "done"
+
+    ran, out = run_exclusive(str(tmp_path), "sync", work)
+    assert ran and out == "done" and calls == [1]
+    assert not os.path.exists(tmp_path / "sync.running")
+
+    # a concurrent holder: second invocation skips without running
+    lock = tmp_path / "sync.running"
+    lock.write_text("someone-else")
+    ran, out = run_exclusive(str(tmp_path), "sync", work)
+    assert not ran and out is None and calls == [1]
+    assert lock.read_text() == "someone-else"  # not stolen, not released
+
+    # stale lock (crashed run): reclaimed, work runs
+    old = time.time() - 10_000
+    os.utime(lock, (old, old))
+    ran, out = run_exclusive(str(tmp_path), "sync", work, ttl_seconds=3600)
+    assert ran and out == "done" and calls == [1, 1]
+    assert not lock.exists()
+
+    # the lock is held across fn() and visible to a nested attempt
+    def nested():
+        r, _ = run_exclusive(str(tmp_path), "sync", work)
+        return r
+
+    ran, inner = run_exclusive(str(tmp_path), "sync", nested)
+    assert ran and inner is False
