@@ -811,6 +811,50 @@ def flow_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_reference_index_documents(tables)
 
 
+def reference_pipeline_flow(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    triples: DataFrame | None = None,
+) -> DataFrame:
+    """The composed cycle against a DURABLE store — the full
+    main_flow.py job: construct (or accept a since-window triple
+    slice) -> pivot -> upsert every graph.* table over the store's
+    current state in FK topological order (2_database_load.ts's
+    sequential mergeTable loop) -> build the update_partition index
+    documents from the merged state -> commit tables AND the derived
+    ``graph.index_documents`` in ONE atomic snapshot (the lakehouse
+    form of update_partition.sql's INSERT running inside the load
+    transaction) -> return the documents read back from the committed
+    snapshot. Re-running with a re-emitted subject slice converges to
+    the full-sync state (pinned in tests/test_reference_pipeline.py)."""
+    import os
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store as S
+
+    if triples is None:
+        triples = all_view_triples(spark, sf_dir)
+    tables = pivot_view_tables(triples)
+    merged: dict[str, DataFrame] = {}
+    for level in graph_load_order():
+        for name in level:
+            if name not in tables:
+                continue
+            tp = os.path.join(store_dir, f"{name}.parquet")
+            if S.table_exists(tp):
+                merged[name] = M.upsert(
+                    S.read_table(spark, tp), tables[name], keys=["subject"]
+                )
+            else:
+                merged[name] = tables[name]
+    docs = build_reference_index_documents(merged)
+    manifest = S.commit_tables(
+        store_dir, {**merged, "graph.index_documents": docs}
+    )
+    snap = S.read_snapshot(spark, store_dir, manifest)
+    return snap["graph.index_documents"]
+
+
 def index_documents_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ES bulk feed over the composed documents: one JSON document
     per entity (to_json of the full document struct), the NDJSON body

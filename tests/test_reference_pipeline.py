@@ -319,3 +319,40 @@ def test_full_vs_incremental_convergence(spark):
     for c in full.columns:
         assert full[c].astype(str).tolist() == inc[c].astype(str).tolist(), c
     triples.unpersist()
+
+
+def test_reference_pipeline_flow_store_backed(spark, tmp_path):
+    """The durable form of the composed cycle: full sync into an empty
+    store, then a since-window re-sync of 1/3 of the subjects over the
+    SAME store — both snapshots' index documents equal the storeless
+    composition (one atomic commit carries the graph.* tables and the
+    derived graph.index_documents together)."""
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "store")
+    triples = RP.all_view_triples(spark, sf).persist()
+
+    direct = (
+        RP.build_reference_index_documents(RP.pivot_view_tables(triples))
+        .toPandas()
+        .sort_values("iri")
+        .reset_index(drop=True)
+    )
+    full = (
+        RP.reference_pipeline_flow(spark, sf, store, triples=triples)
+        .toPandas()
+        .sort_values("iri")
+        .reset_index(drop=True)
+    )
+    resync = triples.filter(F.pmod(F.xxhash64("subject"), F.lit(3)) == 0)
+    inc = (
+        RP.reference_pipeline_flow(spark, sf, store, triples=resync)
+        .toPandas()
+        .sort_values("iri")
+        .reset_index(drop=True)
+    )
+    assert len(direct) == len(full) == len(inc) and len(direct) > 0
+    for c in direct.columns:
+        want = direct[c].astype(str).tolist()
+        assert full[c].astype(str).tolist() == want, c
+        assert inc[c].astype(str).tolist() == want, c
+    triples.unpersist()
