@@ -356,3 +356,25 @@ def test_reference_pipeline_flow_store_backed(spark, tmp_path):
         assert full[c].astype(str).tolist() == want, c
         assert inc[c].astype(str).tolist() == want, c
     triples.unpersist()
+
+
+def test_index_documents_ndjson_payload(spark):
+    """The ES feed variant: one JSON document per (id, index) routing
+    pair, payload parseable, null fields omitted (ES treats absent and
+    null alike; to_json drops nulls)."""
+    import json
+
+    sf = "/root/testdata/sf0.001"
+    rows = RP.index_documents_ndjson(spark, sf).collect()
+    docs = RP.flow_reference_pipeline(spark, sf)
+    assert len(rows) == docs.count() > 0
+    seen = set()
+    for r in rows:
+        # Row.index is a method; subscript for the column
+        assert r["id"] and r["index"] == r["index"].lower()
+        seen.add((r["id"], r["index"]))
+        payload = json.loads(r.document)
+        assert payload["iri"].startswith("https://")
+        assert "id" not in payload and "index" not in payload
+        assert all(v is not None for v in payload.values())
+    assert len(seen) == len(rows)
