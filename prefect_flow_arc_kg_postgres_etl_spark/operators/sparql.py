@@ -1769,9 +1769,39 @@ class _Eval:
                 acc_cb |= _path_endpoint_vars(t)
         return acc  # type: ignore[return-value]
 
+    # Elements folded into the accumulator between lineage truncations.
+    # A 70-OPTIONAL production query compiles to a DAG whose LATE
+    # stages each serialize the ENTIRE upstream tree into their task
+    # binaries (~2 MB x hundreds of stages, all pinned until the job
+    # ends) — a default-sized 1 GB driver/executor JVM OOMs on plan
+    # TEXT before any data pressure. A lazy localCheckpoint every
+    # _TRUNCATE_EVERY accumulator folds caps task-binary size at a
+    # constant: the checkpoint materializes rows once (they are all
+    # consumed downstream anyway) and every later stage serializes
+    # from the checkpoint scan. Measured: newspaper/av queries at
+    # sf0.01 go OOM -> green on a PLAIN 1 GB session, with wall
+    # unchanged on the 16 GB harness.
+    _TRUNCATE_EVERY = 8
+
     def eval_group(self, g: Group, acc: DataFrame | None) -> DataFrame | None:
         filters = []
         pending_triples: list[Triple] = []
+        folds = 0
+
+        def truncate(df: DataFrame, n: int = 1) -> DataFrame:
+            nonlocal folds
+            before = folds // self._TRUNCATE_EVERY
+            folds += n
+            if folds // self._TRUNCATE_EVERY > before:
+                # DISK_ONLY: checkpoint blocks must not compete with
+                # execution memory in a small heap — they are read
+                # once per downstream stage and stream fine from disk.
+                from pyspark.storagelevel import StorageLevel
+
+                return df.localCheckpoint(
+                    eager=False, storageLevel=StorageLevel.DISK_ONLY
+                )
+            return df
         # Certainly-bound variables of the accumulator (SPARQL §18.2.1
         # static analysis): a shared variable OUTSIDE this set may be
         # unbound (OPTIONAL / UNION / UNDEF-introduced) and joins
@@ -1787,7 +1817,10 @@ class _Eval:
         def flush_triples():
             nonlocal acc, pending_triples
             if pending_triples:
-                acc = self.eval_triples(pending_triples, acc, acc_cb=cb)
+                acc = truncate(
+                    self.eval_triples(pending_triples, acc, acc_cb=cb),
+                    n=len(pending_triples),
+                )
                 pending_triples = []
 
         for el in g.elements:
@@ -1800,11 +1833,13 @@ class _Eval:
                 opt = self.eval_group(el[1], None)
                 assert acc is not None, "OPTIONAL cannot start a group"
                 if opt is not None:
-                    acc = _join(
-                        acc,
-                        opt,
-                        how="left",
-                        compat=compat_for(opt, _group_cb(el[1])),
+                    acc = truncate(
+                        _join(
+                            acc,
+                            opt,
+                            how="left",
+                            compat=compat_for(opt, _group_cb(el[1])),
+                        )
                     )
             elif kind == "union":
                 branch_cbs = [_group_cb(b) for b in el[1]]
@@ -1880,7 +1915,7 @@ class _Eval:
                             u.select(*keys).distinct(),
                             allowMissingColumns=True,
                         )
-                        acc = _join(acc, u2, how="left")
+                        acc = truncate(_join(acc, u2, how="left"), n=2)
                     else:
                         # The accumulator is about to be embedded once
                         # PER JOIN GROUP (plus once per {} branch) —
@@ -1893,7 +1928,12 @@ class _Eval:
                         # resets to the checkpoint scan. Only when acc
                         # is genuinely multiply-embedded.
                         if len(unions) + identity >= 2:
-                            acc = acc.localCheckpoint(eager=False)
+                            from pyspark.storagelevel import StorageLevel
+
+                            acc = acc.localCheckpoint(
+                                eager=False,
+                                storageLevel=StorageLevel.DISK_ONLY,
+                            )
                         parts = [
                             _join(acc, u, compat=compat_for(u, g_cb))
                             for _, u, g_cb in unions
@@ -1902,7 +1942,7 @@ class _Eval:
                         res = parts[0]
                         for p in parts[1:]:
                             res = res.unionByName(p, allowMissingColumns=True)
-                        acc = res
+                        acc = truncate(res, n=2)
                     if identity == 0:
                         cb |= union_cb
             elif kind == "subselect":

@@ -191,9 +191,30 @@ def all_view_triples(
     if spill_dir is None and key in _SPILLS:
         spill = _SPILLS[key]
     else:
+        import gc
+
+        from prefect_flow_arc_kg_postgres_etl_spark.operators import (
+            sparql as SQ,
+        )
+
         spill = spill_dir or tempfile.mkdtemp(prefix="kg_view_graph_")
         for i, b in enumerate(builders):
-            b(spark, sf_dir).write.mode("overwrite").parquet(f"{spill}/q{i}")
+            df = b(spark, sf_dir)
+            df.write.mode("overwrite").parquet(f"{spill}/q{i}")
+            # Release the landed query's memory before compiling the
+            # next one: an EXECUTED cached plan retains its
+            # materialized broadcast hash tables (BroadcastExchange
+            # relationFuture) for the DataFrame's lifetime, and nine
+            # sequential ~200-scan queries accumulate past a
+            # default-sized (1g) driver JVM heap. Dropping the plan
+            # cache + the reference, then collecting on BOTH sides,
+            # lets the ContextCleaner free the broadcast blocks —
+            # landing then fits the PLAIN session the correctness
+            # driver runs (measured: OOM -> green at sf0.01).
+            del df
+            SQ.clear_plan_cache()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         if spill_dir is None:
             _SPILLS[key] = spill
     paths = [f"{spill}/q{i}" for i in range(len(builders))]

@@ -1027,3 +1027,43 @@ def test_reference_query_dir_env_override(monkeypatch, tmp_path):
     assert kg._reference_query_path("person.sparql") == str(
         tmp_path / "person.sparql"
     )
+
+
+def test_compat_join_preserves_lang_term_identity(spark):
+    """Compatible-binding join over a LANG-TAGGED shared variable:
+    where both sides are bound the (value, lang) TERM must match;
+    where the OPTIONAL left the variable unbound, the branch's term is
+    adopted wholesale — value and tag."""
+    quads = _quads(
+        spark,
+        [
+            ("e1", "urn:p0", "x", None, None),
+            ("e2", "urn:p0", "x", None, None),
+            ("e3", "urn:p0", "x", None, None),
+            # OPTIONAL binds ?c for e1 (nl) and e3 (en)
+            ("e1", "urn:p1", "fiets", "nl", None),
+            ("e3", "urn:p1", "fiets", "en", None),
+            # union branch binds ?c with nl tags
+            ("e1", "urn:p2", "fiets", "nl", None),
+            ("e2", "urn:p2", "kar", "nl", None),
+            ("e3", "urn:p2", "fiets", "nl", None),
+        ],
+    )
+    out = SQ.construct_query(
+        quads,
+        """
+        PREFIX out: <urn:out:>
+        CONSTRUCT { ?e out:r ?c }
+        WHERE {
+          ?e <urn:p0> ?x .
+          OPTIONAL { ?e <urn:p1> ?c }
+          { ?e <urn:p2> ?c } UNION { ?e <urn:p3> ?c }
+        }
+        """,
+    )
+    rows = {(r.subject, r.object) for r in out.collect()}
+    # e1: "fiets"@nl == "fiets"@nl -> joins; e2: unbound -> adopts
+    # "kar"@nl; e3: "fiets"@en vs "fiets"@nl -> DIFFERENT TERMS, no
+    # solution from the branch (and the OPTIONAL binding alone emits
+    # nothing because the union is mandatory).
+    assert rows == {("e1", "fiets"), ("e2", "kar")}
