@@ -876,6 +876,60 @@ def reference_pipeline_flow(
     return snap["graph.index_documents"]
 
 
+def reference_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A76: get_partitions over the COMPOSED graph tables
+    (flows/arc_db_load_index_tables_flow.py:20-55): one row per
+    organisation partition — maintainer id, ES index name
+    (lower(org_identifier)), Postgres partition-table name
+    (lower(replace(org_identifier,'-','_'))), and the TOP-LEVEL entity
+    count the indexer uses to order its work. The ``is_updated``
+    since-window flag is the incremental path (A10/A46); this is the
+    full-sync form. One broadcast join + one aggregate."""
+    triples = all_view_triples(spark, sf_dir)
+    wide = pivot_wide(triples)
+    ie = table_from_wide(
+        wide, "graph.intellectual_entity",
+        ["schema_maintainer", "relation_is_part_of"],
+    )
+    org = table_from_wide(wide, "graph.organization", ["org_identifier"])
+    return (
+        ie.filter(F.col("relation_is_part_of").isNull())
+        .withColumn(
+            "_org_code", F.regexp_extract("schema_maintainer", "OR-[0-9]+$", 0)
+        )
+        .join(
+            F.broadcast(
+                org.select(F.col("org_identifier").alias("_org_code"))
+            ),
+            "_org_code",
+        )
+        .groupBy(F.col("schema_maintainer").alias("id"))
+        .agg(
+            F.lower(F.first("_org_code")).alias("index"),
+            F.lower(F.regexp_replace(F.first("_org_code"), "-", "_")).alias(
+                "partition"
+            ),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+def _partition_stats_oracle() -> str:
+    base = reference_pipeline_oracle()
+    head, _, _ = base.rpartition("SELECT\n")
+    return head + """
+SELECT
+  ie.schema_maintainer AS id,
+  lower(org.org_code) AS index,
+  lower(replace(org.org_code, '-', '_')) AS partition,
+  count(*) AS cnt
+FROM p_intellectual_entity ie
+JOIN org ON org.org_code = regexp_extract(ie.schema_maintainer, 'OR-[0-9]+$', 0)
+WHERE ie.relation_is_part_of IS NULL
+GROUP BY 1, 2, 3
+"""
+
+
 def index_documents_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ES bulk feed over the composed documents: one JSON document
     per entity (to_json of the full document struct), the NDJSON body

@@ -352,6 +352,12 @@ _SPECS: dict[str, QuerySpec] = {
     "kg_path_nps_inverse": QuerySpec(
         kg.kg_path_nps_inverse, kg.KG_PATH_NPS_INVERSE_ORACLE
     ),
+    # A76: get_partitions over the composed graph tables — the
+    # indexer's per-organisation partition worklist.
+    "reference_partition_stats": QuerySpec(
+        reference_pipeline.reference_partition_stats,
+        reference_pipeline._partition_stats_oracle(),
+    ),
     "kg_select_real_text": QuerySpec(
         kg.kg_select_real_text, kg.KG_SELECT_REAL_TEXT_ORACLE
     ),
