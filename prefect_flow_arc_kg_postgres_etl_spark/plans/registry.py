@@ -1035,9 +1035,30 @@ def _ensure_package_on_workers(spark: SparkSession) -> None:
     _SHIPPED.add(key)
 
 
+def _seed_shuffle_partitions(spark: SparkSession) -> None:
+    """Seed AQE's initial shuffle partition count on UNTUNED sessions.
+
+    The plain 200-partition default routes every no-combine shuffle
+    through BypassMergeSortShuffleWriter, which opens one compressed
+    disk writer PER REDUCE PARTITION per task — 200 x 32 concurrent
+    tasks x ~128 KiB of LZ4/serializer buffers is ~800 MB of
+    shuffle-writer overhead, and a default-sized 1 GB driver JVM OOMs
+    on the heavy verbatim plans (measured, r8). Any value above
+    spark.shuffle.sort.bypassMergeThreshold (200) selects the
+    sort-based writer (ONE spillable buffer per task) and AQE
+    coalesces the extra partitions right back, so small queries are
+    unaffected. session.py already seeds 512 on harness sessions; this
+    covers the correctness driver's own session. Respects an explicit
+    user setting."""
+    k = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    if spark.conf.get(k, None) is None:
+        spark.conf.set(k, "256")
+
+
 def _self_shipping(builder: Builder) -> Builder:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_package_on_workers(spark)
+        _seed_shuffle_partitions(spark)
         return builder(spark, sf_dir)
 
     return run
