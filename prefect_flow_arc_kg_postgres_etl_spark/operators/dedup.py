@@ -739,14 +739,32 @@ def incremental_dup_pairs_indexed(
     parameters that differ from the build's would derive wrong band
     keys / partition ids and silently drop candidate pairs. Indexes
     built before ``_meta`` existed fall back to the caller's values."""
+    from pyspark.errors import AnalysisException
+
     spark = new.sparkSession
     try:
-        m = spark.read.json(f"{index_path}/_meta").collect()[0]
-        k, bands, n, partitions = (
-            int(m["k"]), int(m["bands"]), int(m["n"]), int(m["partitions"])
-        )
-    except Exception:
-        pass  # pre-_meta index: trust the caller's parameters
+        meta_rows = spark.read.json(f"{index_path}/_meta").collect()
+    except AnalysisException as exc:
+        # Only a MISSING _meta (pre-_meta index) may fall back to the
+        # caller's parameters; a present-but-unreadable one must not.
+        if "PATH_NOT_FOUND" not in (exc.getErrorClass() or ""):
+            raise
+        meta_rows = None
+    if meta_rows is not None:
+        # A PRESENT _meta must be well-formed: silently falling back to
+        # caller-supplied parameters on a corrupt/partial _meta would
+        # reinstate the wrong-partition silent-candidate-drop failure
+        # the metadata exists to prevent. Fail loudly instead.
+        try:
+            m = meta_rows[0]
+            k, bands, n, partitions = (
+                int(m["k"]), int(m["bands"]), int(m["n"]), int(m["partitions"])
+            )
+        except Exception as exc:
+            raise ValueError(
+                f"corrupt dedup index _meta at {index_path}/_meta: "
+                f"{meta_rows!r}"
+            ) from exc
     r = k // bands
     sig_new = minhash_signatures(new, k, id_col, text_col, n).localCheckpoint(
         eager=True

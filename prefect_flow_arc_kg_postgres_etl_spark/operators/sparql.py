@@ -1200,7 +1200,15 @@ def _expr_certainly_bound(e, cb: set[str]) -> bool:
         return False
     if kind == "in":
         return _expr_certainly_bound(e[1], cb)
-    if kind in ("=", "!=", "<", ">", "<=", ">=", "||", "&&"):
+    if kind in ("<", ">", "<=", ">="):
+        # An order comparison with a numeric literal operand takes the
+        # numeric try_cast dispatch, so a BOUND non-numeric operand
+        # still yields NULL (type error) — the result is NOT certainly
+        # bound even when both operands are (r9 ADVICE).
+        if _is_numeric_literal(e[1]) or _is_numeric_literal(e[2]):
+            return False
+        return _expr_certainly_bound(e[1], cb) and _expr_certainly_bound(e[2], cb)
+    if kind in ("=", "!=", "||", "&&"):
         return _expr_certainly_bound(e[1], cb) and _expr_certainly_bound(e[2], cb)
     if kind == "!":
         return _expr_certainly_bound(e[1], cb)
@@ -1274,6 +1282,31 @@ def _is_numeric_literal(e) -> bool:
     if e[0].startswith("num:"):
         return True
     return False
+
+
+def _numeric_cast_type(*nodes) -> str:
+    """Cast type for the numeric comparison dispatch (r9 ADVICE):
+    SPARQL compares xsd:integer/xsd:decimal EXACTLY, and double loses
+    exactness for integers above 2^53 and at decimal rounding
+    boundaries (the known Spark-vs-DuckDB cross-engine trap). Every
+    numeric literal the grammar admits (_NUMERIC_RE: optional sign,
+    digits, optional fraction — no exponent) is integer- or
+    decimal-shaped, so compare as decimal(38,10) unless a literal
+    carries more than 10 fraction digits or an operand is a num:*
+    arithmetic result (already double-domain) — only then fall back
+    to double."""
+    for e in nodes:
+        if not isinstance(e, tuple):
+            continue
+        if e[0] == "term":
+            value, lang = _lit_parts(e[1])
+            if lang is None and _NUMERIC_RE.match(value):
+                parts = value.split(".", 1)
+                if len(parts) == 2 and len(parts[1]) > 10:
+                    return "double"
+        elif e[0].startswith("num:"):
+            return "double"
+    return "decimal(38,10)"
 
 
 def _expr_has_exists(e) -> bool:
@@ -2066,8 +2099,9 @@ class _Eval:
                 if kind in ("<", ">", "<=", ">=") and (
                     _is_numeric_literal(x[1]) or _is_numeric_literal(x[2])
                 ):
-                    a = a.try_cast("double")
-                    b = b.try_cast("double")
+                    ct = _numeric_cast_type(x[1], x[2])
+                    a = a.try_cast(ct)
+                    b = b.try_cast(ct)
                 return {
                     "=": a == b, "!=": a != b, "<": a < b,
                     ">": a > b, "<=": a <= b, ">=": a >= b,
@@ -2179,11 +2213,23 @@ def parse(text: str) -> Query:
 _PLAN_CACHE: dict[tuple, DataFrame] = {}
 _PLAN_CACHE_MAX = 64
 
+# Persisted predicate working sets (opt-in, see _working_set): bounded
+# LRU so long-lived sessions don't accumulate cached store slices.
+_WORKING_CACHE: dict[tuple, DataFrame] = {}
+_WORKING_CACHE_MAX = 16
+
 
 def clear_plan_cache() -> None:
     """Drop all prepared plans (tests that patch evaluator internals
-    between runs of the same query text must bust the cache)."""
+    between runs of the same query text must bust the cache), and
+    unpersist any cached working-set frames with them."""
     _PLAN_CACHE.clear()
+    for frame in _WORKING_CACHE.values():
+        try:
+            frame.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _WORKING_CACHE.clear()
 
 
 def _collect_query_predicates(g: "Group") -> set[str] | None:
@@ -2299,6 +2345,12 @@ def _working_set(
     sweep instead of 200); enable there with
     SPARK_GRAFT_SPARQL_WORKING_SET=1.
 
+    Persisted frames live in a small LRU keyed like the plan cache
+    (session, store plan hash, predicate set) — a long-lived session
+    executing many distinct queries reuses working sets with the same
+    key and UNPERSISTS evicted ones instead of accumulating cached
+    slices without bound (r9 ADVICE).
+
     Returns (working_frame | None, predicate_set)."""
     import os
 
@@ -2307,10 +2359,19 @@ def _working_set(
     preds = _collect_query_predicates(g)
     if preds is None or not preds or len(preds) > 512:
         return None, set()
-    return (
-        quads.filter(F.col("predicate").isin(sorted(preds))).persist(),
-        preds,
-    )
+    try:
+        qh = quads._jdf.queryExecution().analyzed().semanticHash()
+        key = (id(quads.sparkSession), qh, frozenset(preds))
+    except Exception:
+        key = None
+    if key is not None and key in _WORKING_CACHE:
+        return _WORKING_CACHE[key], preds
+    frame = quads.filter(F.col("predicate").isin(sorted(preds))).persist()
+    if key is not None:
+        if len(_WORKING_CACHE) >= _WORKING_CACHE_MAX:
+            _WORKING_CACHE.pop(next(iter(_WORKING_CACHE))).unpersist()
+        _WORKING_CACHE[key] = frame
+    return frame, preds
 
 
 def _bind_params_in_group(g: "Group", params: dict[str, str]) -> None:

@@ -64,8 +64,79 @@ from prefect_flow_arc_kg_postgres_etl_spark.operators import merge as M
 
 _NS = "urn:kg-to-postgres:"
 
-# landed view-graph spills, keyed by (applicationId, sf_dir)
-_SPILLS: dict[tuple[str, str], str] = {}
+# landed view-graph spills, keyed by (applicationId, sf_dir, store
+# fingerprint) — the fingerprint (file sizes + mtimes under sf_dir)
+# makes a changed store re-land instead of serving stale triples
+# (r9 ADVICE). Default-created spill dirs are removed at interpreter
+# exit; caller-provided spill_dir paths are the caller's to manage.
+_SPILLS: dict[tuple[str, str, tuple[int, int]], str] = {}
+
+
+def _store_fingerprint(sf_dir: str) -> tuple[int, int]:
+    """(total bytes, latest mtime_ns) under sf_dir — a driver-side
+    metadata sweep (same cost class as Spark's own file listing)."""
+    import os
+
+    total = latest = 0
+    for base, _dirs, files in os.walk(sf_dir):
+        for fn in files:
+            try:
+                st = os.stat(os.path.join(base, fn))
+            except OSError:
+                continue
+            total += st.st_size
+            latest = max(latest, st.st_mtime_ns)
+    return total, latest
+
+
+def _cleanup_spills() -> None:
+    import shutil
+
+    for path in _SPILLS.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _SPILLS.clear()
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_cleanup_spills)
+
+
+_SPILL_SEQ = iter(range(1, 1 << 30))
+
+
+def _make_spill_dir(spark: SparkSession, root: str) -> str:
+    """A fresh spill dir under ``root``. Local (or file:) roots get a
+    real mkdtemp; remote-scheme roots (hdfs://, s3a://) get a unique
+    per-application subpath that Spark's writers create."""
+    import os
+    import tempfile
+
+    if "://" in root and not root.startswith("file:"):
+        return f"{root}/{spark.sparkContext.applicationId}-{next(_SPILL_SEQ)}"
+    local = root
+    if local.startswith("file:"):
+        local = local[len("file:"):]
+        while local.startswith("//"):
+            local = local[1:]
+    os.makedirs(local, exist_ok=True)
+    return tempfile.mkdtemp(prefix="kg_view_graph_", dir=local)
+
+
+def _default_spill_root(spark: SparkSession) -> str:
+    """Default landing area for the per-query view-graph spills: under
+    the session's WAREHOUSE dir, not driver-local /tmp — on a real
+    cluster the warehouse is shared storage every executor and a
+    restarted driver can read (the r8 verdict's 100 TB watch item);
+    on local mode it is a local dir exactly like /tmp was. Override
+    per call via ``spill_dir`` or globally via SPARK_GRAFT_SPILL_DIR."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_SPILL_DIR")
+    if env:
+        return env
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    return f"{wh.rstrip('/')}/_kg_view_spills"
 
 # Every table the nine production queries emit, with the full column
 # set observed across all nine (stream.ts derives these from the live
@@ -183,11 +254,16 @@ def all_view_triples(
         kg.kg_construct_real_query_av_video,
         kg.kg_construct_real_query_av_complex,
     ]
-    # One materialization per (session, sf_dir): the testdata inputs
-    # are immutable, so re-running the composed pipeline (bench passes,
-    # repeated driver calls) reuses the landed view graph the same way
-    # the compiled verbatim plans reuse the plan cache.
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # One materialization per (session, sf_dir, store fingerprint):
+    # re-running the composed pipeline (bench passes, repeated driver
+    # calls) reuses the landed view graph the same way the compiled
+    # verbatim plans reuse the plan cache; a CHANGED store under the
+    # same path re-lands (fingerprint in the key).
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _store_fingerprint(sf_dir),
+    )
     if spill_dir is None and key in _SPILLS:
         spill = _SPILLS[key]
     else:
@@ -197,7 +273,10 @@ def all_view_triples(
             sparql as SQ,
         )
 
-        spill = spill_dir or tempfile.mkdtemp(prefix="kg_view_graph_")
+        if spill_dir is None:
+            spill = _make_spill_dir(spark, _default_spill_root(spark))
+        else:
+            spill = spill_dir
         for i, b in enumerate(builders):
             df = b(spark, sf_dir)
             df.write.mode("overwrite").parquet(f"{spill}/q{i}")
@@ -1278,4 +1357,334 @@ LEFT JOIN ipo ON ipo.k = ie.subject
 LEFT JOIN mf ON mf.k = ie.subject
 LEFT JOIN transcript ON transcript.k = ie.subject
 WHERE ie.relation_is_part_of IS NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# A77: the NIGHTLY INCREMENTAL load cycle over the composed tables.
+#
+# Reference: flows/arc_db_load_index_tables_flow.py:236-266 — the flow
+# fetches the per-organisation partition worklist (get_partitions,
+# :20-55, with ``is_updated = bool_or(updated_at > %(since)s)``), checks
+# each partition for organisation-name drift between graph.organization
+# and the partition's stored documents (check_if_org_name_changed,
+# :156-225), then per partition: skips it when neither flag is set,
+# truncates + fully rebuilds it when the name drifted, and otherwise
+# re-runs update_partition.sql with the since window bound
+# (update_partition.sql:359-360 ``ie.updated_at >= %(since)s AND
+# org.id = %(id)s``) so only changed entities are upserted over the
+# standing documents (ON CONFLICT (id, index) DO UPDATE, :363-366).
+#
+# The synthetic stores carry no updated_at (Postgres assigns it at load
+# time), so the harness derives a DETERMINISTIC since-window from each
+# document id — cross-engine-safe integer arithmetic only (ascii/length/
+# substr/%), per the Spark-vs-DuckDB determinism notes — and synthesizes
+# the "previous sync" state from the current build: in-window entities
+# carry a stale content marker (they changed since), a deterministic
+# subset of them is absent entirely (inserted since), and ONE
+# deterministic organisation's stored documents carry a pre-rename
+# maintainer label (the org-name-drift partition). The FLOW under test
+# is the reference's control flow verbatim: worklist -> flags ->
+# skip / truncate-rebuild / since-windowed upsert.
+
+# Entity changed since the last sync (updated_at > since).
+_SINCE_WINDOW = "ascii(substr(id, length(id), 1)) % 3 = 0"
+# Of the changed entities, these were INSERTED since the last sync
+# (no previous document row exists).
+_NEW_ENTITY = "ascii(substr(id, greatest(length(id) - 1, 1), 1)) % 2 = 0"
+
+
+def _incremental_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(current full-sync docs, docs + window flags, previous-sync docs).
+
+    ``prev`` is the simulated state of graph.index_documents at the last
+    sync: current rows minus inserted-since entities, with stale content
+    on changed entities and the drift org's pre-rename maintainer name.
+    Rows NOT in the window are byte-identical to the current build —
+    they were synced last run and untouched since."""
+    docs = flow_reference_pipeline(spark, sf_dir)
+    marked = docs.withColumn("_in_window", F.expr(_SINCE_WINDOW)).withColumn(
+        "_second_even", F.expr(_NEW_ENTITY)
+    )
+    drift = marked.select(F.min("index").alias("_drift_index"))
+    prev = (
+        marked.filter(~(F.col("_in_window") & F.col("_second_even")))
+        .crossJoin(F.broadcast(drift))
+        .withColumn(
+            "schema_maintainer_name",
+            F.when(
+                F.col("index") == F.col("_drift_index"),
+                F.concat(F.lit("old:"), F.col("schema_maintainer_name")),
+            ).otherwise(F.col("schema_maintainer_name")),
+        )
+        .withColumn(
+            "schema_name",
+            F.when(
+                F.col("_in_window"),
+                F.concat(
+                    F.lit("stale:"), F.coalesce(F.col("schema_name"), F.lit(""))
+                ),
+            ).otherwise(F.col("schema_name")),
+        )
+        .drop("_drift_index")
+    )
+    return docs, marked, prev
+
+
+def flow_reference_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A77: worklist -> per-partition flags -> selective rebuild.
+
+    One row per surviving document with ``doc_source`` recording which
+    arm produced it: 'rebuilt' (the partition was truncated for org-name
+    drift, or the entity was inside the since window and re-upserted) or
+    'passthrough' (the stored document, untouched — the reference never
+    rewrites rows outside the window). Mirrors
+    arc_db_load_index_tables_flow.py's per-partition loop as three
+    data-parallel legs over a BROADCAST flags dimension (one row per
+    organisation — the worklist is small by construction; the document
+    set is the big side and is never shuffled by the flag join)."""
+    docs, marked, prev = _incremental_frames(spark, sf_dir)
+    # get_partitions: is_updated = bool_or(updated_at > since) per org.
+    stats = marked.groupBy("index").agg(F.max("_in_window").alias("_is_updated"))
+    # check_if_org_name_changed: stored maintainer label vs the current
+    # organization row's label.
+    cur_label = marked.groupBy("index").agg(
+        F.min("schema_maintainer_name").alias("_label")
+    )
+    changed = (
+        prev.join(cur_label, "index")
+        .groupBy("index")
+        .agg(
+            F.max(
+                ~F.col("schema_maintainer_name").eqNullSafe(F.col("_label"))
+            ).alias("_name_changed")
+        )
+    )
+    flags = F.broadcast(
+        stats.join(changed, "index", "left").na.fill({"_name_changed": False})
+    )
+    rebuilt = (
+        marked.join(flags, "index")
+        .filter(F.col("_name_changed") | (F.col("_is_updated") & F.col("_in_window")))
+        .select(*docs.columns, F.lit("rebuilt").alias("doc_source"))
+    )
+    passthrough = (
+        prev.join(flags, "index")
+        .filter(~F.col("_name_changed") & ~F.col("_in_window"))
+        .select(*docs.columns, F.lit("passthrough").alias("doc_source"))
+    )
+    return rebuilt.unionByName(passthrough)
+
+
+def _full_docs_prefix() -> str:
+    """reference_pipeline_oracle() with the final SELECT wrapped as a
+    ``full_docs`` CTE, ready for composition by the incremental/delete
+    oracles."""
+    base = reference_pipeline_oracle()
+    head, sep, tail = base.rpartition("SELECT\n")
+    assert sep, "oracle body shape changed"
+    return head + ",\nfull_docs AS MATERIALIZED (\nSELECT\n" + tail + "\n)"
+
+
+def reference_incremental_oracle() -> str:
+    """The incremental cycle in DuckDB over the same full_docs CTE —
+    window/new-entity predicates are the shared integer-only
+    expressions, the flag algebra is identical."""
+    return (
+        _full_docs_prefix()
+        + f""",
+marked AS MATERIALIZED (
+  SELECT *,
+         {_SINCE_WINDOW} AS _in_window,
+         {_NEW_ENTITY} AS _second_even
+  FROM full_docs
+),
+drift AS (SELECT min("index") AS _drift_index FROM full_docs),
+prev AS (
+  SELECT m.* REPLACE (
+    CASE WHEN m."index" = d._drift_index
+         THEN 'old:' || schema_maintainer_name
+         ELSE schema_maintainer_name END AS schema_maintainer_name,
+    CASE WHEN m._in_window
+         THEN 'stale:' || COALESCE(schema_name, '')
+         ELSE schema_name END AS schema_name)
+  FROM marked m CROSS JOIN drift d
+  WHERE NOT (m._in_window AND m._second_even)
+),
+stats AS (
+  SELECT "index", bool_or(_in_window) AS _is_updated FROM marked GROUP BY 1
+),
+cur_label AS (
+  SELECT "index", min(schema_maintainer_name) AS _label
+  FROM marked GROUP BY 1
+),
+changed AS (
+  SELECT p."index",
+         bool_or(p.schema_maintainer_name IS DISTINCT FROM c._label)
+           AS _name_changed
+  FROM prev p JOIN cur_label c USING ("index") GROUP BY 1
+),
+flags AS (
+  SELECT s."index", s._is_updated,
+         COALESCE(c._name_changed, false) AS _name_changed
+  FROM stats s LEFT JOIN changed c USING ("index")
+)
+SELECT m.* EXCLUDE (_in_window, _second_even), 'rebuilt' AS doc_source
+FROM marked m JOIN flags f USING ("index")
+WHERE f._name_changed OR (f._is_updated AND m._in_window)
+UNION ALL
+SELECT p.* EXCLUDE (_in_window, _second_even), 'passthrough' AS doc_source
+FROM prev p JOIN flags f USING ("index")
+WHERE NOT f._name_changed AND NOT p._in_window
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# A78: the composed DELETE cycle.
+#
+# Reference: flows/arc_db_delete_flow.py:34-122 — one transaction
+# deletes every intellectual entity joined to a MAM fragment flagged
+# ``is_deleted`` (:35-39), then the flagged fragments themselves (:46),
+# then drops index partitions left without any surviving documents
+# (delete_index_tables/drop_partition, :70-122). On the composed
+# lakehouse the same cycle is: anti-join the entity table against the
+# flagged-fragment keys, filter the fragment table, rebuild the
+# update_partition documents from the surviving state (children counts,
+# transcripts and thumbnail roll-ups all shrink when a CHILD entity is
+# deleted — the doc build must re-run, a filter over the old documents
+# would be wrong), and report emptied partitions.
+
+
+def _live_tables(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Apply the delete transaction to the pivoted table set."""
+    out = dict(tables)
+    mf = tables["graph.mh_fragment_identifier"]
+    deleted = (
+        mf.filter(F.col("is_deleted") == "true")
+        .select(F.col("intellectual_entity_id").alias("subject"))
+        .distinct()
+    )
+    out["graph.intellectual_entity"] = tables[
+        "graph.intellectual_entity"
+    ].join(deleted, "subject", "left_anti")
+    out["graph.mh_fragment_identifier"] = mf.filter(
+        ~F.col("is_deleted").eqNullSafe("true")
+    )
+    return out
+
+
+def flow_reference_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A78: the delete cycle's end state — the update_partition
+    documents rebuilt over the surviving entity/fragment set. Entities
+    whose fragments were flagged deleted are gone; parents of deleted
+    CHILDREN keep their row but with re-aggregated children counts,
+    transcripts and thumbnails (the reason the reference re-runs
+    update_partition.sql after its delete transaction rather than
+    patching documents in place)."""
+    triples = all_view_triples(spark, sf_dir)
+    tables = _live_tables(pivot_view_tables(triples))
+    return build_reference_index_documents(tables)
+
+
+def reference_deletes_oracle() -> str:
+    """The delete cycle in DuckDB: the SAME document body, pointed at
+    live (post-delete) entity/fragment pivots."""
+    base = reference_pipeline_oracle()
+    marker = "\nfmt AS ("
+    head, sep, tail = base.partition(marker)
+    assert sep, "oracle body shape changed"
+    live = """
+p_ie_live AS MATERIALIZED (
+  SELECT ie.* FROM p_intellectual_entity ie
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p_mh_fragment_identifier mf
+    WHERE mf.intellectual_entity_id = ie.subject AND mf.is_deleted = 'true'
+  )
+),
+p_mf_live AS (
+  SELECT * FROM p_mh_fragment_identifier
+  WHERE is_deleted IS DISTINCT FROM 'true'
+),"""
+    body = (sep + tail).replace("p_intellectual_entity", "p_ie_live").replace(
+        "p_mh_fragment_identifier", "p_mf_live"
+    )
+    return head + live + body
+
+
+def reference_delete_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A78b: the delete flow's observable ledger — one row per index
+    partition: document count before, entities removed by the cascade,
+    count after, and whether the partition is dropped (emptied — the
+    reference's delete_index_tables/drop_partition arm). The document
+    gate (INNER maintainer org + INNER qualifying dcterms_format,
+    update_partition.sql:54-74) is entity-level, so the counts need no
+    full document build."""
+    triples = all_view_triples(spark, sf_dir)
+    tables = pivot_view_tables(triples)
+    ie = tables["graph.intellectual_entity"]
+    org = tables["graph.organization"]
+    fmt = (
+        tables["graph.dcterms_format"]
+        .filter(
+            ~F.col("dcterms_format").isin("set", " document", "newspaperpage")
+        )
+        .select(F.col("intellectual_entity_id").alias("subject"))
+        .distinct()
+    )
+    deleted = (
+        tables["graph.mh_fragment_identifier"]
+        .filter(F.col("is_deleted") == "true")
+        .select(F.col("intellectual_entity_id").alias("subject"))
+        .distinct()
+        .withColumn("_del", F.lit(True))
+    )
+    gated = (
+        ie.filter(F.col("relation_is_part_of").isNull())
+        .withColumn(
+            "_org_code", F.regexp_extract("schema_maintainer", "OR-[0-9]+$", 0)
+        )
+        .join(
+            F.broadcast(
+                org.select(F.col("org_identifier").alias("_org_code"))
+            ),
+            "_org_code",
+        )
+        .join(fmt, "subject")
+        .join(deleted, "subject", "left")
+    )
+    return gated.groupBy(F.lower("_org_code").alias("index")).agg(
+        F.count("*").alias("docs_before"),
+        F.count(F.when(F.col("_del"), 1)).alias("entities_deleted"),
+        F.count(F.when(F.col("_del").isNull(), 1)).alias("docs_after"),
+        F.max(F.coalesce(F.col("_del"), F.lit(False))).alias("dropped"),
+    ).withColumn(
+        "dropped", F.col("dropped") & (F.col("docs_after") == 0)
+    )
+
+
+def _delete_report_oracle() -> str:
+    base = reference_pipeline_oracle()
+    head, _, _ = base.rpartition("SELECT\n")
+    return head + """
+SELECT
+  lower(org.org_code) AS index,
+  count(*) AS docs_before,
+  count(*) FILTER (WHERE del.subject IS NOT NULL) AS entities_deleted,
+  count(*) FILTER (WHERE del.subject IS NULL) AS docs_after,
+  bool_or(del.subject IS NOT NULL)
+    AND count(*) FILTER (WHERE del.subject IS NULL) = 0 AS dropped
+FROM p_intellectual_entity ie
+JOIN org ON org.org_code = regexp_extract(ie.schema_maintainer, 'OR-[0-9]+$', 0)
+JOIN (SELECT DISTINCT intellectual_entity_id AS subject
+      FROM p_dcterms_format
+      WHERE dcterms_format NOT IN ('set', ' document', 'newspaperpage')) fm
+  ON fm.subject = ie.subject
+LEFT JOIN (SELECT DISTINCT intellectual_entity_id AS subject
+           FROM p_mh_fragment_identifier WHERE is_deleted = 'true') del
+  ON del.subject = ie.subject
+WHERE ie.relation_is_part_of IS NULL
+GROUP BY 1
 """

@@ -55,9 +55,11 @@ class QuerySpec:
 # corpus_bpe_{learn,encode} — 51 total. r8 (the list below) grades 50
 # of those 51 plus the three r8-new operators (A74
 # flow_reference_pipeline, A75 kg_construct_real_query_av_audio_org,
-# A73b kg_path_nps_inverse); the residue of 4 (cube_agg,
-# events_funnel3, corpus_mix_sample, orders_running_distinct) lands
-# in r9 (judge-local mirror covers it in the interim).
+# A73b kg_path_nps_inverse); the residue after r8 was FIVE entries
+# (cube_agg, events_funnel3, corpus_mix_sample,
+# orders_running_distinct, plus reference_partition_stats, which
+# landed after the r8 window froze). All five take r9 slots below —
+# after r9 every oracle-backed entry has a driver CORRECTNESS row.
 _SPECS: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
@@ -357,6 +359,25 @@ _SPECS: dict[str, QuerySpec] = {
     "reference_partition_stats": QuerySpec(
         reference_pipeline.reference_partition_stats,
         reference_pipeline._partition_stats_oracle(),
+    ),
+    # A77: the nightly INCREMENTAL cycle — worklist -> is_updated /
+    # org-name-drift flags -> skip / truncate-rebuild / since-windowed
+    # upsert per partition (arc_db_load_index_tables_flow.py:236-266).
+    "flow_reference_incremental": QuerySpec(
+        reference_pipeline.flow_reference_incremental,
+        reference_pipeline.reference_incremental_oracle(),
+    ),
+    # A78: the composed DELETE cycle — flagged-fragment cascade ->
+    # document rebuild over the survivors (arc_db_delete_flow.py:34-66).
+    "flow_reference_deletes": QuerySpec(
+        reference_pipeline.flow_reference_deletes,
+        reference_pipeline.reference_deletes_oracle(),
+    ),
+    # A78b: the delete flow's partition ledger incl. emptied-partition
+    # drops (arc_db_delete_flow.py:70-122).
+    "reference_delete_report": QuerySpec(
+        reference_pipeline.reference_delete_report,
+        reference_pipeline._delete_report_oracle(),
     ),
     "kg_select_real_text": QuerySpec(
         kg.kg_select_real_text, kg.KG_SELECT_REAL_TEXT_ORACLE
@@ -911,69 +932,70 @@ _SPECS: dict[str, QuerySpec] = {
 # closure paths (kg_path_text_closure) and the A72 subselect/HAVING/
 # blank-node text form (kg_select_subquery_text) — 47 for r8.
 DRIVER_WINDOW: list[str] = [
-    # r8 rotation: the FINAL never-driver-checked sweep. All 50 slots
-    # are first-time entries: the three r8-new operators (the composed
-    # reference pipeline A74, the maintainer-bound per-org run A75,
-    # the inverse negated property set A73b), the six late-r7 verbatim
-    # SPARQL runs, the A68-A73 text forms, and the r7-verdict-deferred
-    # B/D analytics set. After r8 the never-checked residue is 4
-    # (cube_agg, events_funnel3, corpus_mix_sample,
-    # orders_running_distinct — all green under tools/check_oracle.py
-    # and pytest; they take r9 slots).
-    # A-block: composed pipeline, verbatim queries, text forms, sources.
-    "flow_reference_pipeline",
-    "kg_construct_real_query_av_audio_org",
-    "kg_path_nps_inverse",
-    "kg_construct_real_query_newspaper",
-    "kg_construct_real_query_iiif",
-    "kg_construct_real_query_issues",
-    "kg_construct_real_query_av_audio",
-    "kg_construct_real_query_av_video",
-    "kg_construct_real_query_av_complex",
-    "flow_kg_view_load",
-    "kg_select_real_text",
-    "kg_ask_real_text",
-    "kg_describe_real_text",
-    "kg_update_real_text",
-    "kg_path_nps_text",
-    "kg_path_text_closure",
-    "kg_select_subquery_text",
-    "source_orc_roundtrip",
-    "source_json_nested_roundtrip",
-    "fk_discovery",
-    "source_corrupt_tolerant",
-    # B-block: deferred analytics shapes.
-    "q4_order_priority",
-    "q12_priority_lines",
-    "window_range_interval",
-    "events_funnel",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q16_supplier_count",
-    "q18_large_orders",
-    "orders_value_histogram",
-    "orders_except_intersect",
-    "events_anomaly_mad",
-    "supplier_pareto_abc",
-    "events_mode_per_user",
-    "orders_yoy_growth",
-    "orders_rfm_segmentation",
-    "q17_small_qty_revenue",
-    "q22_dormant_customers",
-    # D-block: text/corpus analytics, ALTO, BPE.
-    "text_repetition",
-    "corpus_length_band_filter",
-    "corpus_dup_rate_report",
-    "text_boilerplate_fraction",
-    "text_ngram_novelty",
-    "corpus_sample_topk_hash",
-    "alto_transcript_extract",
-    "alto_transcript_tolerant",
-    "corpus_bpe_learn",
-    "corpus_bpe_encode",
-    "text_lm_score",
-    "text_sentence_split",
-
+    # r9 rotation: (a) the three r9-new composed-cycle operators (A77
+    # incremental nightly load, A78 delete cascade, A78b delete
+    # ledger), (b) the FIVE-entry never-driver-checked residue left
+    # after r8 (cube_agg, events_funnel3, corpus_mix_sample,
+    # orders_running_distinct, reference_partition_stats) — zero
+    # oracle-backed entries lack a driver row once this window grades —
+    # and (c) 42 RE-GRADES of the oldest rows on the books (every r4
+    # row and the 26 oldest r5 rows; shared machinery under them —
+    # pivot/merge/coercion/SPARQL evaluator — changed across r6-r8, so
+    # their plans deserve a fresh grade).
+    # r9-new: composed incremental + delete cycles.
+    "flow_reference_incremental",
+    "flow_reference_deletes",
+    "reference_delete_report",
+    # Residue: never driver-graded until now.
+    "cube_agg",
+    "events_funnel3",
+    "corpus_mix_sample",
+    "orders_running_distinct",
+    "reference_partition_stats",
+    # Re-grades: all 16 r4 rows.
+    "truncate_insert",
+    "clear_and_insert",
+    "orphan_cleanup",
+    "partition_stats",
+    "org_scope",
+    "batch_stage",
+    "es_bulk_feed",
+    "q3_shipping_priority",
+    "topk_per_group",
+    "windowed_running",
+    "distinct_agg",
+    "exists_anti",
+    "correlated_subquery",
+    "grouping_sets",
+    "text_token_stats",
+    "text_fingerprint",
+    # Re-grades: the 26 oldest r5 rows (KG core + relational + dedup).
+    "kg_melt_triples",
+    "kg_pivot_records",
+    "kg_construct_view",
+    "kg_value_coercion",
+    "merge_upsert",
+    "delete_processing",
+    "incremental_since",
+    "index_documents",
+    "fk_merge_order",
+    "table_intersection",
+    "empty_partition_prune",
+    "kg_construct_paths",
+    "kg_construct_union",
+    "kg_construct_graph",
+    "kg_construct_filter_bound",
+    "kg_nt_roundtrip",
+    "source_csv_roundtrip",
+    "flow_full_sync",
+    "q1_pricing_summary",
+    "q5_local_volume",
+    "q7_volume_shipping",
+    "q19_discounted_revenue",
+    "rollup_agg",
+    "events_tumbling",
+    "sessionize",
+    "asof_join",
 ]
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

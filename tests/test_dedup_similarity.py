@@ -434,3 +434,70 @@ class TestIndexedIncremental:
             for d in dirs:
                 files = glob.glob(f"{d}/*.parquet")
                 assert len(files) == 1, (sub, d, files)
+
+
+class TestIndexMeta:
+    """The persisted _meta contract (r8 + r9-ADVICE hardening):
+    present _meta OVERRIDES caller parameters, a MISSING _meta falls
+    back to them (pre-_meta indexes), and a present-but-corrupt _meta
+    fails loudly instead of silently probing the wrong partitions."""
+
+    def _corpus(self, spark):
+        from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "text"
+        )
+        new = (
+            docs.limit(5)
+            .select(
+                (F.col("doc_id") + 9_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return docs, new
+
+    def test_meta_overrides_caller_params(self, spark, tmp_path):
+        import prefect_flow_arc_kg_postgres_etl_spark.operators.dedup as D
+
+        hist, new = self._corpus(spark)
+        D.build_dedup_index(hist, str(tmp_path), partitions=32)
+        # caller passes WRONG partitions/bands; _meta must win
+        wrong = D.incremental_dup_pairs_indexed(
+            new, str(tmp_path), 0.8, bands=8, partitions=7
+        )
+        right = D.incremental_dup_pairs_indexed(
+            new, str(tmp_path), 0.8, partitions=32
+        )
+        a = {(r.doc_a, r.doc_b) for r in wrong.collect()}
+        b = {(r.doc_a, r.doc_b) for r in right.collect()}
+        assert a == b and a
+
+    def test_missing_meta_falls_back(self, spark, tmp_path):
+        import shutil
+
+        import prefect_flow_arc_kg_postgres_etl_spark.operators.dedup as D
+
+        hist, new = self._corpus(spark)
+        D.build_dedup_index(hist, str(tmp_path), partitions=32)
+        shutil.rmtree(str(tmp_path / "_meta"))
+        out = D.incremental_dup_pairs_indexed(
+            new, str(tmp_path), 0.8, partitions=32
+        )
+        assert out.count() > 0  # caller's (correct) parameters used
+
+    def test_corrupt_meta_fails_loudly(self, spark, tmp_path):
+        import shutil
+
+        import pytest as _pytest
+
+        import prefect_flow_arc_kg_postgres_etl_spark.operators.dedup as D
+
+        hist, new = self._corpus(spark)
+        D.build_dedup_index(hist, str(tmp_path), partitions=32)
+        shutil.rmtree(str(tmp_path / "_meta"))
+        (tmp_path / "_meta").mkdir()
+        (tmp_path / "_meta" / "part-0.json").write_text('{"k": 64}\n')
+        with _pytest.raises(ValueError, match="corrupt dedup index _meta"):
+            D.incremental_dup_pairs_indexed(new, str(tmp_path), 0.8)

@@ -378,3 +378,114 @@ def test_index_documents_ndjson_payload(spark):
         assert "id" not in payload and "index" not in payload
         assert all(v is not None for v in payload.values())
     assert len(seen) == len(rows)
+
+
+def test_flow_reference_incremental_semantics(spark):
+    """A77: the nightly incremental cycle (reference
+    arc_db_load_index_tables_flow.py:236-266). Pins: (1) the end state
+    equals the full sync exactly — the since-windowed upsert replaced
+    every stale document and inserted every new one; (2) no stale
+    content or pre-rename maintainer label survives; (3) the org-name-
+    drift partition is rebuilt wholesale (truncate + full rebuild);
+    (4) rows outside the window in untouched partitions pass through
+    from the previous sync, not from a rebuild."""
+    sf = "/root/testdata/sf0.001"
+    out = RP.flow_reference_incremental(spark, sf).toPandas()
+    full = RP.flow_reference_pipeline(spark, sf).toPandas()
+    assert len(out) == len(full) > 0
+
+    # (1) end state == full sync (set equality over every column).
+    key = sorted(full.columns)
+    canon = lambda df: sorted(  # noqa: E731
+        df[key].astype(str).itertuples(index=False, name=None)
+    )
+    assert canon(out) == canon(full)
+
+    # (2) no stale markers or pre-rename labels leak into the result.
+    assert not out["schema_name"].astype(str).str.startswith("stale:").any()
+    assert (
+        not out["schema_maintainer_name"].astype(str).str.startswith("old:").any()
+    )
+
+    # (3) the drift partition (min index) rebuilds every row.
+    drift = out["index"].min()
+    assert (out.loc[out["index"] == drift, "doc_source"] == "rebuilt").all()
+
+    # (4) both arms are live, and outside the drift partition the
+    # windowed rows rebuild while the rest pass through.
+    rest = out[out["index"] != drift]
+    in_window = rest["id"].map(
+        lambda s: s is not None and ord(s[-1]) % 3 == 0
+    )
+    assert set(out["doc_source"]) == {"rebuilt", "passthrough"}
+    assert (rest.loc[in_window, "doc_source"] == "rebuilt").all()
+    assert (rest.loc[~in_window, "doc_source"] == "passthrough").all()
+
+
+def test_flow_reference_deletes_cascade(spark):
+    """A78: the composed delete cycle (arc_db_delete_flow.py:34-122).
+    Pins the cascade against a hand-derived surviving set and the
+    convergence property: delete-then-rebuild == fresh build over the
+    surviving tables (same code path, so additionally pin absolute
+    effects: flagged entities gone, a parent's children count shrinks
+    when its child is deleted, is_deleted='true' never survives)."""
+    sf = "/root/testdata/sf0.001"
+    triples = RP.all_view_triples(spark, sf).persist()
+    tables = RP.pivot_view_tables(triples)
+    full = RP.build_reference_index_documents(tables).toPandas()
+    out = RP.build_reference_index_documents(
+        RP._live_tables(tables)
+    ).toPandas()
+
+    mf = tables["graph.mh_fragment_identifier"].toPandas()
+    deleted_ids = set(
+        mf.loc[mf["is_deleted"] == "true", "intellectual_entity_id"]
+    )
+    assert deleted_ids, "corpus has no flagged fragments; test is vacuous"
+
+    # Flagged top-level entities are gone, everything else survives.
+    expect_gone = set(full.loc[full["iri"].isin(deleted_ids), "iri"])
+    assert expect_gone
+    assert set(full["iri"]) - set(out["iri"]) == expect_gone
+
+    # No surviving document still claims is_deleted='true' (the fragment
+    # table was purged; survivors keep only live fragments).
+    assert not (out["is_deleted"] == "true").any()
+
+    # Deleted CHILD entities shrink their parent's children count —
+    # the reason the documents must be rebuilt, not filtered.
+    ie = tables["graph.intellectual_entity"].toPandas()
+    child_parents = set(
+        ie.loc[
+            ie["subject"].isin(deleted_ids)
+            & ie["relation_is_part_of"].notna(),
+            "relation_is_part_of",
+        ]
+    )
+    survivors = full.loc[full["iri"].isin(child_parents & set(out["iri"]))]
+    if len(survivors):
+        before = survivors.set_index("iri")["children"]
+        after = out.set_index("iri")["children"]
+        assert all(after[i] <= before[i] for i in before.index)
+    triples.unpersist()
+
+
+def test_reference_delete_report_ledger(spark):
+    """A78b: the delete flow's partition ledger is self-consistent and
+    agrees with the document builds on both sides of the cascade."""
+    sf = "/root/testdata/sf0.001"
+    rep = RP.reference_delete_report(spark, sf).toPandas().set_index("index")
+    full = RP.flow_reference_pipeline(spark, sf).toPandas()
+    after = RP.flow_reference_deletes(spark, sf).toPandas()
+
+    assert (
+        rep["docs_before"] - rep["entities_deleted"] == rep["docs_after"]
+    ).all()
+    assert (rep["dropped"] == (rep["docs_after"] == 0)).all()
+    assert rep["docs_before"].sum() == len(full)
+    assert rep["docs_after"].sum() == len(after)
+    before_counts = full.groupby("index").size()
+    after_counts = after.groupby("index").size()
+    for idx, row in rep.iterrows():
+        assert row["docs_before"] == before_counts.get(idx, 0), idx
+        assert row["docs_after"] == after_counts.get(idx, 0), idx

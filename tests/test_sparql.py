@@ -1067,3 +1067,58 @@ def test_compat_join_preserves_lang_term_identity(spark):
     # solution from the branch (and the OPTIONAL binding alone emits
     # nothing because the union is mandatory).
     assert rows == {("e1", "fiets"), ("e2", "kar")}
+
+
+def test_numeric_comparison_exact_above_double_range(spark):
+    """r9 ADVICE: integer-shaped numeric FILTER comparisons dispatch on
+    decimal, not double — 9007199254740993 > 9007199254740992 must hold
+    (both collapse to the same double, where the comparison would
+    wrongly fail), and huge equal-under-double values must not leak
+    through a strict > filter."""
+    quads = _quads(
+        spark,
+        [
+            ("e1", "urn:n", "9007199254740993", None, None),
+            ("e2", "urn:n", "9007199254740992", None, None),
+        ],
+    )
+    out = SQ.construct_query(
+        quads,
+        """
+        PREFIX out: <urn:out:>
+        CONSTRUCT { ?e out:big ?n }
+        WHERE { ?e <urn:n> ?n . FILTER (?n > 9007199254740992) }
+        """,
+    )
+    assert {r.subject for r in out.collect()} == {"e1"}
+
+
+def test_order_cmp_with_numeric_literal_not_certainly_bound():
+    """r9 ADVICE: a </>/<=/>= comparison with a numeric-literal operand
+    takes the numeric try_cast path, so a bound non-numeric operand
+    yields NULL — the static analysis must NOT mark its result
+    certainly bound (equality comparisons stay string-typed and keep
+    the old rule)."""
+    def parse(s):
+        return SQ.Parser(s).parse_expr()
+
+    assert not SQ._expr_certainly_bound(parse("?n > 9"), {"n"})
+    assert not SQ._expr_certainly_bound(parse("9 <= ?n"), {"n"})
+    # equality and literal-free order comparisons keep the old rule
+    assert SQ._expr_certainly_bound(parse("?n = ?m"), {"n", "m"})
+    assert SQ._expr_certainly_bound(parse("?n > ?m"), {"n", "m"})
+    assert not SQ._expr_certainly_bound(parse("?n > ?m"), {"n"})
+
+
+def test_numeric_cast_type_dispatch():
+    """Integer/decimal-shaped literals -> exact decimal; wide fractions
+    and num:* arithmetic results -> double."""
+    def parse(s):
+        return SQ.Parser(s).parse_expr()
+
+    assert SQ._numeric_cast_type(*parse("?n > 9")[1:]) == "decimal(38,10)"
+    assert SQ._numeric_cast_type(*parse("?n > 9.25")[1:]) == "decimal(38,10)"
+    assert (
+        SQ._numeric_cast_type(*parse("?n > 0.12345678901")[1:]) == "double"
+    )
+    assert SQ._numeric_cast_type(*parse("?n > (?m * 2)")[1:]) == "double"
