@@ -138,6 +138,12 @@ HEADLINE = [
     "kg_construct_real_query_av_audio_org",
     "kg_path_nps_inverse",
     "flow_reference_pipeline",
+    # Round-9 append: the nightly incremental cycle and the delete
+    # cascade over the composed graph.* tables (both reuse the cached
+    # view-graph landing; timed passes measure the flag algebra /
+    # cascade + document rebuild).
+    "flow_reference_incremental",
+    "flow_reference_deletes",
 ]
 
 

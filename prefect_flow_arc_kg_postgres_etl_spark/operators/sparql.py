@@ -1826,14 +1826,7 @@ class _Eval:
             before = folds // self._TRUNCATE_EVERY
             folds += n
             if folds // self._TRUNCATE_EVERY > before:
-                # DISK_ONLY: checkpoint blocks must not compete with
-                # execution memory in a small heap — they are read
-                # once per downstream stage and stream fine from disk.
-                from pyspark.storagelevel import StorageLevel
-
-                return df.localCheckpoint(
-                    eager=False, storageLevel=StorageLevel.DISK_ONLY
-                )
+                return _truncate_lineage(df)
             return df
         # Certainly-bound variables of the accumulator (SPARQL §18.2.1
         # static analysis): a shared variable OUTSIDE this set may be
@@ -1961,12 +1954,7 @@ class _Eval:
                         # resets to the checkpoint scan. Only when acc
                         # is genuinely multiply-embedded.
                         if len(unions) + identity >= 2:
-                            from pyspark.storagelevel import StorageLevel
-
-                            acc = acc.localCheckpoint(
-                                eager=False,
-                                storageLevel=StorageLevel.DISK_ONLY,
-                            )
+                            acc = _truncate_lineage(acc)
                         parts = [
                             _join(acc, u, compat=compat_for(u, g_cb))
                             for _, u, g_cb in unions
@@ -2210,6 +2198,33 @@ def parse(text: str) -> Query:
 # across cycles. Keyed by (session, quad-store analyzed-plan semantic
 # hash, query text, params) — a store swap or param change misses; the
 # cached object is only the immutable plan, never materialized data.
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Accumulator lineage truncation, in the durability mode the run
+    needs. Default: a LAZY executor-local DISK_ONLY localCheckpoint —
+    checkpoint blocks must not compete with execution memory in a
+    small heap, they are read once per downstream stage and stream
+    fine from local disk. That is the right call on local mode and
+    short single-tenant jobs, but localCheckpoint blocks DIE WITH
+    THEIR EXECUTORS and truncated lineage cannot recompute: on a
+    multi-hour cluster run one lost executor fails the query (the r8
+    verdict's 100 TB watch item). SPARK_GRAFT_RELIABLE_CHECKPOINT=1
+    switches to RELIABLE checkpoints under the session's checkpoint
+    dir (defaulted beneath the warehouse — shared storage on a real
+    cluster), which survive executor loss and driver restarts."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT") == "1":
+        spark = df.sparkSession
+        sc = spark.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            sc.setCheckpointDir(f"{wh.rstrip('/')}/_sparql_checkpoints")
+        return df.checkpoint(eager=False)
+    from pyspark.storagelevel import StorageLevel
+
+    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+
+
 _PLAN_CACHE: dict[tuple, DataFrame] = {}
 _PLAN_CACHE_MAX = 64
 

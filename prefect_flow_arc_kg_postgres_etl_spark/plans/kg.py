@@ -5990,3 +5990,64 @@ WITH qual AS (
 )
 SELECT subject, predicate, object FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# The per-organisation fan-out runner (1_kg_view_construct.ts:47-63):
+# when OR_IDS is set the reference runs EVERY production query once per
+# OR id with ?maintainer_id injected; organization.sparql declares no
+# maintainer parameter and always runs globally.
+
+_REFERENCE_QUERY_SPECS: dict[str, tuple] = {}
+
+
+def _init_reference_query_specs() -> None:
+    _REFERENCE_QUERY_SPECS.update(
+        {
+            "person": (_PERSON_SPARQL_PATH, _sparql_person_quads, {}),
+            "organization": (_ORG_SPARQL_PATH, _sparql_org_quads, {}),
+            "deletes": (
+                _DEL_SPARQL_PATH,
+                _sparql_del_quads,
+                {"since": _DEL_SINCE, "prefix_id_base": _SQ_NS["ent"]},
+            ),
+            "newspaper-collection": (
+                _NEWS_SPARQL_PATH,
+                _sparql_person_quads,
+                {},
+            ),
+            "iiif": (_IIIF_SPARQL_PATH, _sparql_person_quads, {}),
+            "newspaper": (_NP_SPARQL_PATH, _sparql_person_quads, {}),
+            "av-audio": (_AV_AUDIO_PATH, _sparql_person_quads, {}),
+            "av-video": (_AV_VIDEO_PATH, _sparql_person_quads, {}),
+            "av-complex": (_AV_COMPLEX_PATH, _sparql_person_quads, {}),
+        }
+    )
+
+
+_init_reference_query_specs()
+
+
+def run_reference_query_scoped(
+    spark: SparkSession,
+    sf_dir: str,
+    slug: str,
+    maintainer_id: str | None = None,
+) -> DataFrame:
+    """Run one production query by slug, optionally scoped to a single
+    organisation — the engine-side form of the reference's per-OR
+    pipeline fan-out. The injected ?maintainer_id constrains the
+    ``?schema_maintainer org:identifier ?maintainer_id`` pattern and
+    the derived ?ORGraph graph selection, so one organisation's
+    metadata graph is read (same machinery A75 pins for av-audio)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    path, quads_fn, base = _REFERENCE_QUERY_SPECS[slug]
+    params = dict(base)
+    if maintainer_id is not None and slug != "organization":
+        params["maintainer_id"] = maintainer_id
+    with open(path) as f:
+        text = f.read()
+    return SQ.construct_query(
+        quads_fn(spark, sf_dir), text, params=params or None
+    )

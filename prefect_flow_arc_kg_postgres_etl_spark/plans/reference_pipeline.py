@@ -366,7 +366,52 @@ def _slug(col):
     )
 
 
-def build_reference_index_documents(t: dict[str, DataFrame]) -> DataFrame:
+from dataclasses import dataclass as _dataclass  # noqa: E402
+
+
+@_dataclass(frozen=True)
+class ReferenceAdapter:
+    """The update_partition.sql constants that are DATA, not logic —
+    collected in one place (r9 verdict item) with the PRODUCTION
+    values as defaults:
+
+    - ``audio_true_carrier`` / ``audio_false_carrier``: the film
+      carrier types that set the ``audio`` flag
+      (update_partition.sql:242-243 — 'Geluidsspoel'/'Beeldspoel').
+      The synthetic quad stores emit 'Geluidsband'/'Beeldband'
+      instead; the registered composed entries pass
+      ``SYNTHETIC_STORE_ADAPTER`` so those arms stay live under test.
+    - ``reuse_category_lookup``: the lookup.reuse_category rows the
+      reference seeds out of band (update_partition.sql:275-292 joins
+      them by rights-statement id); two-row stand-in, same on both
+      adapters.
+    """
+
+    audio_true_carrier: str = "Geluidsspoel"
+    audio_false_carrier: str = "Beeldspoel"
+    reuse_category_lookup: tuple[tuple[str, str], ...] = (
+        (
+            "https://creativecommons.org/publicdomain/mark/1.0/",
+            "Publiek domein",
+        ),
+        (
+            "https://rightsstatements.org/page/UND/1.0/",
+            "Copyright onbepaald",
+        ),
+    )
+
+
+PRODUCTION_ADAPTER = ReferenceAdapter()
+SYNTHETIC_STORE_ADAPTER = ReferenceAdapter(
+    audio_true_carrier="Geluidsband",
+    audio_false_carrier="Beeldband",
+)
+
+
+def build_reference_index_documents(
+    t: dict[str, DataFrame],
+    adapter: ReferenceAdapter = PRODUCTION_ADAPTER,
+) -> DataFrame:
     """update_partition.sql:1-366 translated structure-for-structure.
 
     One output row per TOP-LEVEL intellectual entity (relation_is_part_of
@@ -656,8 +701,8 @@ def build_reference_index_documents(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy("k")
         .agg(
             F.max(
-                F.when(F.col("type") == "Geluidsband", 2)
-                .when(F.col("type") == "Beeldband", 1)
+                F.when(F.col("type") == adapter.audio_true_carrier, 2)
+                .when(F.col("type") == adapter.audio_false_carrier, 1)
             ).alias("_a")
         )
         .select(
@@ -837,15 +882,17 @@ def build_reference_index_documents(t: dict[str, DataFrame]) -> DataFrame:
     rs = rights_statement.alias("dcterms_rights_statement")
     # reuse rights (:275-292): the rights-table leg of the UNION is
     # empty (no query emits graph.rights); the statement-derived id
-    # joins the inline lookup.reuse_category stand-in.
+    # joins the adapter's lookup.reuse_category rows.
     reuse_id = rights_statement.alias("reuse_category_id")
+    _lookup = F.create_map(
+        *[
+            F.lit(x)
+            for pair in adapter.reuse_category_lookup
+            for x in pair
+        ]
+    )
     reuse_label = (
-        F.when(
-            F.col("_rs_rank") == 2, F.lit("Publiek domein")
-        )
-        .when(F.col("_rs_rank") == 1, F.lit("Copyright onbepaald"))
-        .cast("string")
-        .alias("reuse_category_label")
+        _lookup[rights_statement].cast("string").alias("reuse_category_label")
     )
 
     return doc.select(
@@ -908,7 +955,7 @@ def flow_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is ``index_documents_ndjson``."""
     triples = all_view_triples(spark, sf_dir)
     tables = pivot_view_tables(triples)
-    return build_reference_index_documents(tables)
+    return build_reference_index_documents(tables, SYNTHETIC_STORE_ADAPTER)
 
 
 def reference_pipeline_flow(
@@ -947,7 +994,7 @@ def reference_pipeline_flow(
                 )
             else:
                 merged[name] = tables[name]
-    docs = build_reference_index_documents(merged)
+    docs = build_reference_index_documents(merged, SYNTHETIC_STORE_ADAPTER)
     manifest = S.commit_tables(
         store_dir, {**merged, "graph.index_documents": docs}
     )
@@ -1586,7 +1633,7 @@ def flow_reference_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     patching documents in place)."""
     triples = all_view_triples(spark, sf_dir)
     tables = _live_tables(pivot_view_tables(triples))
-    return build_reference_index_documents(tables)
+    return build_reference_index_documents(tables, SYNTHETIC_STORE_ADAPTER)
 
 
 def reference_deletes_oracle() -> str:
@@ -1688,3 +1735,53 @@ LEFT JOIN (SELECT DISTINCT intellectual_entity_id AS subject
 WHERE ie.relation_is_part_of IS NULL
 GROUP BY 1
 """
+
+
+def all_view_triples_scoped(
+    spark: SparkSession, sf_dir: str, or_ids: list[str]
+) -> DataFrame:
+    """The per-organisation fan-out form of step 1: every production
+    query runs ONCE PER OR ID with ?maintainer_id injected — exactly
+    1_kg_view_construct.ts:47-63's OR_IDS pipeline expansion
+    (organization.sparql declares no maintainer parameter and runs
+    once, globally). The scoped runs' union feeds the same pivot and
+    document build as the unscoped stream; for a worklist covering
+    every organisation the two streams are identical (pinned in
+    tests/test_reference_pipeline.py on a bounded org set via the
+    index-attributable documents).
+
+    Each scoped run lands to parquet before the union — the same
+    staging discipline as ``all_view_triples`` (a union of 17+
+    unmaterialized verbatim plans is exactly the megaplan the landing
+    step exists to prevent)."""
+    import gc
+
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+    from prefect_flow_arc_kg_postgres_etl_spark.plans import kg
+
+    runs: list[tuple[str, str | None]] = [("organization", None)]
+    for slug in (
+        "person",
+        "deletes",
+        "newspaper-collection",
+        "iiif",
+        "newspaper",
+        "av-audio",
+        "av-video",
+        "av-complex",
+    ):
+        runs.extend((slug, oid) for oid in or_ids)
+    spill = _make_spill_dir(spark, _default_spill_root(spark))
+    _SPILLS[
+        (spark.sparkContext.applicationId, f"fanout:{spill}", (0, 0))
+    ] = spill  # registered for the same atexit cleanup
+    paths = []
+    for i, (slug, oid) in enumerate(runs):
+        df = kg.run_reference_query_scoped(spark, sf_dir, slug, oid)
+        p = f"{spill}/q{i}"
+        df.write.mode("overwrite").parquet(p)
+        paths.append(p)
+        del df
+        SQ.clear_plan_cache()
+        gc.collect()
+    return spark.read.parquet(*paths).distinct()

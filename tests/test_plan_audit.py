@@ -731,3 +731,21 @@ def test_sparql_deletes_no_small_key_join(spark):
             assert not all(k in ("ORGraph", "ie_type") for k in keys), (
                 "join keyed only on low-cardinality vars: " + m.group(1)
             )
+
+
+def test_issues_query_scan_budget(spark):
+    """The newspaper.sparql (issues) executed plan stays within its scan
+    budget: union-branch fusion + the accumulator checkpoints keep the
+    465-line / ~40-branch production query at ~61 posting-list scans
+    (r8: 207 -> 99 via checkpoints; r9 measured 61 with fusion —
+    budget 80 so a fusion regression fails loudly before it lands in
+    the bench)."""
+    import re
+
+    from prefect_flow_arc_kg_postgres_etl_spark.plans import kg
+
+    df = kg.kg_construct_real_query_issues(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = len(re.findall(r"Scan parquet", plan))
+    assert 0 < scans <= 80, scans

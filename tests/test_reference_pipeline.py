@@ -216,7 +216,7 @@ def _duck_tables(con, rows_by_table):
 def _docs_pdf(spark, rows_by_table):
     t = _spark_tables(spark, rows_by_table)
     return (
-        RP.build_reference_index_documents(t)
+        RP.build_reference_index_documents(t, RP.SYNTHETIC_STORE_ADAPTER)
         .toPandas()
         .sort_values("iri")
         .reset_index(drop=True)
@@ -294,7 +294,7 @@ def test_full_vs_incremental_convergence(spark):
     triples = RP.all_view_triples(spark, sf).persist()
     full_tables = RP.pivot_view_tables(triples)
     full = (
-        RP.build_reference_index_documents(full_tables)
+        RP.build_reference_index_documents(full_tables, RP.SYNTHETIC_STORE_ADAPTER)
         .toPandas()
         .sort_values("iri")
         .reset_index(drop=True)
@@ -310,7 +310,7 @@ def test_full_vs_incremental_convergence(spark):
                 full_tables[name], resync_tables[name], keys=["subject"]
             )
     inc = (
-        RP.build_reference_index_documents(merged)
+        RP.build_reference_index_documents(merged, RP.SYNTHETIC_STORE_ADAPTER)
         .toPandas()
         .sort_values("iri")
         .reset_index(drop=True)
@@ -332,7 +332,9 @@ def test_reference_pipeline_flow_store_backed(spark, tmp_path):
     triples = RP.all_view_triples(spark, sf).persist()
 
     direct = (
-        RP.build_reference_index_documents(RP.pivot_view_tables(triples))
+        RP.build_reference_index_documents(
+            RP.pivot_view_tables(triples), RP.SYNTHETIC_STORE_ADAPTER
+        )
         .toPandas()
         .sort_values("iri")
         .reset_index(drop=True)
@@ -432,9 +434,11 @@ def test_flow_reference_deletes_cascade(spark):
     sf = "/root/testdata/sf0.001"
     triples = RP.all_view_triples(spark, sf).persist()
     tables = RP.pivot_view_tables(triples)
-    full = RP.build_reference_index_documents(tables).toPandas()
+    full = RP.build_reference_index_documents(
+        tables, RP.SYNTHETIC_STORE_ADAPTER
+    ).toPandas()
     out = RP.build_reference_index_documents(
-        RP._live_tables(tables)
+        RP._live_tables(tables), RP.SYNTHETIC_STORE_ADAPTER
     ).toPandas()
 
     mf = tables["graph.mh_fragment_identifier"].toPandas()
@@ -489,3 +493,69 @@ def test_reference_delete_report_ledger(spark):
     for idx, row in rep.iterrows():
         assert row["docs_before"] == before_counts.get(idx, 0), idx
         assert row["docs_after"] == after_counts.get(idx, 0), idx
+
+
+def test_production_adapter_is_default(spark):
+    """r9: the adapter constants live in one place with the PRODUCTION
+    values as defaults (update_partition.sql:242-243's 'Geluidsspoel'/
+    'Beeldspoel') — a store carrying the production carrier types sets
+    the audio flag under the DEFAULT adapter, and the synthetic-store
+    values are an explicit override, not baked into the build."""
+    rows = _fixture_rows()
+    # swap the synthetic carrier types for the production ones
+    for c in rows["graph.carrier"]:
+        if c.get("type") == "Geluidsband":
+            c["type"] = "Geluidsspoel"
+        elif c.get("type") == "Beeldband":
+            c["type"] = "Beeldspoel"
+    t = _spark_tables(spark, rows)
+    default = RP.build_reference_index_documents(t).toPandas().set_index("iri")
+    synth = (
+        RP.build_reference_index_documents(t, RP.SYNTHETIC_STORE_ADAPTER)
+        .toPandas()
+        .set_index("iri")
+    )
+    # production store + default adapter: audio arms live
+    assert set(default["audio"].dropna()) == {"true", "false"}
+    # production store + synthetic adapter: audio arms dead
+    assert synth["audio"].isna().all()
+    # everything EXCEPT the audio flag is adapter-independent
+    for col in default.columns:
+        if col == "audio":
+            continue
+        assert default[col].astype(str).tolist() == synth[col].astype(
+            str
+        ).tolist(), col
+
+
+def test_per_org_fanout_composes_to_scoped_documents(spark):
+    """r9: the worklist-driven per-OR fan-out (1_kg_view_construct.ts:
+    47-63 — every query once per OR id with ?maintainer_id bound).
+    For a bounded org set, composing the scoped runs through the same
+    pivot + document build yields EXACTLY the full pipeline's documents
+    for those organisations' index partitions — the completeness pin
+    the reference's OR_IDS mode relies on (a triple the scoped runs
+    miss surfaces as a missing/short document here)."""
+    sf = "/root/testdata/sf0.001"
+    or_ids = ["OR-1", "OR-3"]
+    triples = RP.all_view_triples_scoped(spark, sf, or_ids)
+    docs = (
+        RP.build_reference_index_documents(
+            RP.pivot_view_tables(triples), RP.SYNTHETIC_STORE_ADAPTER
+        )
+        .toPandas()
+    )
+    full = RP.flow_reference_pipeline(spark, sf).toPandas()
+    want = full[full["index"].isin([o.lower() for o in or_ids])]
+    assert len(want) > 0
+    key = sorted(full.columns)
+    canon = lambda df: sorted(  # noqa: E731
+        df[key].astype(str).itertuples(index=False, name=None)
+    )
+    assert canon(docs[docs["index"].isin([o.lower() for o in or_ids])]) == canon(
+        want
+    )
+    # the scoped stream contains nothing for entities it cannot
+    # attribute to the bounded set beyond shared/global nodes: every
+    # produced document belongs to the requested partitions
+    assert set(docs["index"]) <= {o.lower() for o in or_ids}

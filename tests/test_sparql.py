@@ -1122,3 +1122,35 @@ def test_numeric_cast_type_dispatch():
         SQ._numeric_cast_type(*parse("?n > 0.12345678901")[1:]) == "double"
     )
     assert SQ._numeric_cast_type(*parse("?n > (?m * 2)")[1:]) == "double"
+
+
+def test_reliable_checkpoint_mode(spark, monkeypatch, tmp_path):
+    """SPARK_GRAFT_RELIABLE_CHECKPOINT=1 (r9: the cluster-durable
+    lineage-truncation mode): accumulator checkpoints become RELIABLE
+    checkpoints under the session checkpoint dir — files land on
+    (shared) storage that survives executor loss — and results are
+    identical to the default executor-local mode."""
+    quads = _quads(
+        spark,
+        [("e1", f"urn:p{i}", f"v{i}", None, None) for i in range(10)],
+    )
+    body = " ".join(f"?e <urn:p{i}> ?v{i} ." for i in range(10))
+    tmpl = " ".join(f"?e <urn:out:p{i}> ?v{i} ." for i in range(10))
+    text = f"CONSTRUCT {{ {tmpl} }} WHERE {{ {body} }}"
+
+    SQ.clear_plan_cache()
+    base = sorted(map(tuple, SQ.construct_query(quads, text).collect()))
+
+    ckpt = tmp_path / "ckpt"
+    spark.sparkContext.setCheckpointDir(str(ckpt))
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", "1")
+    SQ.clear_plan_cache()
+    durable = sorted(map(tuple, SQ.construct_query(quads, text).collect()))
+    assert durable == base and base
+
+    import glob
+
+    landed = glob.glob(str(ckpt / "**" / "rdd-*"), recursive=True)
+    assert landed, "no reliable checkpoint files landed"
+    monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CHECKPOINT")
+    SQ.clear_plan_cache()
