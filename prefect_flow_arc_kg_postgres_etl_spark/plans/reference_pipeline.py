@@ -948,14 +948,40 @@ def build_reference_index_documents(
     )
 
 
+# Built document frames, keyed like the view-graph spills (session,
+# sf_dir, store fingerprint). The documents are the FAN-IN of the
+# whole composition (tens of thousands of rows from a 23-join star
+# over millions of triples) and THREE registered entries re-derive
+# them per call — A74 itself, A77 (which traverses them for current,
+# previous and flag frames) and the ES feed. One persisted frame per
+# store makes every traversal an in-memory scan instead of a star-join
+# re-execution; entries on a fresh session (the correctness driver)
+# build it exactly once.
+_DOCS_CACHE: dict[tuple[str, str, tuple[int, int]], DataFrame] = {}
+
+
 def flow_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A74: the reference's full production cycle — nine verbatim
     queries -> triple stream -> graph.* record pivot in FK order ->
     update_partition.sql index documents. The ES NDJSON feed over this
     result is ``index_documents_ndjson``."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _store_fingerprint(sf_dir),
+    )
+    hit = _DOCS_CACHE.get(key)
+    if hit is not None:
+        return hit
     triples = all_view_triples(spark, sf_dir)
     tables = pivot_view_tables(triples)
-    return build_reference_index_documents(tables, SYNTHETIC_STORE_ADAPTER)
+    docs = build_reference_index_documents(
+        tables, SYNTHETIC_STORE_ADAPTER
+    ).persist()
+    if len(_DOCS_CACHE) >= 8:
+        _DOCS_CACHE.pop(next(iter(_DOCS_CACHE))).unpersist()
+    _DOCS_CACHE[key] = docs
+    return docs
 
 
 def reference_pipeline_flow(

@@ -58,8 +58,10 @@ class QuerySpec:
 # A73b kg_path_nps_inverse); the residue after r8 was FIVE entries
 # (cube_agg, events_funnel3, corpus_mix_sample,
 # orders_running_distinct, plus reference_partition_stats, which
-# landed after the r8 window froze). All five take r9 slots below —
-# after r9 every oracle-backed entry has a driver CORRECTNESS row.
+# landed after the r8 window froze). r9 (the list below) grades all
+# five plus the three r9-new composed-cycle operators and 42
+# re-grades of the oldest r4/r5 rows — after r9 every oracle-backed
+# entry has a driver CORRECTNESS row.
 _SPECS: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),

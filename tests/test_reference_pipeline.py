@@ -559,3 +559,22 @@ def test_per_org_fanout_composes_to_scoped_documents(spark):
     # attribute to the bounded set beyond shared/global nodes: every
     # produced document belongs to the requested partitions
     assert set(docs["index"]) <= {o.lower() for o in or_ids}
+
+
+def test_store_fingerprint_tracks_changes(tmp_path):
+    """The spill/docs cache key includes a store fingerprint so a
+    CHANGED store under the same path re-lands instead of serving
+    stale results (r9 ADVICE): fingerprint moves on size or mtime."""
+    import os
+    import time
+
+    f = tmp_path / "t.parquet"
+    f.write_bytes(b"abc")
+    fp1 = RP._store_fingerprint(str(tmp_path))
+    f.write_bytes(b"abcd")
+    fp2 = RP._store_fingerprint(str(tmp_path))
+    assert fp1 != fp2
+    now = time.time() + 10
+    os.utime(f, (now, now))
+    fp3 = RP._store_fingerprint(str(tmp_path))
+    assert fp3 != fp2
