@@ -1811,3 +1811,92 @@ def all_view_triples_scoped(
         SQ.clear_plan_cache()
         gc.collect()
     return spark.read.parquet(*paths).distinct()
+
+
+def reference_incremental_flow(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> DataFrame:
+    """The DURABLE nightly incremental run (A77 over the store): the
+    standing documents come from the store's latest snapshot — the
+    real previous state, exactly the graph.index_documents partitions
+    update_partition.sql upserts into — flags are computed from the
+    current build against that standing state, only drift-partition /
+    since-window rows rebuild, everything else passes through from
+    the store untouched, and the merged document set commits as ONE
+    numbered snapshot (the lakehouse form of the reference's
+    per-partition transactions; the manifest is partial on purpose —
+    the nightly index run touches only graph.index_documents,
+    arc_db_load_index_tables_flow.py:236-266). Returns the documents
+    read back from the committed snapshot."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store as S
+
+    docs = flow_reference_pipeline(spark, sf_dir)
+    man = S.latest_manifest(store_dir)
+    assert man is not None, "incremental run needs a prior full sync"
+    prev = S.read_snapshot(spark, store_dir, man)["graph.index_documents"]
+
+    marked = docs.withColumn("_in_window", F.expr(_SINCE_WINDOW))
+    stats = marked.groupBy("index").agg(
+        F.max("_in_window").alias("_is_updated")
+    )
+    cur_label = marked.groupBy("index").agg(
+        F.min("schema_maintainer_name").alias("_label")
+    )
+    changed = (
+        prev.join(cur_label, "index")
+        .groupBy("index")
+        .agg(
+            F.max(
+                ~F.col("schema_maintainer_name").eqNullSafe(F.col("_label"))
+            ).alias("_name_changed")
+        )
+    )
+    flags = F.broadcast(
+        stats.join(changed, "index", "left").na.fill({"_name_changed": False})
+    )
+    rebuilt = (
+        marked.join(flags, "index")
+        .filter(
+            F.col("_name_changed") | (F.col("_is_updated") & F.col("_in_window"))
+        )
+        .select(*docs.columns)
+    )
+    passthrough = (
+        prev.withColumn("_in_window", F.expr(_SINCE_WINDOW))
+        .join(flags, "index")
+        .filter(~F.col("_name_changed") & ~F.col("_in_window"))
+        .select(*docs.columns)
+    )
+    out = rebuilt.unionByName(passthrough)
+    manifest = S.commit_tables(store_dir, {"graph.index_documents": out})
+    return S.read_snapshot(spark, store_dir, manifest)["graph.index_documents"]
+
+
+def reference_delete_flow(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> DataFrame:
+    """The DURABLE delete cycle (A78 over the store): read the latest
+    committed graph.* state, apply the delete transaction (entity
+    cascade + fragment purge), rebuild the documents over the
+    survivors, and commit the changed tables AND the rebuilt
+    documents in one atomic snapshot — the lakehouse form of
+    arc_db_delete_flow.py's single Postgres transaction (:34-66)
+    followed by the emptied-partition drops (:70-122; partitions with
+    no surviving documents simply have no rows in the committed
+    table). Returns the committed documents read back."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store as S
+
+    man = S.latest_manifest(store_dir)
+    assert man is not None, "delete run needs a prior full sync"
+    snap = S.read_snapshot(spark, store_dir, man)
+    tables = {
+        name: df
+        for name, df in snap.items()
+        if name in GRAPH_TABLE_COLUMNS
+    }
+    live = _live_tables(tables)
+    docs = build_reference_index_documents(live, SYNTHETIC_STORE_ADAPTER)
+    manifest = S.commit_tables(
+        store_dir, {**live, "graph.index_documents": docs}
+    )
+    return S.read_snapshot(spark, store_dir, manifest)["graph.index_documents"]

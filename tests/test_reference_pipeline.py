@@ -578,3 +578,74 @@ def test_store_fingerprint_tracks_changes(tmp_path):
     os.utime(f, (now, now))
     fp3 = RP._store_fingerprint(str(tmp_path))
     assert fp3 != fp2
+
+
+def test_reference_incremental_flow_store_backed(spark, tmp_path):
+    """r9: the DURABLE nightly incremental — the previous state is the
+    store's committed graph.index_documents (not a synthesized frame):
+    seed the store with a perturbed previous sync (stale content on
+    windowed entities, inserted-since entities absent, one org
+    pre-rename), run the flow, and the committed end state equals the
+    full sync exactly; the snapshot history keeps the previous state
+    readable (time travel)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store as S
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "store")
+    docs, marked, prev = RP._incremental_frames(spark, sf)
+    seeded = S.commit_tables(
+        store, {"graph.index_documents": prev.select(*docs.columns)}
+    )
+    out = (
+        RP.reference_incremental_flow(spark, sf, store)
+        .toPandas()
+    )
+    full = docs.toPandas()
+    key = sorted(full.columns)
+    canon = lambda df: sorted(  # noqa: E731
+        df[key].astype(str).itertuples(index=False, name=None)
+    )
+    assert canon(out) == canon(full) and len(out) > 0
+    # the pre-update snapshot is still readable at its manifest
+    old = S.read_snapshot(spark, store, seeded)["graph.index_documents"]
+    assert old.count() == prev.count()
+
+
+def test_reference_delete_flow_store_backed(spark, tmp_path):
+    """r9: the DURABLE delete cycle — one committed snapshot carries
+    the post-cascade entity/fragment tables and the rebuilt documents;
+    the committed documents equal the storeless A78 build, the
+    committed entity table no longer contains flagged entities, and
+    delete-then-rebuild converges with a fresh build over the
+    surviving tables."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store as S
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "store")
+    triples = RP.all_view_triples(spark, sf).persist()
+    tables = RP.pivot_view_tables(triples)
+    docs_full = RP.build_reference_index_documents(
+        tables, RP.SYNTHETIC_STORE_ADAPTER
+    )
+    S.commit_tables(store, {**tables, "graph.index_documents": docs_full})
+
+    out = RP.reference_delete_flow(spark, sf, store).toPandas()
+    want = RP.flow_reference_deletes(spark, sf).toPandas()
+    key = sorted(want.columns)
+    canon = lambda df: sorted(  # noqa: E731
+        df[key].astype(str).itertuples(index=False, name=None)
+    )
+    assert canon(out) == canon(want) and len(out) > 0
+
+    # committed entity table: flagged entities gone, fragments purged
+    man = S.latest_manifest(store)
+    snap = S.read_snapshot(spark, store, man)
+    mf = snap["graph.mh_fragment_identifier"].toPandas()
+    assert not (mf["is_deleted"] == "true").any()
+    ie_ids = set(snap["graph.intellectual_entity"].toPandas()["subject"])
+    before_mf = tables["graph.mh_fragment_identifier"].toPandas()
+    flagged = set(
+        before_mf.loc[before_mf["is_deleted"] == "true", "intellectual_entity_id"]
+    )
+    assert flagged and not (flagged & ie_ids)
+    triples.unpersist()
