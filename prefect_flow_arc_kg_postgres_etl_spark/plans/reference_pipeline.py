@@ -1900,3 +1900,46 @@ def reference_delete_flow(
         store_dir, {**live, "graph.index_documents": docs}
     )
     return S.read_snapshot(spark, store_dir, manifest)["graph.index_documents"]
+
+
+def _scratch_store(spark: SparkSession, tag: str) -> str:
+    """A per-call scratch store under the session's spill root (atexit-
+    cleaned like the view-graph spills) for the registered store-backed
+    flow entries."""
+    spill = _make_spill_dir(spark, _default_spill_root(spark))
+    _SPILLS[
+        (spark.sparkContext.applicationId, f"{tag}:{spill}", (0, 0))
+    ] = spill
+    return spill
+
+
+def flow_reference_incremental_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A77 store twin (registered): seed a scratch store with the
+    simulated previous-sync documents (the same harness state as
+    flow_reference_incremental), run the DURABLE incremental flow
+    against it, and return the committed read-back — which must equal
+    the full sync exactly, so the oracle is the composed full-document
+    oracle itself."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store as S
+
+    docs, _marked, prev = _incremental_frames(spark, sf_dir)
+    store = _scratch_store(spark, "incr_store")
+    S.commit_tables(store, {"graph.index_documents": prev.select(*docs.columns)})
+    return reference_incremental_flow(spark, sf_dir, store)
+
+
+def flow_reference_deletes_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A78 store twin (registered): full sync into a scratch store,
+    then the DURABLE delete flow — committed read-back equals the
+    storeless post-cascade build, so it shares A78's oracle."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store as S
+
+    triples = all_view_triples(spark, sf_dir)
+    tables = pivot_view_tables(triples)
+    store = _scratch_store(spark, "del_store")
+    S.commit_tables(store, dict(tables))
+    return reference_delete_flow(spark, sf_dir, store)

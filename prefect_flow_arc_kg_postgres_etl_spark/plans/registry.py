@@ -381,6 +381,17 @@ _SPECS: dict[str, QuerySpec] = {
         reference_pipeline.reference_delete_report,
         reference_pipeline._delete_report_oracle(),
     ),
+    # A77/A78 store twins: the DURABLE flows against a committed
+    # snapshot store — end states equal the storeless builds, so they
+    # share those oracles.
+    "flow_reference_incremental_store": QuerySpec(
+        reference_pipeline.flow_reference_incremental_store,
+        reference_pipeline.reference_pipeline_oracle(),
+    ),
+    "flow_reference_deletes_store": QuerySpec(
+        reference_pipeline.flow_reference_deletes_store,
+        reference_pipeline.reference_deletes_oracle(),
+    ),
     "kg_select_real_text": QuerySpec(
         kg.kg_select_real_text, kg.KG_SELECT_REAL_TEXT_ORACLE
     ),
