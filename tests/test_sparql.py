@@ -1154,3 +1154,29 @@ def test_reliable_checkpoint_mode(spark, monkeypatch, tmp_path):
     assert landed, "no reliable checkpoint files landed"
     monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CHECKPOINT")
     SQ.clear_plan_cache()
+
+
+def test_working_set_cache_bounded_and_unpersisted(spark, monkeypatch):
+    """r9 ADVICE: opt-in working-set persists live in a bounded LRU —
+    identical (store, predicate-set) keys share ONE persisted frame,
+    and clear_plan_cache unpersists everything it cached."""
+    monkeypatch.setenv("SPARK_GRAFT_SPARQL_WORKING_SET", "1")
+    SQ.clear_plan_cache()
+    assert not SQ._WORKING_CACHE
+    quads = _quads(
+        spark,
+        [("e1", "urn:a", "x", None, None), ("e1", "urn:b", "y", None, None)],
+    )
+    q = "CONSTRUCT { ?e <urn:out:v> ?v } WHERE { ?e <urn:a> ?v . ?e <urn:b> ?w }"
+    SQ.construct_query(quads, q).collect()
+    assert len(SQ._WORKING_CACHE) == 1
+    frame = next(iter(SQ._WORKING_CACHE.values()))
+    assert frame.storageLevel.useMemory or frame.storageLevel.useDisk
+    # same store + same predicate set (other query text) -> same frame
+    SQ.construct_query(
+        quads, "CONSTRUCT { ?e <urn:out:w> ?w } WHERE { ?e <urn:a> ?v . ?e <urn:b> ?w }"
+    ).collect()
+    assert len(SQ._WORKING_CACHE) == 1
+    SQ.clear_plan_cache()
+    assert not SQ._WORKING_CACHE
+    assert not (frame.storageLevel.useMemory or frame.storageLevel.useDisk)
