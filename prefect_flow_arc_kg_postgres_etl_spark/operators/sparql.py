@@ -1294,7 +1294,13 @@ def _numeric_cast_type(*nodes) -> str:
     decimal-shaped, so compare as decimal(38,10) unless a literal
     carries more than 10 fraction digits or an operand is a num:*
     arithmetic result (already double-domain) — only then fall back
-    to double."""
+    to double. The decimal path is additionally guarded PER ROW (r10
+    ADVICE): data-side values whose lexical form does not fit
+    decimal(38,10) exactly — xsd:double exponent forms like '1.5E3',
+    integers wider than 28 digits, fractions longer than 10 digits
+    (which cast would round half-up, flipping strict comparisons at
+    the boundary) — take a double-compare leg instead of silently
+    dropping to NULL; see _decimal_exact_shape."""
     for e in nodes:
         if not isinstance(e, tuple):
             continue
@@ -1307,6 +1313,28 @@ def _numeric_cast_type(*nodes) -> str:
         elif e[0].startswith("num:"):
             return "double"
     return "decimal(38,10)"
+
+
+# Lexical forms decimal(38,10) holds EXACTLY: up to 28 integer digits
+# (38 precision - 10 scale) and at most 10 fraction digits. Exponent
+# forms ('1.5E3'), wider integers, and longer fractions are numeric but
+# not exactly representable — those rows compare as double.
+_DECIMAL_EXACT_RE = r"^[+-]?\d{1,28}(\.\d{1,10})?$"
+
+
+def _decimal_exact_shape(node, col: Column) -> Column:
+    """Per-row guard for the exact-decimal comparison leg: TRUE iff the
+    operand's lexical form fits decimal(38,10) with no rounding. For a
+    compile-time literal the answer is folded to a constant; for a
+    data-side operand it is an rlike over the string value."""
+    if isinstance(node, tuple) and node[0] == "term":
+        value, lang = _lit_parts(node[1])
+        return F.lit(
+            lang is None and bool(re.match(_DECIMAL_EXACT_RE, value))
+        )
+    if isinstance(node, tuple) and node[0] == "boolean":
+        return F.lit(False)
+    return col.rlike(_DECIMAL_EXACT_RE)
 
 
 def _expr_has_exists(e) -> bool:
@@ -2088,8 +2116,31 @@ class _Eval:
                     _is_numeric_literal(x[1]) or _is_numeric_literal(x[2])
                 ):
                     ct = _numeric_cast_type(x[1], x[2])
-                    a = a.try_cast(ct)
-                    b = b.try_cast(ct)
+                    if ct == "double":
+                        a = a.try_cast(ct)
+                        b = b.try_cast(ct)
+                    else:
+                        # Exact-decimal leg when BOTH lexical forms fit
+                        # decimal(38,10); double leg otherwise (r10
+                        # ADVICE: exponent-shaped / over-wide values
+                        # must compare, not silently NULL out or round).
+                        dec_ok = _decimal_exact_shape(
+                            x[1], a
+                        ) & _decimal_exact_shape(x[2], b)
+                        ops = {
+                            "<": lambda p, q: p < q,
+                            ">": lambda p, q: p > q,
+                            "<=": lambda p, q: p <= q,
+                            ">=": lambda p, q: p >= q,
+                        }
+                        return F.when(
+                            dec_ok,
+                            ops[kind](a.try_cast(ct), b.try_cast(ct)),
+                        ).otherwise(
+                            ops[kind](
+                                a.try_cast("double"), b.try_cast("double")
+                            )
+                        )
                 return {
                     "=": a == b, "!=": a != b, "<": a < b,
                     ">": a > b, "<=": a <= b, ">=": a >= b,
@@ -2376,15 +2427,36 @@ def _working_set(
         return None, set()
     try:
         qh = quads._jdf.queryExecution().analyzed().semanticHash()
-        key = (id(quads.sparkSession), qh, frozenset(preds))
+        # Keyed on applicationId, not id(session): a GC'd session's id
+        # can be recycled by a new session, which would serve a
+        # persisted frame bound to the STOPPED session (r10 ADVICE);
+        # applicationIds are unique per SparkContext.
+        app_id = quads.sparkSession.sparkContext.applicationId
+        key = (app_id, qh, frozenset(preds))
     except Exception:
         key = None
     if key is not None and key in _WORKING_CACHE:
-        return _WORKING_CACHE[key], preds
+        cached = _WORKING_CACHE[key]
+        # Liveness guard: a frame whose session has been stopped is a
+        # miss (drop it and re-land), never served.
+        alive = True
+        try:
+            alive = cached.sparkSession.sparkContext._jsc is not None
+        except Exception:
+            alive = False
+        if alive:
+            # genuine LRU: a hit moves the key to the MRU end so the
+            # eviction below pops the least-recently-USED frame.
+            _WORKING_CACHE[key] = _WORKING_CACHE.pop(key)
+            return cached, preds
+        _WORKING_CACHE.pop(key, None)
     frame = quads.filter(F.col("predicate").isin(sorted(preds))).persist()
     if key is not None:
         if len(_WORKING_CACHE) >= _WORKING_CACHE_MAX:
-            _WORKING_CACHE.pop(next(iter(_WORKING_CACHE))).unpersist()
+            try:
+                _WORKING_CACHE.pop(next(iter(_WORKING_CACHE))).unpersist()
+            except Exception:
+                pass  # evictee's session already stopped
         _WORKING_CACHE[key] = frame
     return frame, preds
 

@@ -1124,6 +1124,55 @@ def test_numeric_cast_type_dispatch():
     assert SQ._numeric_cast_type(*parse("?n > (?m * 2)")[1:]) == "double"
 
 
+def test_numeric_filter_double_fallback_rows(spark):
+    """r10 ADVICE: the exact-decimal order-comparison dispatch is
+    guarded PER ROW — data values whose lexical form does not fit
+    decimal(38,10) exactly (xsd:double exponent forms, >28 integer
+    digits, >10 fraction digits) compare on a double leg instead of
+    try_cast-ing to NULL and silently dropping, and the boundary case
+    where decimal rounding would flip a strict comparison stays
+    correct."""
+    quads = _quads(
+        spark,
+        [
+            # exponent form: 1.5E3 = 1500 > 9 must SURVIVE the filter
+            ("e_exp", "urn:n", "1.5E3", None, None),
+            # 29-digit integer: decimal(38,10) rejects; double leg keeps
+            ("e_wide", "urn:n", "12345678901234567890123456789", None, None),
+            # 11 fraction digits just above 1: decimal cast would round
+            # DOWN to 1.0000000000 and drop it from '> 1' — double leg
+            # keeps it
+            ("e_frac", "urn:n", "1.00000000001", None, None),
+            # plain exact-decimal rows on both sides of the predicate
+            ("e_lo", "urn:n", "5", None, None),
+            ("e_hi", "urn:n", "10", None, None),
+            # garbage still drops (type error -> no solution)
+            ("e_bad", "urn:n", "not-a-number", None, None),
+        ],
+    )
+    out = SQ.construct_query(
+        quads,
+        """
+        PREFIX out: <urn:out:>
+        CONSTRUCT { ?e out:big ?n }
+        WHERE { ?e <urn:n> ?n . FILTER (?n > 9) }
+        """,
+    )
+    assert {r.subject for r in out.collect()} == {"e_exp", "e_wide", "e_hi"}
+
+    out2 = SQ.construct_query(
+        quads,
+        """
+        PREFIX out: <urn:out:>
+        CONSTRUCT { ?e out:gt1 ?n }
+        WHERE { ?e <urn:n> ?n . FILTER (?n > 1) }
+        """,
+    )
+    assert {r.subject for r in out2.collect()} == {
+        "e_exp", "e_wide", "e_frac", "e_lo", "e_hi",
+    }
+
+
 def test_reliable_checkpoint_mode(spark, monkeypatch, tmp_path):
     """SPARK_GRAFT_RELIABLE_CHECKPOINT=1 (r9: the cluster-durable
     lineage-truncation mode): accumulator checkpoints become RELIABLE
