@@ -246,6 +246,7 @@ def sync_flow(
     build_index: bool = True,
     collect_stats: bool = True,
     validate: bool = False,
+    record_limit: int | None = None,
 ) -> RunStats:
     """Run one sync: load every table from ``sf_dir`` into the store at
     ``store_dir`` (full = overwrite, incremental = PK upsert of rows
@@ -272,7 +273,14 @@ def sync_flow(
     (max never advances past them — a wide window for date-granularity
     modified columns), and re-merging the boundary rows is free
     because the upsert/clear-and-insert merges are idempotent. An
-    explicit ``since`` keeps the reference's strict ``>`` contract."""
+    explicit ``since`` keeps the reference's strict ``>`` contract.
+
+    ``record_limit`` caps each table's STAGED batch for debug runs —
+    the reference's ``record_limit``/``debug_mode`` sampling knob
+    (flows/arc_db_load_flow.py:44): a per-table LIMIT applied at
+    stage time after the org/since filters, so a smoke run touches a
+    bounded row count per table while the merge semantics stay
+    identical; ``None`` (production) changes nothing."""
     wanted = tables or list(TABLE_PK)
     deps = {t: TABLE_DEPS[t] & set(wanted) for t in wanted}
     stats = RunStats()
@@ -301,6 +309,8 @@ def sync_flow(
             src = src.filter(F.col(TABLE_ORG[name]).isin(or_ids))
         path = f"{store_dir}/{name}.parquet"
         if full_sync:
+            if record_limit is not None:
+                src = src.limit(record_limit)
             store.write_table(src, path)
             n = count(store.read_table(spark, path))
             return n, n
@@ -321,6 +331,8 @@ def sync_flow(
                     .distinct()
                 )
                 batch = src.join(changed, on=group_key, how="left_semi")
+            if record_limit is not None:
+                batch = batch.limit(record_limit)
             from prefect_flow_arc_kg_postgres_etl_spark.operators.merge import (
                 clear_and_insert,
             )
@@ -361,6 +373,8 @@ def sync_flow(
             src = src.filter(
                 cmp >= F.lit(s) if since == "auto" else cmp > F.lit(s)
             )
+        if record_limit is not None:
+            src = src.limit(record_limit)
         merged = stage_then_merge(
             spark, src, path, f"{store_dir}/_staging/{name}", TABLE_PK[name]
         )

@@ -2496,10 +2496,14 @@ def _bind_params_in_group(g: "Group", params: dict[str, str]) -> None:
 def _plan_cached(kind: str, quads: DataFrame, text: str, params, build):
     try:
         qh = quads._jdf.queryExecution().analyzed().semanticHash()
+        # applicationId, not id(session): unique per SparkContext, so a
+        # recycled Python object id can never serve a dead session's
+        # plan (same fix as _WORKING_CACHE, r10 ADVICE).
+        app_id = quads.sparkSession.sparkContext.applicationId
     except Exception:
         return build()
     key = (
-        id(quads.sparkSession),
+        app_id,
         kind,
         qh,
         text,
@@ -2510,7 +2514,12 @@ def _plan_cached(kind: str, quads: DataFrame, text: str, params, build):
         return hit
     df = build()
     if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
-        _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        try:
+            # tolerate a concurrent evictor (the parallel per-org
+            # fan-out compiles plans from a thread pool)
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)), None)
+        except (StopIteration, RuntimeError):
+            pass
     _PLAN_CACHE[key] = df
     return df
 

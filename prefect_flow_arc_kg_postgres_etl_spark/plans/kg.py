@@ -891,6 +891,36 @@ def kg_nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 KG_NT_ROUNDTRIP_ORACLE = KG_MELT_ORACLE
 
 
+# ------------------------------------- A79 Turtle round trip (RDF IO)
+def source_ttl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turtle interchange: the reference's view-construct step saves
+    the materialized graph as prefixed Turtle before import
+    (1_kg_view_construct.ts:66-80, graph.ttl.gz). Melt customer to
+    quads, serialize to subject-grouped Turtle blocks (prefix table,
+    ';'/',' abbreviations, per-part-file @prefix headers), land as
+    text, parse back with the whole-file tokenizer
+    (sources/turtle.py) — the identity on the triple model, which the
+    melt oracle checks."""
+    import tempfile
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import rdf, turtle
+
+    cust = load_table(spark, sf_dir, "customer")
+    triples = T.melt(cust, "c_custkey", CUSTOMER_COLS, subject_prefix="customer:")
+    out = tempfile.mkdtemp(prefix="ttl_rt_") + "/graph"
+    turtle.write_turtle(
+        triples,
+        out,
+        prefixes={"s": rdf.SUBJECT_BASE, "p": rdf.PREDICATE_BASE},
+    )
+    return turtle.read_turtle(spark, out).select(
+        "subject", "predicate", "object"
+    )
+
+
+SOURCE_TTL_ROUNDTRIP_ORACLE = KG_MELT_ORACLE
+
+
 # --------------------------------- A26 CSV bulk source/sink round trip
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bulk text interchange: the customer table lands as quoted CSV

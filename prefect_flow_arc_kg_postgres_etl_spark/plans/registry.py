@@ -88,6 +88,11 @@ _SPECS: dict[str, QuerySpec] = {
         kg.empty_partition_prune, kg.EMPTY_PARTITION_ORACLE
     ),
     "kg_nt_roundtrip": QuerySpec(kg.kg_nt_roundtrip, kg.KG_NT_ROUNDTRIP_ORACLE),
+    # A79: prefixed-Turtle interchange (the reference's graph.ttl.gz
+    # step, 1_kg_view_construct.ts:66-80) — serialize+parse identity.
+    "source_ttl_roundtrip": QuerySpec(
+        kg.source_ttl_roundtrip, kg.SOURCE_TTL_ROUNDTRIP_ORACLE
+    ),
     "source_csv_roundtrip": QuerySpec(
         kg.source_csv_roundtrip, kg.SOURCE_CSV_ROUNDTRIP_ORACLE
     ),
@@ -945,70 +950,72 @@ _SPECS: dict[str, QuerySpec] = {
 # closure paths (kg_path_text_closure) and the A72 subselect/HAVING/
 # blank-node text form (kg_select_subquery_text) — 47 for r8.
 DRIVER_WINDOW: list[str] = [
-    # r9 rotation: (a) the three r9-new composed-cycle operators (A77
-    # incremental nightly load, A78 delete cascade, A78b delete
-    # ledger), (b) the FIVE-entry never-driver-checked residue left
-    # after r8 (cube_agg, events_funnel3, corpus_mix_sample,
-    # orders_running_distinct, reference_partition_stats) — zero
-    # oracle-backed entries lack a driver row once this window grades —
-    # and (c) 42 RE-GRADES of the oldest rows on the books (every r4
-    # row and the 26 oldest r5 rows; shared machinery under them —
-    # pivot/merge/coercion/SPARQL evaluator — changed across r6-r8, so
-    # their plans deserve a fresh grade).
-    # r9-new: composed incremental + delete cycles.
-    "flow_reference_incremental",
+    # r10 rotation: (a) the r10-new Turtle interchange entry, (b) the
+    # two store-backed composed-cycle twins registered after the r9
+    # window froze (the r9 verdict's named gap — zero oracle-backed
+    # entries without a driver row once these grade), (c) re-grades of
+    # the five entries whose machinery changed this round (the
+    # worklist-scoped delete rebuild, the docs-cache/fingerprint
+    # changes under A74/A77, the ledger they compose with), and
+    # (d) 42 re-grades of the oldest rows on the books (the remaining
+    # r5 rows and the oldest r6 rows — the SPARQL evaluator's numeric
+    # dispatch and plan-cache keying changed this round, so
+    # filter-heavy and stream/dedup entries deserve a fresh grade).
+    # r10-new.
+    "source_ttl_roundtrip",
+    # Store twins: registered late in r9, never driver-graded.
+    "flow_reference_incremental_store",
+    "flow_reference_deletes_store",
+    # Changed-machinery re-grades.
     "flow_reference_deletes",
+    "flow_reference_incremental",
+    "flow_reference_pipeline",
     "reference_delete_report",
-    # Residue: never driver-graded until now.
-    "cube_agg",
-    "events_funnel3",
-    "corpus_mix_sample",
-    "orders_running_distinct",
-    "reference_partition_stats",
-    # Re-grades: all 16 r4 rows.
-    "truncate_insert",
-    "clear_and_insert",
-    "orphan_cleanup",
-    "partition_stats",
-    "org_scope",
-    "batch_stage",
-    "es_bulk_feed",
-    "q3_shipping_priority",
-    "topk_per_group",
-    "windowed_running",
-    "distinct_agg",
-    "exists_anti",
-    "correlated_subquery",
-    "grouping_sets",
-    "text_token_stats",
-    "text_fingerprint",
-    # Re-grades: the 26 oldest r5 rows (KG core + relational + dedup).
-    "kg_melt_triples",
-    "kg_pivot_records",
-    "kg_construct_view",
-    "kg_value_coercion",
-    "merge_upsert",
-    "delete_processing",
-    "incremental_since",
-    "index_documents",
-    "fk_merge_order",
-    "table_intersection",
-    "empty_partition_prune",
-    "kg_construct_paths",
-    "kg_construct_union",
-    "kg_construct_graph",
-    "kg_construct_filter_bound",
-    "kg_nt_roundtrip",
-    "source_csv_roundtrip",
-    "flow_full_sync",
-    "q1_pricing_summary",
-    "q5_local_volume",
-    "q7_volume_shipping",
-    "q19_discounted_revenue",
-    "rollup_agg",
-    "events_tumbling",
-    "sessionize",
-    "asof_join",
+    "kg_construct_real_query_issues",
+    # Re-grades: the remaining r5 rows.
+    "kg_construct_optional",
+    "stream_incremental_upsert",
+    "stream_windowed_agg",
+    "stream_windowed_watermarked",
+    "stream_sessionize",
+    "stream_dedup",
+    "stream_enrich",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "text_language_id",
+    "text_quality_score",
+    "multimodal_decode",
+    "corpus_curation",
+    "text_tfidf",
+    "corpus_decontaminate",
+    "corpus_sample_stratified",
+    "corpus_pack_sequences",
+    "embedding_quantize",
+    # Re-grades: the oldest r6 rows.
+    "merge_scd2",
+    "index_partition_refresh",
+    "maintenance_compaction",
+    "source_schema_evolution",
+    "table_diff_cdc",
+    "agg_incremental_refresh",
+    "bucketed_join_colocated",
+    "skew_salted_join",
+    "kg_describe",
+    "kg_ask",
+    "table_profile",
+    "dq_constraint_check",
+    "maintenance_zorder",
+    "targeted_delete_gdpr",
+    "graph_pagerank",
+    "merge_cdc_apply",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "events_pivot_wide",
+    "orders_cohort_retention",
+    "events_quantiles",
 ]
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

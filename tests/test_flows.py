@@ -628,3 +628,29 @@ def test_run_exclusive_skip_if_running(tmp_path):
 
     ran, inner = run_exclusive(str(tmp_path), "sync", nested)
     assert ran and inner is False
+
+
+def test_record_limit_caps_staged_counts(spark, tmp_path):
+    """r10: the reference's record_limit/debug_mode sampling knob
+    (arc_db_load_flow.py:44) — a per-table LIMIT applied at stage
+    time. Debug runs stage at most N rows per table (full and
+    incremental paths); record_limit=None leaves the merge untouched
+    (pinned by every other test in this file running without it)."""
+    store = str(tmp_path / "store")
+    stats = sync_flow(
+        spark, SF_SMOKE, store, full_sync=True, build_index=False,
+        record_limit=7,
+    )
+    for name, row in stats.tables.items():
+        assert row["status"] == "merged", (name, row)
+        assert 0 < row["merged"] <= 7, (name, row)
+
+    # incremental catch-up with a limit: staged counts are capped too,
+    # and the merge still converges (idempotent upsert semantics)
+    stats2 = sync_flow(
+        spark, SF_SMOKE, store, full_sync=False, since=CUTOFF,
+        build_index=False, record_limit=5,
+    )
+    for name, row in stats2.tables.items():
+        assert row["status"] == "merged", (name, row)
+        assert row["staged"] <= 5, (name, row)

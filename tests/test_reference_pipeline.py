@@ -474,6 +474,60 @@ def test_flow_reference_deletes_cascade(spark):
     triples.unpersist()
 
 
+def test_delete_scope_rebuilds_parent_of_deleted_child(spark):
+    """r10: the worklist-scoped delete rebuild. A deleted CHILD puts
+    its SURVIVING parent (and only it) in the rebuild set; the scoped
+    star join over the semi-joined table slice yields exactly the
+    parent's post-delete document (shrunken roll-ups), and rebuilt ∪
+    passthrough equals the full post-delete rebuild — the invariant
+    the registry oracle checks at corpus scale, pinned here on the
+    one shape the synthetic corpus lacks (it flags no children)."""
+    import pandas as pd
+
+    rows = _fixture_rows()
+    for r in rows["graph.mh_fragment_identifier"]:
+        r["is_deleted"] = "false"
+    rows["graph.mh_fragment_identifier"].append(
+        dict(
+            subject="mf4",
+            intellectual_entity_id=E + "1c1",
+            is_deleted="true",
+            mh_fragment_identifier="F4",
+        )
+    )
+    t = _spark_tables(spark, rows)
+    tops, removed = RP._delete_scope(t)
+    assert {r.subject for r in tops.collect()} == {E + "1"}
+    assert {r.subject for r in removed.collect()} == {E + "1", E + "1c1"}
+
+    live = RP._live_tables(t)
+    scoped = RP._scope_tables_to_tops(live, tops)
+    rebuilt = RP.build_reference_index_documents(
+        scoped, RP.SYNTHETIC_STORE_ADAPTER
+    ).toPandas()
+    full = RP.build_reference_index_documents(
+        live, RP.SYNTHETIC_STORE_ADAPTER
+    ).toPandas()
+    key = sorted(full.columns)
+    canon = lambda df: sorted(  # noqa: E731
+        df[key].astype(str).itertuples(index=False, name=None)
+    )
+    assert set(rebuilt["iri"]) == {E + "1"}
+    assert canon(rebuilt) == canon(full[full["iri"] == E + "1"])
+
+    # the parent's children roll-up shrank: E1c1 was its only
+    # fragment-format child (E1c2's 'audio' never counted)
+    pre = RP.build_reference_index_documents(
+        t, RP.SYNTHETIC_STORE_ADAPTER
+    ).toPandas()
+    assert int(rebuilt["children"].iloc[0]) == 0
+    assert int(pre.loc[pre["iri"] == E + "1", "children"].iloc[0]) == 1
+
+    # rebuilt ∪ (standing docs minus removed) == full post-delete build
+    passthrough = pre[~pre["iri"].isin({E + "1", E + "1c1"})]
+    assert canon(pd.concat([rebuilt, passthrough])) == canon(full)
+
+
 def test_reference_delete_report_ledger(spark):
     """A78b: the delete flow's partition ledger is self-consistent and
     agrees with the document builds on both sides of the cascade."""
@@ -609,6 +663,46 @@ def test_reference_incremental_flow_store_backed(spark, tmp_path):
     # the pre-update snapshot is still readable at its manifest
     old = S.read_snapshot(spark, store, seeded)["graph.index_documents"]
     assert old.count() == prev.count()
+
+
+def test_reference_incremental_flow_keeps_absent_partitions(spark, tmp_path):
+    """r10 ADVICE: a partition present in the store's previous snapshot
+    but ABSENT from the current build is outside the worklist — the
+    reference's per-partition loop never visits it, so the nightly
+    incremental must pass its standing documents through UNTOUCHED
+    (only the delete flow drops partitions), not silently delete them
+    via an inner flag join."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store as S
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "store")
+    docs, marked, prev = RP._incremental_frames(spark, sf)
+    ghost = (
+        prev.select(*docs.columns)
+        .limit(5)
+        .withColumn("index", F.lit("zz_retired_org"))
+    )
+    S.commit_tables(
+        store,
+        {
+            "graph.index_documents": prev.select(*docs.columns).unionByName(
+                ghost
+            )
+        },
+    )
+    out = RP.reference_incremental_flow(spark, sf, store).toPandas()
+    full = docs.toPandas()
+    ghost_pd = ghost.toPandas()
+    key = sorted(full.columns)
+    canon = lambda df: sorted(  # noqa: E731
+        df[key].astype(str).itertuples(index=False, name=None)
+    )
+    import pandas as pd
+
+    assert canon(out) == canon(pd.concat([full, ghost_pd]))
+    # and byte-identical passthrough of the retired partition
+    got_ghost = out[out["index"] == "zz_retired_org"]
+    assert canon(got_ghost) == canon(ghost_pd) and len(got_ghost) == 5
 
 
 def test_reference_delete_flow_store_backed(spark, tmp_path):

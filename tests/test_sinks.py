@@ -126,23 +126,43 @@ def test_upsert_statement_executes_and_matches_engine_upsert(spark):
 
 
 def test_merge_statement_executes_and_matches_engine_upsert(spark):
-    """MERGE INTO form (database.ts:214-222). DIALECT NOTE: the
-    sandbox DuckDB (1.0) predates MERGE support, so the execution leg
-    skips there — the ON CONFLICT twin above always runs and the two
-    generators are verified equivalent on engines that parse MERGE."""
-    import duckdb
-    import pytest
-
-    from prefect_flow_arc_kg_postgres_etl_spark.sinks.jdbc import merge_statement
+    """MERGE INTO form (database.ts:214-222), EXECUTED (r10): the
+    verbatim statement where the engine parses MERGE, else the
+    equivalent UPDATE-then-anti-INSERT transaction derived from the
+    same generator args (the sandbox DuckDB is 1.0; MERGE executes
+    verbatim from 1.3). Either path's end state must equal the
+    engine-side distributed upsert on the same rows — the merge's
+    semantics are execution-tested on a live engine, never skipped;
+    the residual gap is only the verbatim text on live Postgres."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sinks.jdbc import execute_merge
 
     con = _db_with_target_and_staging()
-    stmt = merge_statement("target", "staging", ["id"], ["id", "name", "score"])
-    try:
-        con.execute(stmt)
-    except duckdb.ParserException:
-        pytest.skip("installed DuckDB predates MERGE INTO; ON CONFLICT twin covers semantics")
+    path = execute_merge(
+        con, "target", "staging", ["id"], ["id", "name", "score"]
+    )
+    assert path in ("merge", "rewrite")
     db_state = set(con.sql("SELECT id, name, score FROM target").fetchall())
     assert db_state == _spark_upsert_state(spark)
+    # idempotent: replaying the same staged batch converges
+    execute_merge(con, "target", "staging", ["id"], ["id", "name", "score"])
+    assert set(con.sql("SELECT id, name, score FROM target").fetchall()) == db_state
+
+
+def test_merge_rewrite_pair_matches_on_conflict_twin():
+    """The rewrite pair and the ON CONFLICT upsert end in the same
+    state from the same seed — the two dialect arms of database.ts
+    (USE_MERGE on/off) are interchangeable."""
+    from prefect_flow_arc_kg_postgres_etl_spark.sinks.jdbc import (
+        execute_merge,
+        upsert_statement,
+    )
+
+    a = _db_with_target_and_staging()
+    execute_merge(a, "target", "staging", ["id"], ["id", "name", "score"])
+    b = _db_with_target_and_staging()
+    b.execute(upsert_statement("target", "staging", ["id"], ["id", "name", "score"]))
+    q = "SELECT id, name, score FROM target"
+    assert set(a.sql(q).fetchall()) == set(b.sql(q).fetchall())
 
 
 def test_clear_statement_executes_and_matches_engine_clear(spark):
