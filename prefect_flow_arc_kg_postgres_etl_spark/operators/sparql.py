@@ -1356,12 +1356,17 @@ class _Eval:
         datasets: list[str],
         params: dict[str, str] | None = None,
         working: "tuple[DataFrame | None, set[str]] | None" = None,
+        hot: "dict[str, DataFrame] | None" = None,
     ):
         self.quads = quads
         # Predicate working set (see _working_set): constant-predicate
         # pattern scans read this cached slice; variable-predicate and
         # NPS scans keep the full store.
         self.ws, self.ws_preds = working if working else (None, set())
+        # Per-predicate posting lists (see _hot_posting_lists): a
+        # constant-predicate pattern whose predicate is hot reads its
+        # persisted slice instead of re-scanning the store.
+        self.hot = hot or {}
         self.datasets = datasets
         # Injected initial bindings — the reference's runner substitutes
         # ?since / ?prefix_id_base into its query text before sending
@@ -1424,6 +1429,10 @@ class _Eval:
             if self.ws is not None and set(members) <= self.ws_preds:
                 q = self.ws
             q = q.filter(F.col("predicate").isin(members))
+        elif p in self.hot:
+            # hot predicate: the persisted posting list IS the
+            # predicate filter — no re-scan, no re-filter
+            q = self.hot[p]
         else:
             if self.ws is not None and p in self.ws_preds:
                 q = self.ws
@@ -2284,18 +2293,26 @@ _PLAN_CACHE_MAX = 64
 _WORKING_CACHE: dict[tuple, DataFrame] = {}
 _WORKING_CACHE_MAX = 16
 
+# Persisted per-predicate posting lists (on by default, see
+# _hot_posting_lists): keyed (appId, store hash, predicate) so every
+# query over the same store shares one materialization per predicate.
+_HOT_CACHE: dict[tuple, DataFrame] = {}
+_HOT_CACHE_MAX = 32
+_HOT_MIN_USES = 3
+
 
 def clear_plan_cache() -> None:
     """Drop all prepared plans (tests that patch evaluator internals
     between runs of the same query text must bust the cache), and
     unpersist any cached working-set frames with them."""
     _PLAN_CACHE.clear()
-    for frame in _WORKING_CACHE.values():
-        try:
-            frame.unpersist()
-        except Exception:
-            pass  # session already stopped
-    _WORKING_CACHE.clear()
+    for cache in (_WORKING_CACHE, _HOT_CACHE):
+        for frame in cache.values():
+            try:
+                frame.unpersist()
+            except Exception:
+                pass  # session already stopped
+        cache.clear()
 
 
 def _collect_query_predicates(g: "Group") -> set[str] | None:
@@ -2461,6 +2478,118 @@ def _working_set(
     return frame, preds
 
 
+def _count_scan_predicates(g: "Group") -> dict[str, int]:
+    """Count how many PATTERN SCANS each constant single predicate
+    would issue for a group (unions, optionals, subselects and EXISTS
+    groups included; alternations, paths, variable predicates and NPS
+    excluded — they scan through their own machinery). Drives the
+    hot-posting-list materialization below."""
+    counts: dict[str, int] = {}
+
+    def from_expr(e) -> None:
+        if isinstance(e, tuple):
+            if e[0] == "exists_expr":
+                walk(e[1])
+                return
+            for part in e[1:]:
+                from_expr(part)
+        elif isinstance(e, list):
+            for part in e:
+                from_expr(part)
+
+    def walk(group: "Group") -> None:
+        for el in group.elements:
+            kind = el[0]
+            if kind == "triple":
+                p = el[1].p
+                if (
+                    isinstance(p, str)
+                    and not p.startswith("?")
+                    and "|" not in p
+                ):
+                    counts[p] = counts.get(p, 0) + 1
+            elif kind in ("optional", "group", "not_exists", "exists"):
+                walk(el[1])
+            elif kind == "union":
+                for b in el[1]:
+                    walk(b)
+            elif kind == "subselect":
+                walk(el[1].where)
+            elif kind in ("filter", "bind"):
+                from_expr(el[-1])
+
+    walk(g)
+    return counts
+
+
+def _hot_posting_lists(quads: DataFrame, g: "Group") -> dict[str, DataFrame]:
+    """Materialize PER-PREDICATE posting lists for the query's hot
+    predicates — constant predicates pattern-scanned >= _HOT_MIN_USES
+    times (newspaper.sparql scans rdf:type from 13 branches,
+    schema:name from 6). Each hot predicate becomes ONE parquet scan
+    persisted columnar; every pattern over it is an in-memory re-read.
+    Two wins at cluster scale: the store is touched once per hot
+    predicate instead of once per branch, and the executed plan loses
+    a dozen scheduler-visible scan stages per query (the r7-flagged
+    driver-pressure hazard for 1000-executor runs).
+
+    Unlike the opt-in mixed-predicate working set (_working_set,
+    measured slower locally because every scan sweeps every cached
+    batch), a single-predicate frame contains only rows every scan of
+    that predicate wants — remaining object/graph constants prune on
+    in-memory batch stats. Frames live in the same bounded-LRU shape
+    as _WORKING_CACHE, keyed (applicationId, store plan hash,
+    predicate) so ALL queries over one store share one
+    materialization per predicate across the session. Disable with
+    SPARK_GRAFT_SPARQL_HOT_PREDS=0."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SPARQL_HOT_PREDS", "1") == "0":
+        return {}
+    hot = {
+        p
+        for p, n in _count_scan_predicates(g).items()
+        if n >= _HOT_MIN_USES
+    }
+    if not hot:
+        return {}
+    try:
+        qh = quads._jdf.queryExecution().analyzed().semanticHash()
+        app_id = quads.sparkSession.sparkContext.applicationId
+    except Exception:
+        return {}
+    out: dict[str, DataFrame] = {}
+    for p in sorted(hot):
+        key = (app_id, qh, p)
+        cached = _HOT_CACHE.get(key)
+        if cached is not None:
+            alive = True
+            try:
+                alive = cached.sparkSession.sparkContext._jsc is not None
+            except Exception:
+                alive = False
+            if alive:
+                # LRU: move the hit to the MRU end
+                _HOT_CACHE[key] = _HOT_CACHE.pop(key)
+                out[p] = cached
+                continue
+            _HOT_CACHE.pop(key, None)
+        frame = quads.filter(F.col("predicate") == p).persist()
+        if len(_HOT_CACHE) >= _HOT_CACHE_MAX:
+            try:
+                # tolerate a concurrent evictor (per-org fan-out pool)
+                evicted = _HOT_CACHE.pop(next(iter(_HOT_CACHE)), None)
+                if evicted is not None:
+                    evicted.unpersist()
+            except (StopIteration, RuntimeError):
+                pass
+            except Exception:
+                pass  # evictee's session already stopped
+        _HOT_CACHE[key] = frame
+        out[p] = frame
+    return out
+
+
 def _bind_params_in_group(g: "Group", params: dict[str, str]) -> None:
     """Apply injected parameter bindings to TRIPLE PATTERNS, in place —
     the reference's runner substitutes parameter text into the query
@@ -2558,6 +2687,7 @@ def _construct_query_impl(
         query.datasets,
         params,
         working=_working_set(quads, query.where),
+        hot=_hot_posting_lists(quads, query.where),
     )
     bindings = ev.eval_group(query.where, None)
     assert bindings is not None, "WHERE clause produced no bindings frame"
@@ -2615,7 +2745,12 @@ def select_query(
         _bind_params_in_group(query.where, params)
 
     def build() -> DataFrame:
-        ev = _Eval(quads, query.datasets, params)
+        ev = _Eval(
+            quads,
+            query.datasets,
+            params,
+            hot=_hot_posting_lists(quads, query.where),
+        )
         bindings = ev.eval_group(query.where, None)
         assert bindings is not None, "WHERE clause produced no bindings frame"
         if query.form == "ask":
@@ -2764,7 +2899,12 @@ def _describe_query_impl(
     if vars_:
         if params:
             _bind_params_in_group(query.where, params)
-        ev = _Eval(quads, query.datasets, params)
+        ev = _Eval(
+            quads,
+            query.datasets,
+            params,
+            hot=_hot_posting_lists(quads, query.where),
+        )
         bindings = ev.eval_group(query.where, None)
         assert bindings is not None, "DESCRIBE ?var needs a WHERE pattern"
         for v in vars_:
@@ -2889,7 +3029,7 @@ def update_delta(
     if up.where is not None:
         if params:
             _bind_params_in_group(up.where, params)
-        ev = _Eval(quads, [], params)
+        ev = _Eval(quads, [], params, hot=_hot_posting_lists(quads, up.where))
         bindings = ev.eval_group(up.where, None)
         assert bindings is not None, "WHERE produced no bindings frame"
     deleted = added = None

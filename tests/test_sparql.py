@@ -1229,3 +1229,63 @@ def test_working_set_cache_bounded_and_unpersisted(spark, monkeypatch):
     SQ.clear_plan_cache()
     assert not SQ._WORKING_CACHE
     assert not (frame.storageLevel.useMemory or frame.storageLevel.useDisk)
+
+
+def test_hot_posting_lists_differential(spark, monkeypatch):
+    """A constant predicate pattern-scanned >= 3 times (across UNION
+    branches, OPTIONALs and EXISTS groups) reads ONE persisted posting
+    list instead of re-scanning the store — row-for-row identical to
+    the plain path, shared across query texts on the same store, and
+    unpersisted by clear_plan_cache."""
+    monkeypatch.delenv("SPARK_GRAFT_SPARQL_HOT_PREDS", raising=False)
+    quads = _quads(
+        spark,
+        [
+            ("e1", "urn:a", "Doc", None, "g"),
+            ("e2", "urn:a", "Doc", None, "g"),
+            ("s1", "urn:a", "Serie", None, "g"),
+            ("e1", "urn:name", "boek", "nl", "g"),
+            ("s1", "urn:name", "reeks", None, "g"),
+            ("e1", "urn:part", "s1", None, "g"),
+            ("e2", "urn:genre", "news", None, "g"),
+        ],
+    )
+    # urn:a scanned 3x (main + union branch + EXISTS), urn:name 2x
+    text = """
+    CONSTRUCT { ?e <urn:o:n> ?n . ?e <urn:o:t> ?t . ?e <urn:o:g> ?g2 }
+    WHERE {
+      ?e <urn:a> "Doc" .
+      OPTIONAL { ?e <urn:name> ?n }
+      {} UNION {
+        ?e <urn:part> ?s . ?s <urn:a> "Serie" ; <urn:name> ?t .
+      }
+      UNION {
+        ?e <urn:genre> ?g2 .
+        FILTER EXISTS { ?e <urn:a> "Doc" }
+      }
+    }
+    """
+    SQ.clear_plan_cache()
+    assert not SQ._HOT_CACHE
+    hot_rows = set(map(tuple, SQ.construct_query(quads, text).collect()))
+    assert len(SQ._HOT_CACHE) == 1  # urn:a only (urn:name is below 3)
+    ((key, frame),) = list(SQ._HOT_CACHE.items())
+    assert key[2] == "urn:a"
+    assert frame.storageLevel.useMemory or frame.storageLevel.useDisk
+    # a different query over the SAME store reuses the frame
+    SQ.construct_query(
+        quads,
+        """CONSTRUCT { ?x <urn:o:x> ?y } WHERE {
+             ?x <urn:a> ?y . {} UNION { ?x <urn:a> "Doc" }
+             FILTER EXISTS { ?x <urn:a> ?y } }""",
+    ).collect()
+    assert len(SQ._HOT_CACHE) == 1
+    # disabled path produces identical rows
+    monkeypatch.setenv("SPARK_GRAFT_SPARQL_HOT_PREDS", "0")
+    SQ.clear_plan_cache()
+    assert not SQ._HOT_CACHE
+    assert not (frame.storageLevel.useMemory or frame.storageLevel.useDisk)
+    plain_rows = set(map(tuple, SQ.construct_query(quads, text).collect()))
+    assert hot_rows == plain_rows
+    assert not SQ._HOT_CACHE
+    SQ.clear_plan_cache()
