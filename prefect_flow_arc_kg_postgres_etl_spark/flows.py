@@ -162,6 +162,75 @@ def run_exclusive(lock_dir, name, fn, ttl_seconds=6 * 3600):
             pass
 
 
+def check_blocking(lock_dir, deployments, ttl_seconds=6 * 3600):
+    """Cross-deployment block check — the engine-side form of the
+    reference's `check_deployment_blocking` (flows/main_flow.py:38-52:
+    the main flow lists its sibling deployments — kg_view, db_load,
+    indexer, alto — and SKIPS when any is running, EXCEPT siblings in
+    full-sync mode, which are 'never blocking').
+
+    ``deployments`` is a list of ``(name, full_sync)`` pairs — the
+    same declaration the reference makes with DeploymentModel.full_sync.
+    Returns the names currently running (live ``<name>.running`` lock
+    under ``lock_dir`` — the very locks run_exclusive writes, so the
+    registry is whatever shared storage the locks live on), excluding
+    full-sync-mode siblings and stale locks (a crashed run past
+    ``ttl_seconds`` blocks nobody)."""
+    import os
+    import time
+
+    running: list[str] = []
+    for name, full_sync in deployments:
+        if full_sync:
+            continue  # never blocking in full-sync mode
+        lock = os.path.join(lock_dir, f"{name}.running")
+        try:
+            fresh = time.time() - os.stat(lock).st_mtime <= ttl_seconds
+        except OSError:
+            continue  # no lock: not running
+        if fresh:
+            running.append(name)
+    return running
+
+
+def run_blocking_aware(
+    lock_dir,
+    name,
+    fn,
+    blocking=(),
+    full_sync=False,
+    ttl_seconds=6 * 3600,
+):
+    """The reference main flow's full admission gate composed: skip if
+    THIS deployment is already running (max_running=1,
+    main_flow.py:31-36 — run_exclusive), then skip if any declared
+    sibling deployment is running — UNLESS this run is a full sync
+    ('deployments are never blocking if they are in full sync mode'
+    applies to the blockers via check_blocking; `and not full_sync`
+    on the caller side is mirrored here for the run itself,
+    main_flow.py:50).
+
+    Returns ``(ran, result, blocked_by)``: ``(True, fn(), [])`` on
+    admission, ``(False, None, [names])`` when blocked by siblings,
+    ``(False, None, [name])`` when self-gated. The sibling check runs
+    INSIDE the self-lock so a sibling starting between check and run
+    cannot interleave with this run's own admission decision."""
+
+    def gated():
+        blocked = (
+            [] if full_sync else check_blocking(lock_dir, blocking, ttl_seconds)
+        )
+        return (blocked, None) if blocked else ([], fn())
+
+    ran, out = run_exclusive(lock_dir, name, gated, ttl_seconds)
+    if not ran:
+        return False, None, [name]
+    blocked, result = out
+    if blocked:
+        return False, None, blocked
+    return True, result, []
+
+
 def validate_store(
     spark: SparkSession,
     store_dir: str,

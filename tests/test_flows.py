@@ -654,3 +654,58 @@ def test_record_limit_caps_staged_counts(spark, tmp_path):
     for name, row in stats2.tables.items():
         assert row["status"] == "merged", (name, row)
         assert row["staged"] <= 5, (name, row)
+
+
+def test_cross_deployment_blocking(tmp_path):
+    """check_blocking / run_blocking_aware — the reference main flow's
+    sibling-deployment admission gate (main_flow.py:38-52): a running
+    sibling blocks an incremental run, a full-sync run ignores
+    blockers, a sibling declared full_sync never blocks, and a stale
+    sibling lock (crashed run) blocks nobody."""
+    import os
+    import time
+
+    from prefect_flow_arc_kg_postgres_etl_spark.flows import (
+        check_blocking,
+        run_blocking_aware,
+    )
+
+    d = str(tmp_path)
+    siblings = [("kg_view", False), ("indexer", False), ("alto", True)]
+
+    # nothing running -> admitted
+    ran, out, blocked = run_blocking_aware(
+        d, "main", lambda: "done", blocking=siblings
+    )
+    assert (ran, out, blocked) == (True, "done", [])
+    assert not os.path.exists(os.path.join(d, "main.running"))  # released
+
+    # a live sibling lock blocks an incremental run...
+    open(os.path.join(d, "kg_view.running"), "w").write("x")
+    assert check_blocking(d, siblings) == ["kg_view"]
+    ran, out, blocked = run_blocking_aware(
+        d, "main", lambda: "done", blocking=siblings
+    )
+    assert (ran, out, blocked) == (False, None, ["kg_view"])
+    # ...but a full-sync run is never blocked (main_flow.py:50)
+    ran, out, blocked = run_blocking_aware(
+        d, "main", lambda: "full", blocking=siblings, full_sync=True
+    )
+    assert (ran, out, blocked) == (True, "full", [])
+
+    # a sibling in full-sync mode never blocks
+    open(os.path.join(d, "alto.running"), "w").write("x")
+    assert check_blocking(d, [("alto", True)]) == []
+
+    # a stale sibling lock (crashed run) blocks nobody
+    stale = os.path.join(d, "kg_view.running")
+    os.utime(stale, (time.time() - 7200, time.time() - 7200))
+    assert check_blocking(d, siblings, ttl_seconds=3600) == []
+
+    # self-gate still wins over everything: main already running
+    os.unlink(stale)
+    open(os.path.join(d, "main.running"), "w").write("other-token")
+    ran, out, blocked = run_blocking_aware(
+        d, "main", lambda: "done", blocking=siblings, full_sync=True
+    )
+    assert (ran, out, blocked) == (False, None, ["main"])

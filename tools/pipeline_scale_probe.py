@@ -12,7 +12,12 @@ asked for per-leg datapoints, not one wall number):
   star   = build_reference_index_documents over the pivoted tables
            (step 3; the 23-join star with pre-aggregated sides)
   incr   = flow's A77 flag algebra + merge legs over cached docs
-  del    = A78 cascade + document rebuild
+  del    = A78 cascade + worklist-scoped document rebuild
+  scoped = all_view_triples_scoped over a 2-org worklist (the r10
+           parallel per-org fan-out; orgs are nation-keyed dims so a
+           25x store means 25x entities PER org, not more orgs)
+  incr_store / del_store = the durable store twins (scratch-store
+           seed + atomic snapshot commit + read-back)
 
 Usage: python tools/pipeline_scale_probe.py [factor=25]
 """
@@ -66,6 +71,16 @@ def legs(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     _noop(QUERIES["flow_reference_deletes"].builder(spark, sf_dir))
     out["del"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    scoped = RP.all_view_triples_scoped(spark, sf_dir, ["OR-1", "OR-3"])
+    out["scoped_triples"] = scoped.count()
+    out["scoped"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    _noop(QUERIES["flow_reference_incremental_store"].builder(spark, sf_dir))
+    out["incr_store"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    _noop(QUERIES["flow_reference_deletes_store"].builder(spark, sf_dir))
+    out["del_store"] = round(time.time() - t0, 2)
     return out
 
 
@@ -80,7 +95,16 @@ def main() -> None:
         tn = legs(spark, dn)
         ratios = {
             k: round(tn[k] / t1[k], 2)
-            for k in ("land", "pivot", "star", "incr", "del")
+            for k in (
+                "land",
+                "pivot",
+                "star",
+                "incr",
+                "del",
+                "scoped",
+                "incr_store",
+                "del_store",
+            )
             if t1[k] > 0
         }
         print(
