@@ -144,6 +144,13 @@ HEADLINE = [
     # cascade + document rebuild).
     "flow_reference_incremental",
     "flow_reference_deletes",
+    # Round-10 append: Turtle interchange round-trip and the span/
+    # chunk/semantic dedup tier (exact-substring coverage windows,
+    # C4-style fixed chunks, SemDeDup cluster-scoped pruning).
+    "source_ttl_roundtrip",
+    "dedup_substring",
+    "dedup_paragraph",
+    "dedup_semantic",
 ]
 
 

@@ -820,3 +820,235 @@ def incremental_dup_pairs_indexed(
     grams = new_grams.unionByName(hist_grams)
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     return _jaccard_verify(cands, grams, sizes, threshold)
+
+
+# --------------------------------------------------------------------
+# Span-level (exact-substring), chunk-level (C4-style), and semantic
+# (SemDeDup-style) dedup — the r10 wave. All three are deterministic
+# and oracle-mirrorable; the probabilistic machinery above is the
+# candidate-generation tier, these are the span/semantic tiers of the
+# same training-data ladder.
+# --------------------------------------------------------------------
+
+
+def _lc_words(text_col: str):
+    return words(F.lower(F.col(text_col)))
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Exact-substring (span-level) dedup, Lee et al. 2021 semantics
+    made deterministic: every ``window``-word shingle that re-occurs
+    anywhere in the corpus AFTER its first occurrence (global order =
+    (doc_id, start)) is a duplicated span; a word position is
+    duplicated iff ANY duplicated shingle covers it; the cleaned text
+    keeps only uncovered words, in order.
+
+    Shape, built for scale:
+      * shingles are md5 keys built scan-side (transform over the token
+        array — codegen, no UDF, no per-shingle row until the explode);
+      * first-occurrence detection is ONE shuffle on the shingle key
+        (row_number over (key) — shingle keys of natural text are
+        near-uniform, and a pathological hot shingle IS a duplicated
+        span, so the tail of its partition is skew the answer needs);
+      * coverage is a per-document sliding window max (rowsBetween
+        -(window-1)..0) — the doc-key shuffle is shared with the final
+        per-doc aggregation (same partitioning, one exchange).
+
+    Returns (doc_id, n_words, dup_words, dup_frac_e6, clean_text) with
+    exact-integer e6 fraction (floor), no float hash risk.
+    """
+    w = window
+    base = docs.select(F.col(id_col).alias("id"), _lc_words(text_col).alias("w"))
+    n = F.size("w")
+    shingles = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(0), n - w),
+            lambda s: F.md5(F.concat_ws(" ", F.slice(F.col("w"), s + 1, w))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    starts = base.select("id", F.posexplode(shingles).alias("s", "key"))
+    from pyspark.sql import Window as W
+
+    dup_starts = (
+        starts.withColumn(
+            "rn", F.row_number().over(W.partitionBy("key").orderBy("id", "s"))
+        )
+        .filter(F.col("rn") > 1)
+        .select("id", F.col("s").alias("p"), F.lit(1).alias("dup"))
+    )
+    pos = base.select("id", F.posexplode("w").alias("p", "word"))
+    cov = pos.join(dup_starts, ["id", "p"], "left").withColumn(
+        "covered",
+        F.coalesce(
+            F.max("dup").over(
+                W.partitionBy("id").orderBy("p").rowsBetween(-(w - 1), 0)
+            ),
+            F.lit(0),
+        ),
+    )
+    kept = F.array_sort(
+        F.collect_list(F.when(F.col("covered") == 0, F.struct("p", "word")))
+    )
+    return (
+        cov.groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("covered").cast("bigint").alias("dup_words"),
+            F.concat_ws(
+                " ", F.transform(kept, lambda st: st["word"])
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            "dup_words",
+            F.floor(F.col("dup_words") * 1_000_000 / F.col("n_words"))
+            .cast("bigint")
+            .alias("dup_frac_e6"),
+            "clean_text",
+        )
+    )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 20,
+) -> DataFrame:
+    """Chunk-level exact dedup (the C4 discipline at a fixed ``chunk``
+    -word granularity, deterministic where sentence splitting is not):
+    documents split into NON-overlapping chunk-word pieces (last piece
+    may be short); a chunk survives iff it is the global first
+    occurrence of its content (order = (doc_id, chunk_idx)); documents
+    reassemble from surviving chunks in order.
+
+    One shuffle on the chunk-content key (row_number — same skew
+    argument as span_dedup), one per-doc aggregation. Chunk identity is
+    the joined lowercase token slice; md5 keys keep the shuffle rows
+    fixed-width.
+
+    Returns (doc_id, n_chunks, kept_chunks, clean_text).
+    """
+    c = chunk
+    base = docs.select(F.col(id_col).alias("id"), _lc_words(text_col).alias("w"))
+    n_chunks = F.expr(f"(size(w) + {c - 1}) div {c}")
+    pieces = F.when(
+        F.size("w") > 0,
+        F.transform(
+            F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i * c + 1, c)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = base.select("id", F.posexplode(pieces).alias("ci", "piece"))
+    from pyspark.sql import Window as W
+
+    ranked = chunks.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy(F.md5("piece")).orderBy("id", "ci")),
+    ).withColumn("keep", (F.col("rn") == 1).cast("int"))
+    kept = F.array_sort(
+        F.collect_list(F.when(F.col("keep") == 1, F.struct("ci", "piece")))
+    )
+    return (
+        ranked.groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("keep").cast("bigint").alias("kept_chunks"),
+            F.concat_ws(" ", F.transform(kept, lambda st: st["piece"])).alias(
+                "clean_text"
+            ),
+        )
+        .select(
+            F.col("id").alias(id_col), "n_chunks", "kept_chunks", "clean_text"
+        )
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): within each
+    cluster (here the pre-assigned ``label`` — at scale the k-means
+    assignment that bounds the quadratic), rank members by similarity
+    to the cluster centroid (desc, id tiebreak) and DROP any member
+    whose cosine to some LOWER-ranKED member is >= threshold — the
+    released SemDeDup pseudocode's ``M[i] = max_{j<i} sim(i,j)`` rule.
+
+    Determinism for the oracle: the centroid is the vec_id-ordered
+    SEQUENTIAL fold of member vectors (cosine is scale-invariant, so
+    the unnormalized sum vector stands in for the mean — no division),
+    and every dot product is the same left fold — bit-for-bit equal to
+    DuckDB's list_reduce. The within-cluster pair join is quadratic in
+    CLUSTER size only — exactly the cost SemDeDup's clustering exists
+    to bound.
+
+    Returns (vec_id, label, cos_centroid, max_prior_cos, action).
+    """
+    from pyspark.sql import Window as W
+
+    members = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    grp = members.groupBy("lbl").agg(
+        F.array_sort(F.collect_list(F.struct("vid", "v"))).alias("ms")
+    )
+    zero = F.transform(F.element_at("ms", 1)["v"], lambda _: F.lit(0.0))
+    cent = grp.select(
+        "lbl",
+        F.explode("ms").alias("m"),
+        F.aggregate(
+            "ms", zero, lambda acc, m: F.zip_with(acc, m["v"], lambda a, b: a + b)
+        ).alias("c"),
+    ).select("lbl", F.col("m.vid").alias("vid"), F.col("m.v").alias("v"), "c")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+
+    def _cos(a, b):
+        return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+    ranked = cent.withColumn("cos_c", _cos(F.col("v"), F.col("c"))).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("lbl").orderBy(F.desc("cos_c"), F.asc("vid"))
+        ),
+    )
+    a = ranked.select("lbl", "vid", "v", "cos_c", "rank")
+    b = ranked.select(
+        "lbl", F.col("rank").alias("prior_rank"), F.col("v").alias("pv")
+    )
+    prior = (
+        a.join(b, ["lbl"])
+        .filter(F.col("prior_rank") < F.col("rank"))
+        .groupBy("lbl", "vid", "cos_c", "rank")
+        .agg(F.max(_cos(F.col("v"), F.col("pv"))).alias("max_prior"))
+    )
+    out = a.join(
+        prior.select("lbl", "vid", "max_prior"), ["lbl", "vid"], "left"
+    ).select(
+        F.col("vid").alias(id_col),
+        F.col("lbl").alias(label_col),
+        F.round("cos_c", 6).alias("cos_centroid"),
+        F.round("max_prior", 6).alias("max_prior_cos"),
+        F.when(
+            F.coalesce(F.col("max_prior"), F.lit(-1.0)) >= threshold, "drop"
+        )
+        .otherwise("keep")
+        .alias("action"),
+    )
+    return out

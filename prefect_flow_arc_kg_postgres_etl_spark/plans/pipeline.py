@@ -2582,3 +2582,182 @@ GROUP BY dw.doc_id
 
 
 CORPUS_BPE_ENCODE_ORACLE = _bpe_encode_oracle(_BPE_ROUNDS)
+
+
+# --------------------------------------------------------------- D59
+# span-level exact-substring dedup (Lee et al. 2021, deterministic)
+_SPAN_W = 8
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.span_dedup(_dup_corpus(spark, sf_dir, near=True), window=_SPAN_W)
+
+
+DEDUP_SUBSTRING_ORACLE = f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+words AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM corpus
+),
+starts AS (
+  SELECT id, s - 1 AS s,
+         md5(array_to_string(w[s:s+{_SPAN_W - 1}], ' ')) AS key
+  FROM words, UNNEST(generate_series(1, len(w) - {_SPAN_W - 1})) AS t(s)
+),
+dup_starts AS (
+  SELECT id, s FROM (
+    SELECT id, s,
+           ROW_NUMBER() OVER (PARTITION BY key ORDER BY id, s) AS rn
+    FROM starts
+  ) WHERE rn > 1
+),
+pos AS (
+  SELECT id, p - 1 AS p, w[p] AS word
+  FROM words, UNNEST(generate_series(1, len(w))) AS t(p)
+),
+cov AS (
+  SELECT pos.id, pos.p, pos.word,
+         MAX(CASE WHEN ds.s IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY pos.id ORDER BY pos.p
+                 ROWS BETWEEN {_SPAN_W - 1} PRECEDING AND CURRENT ROW)
+           AS covered
+  FROM pos LEFT JOIN dup_starts ds ON ds.id = pos.id AND ds.s = pos.p
+)
+SELECT id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(covered) AS BIGINT) AS dup_words,
+       CAST((SUM(covered) * 1000000) // COUNT(*) AS BIGINT) AS dup_frac_e6,
+       COALESCE(string_agg(CASE WHEN covered = 0 THEN word END, ' '
+                           ORDER BY p), '') AS clean_text
+FROM cov GROUP BY id
+"""
+
+
+# --------------------------------------------------------------- D60
+# chunk-level exact dedup (the C4 discipline, fixed-width chunks)
+_CHUNK_C = 20
+
+
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.chunk_dedup(_dup_corpus(spark, sf_dir, near=True), chunk=_CHUNK_C)
+
+
+DEDUP_PARAGRAPH_ORACLE = f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+words AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM corpus
+),
+chunks AS (
+  SELECT id, ci,
+         array_to_string(w[ci * {_CHUNK_C} + 1 : ci * {_CHUNK_C} + {_CHUNK_C}],
+                         ' ') AS piece
+  FROM words,
+       UNNEST(generate_series(0, CAST((len(w) + {_CHUNK_C - 1}) // {_CHUNK_C}
+                                      AS BIGINT) - 1)) AS t(ci)
+  WHERE len(w) > 0
+),
+ranked AS (
+  SELECT id, ci, piece,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY piece ORDER BY id, ci) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM chunks
+)
+SELECT id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(keep) AS BIGINT) AS kept_chunks,
+       COALESCE(string_agg(CASE WHEN keep = 1 THEN piece END, ' '
+                           ORDER BY ci), '') AS clean_text
+FROM ranked GROUP BY id
+"""
+
+
+# --------------------------------------------------------------- D61
+# semantic dedup (SemDeDup): cluster-scoped greedy near-dup pruning
+def _sem_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(
+        spark,
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        ),
+    )
+    scaled = emb.select(
+        (F.col("vec_id") + _VEC_OFF).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0).cast("float")).cast("float")
+        ).alias("embedding"),
+    )
+    return emb.unionByName(scaled)
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.semantic_dedup(_sem_corpus(spark, sf_dir), _COS_T)
+
+
+_SEM_CORPUS_SQL = f"""
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_VEC_OFF}, label,
+         list_transform(embedding, x -> CAST(x * CAST(2.0 AS REAL) AS REAL))
+  FROM embeddings
+"""
+
+_SEM_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+
+def _sem_cos(a: str, b: str) -> str:
+    return (
+        f"({_SEM_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_SEM_DOT.format(a=a, b=a)}) * "
+        f"sqrt({_SEM_DOT.format(a=b, b=b)})))"
+    )
+
+
+DEDUP_SEMANTIC_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM ({_SEM_CORPUS_SQL})
+),
+grp AS (
+  SELECT label,
+         list(struct_pack(vid := vec_id, v := v) ORDER BY vec_id) AS ms
+  FROM corpus GROUP BY label
+),
+cent AS (
+  SELECT label, ms,
+         list_reduce(
+           list_transform(ms, m -> m.v),
+           (a, b) -> list_transform(generate_series(1, len(a)),
+                                    i -> a[i] + b[i])) AS c
+  FROM grp
+),
+mem AS (
+  SELECT label, m.vid AS vid, m.v AS v, c
+  FROM cent, UNNEST(ms) AS t(m)
+),
+ranked AS (
+  SELECT label, vid, v, c,
+         {_sem_cos("v", "c")} AS cos_c,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY {_sem_cos("v", "c")} DESC, vid) AS rnk
+  FROM mem
+),
+prior AS (
+  SELECT a.label, a.vid, MAX({_sem_cos("a.v", "b.v")}) AS max_prior
+  FROM ranked a JOIN ranked b ON a.label = b.label AND b.rnk < a.rnk
+  GROUP BY 1, 2
+)
+SELECT r.vid AS vec_id, r.label,
+       ROUND(r.cos_c, 6) AS cos_centroid,
+       ROUND(p.max_prior, 6) AS max_prior_cos,
+       CASE WHEN COALESCE(p.max_prior, -1) >= {_COS_T} THEN 'drop'
+            ELSE 'keep' END AS action
+FROM ranked r LEFT JOIN prior p ON p.label = r.label AND p.vid = r.vid
+"""

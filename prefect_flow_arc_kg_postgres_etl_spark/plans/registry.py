@@ -115,6 +115,17 @@ _SPECS: dict[str, QuerySpec] = {
     "dedup_embedding_lsh": QuerySpec(
         pipeline.dedup_embedding_lsh, pipeline.DEDUP_COSINE_ORACLE
     ),
+    # r10 wave: span-level (exact-substring), chunk-level (C4-style),
+    # and semantic (SemDeDup) dedup — SURVEY §2 D59-D61.
+    "dedup_substring": QuerySpec(
+        pipeline.dedup_substring, pipeline.DEDUP_SUBSTRING_ORACLE
+    ),
+    "dedup_paragraph": QuerySpec(
+        pipeline.dedup_paragraph, pipeline.DEDUP_PARAGRAPH_ORACLE
+    ),
+    "dedup_semantic": QuerySpec(
+        pipeline.dedup_semantic, pipeline.DEDUP_SEMANTIC_ORACLE
+    ),
     "ann_bruteforce_topk": QuerySpec(pipeline.ann_bruteforce_topk, pipeline.ANN_BRUTE_ORACLE),
     "text_language_id": QuerySpec(pipeline.text_language_id, pipeline.LANG_ID_ORACLE),
     "text_quality_score": QuerySpec(pipeline.text_quality_score, pipeline.QUALITY_ORACLE),
@@ -963,6 +974,9 @@ DRIVER_WINDOW: list[str] = [
     # filter-heavy and stream/dedup entries deserve a fresh grade).
     # r10-new.
     "source_ttl_roundtrip",
+    "dedup_substring",
+    "dedup_paragraph",
+    "dedup_semantic",
     # Store twins: registered late in r9, never driver-graded.
     "flow_reference_incremental_store",
     "flow_reference_deletes_store",
@@ -1010,9 +1024,6 @@ DRIVER_WINDOW: list[str] = [
     "targeted_delete_gdpr",
     "graph_pagerank",
     "merge_cdc_apply",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_parts",
     "events_pivot_wide",
     "orders_cohort_retention",
     "events_quantiles",

@@ -501,3 +501,117 @@ class TestIndexMeta:
         (tmp_path / "_meta" / "part-0.json").write_text('{"k": 64}\n')
         with _pytest.raises(ValueError, match="corrupt dedup index _meta"):
             D.incremental_dup_pairs_indexed(new, str(tmp_path), 0.8)
+
+
+# ----------------------------------------------------- r10: span/chunk/semantic
+def _near_docs(spark, n=40):
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < n)
+    )
+    exact = docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    near = docs.select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat("text", F.lit(" zz qq extra tail tokens")).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def test_span_dedup_copies_fully_covered(spark):
+    """Exact copies: every window re-occurs at the original (lower id)
+    -> fully covered, clean_text empty. The corpus ships with PLANTED
+    near-dup originals (e.g. doc 12 re-posts doc 8), so originals are
+    not asserted clean — but doc 0 (globally first) always keeps its
+    opening window, and the count algebra must be exact."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import span_dedup
+
+    out = {r.doc_id: r for r in span_dedup(_near_docs(spark)).collect()}
+    for i in range(40):
+        r = out[i + 1000]
+        assert r.dup_frac_e6 == 1_000_000, i
+        assert r.clean_text == ""
+        assert r.dup_words == r.n_words
+    assert out[0].clean_text != ""
+    for r in out.values():
+        n_clean = len(r.clean_text.split()) if r.clean_text else 0
+        assert r.dup_words + n_clean == r.n_words
+        assert r.dup_frac_e6 == r.dup_words * 1_000_000 // r.n_words
+
+
+def test_span_dedup_near_copy_keeps_only_novel_tail(spark):
+    """A near copy's in-text region is always covered (the original
+    precedes it); the appended tail survives unless ANOTHER earlier
+    near copy shares the same source text (planted original-level
+    dups), in which case the tail windows are covered too."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import span_dedup
+
+    out = {r.doc_id: r for r in span_dedup(_near_docs(spark)).collect()}
+    tails = 0
+    for i in range(40):
+        r = out[i + 2000]
+        assert r.clean_text in ("", "zz qq extra tail tokens"), r.clean_text
+        assert r.dup_words >= r.n_words - 5
+        tails += r.clean_text != ""
+    assert tails >= 20  # most originals are unique -> most tails survive
+
+
+def test_chunk_dedup_copies_dropped_originals_kept(spark):
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import chunk_dedup
+
+    out = {r.doc_id: r for r in chunk_dedup(_near_docs(spark)).collect()}
+    for i in range(40):
+        assert out[i + 1000].kept_chunks == 0
+        assert out[i + 1000].clean_text == ""
+        # near copy: full in-text chunks are dups of the original's;
+        # only the boundary chunk(s) the 5-word tail lands in are novel
+        # (two when the tail straddles a chunk boundary).
+        assert out[i + 2000].kept_chunks <= 2
+    # doc 0's first chunk is the global first occurrence of its content.
+    assert out[0].kept_chunks >= 1 and out[0].clean_text != ""
+
+
+def test_chunk_dedup_reassembles_in_order(spark):
+    """Surviving chunks re-join in chunk order: any original that kept
+    ALL its chunks must reassemble to its own lowercased tokenization
+    (and with planted dups in the corpus, not every original does)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import chunk_dedup
+
+    docs = _near_docs(spark)
+    out = {r.doc_id: r for r in chunk_dedup(docs).collect()}
+    texts = {r.doc_id: r.text for r in docs.filter(F.col("doc_id") < 40).collect()}
+    full = [i for i in range(40) if out[i].kept_chunks == out[i].n_chunks]
+    assert len(full) >= 20
+    for i in full:
+        assert out[i].clean_text == " ".join(texts[i].lower().split())
+
+
+def test_semantic_dedup_drops_scaled_copies(spark):
+    """2x-scaled copies have cosine 1.0 to their original (same label)
+    -> every copy is dropped, and per-label rank 1 is always kept."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    scaled = emb.select(
+        (F.col("vec_id") + 5000).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0).cast("float")).cast("float")
+        ).alias("embedding"),
+    )
+    out = semantic_dedup(emb.unionByName(scaled), 0.99).collect()
+    by_id = {r.vec_id: r for r in out}
+    n_orig = emb.count()
+    for r in out:
+        if r.vec_id >= 5000:
+            assert r.action == "drop", r
+            assert r.max_prior_cos is not None and r.max_prior_cos >= 0.99
+    kept = [r for r in out if r.action == "keep"]
+    assert 0 < len(kept) <= n_orig
+    # the keep set never contains both halves of a >=0.99 pair: every
+    # dropped row names a prior cos >= tau; every kept row's best prior
+    # is < tau.
+    for r in kept:
+        assert r.max_prior_cos is None or r.max_prior_cos < 0.99
