@@ -849,8 +849,13 @@ def span_dedup(
     keeps only uncovered words, in order.
 
     Shape, built for scale:
-      * shingles are md5 keys built scan-side (transform over the token
-        array — codegen, no UDF, no per-shingle row until the explode);
+      * shingle identity is a TWO-SEED xxhash64 pair over the token
+        slice (128-bit effective — a single 64-bit key reaches
+        birthday collisions near 2^32 distinct shingles, which a
+        100 TB corpus exceeds; two longs still shuffle ~3x narrower
+        than an md5 hex string), built scan-side in codegen — no UDF,
+        no per-shingle row until the explode, no joined gram string
+        ever materialized;
       * first-occurrence detection is ONE shuffle on the shingle key
         (row_number over (key) — shingle keys of natural text are
         near-uniform, and a pathological hot shingle IS a duplicated
@@ -869,9 +874,14 @@ def span_dedup(
         n >= w,
         F.transform(
             F.sequence(F.lit(0), n - w),
-            lambda s: F.md5(F.concat_ws(" ", F.slice(F.col("w"), s + 1, w))),
+            lambda s: F.struct(
+                F.xxhash64(F.slice(F.col("w"), s + 1, w)).alias("h1"),
+                F.xxhash64(
+                    F.lit(-7046029254386353131), F.slice(F.col("w"), s + 1, w)
+                ).alias("h2"),
+            ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<struct<h1:bigint,h2:bigint>>"))
     starts = base.select("id", F.posexplode(shingles).alias("s", "key"))
     from pyspark.sql import Window as W
 
@@ -931,8 +941,10 @@ def chunk_dedup(
 
     One shuffle on the chunk-content key (row_number — same skew
     argument as span_dedup), one per-doc aggregation. Chunk identity is
-    the joined lowercase token slice; md5 keys keep the shuffle rows
-    fixed-width.
+    the joined lowercase token slice, partitioned by its two-seed
+    xxhash64 pair (span_dedup's collision rule; the piece string rides
+    along anyway for the reassembly, so the pair only replaces the key
+    column, not the row).
 
     Returns (doc_id, n_chunks, kept_chunks, clean_text).
     """
@@ -951,7 +963,12 @@ def chunk_dedup(
 
     ranked = chunks.withColumn(
         "rn",
-        F.row_number().over(W.partitionBy(F.md5("piece")).orderBy("id", "ci")),
+        F.row_number().over(
+            W.partitionBy(
+                F.xxhash64("piece"),
+                F.xxhash64(F.lit(-7046029254386353131), F.col("piece")),
+            ).orderBy("id", "ci")
+        ),
     ).withColumn("keep", (F.col("rn") == 1).cast("int"))
     kept = F.array_sort(
         F.collect_list(F.when(F.col("keep") == 1, F.struct("ci", "piece")))
