@@ -2299,6 +2299,21 @@ _WORKING_CACHE_MAX = 16
 _HOT_CACHE: dict[tuple, DataFrame] = {}
 _HOT_CACHE_MAX = 32
 _HOT_MIN_USES = 3
+# Minimum local JVM heap for auto-engaging posting lists (see the
+# heap-gate note in _hot_posting_lists): a default 1 GiB driver OOMs
+# building broadcasts next to the persisted lists; tuned sessions
+# (session.py) run 16 GiB.
+_HOT_MIN_HEAP_BYTES = 3 << 30
+
+
+def _hot_heap_ok(spark) -> bool:
+    """True iff the local JVM heap can afford persisted posting lists
+    alongside broadcast builds (the _HOT_MIN_HEAP_BYTES gate)."""
+    try:
+        runtime = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+        return runtime.maxMemory() >= _HOT_MIN_HEAP_BYTES
+    except Exception:
+        return False
 
 
 def clear_plan_cache() -> None:
@@ -2540,11 +2555,23 @@ def _hot_posting_lists(quads: DataFrame, g: "Group") -> dict[str, DataFrame]:
     in-memory batch stats. Frames live in the same bounded-LRU shape
     as _WORKING_CACHE, keyed (applicationId, store plan hash,
     predicate) so ALL queries over one store share one
-    materialization per predicate across the session. Disable with
-    SPARK_GRAFT_SPARQL_HOT_PREDS=0."""
+    materialization per predicate across the session.
+
+    HEAP GATE: posting lists live in the unified memory region AND
+    their InMemoryRelation stats steer the planner toward broadcast
+    joins built on the driver — under a DEFAULT-sized (1 GiB) driver
+    JVM the combination fails the largest production query with "Not
+    enough memory to build and broadcast" (found by the r10 plain-
+    session sweep; every tuned session runs 16 GiB and never sees
+    it). Unset, the optimization engages only when the local JVM heap
+    is >= _HOT_MIN_HEAP_BYTES; SPARK_GRAFT_SPARQL_HOT_PREDS=1 forces
+    it on, =0 forces it off."""
     import os
 
-    if os.environ.get("SPARK_GRAFT_SPARQL_HOT_PREDS", "1") == "0":
+    knob = os.environ.get("SPARK_GRAFT_SPARQL_HOT_PREDS", "")
+    if knob == "0":
+        return {}
+    if knob != "1" and not _hot_heap_ok(quads.sparkSession):
         return {}
     hot = {
         p

@@ -1289,3 +1289,31 @@ def test_hot_posting_lists_differential(spark, monkeypatch):
     assert hot_rows == plain_rows
     assert not SQ._HOT_CACHE
     SQ.clear_plan_cache()
+
+
+def test_hot_posting_lists_heap_gate(spark, monkeypatch):
+    """Auto mode (env unset) engages posting lists only when the local
+    JVM heap clears _HOT_MIN_HEAP_BYTES — a default 1 GiB driver OOMs
+    building broadcasts next to persisted lists (r10 plain-session
+    sweep). =1 forces on regardless of heap; small heap + unset -> {}."""
+    quads = _quads(
+        spark,
+        [("e1", "urn:a", "Doc", None, "g"), ("e2", "urn:a", "Doc", None, "g")],
+    )
+    text = """CONSTRUCT { ?x <urn:o:x> ?y } WHERE {
+        ?x <urn:a> ?y . {} UNION { ?x <urn:a> "Doc" }
+        FILTER EXISTS { ?x <urn:a> ?y } }"""
+    monkeypatch.delenv("SPARK_GRAFT_SPARQL_HOT_PREDS", raising=False)
+    # tuned test session (16 GiB) passes the gate
+    assert SQ._hot_heap_ok(spark)
+    # simulate the driver's default-sized JVM
+    monkeypatch.setattr(SQ, "_hot_heap_ok", lambda _s: False)
+    SQ.clear_plan_cache()
+    SQ.construct_query(quads, text).collect()
+    assert not SQ._HOT_CACHE
+    # force-on overrides the heap gate
+    monkeypatch.setenv("SPARK_GRAFT_SPARQL_HOT_PREDS", "1")
+    SQ.clear_plan_cache()
+    SQ.construct_query(quads, text).collect()
+    assert len(SQ._HOT_CACHE) == 1
+    SQ.clear_plan_cache()
