@@ -1002,58 +1002,87 @@ def semantic_dedup(
     whose cosine to some LOWER-ranKED member is >= threshold — the
     released SemDeDup pseudocode's ``M[i] = max_{j<i} sim(i,j)`` rule.
 
-    Determinism for the oracle: the centroid is the vec_id-ordered
-    SEQUENTIAL fold of member vectors (cosine is scale-invariant, so
-    the unnormalized sum vector stands in for the mean — no division),
-    and every dot product is the same left fold — bit-for-bit equal to
-    DuckDB's list_reduce. The within-cluster pair join is quadratic in
-    CLUSTER size only — exactly the cost SemDeDup's clustering exists
-    to bound.
+    Determinism for the oracle: members NORMALIZE to unit vectors
+    first (one sequential dot fold + sqrt per member — SemDeDup
+    operates on normalized embeddings), the centroid is the
+    vec_id-ordered SEQUENTIAL fold of unit vectors, and every fold is
+    the same left fold — bit-for-bit equal to DuckDB's list_reduce.
+    The payoff of normalizing up front: each of the O(cluster²) pair
+    comparisons is ONE dot fold (higher-order array expressions are
+    interpreted, not codegen'd — the first draft's per-pair
+    cos = dot/(|a|·|b|) burned 3 folds + 2 sqrt per pair). The pair
+    join is quadratic in CLUSTER size only — exactly the cost
+    SemDeDup's clustering exists to bound — and the rank predicate
+    sits IN the join condition so pruned pairs never materialize
+    downstream. (Perf forensics at sf0.1: the first draft measured
+    26.9 s, of which the pair join was only ~1.6 s — the hot spot was
+    the centroid fold written in the same select as the explode,
+    re-evaluated once per exploded row = quadratic in cluster size;
+    see the centroid staging note below. A statically unrolled
+    64-term element_at dot was also tried and measured ~2.5x SLOWER
+    than the lambda fold — the interpreted fold beats a giant
+    expression tree here.)
 
     Returns (vec_id, label, cos_centroid, max_prior_cos, action).
     """
     from pyspark.sql import Window as W
-
-    members = emb.select(
-        F.col(id_col).alias("vid"),
-        F.col(label_col).alias("lbl"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
-    grp = members.groupBy("lbl").agg(
-        F.array_sort(F.collect_list(F.struct("vid", "v"))).alias("ms")
-    )
-    zero = F.transform(F.element_at("ms", 1)["v"], lambda _: F.lit(0.0))
-    cent = grp.select(
-        "lbl",
-        F.explode("ms").alias("m"),
-        F.aggregate(
-            "ms", zero, lambda acc, m: F.zip_with(acc, m["v"], lambda a, b: a + b)
-        ).alias("c"),
-    ).select("lbl", F.col("m.vid").alias("vid"), F.col("m.v").alias("v"), "c")
 
     def _dot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
         )
 
-    def _cos(a, b):
-        return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
-
-    ranked = cent.withColumn("cos_c", _cos(F.col("v"), F.col("c"))).withColumn(
+    raw = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    members = raw.select(
+        "vid", "lbl", F.transform("v", lambda x: x / norm).alias("u")
+    )
+    grp = members.groupBy("lbl").agg(
+        F.array_sort(F.collect_list(F.struct("vid", "u"))).alias("ms")
+    )
+    zero = F.transform(F.element_at("ms", 1)["u"], lambda _: F.lit(0.0))
+    # Centroids land in their OWN one-row-per-label frame, folded once
+    # per label and broadcast back onto the members: putting the fold
+    # in the same select as the explode re-evaluates it once per
+    # EXPLODED row — quadratic in cluster size (the ALTO staged-parse
+    # lesson; measured as the actual 11 s hot spot at sf0.1, not the
+    # pair join).
+    centroids = grp.select(
+        "lbl",
+        F.aggregate(
+            "ms", zero, lambda acc, m: F.zip_with(acc, m["u"], lambda a, b: a + b)
+        ).alias("c"),
+    )
+    cent = (
+        grp.select("lbl", F.explode("ms").alias("m"))
+        .select("lbl", F.col("m.vid").alias("vid"), F.col("m.u").alias("u"))
+        .join(F.broadcast(centroids), "lbl")
+    )
+    cos_c = _dot(F.col("u"), F.col("c")) / F.sqrt(_dot(F.col("c"), F.col("c")))
+    ranked = cent.withColumn("cos_c", cos_c).withColumn(
         "rank",
         F.row_number().over(
             W.partitionBy("lbl").orderBy(F.desc("cos_c"), F.asc("vid"))
         ),
     )
-    a = ranked.select("lbl", "vid", "v", "cos_c", "rank")
+    a = ranked.select("lbl", "vid", "u", "cos_c", "rank")
     b = ranked.select(
-        "lbl", F.col("rank").alias("prior_rank"), F.col("v").alias("pv")
+        F.col("lbl").alias("p_lbl"),
+        F.col("rank").alias("prior_rank"),
+        F.col("u").alias("pu"),
     )
     prior = (
-        a.join(b, ["lbl"])
-        .filter(F.col("prior_rank") < F.col("rank"))
+        a.join(
+            b,
+            (F.col("lbl") == F.col("p_lbl"))
+            & (F.col("prior_rank") < F.col("rank")),
+        )
         .groupBy("lbl", "vid", "cos_c", "rank")
-        .agg(F.max(_cos(F.col("v"), F.col("pv"))).alias("max_prior"))
+        .agg(F.max(_dot(F.col("u"), F.col("pu"))).alias("max_prior"))
     )
     out = a.join(
         prior.select("lbl", "vid", "max_prior"), ["lbl", "vid"], "left"

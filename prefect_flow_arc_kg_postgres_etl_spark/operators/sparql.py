@@ -1429,9 +1429,21 @@ class _Eval:
             if self.ws is not None and set(members) <= self.ws_preds:
                 q = self.ws
             q = q.filter(F.col("predicate").isin(members))
-        elif p in self.hot:
-            # hot predicate: the persisted posting list IS the
-            # predicate filter — no re-scan, no re-filter
+        elif (
+            p in self.hot
+            and t.s.startswith("?")
+            and isinstance(t.o, str)
+            and t.o.startswith("?")
+            and (t.graph is None or t.graph.startswith("?"))
+        ):
+            # hot predicate AND a fully-unbound pattern: the persisted
+            # posting list IS the predicate filter, and an unbound scan
+            # genuinely needs every row of it. Patterns with a bound
+            # subject/object/graph constant stay on the parquet scan —
+            # serving those from memory FORFEITS pushdown (an in-memory
+            # rescan reads the whole predicate slice where the parquet
+            # scan reads the matching row group slice), measured +32%
+            # wall on the 13-bound-object-branch issues query at sf0.1.
             q = self.hot[p]
         else:
             if self.ws is not None and p in self.ws_preds:
@@ -2516,11 +2528,19 @@ def _count_scan_predicates(g: "Group") -> dict[str, int]:
         for el in group.elements:
             kind = el[0]
             if kind == "triple":
-                p = el[1].p
+                t = el[1]
+                p = t.p
                 if (
                     isinstance(p, str)
                     and not p.startswith("?")
                     and "|" not in p
+                    # only FULLY-UNBOUND patterns are posting-list
+                    # consumers (pattern_scan's serving condition):
+                    # bound-constant scans keep parquet pushdown
+                    and t.s.startswith("?")
+                    and isinstance(t.o, str)
+                    and t.o.startswith("?")
+                    and (t.graph is None or t.graph.startswith("?"))
                 ):
                     counts[p] = counts.get(p, 0) + 1
             elif kind in ("optional", "group", "not_exists", "exists"):
@@ -2557,21 +2577,29 @@ def _hot_posting_lists(quads: DataFrame, g: "Group") -> dict[str, DataFrame]:
     predicate) so ALL queries over one store share one
     materialization per predicate across the session.
 
-    HEAP GATE: posting lists live in the unified memory region AND
-    their InMemoryRelation stats steer the planner toward broadcast
-    joins built on the driver — under a DEFAULT-sized (1 GiB) driver
-    JVM the combination fails the largest production query with "Not
-    enough memory to build and broadcast" (found by the r10 plain-
-    session sweep; every tuned session runs 16 GiB and never sees
-    it). Unset, the optimization engages only when the local JVM heap
-    is >= _HOT_MIN_HEAP_BYTES; SPARK_GRAFT_SPARQL_HOT_PREDS=1 forces
-    it on, =0 forces it off."""
+    OPT-IN (SPARK_GRAFT_SPARQL_HOT_PREDS=1): on warm LOCAL parquet the
+    in-memory re-reads measured net SLOWER than letting every branch
+    re-scan (sf0.1 issues query: 12.7 s hot vs 9.6 s plain — the
+    persisted slice loses pushdown/codegen economics that a local
+    page-cached parquet scan gets for free), so the default is OFF —
+    the same decision as the mixed-predicate working set above. The
+    win case is a COLD REMOTE store (S3/HDFS), where each of the ~17
+    avoided scan stages is a network round trip, plus scheduler
+    pressure at 1000 executors (44 vs 61 stages per query).
+
+    HEAP GATE (applies even when opted in): posting lists live in the
+    unified memory region AND their InMemoryRelation stats steer the
+    planner toward broadcast joins built on the driver — under a
+    DEFAULT-sized (1 GiB) driver JVM the combination fails the largest
+    production query with "Not enough memory to build and broadcast"
+    (found by the r10 plain-session sweep; tuned sessions run 16 GiB
+    and never see it). The opt-in engages only when the local JVM heap
+    is >= _HOT_MIN_HEAP_BYTES."""
     import os
 
-    knob = os.environ.get("SPARK_GRAFT_SPARQL_HOT_PREDS", "")
-    if knob == "0":
+    if os.environ.get("SPARK_GRAFT_SPARQL_HOT_PREDS", "") != "1":
         return {}
-    if knob != "1" and not _hot_heap_ok(quads.sparkSession):
+    if not _hot_heap_ok(quads.sparkSession):
         return {}
     hot = {
         p

@@ -2711,46 +2711,48 @@ _SEM_DOT = (
 )
 
 
-def _sem_cos(a: str, b: str) -> str:
-    return (
-        f"({_SEM_DOT.format(a=a, b=b)} / "
-        f"(sqrt({_SEM_DOT.format(a=a, b=a)}) * "
-        f"sqrt({_SEM_DOT.format(a=b, b=b)})))"
-    )
-
-
 DEDUP_SEMANTIC_ORACLE = f"""
 WITH corpus AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM ({_SEM_CORPUS_SQL})
 ),
+unit AS (
+  SELECT vec_id, label,
+         list_transform(v, x -> x / sqrt({_SEM_DOT.format(a="v", b="v")}))
+           AS u
+  FROM corpus
+),
 grp AS (
   SELECT label,
-         list(struct_pack(vid := vec_id, v := v) ORDER BY vec_id) AS ms
-  FROM corpus GROUP BY label
+         list(struct_pack(vid := vec_id, u := u) ORDER BY vec_id) AS ms
+  FROM unit GROUP BY label
 ),
 cent AS (
   SELECT label, ms,
          list_reduce(
-           list_transform(ms, m -> m.v),
+           list_transform(ms, m -> m.u),
            (a, b) -> list_transform(generate_series(1, len(a)),
                                     i -> a[i] + b[i])) AS c
   FROM grp
 ),
 mem AS (
-  SELECT label, m.vid AS vid, m.v AS v, c
+  SELECT label, m.vid AS vid, m.u AS u, c
   FROM cent, UNNEST(ms) AS t(m)
 ),
 ranked AS (
-  SELECT label, vid, v, c,
-         {_sem_cos("v", "c")} AS cos_c,
-         ROW_NUMBER() OVER (PARTITION BY label
-                            ORDER BY {_sem_cos("v", "c")} DESC, vid) AS rnk
+  SELECT label, vid, u, c,
+         {_SEM_DOT.format(a="u", b="c")}
+           / sqrt({_SEM_DOT.format(a="c", b="c")}) AS cos_c,
+         ROW_NUMBER() OVER (
+           PARTITION BY label
+           ORDER BY {_SEM_DOT.format(a="u", b="c")}
+                      / sqrt({_SEM_DOT.format(a="c", b="c")}) DESC,
+                    vid) AS rnk
   FROM mem
 ),
 prior AS (
-  SELECT a.label, a.vid, MAX({_sem_cos("a.v", "b.v")}) AS max_prior
+  SELECT a.label, a.vid, MAX({_SEM_DOT.format(a="a.u", b="b.u")}) AS max_prior
   FROM ranked a JOIN ranked b ON a.label = b.label AND b.rnk < a.rnk
   GROUP BY 1, 2
 )

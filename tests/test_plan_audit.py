@@ -758,33 +758,46 @@ def _physical_parquet_scans(plan: str) -> int:
     return total
 
 
-def test_issues_query_scan_budget(spark):
-    """The newspaper.sparql (issues) executed plan stays within its scan
-    budget: union-branch fusion + hot-predicate posting lists + the
-    accumulator checkpoints keep the 465-line / ~40-branch production
-    query at ~40 physical posting-list scans (r8: 207 -> 99 via
-    checkpoints; r9: 61 with fusion; r10: 40 physical + 4 hot-predicate
-    materializations with per-predicate caching — budget 50 so a
-    fusion/hot-list regression fails loudly before it lands in the
-    bench). Cached-relation re-reads are excluded: parquet is touched
-    once per hot predicate, not once per branch."""
+def _issues_first_execution_plan(spark):
+    """FRESH plan on its FIRST execution: executedPlan() of a
+    re-executed cached DataFrame reflects the latest adaptive
+    re-planning, where already-materialized lazy checkpoints change
+    how subtrees print (same 465-line query measured 61 scans on
+    first execution, 111 on a later one) — the budgets pin the plan
+    the bench and the driver actually pay for, the first one."""
     from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
     from prefect_flow_arc_kg_postgres_etl_spark.plans import kg
 
-    # Measure a FRESH plan on its FIRST execution: executedPlan() of a
-    # re-executed cached DataFrame reflects the latest adaptive
-    # re-planning, where already-materialized lazy checkpoints change
-    # how subtrees print (same 465-line query measured 61 scans on
-    # first execution, 111 on a later one) — the budget pins the plan
-    # the bench and the driver actually pay for, the first one.
     SQ.clear_plan_cache()
     df = kg.kg_construct_real_query_issues(spark, "/root/testdata/sf0.001")
     df.write.format("noop").mode("overwrite").save()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    scans = _physical_parquet_scans(plan)
-    # the hot posting lists actually engaged (rdf:type x13,
-    # schema:name x6, prefLabel x3, identifier x3 read from memory)
-    cached_reads = plan.count("InMemoryTableScan")
     SQ.clear_plan_cache()
+    return plan
+
+
+def test_issues_query_scan_budget(spark, monkeypatch):
+    """The newspaper.sparql (issues) executed plan stays within its scan
+    budget (r8: 207 -> 99 via accumulator checkpoints; r9: 61 with
+    union-branch fusion — budget 80 so a fusion regression fails loudly
+    before it lands in the bench)."""
+    monkeypatch.delenv("SPARK_GRAFT_SPARQL_HOT_PREDS", raising=False)
+    scans = _physical_parquet_scans(_issues_first_execution_plan(spark))
+    assert 0 < scans <= 80, scans
+
+
+def test_issues_query_scan_budget_hot_preds(spark, monkeypatch):
+    """OPT-IN hot-predicate posting lists (SPARK_GRAFT_SPARQL_HOT_PREDS
+    =1, the cold-remote-store / driver-pressure mode): fully-unbound
+    patterns over predicates scanned >= 3 times read per-predicate
+    persisted lists — the same query drops to ~44 physical scans + >= 5
+    in-memory re-reads (budget 50). Opt-in because on warm local
+    parquet the in-memory re-reads measured net SLOWER (sf0.1 issues:
+    12.7 s vs 9.6 s) — the win case is remote storage where each
+    avoided scan is a network round trip."""
+    monkeypatch.setenv("SPARK_GRAFT_SPARQL_HOT_PREDS", "1")
+    plan = _issues_first_execution_plan(spark)
+    scans = _physical_parquet_scans(plan)
+    cached_reads = plan.count("InMemoryTableScan")
     assert 0 < scans <= 50, scans
-    assert cached_reads >= 15, cached_reads
+    assert cached_reads >= 5, cached_reads

@@ -1236,8 +1236,9 @@ def test_hot_posting_lists_differential(spark, monkeypatch):
     branches, OPTIONALs and EXISTS groups) reads ONE persisted posting
     list instead of re-scanning the store — row-for-row identical to
     the plain path, shared across query texts on the same store, and
-    unpersisted by clear_plan_cache."""
-    monkeypatch.delenv("SPARK_GRAFT_SPARQL_HOT_PREDS", raising=False)
+    unpersisted by clear_plan_cache. Opt-in mode (=1, the cold-remote-
+    store path; default is OFF after the r10 sf0.1 wall measurement)."""
+    monkeypatch.setenv("SPARK_GRAFT_SPARQL_HOT_PREDS", "1")
     quads = _quads(
         spark,
         [
@@ -1250,19 +1251,22 @@ def test_hot_posting_lists_differential(spark, monkeypatch):
             ("e2", "urn:genre", "news", None, "g"),
         ],
     )
-    # urn:a scanned 3x (main + union branch + EXISTS), urn:name 2x
+    # urn:a scanned 3x FULLY UNBOUND (main + union branch + EXISTS);
+    # urn:name 2x; the bound-object "Doc"/"Serie" scans keep parquet
+    # pushdown and neither count toward nor read from the list
     text = """
-    CONSTRUCT { ?e <urn:o:n> ?n . ?e <urn:o:t> ?t . ?e <urn:o:g> ?g2 }
+    CONSTRUCT { ?e <urn:o:a> ?a . ?e <urn:o:t> ?t . ?e <urn:o:g> ?g2 }
     WHERE {
-      ?e <urn:a> "Doc" .
+      ?e <urn:a> ?a .
       OPTIONAL { ?e <urn:name> ?n }
       {} UNION {
-        ?e <urn:part> ?s . ?s <urn:a> "Serie" ; <urn:name> ?t .
+        ?e <urn:part> ?s . ?s <urn:a> ?t2 ; <urn:name> ?t .
       }
       UNION {
         ?e <urn:genre> ?g2 .
-        FILTER EXISTS { ?e <urn:a> "Doc" }
+        FILTER EXISTS { ?e <urn:a> ?a2 }
       }
+      FILTER (?a = "Doc" || ?a = "Serie")
     }
     """
     SQ.clear_plan_cache()
@@ -1276,7 +1280,7 @@ def test_hot_posting_lists_differential(spark, monkeypatch):
     SQ.construct_query(
         quads,
         """CONSTRUCT { ?x <urn:o:x> ?y } WHERE {
-             ?x <urn:a> ?y . {} UNION { ?x <urn:a> "Doc" }
+             ?x <urn:a> ?y . {} UNION { ?x <urn:a> ?y2 }
              FILTER EXISTS { ?x <urn:a> ?y } }""",
     ).collect()
     assert len(SQ._HOT_CACHE) == 1
@@ -1292,28 +1296,31 @@ def test_hot_posting_lists_differential(spark, monkeypatch):
 
 
 def test_hot_posting_lists_heap_gate(spark, monkeypatch):
-    """Auto mode (env unset) engages posting lists only when the local
-    JVM heap clears _HOT_MIN_HEAP_BYTES — a default 1 GiB driver OOMs
-    building broadcasts next to persisted lists (r10 plain-session
-    sweep). =1 forces on regardless of heap; small heap + unset -> {}."""
+    """Posting lists are OPT-IN (=1) and, even opted in, engage only
+    when the local JVM heap clears _HOT_MIN_HEAP_BYTES — a default
+    1 GiB driver OOMs building broadcasts next to persisted lists
+    (r10 plain-session sweep). Unset -> always off."""
     quads = _quads(
         spark,
         [("e1", "urn:a", "Doc", None, "g"), ("e2", "urn:a", "Doc", None, "g")],
     )
     text = """CONSTRUCT { ?x <urn:o:x> ?y } WHERE {
-        ?x <urn:a> ?y . {} UNION { ?x <urn:a> "Doc" }
+        ?x <urn:a> ?y . {} UNION { ?x <urn:a> ?y2 }
         FILTER EXISTS { ?x <urn:a> ?y } }"""
+    # default: off, regardless of heap
     monkeypatch.delenv("SPARK_GRAFT_SPARQL_HOT_PREDS", raising=False)
-    # tuned test session (16 GiB) passes the gate
-    assert SQ._hot_heap_ok(spark)
-    # simulate the driver's default-sized JVM
-    monkeypatch.setattr(SQ, "_hot_heap_ok", lambda _s: False)
+    assert SQ._hot_heap_ok(spark)  # tuned test session (16 GiB)
     SQ.clear_plan_cache()
     SQ.construct_query(quads, text).collect()
     assert not SQ._HOT_CACHE
-    # force-on overrides the heap gate
+    # opted in on a big heap: engages
     monkeypatch.setenv("SPARK_GRAFT_SPARQL_HOT_PREDS", "1")
     SQ.clear_plan_cache()
     SQ.construct_query(quads, text).collect()
     assert len(SQ._HOT_CACHE) == 1
+    # opted in on a simulated default-sized JVM: the gate refuses
+    monkeypatch.setattr(SQ, "_hot_heap_ok", lambda _s: False)
+    SQ.clear_plan_cache()
+    SQ.construct_query(quads, text).collect()
+    assert not SQ._HOT_CACHE
     SQ.clear_plan_cache()
