@@ -151,6 +151,7 @@ HEADLINE = [
     "dedup_substring",
     "dedup_paragraph",
     "dedup_semantic",
+    "dedup_semantic_lsh",
 ]
 
 

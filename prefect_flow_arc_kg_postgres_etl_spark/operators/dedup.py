@@ -988,6 +988,64 @@ def chunk_dedup(
     )
 
 
+def _u_dot(a, b):
+    """Sequential left-fold dot product — bit-for-bit equal to DuckDB's
+    list_reduce over the same operands (the oracle contract)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def _semantic_ranked(
+    emb: DataFrame, id_col: str, label_col: str, vec_col: str
+) -> DataFrame:
+    """SemDeDup's O(n) stage, shared by the exact and LSH tiers:
+    normalize members to unit vectors (one dot fold + sqrt each),
+    fold the vec_id-ordered centroid ONCE PER LABEL in its own
+    one-row-per-label frame (putting the fold in the same select as
+    the explode re-evaluates it once per exploded row — quadratic in
+    cluster size, the ALTO staged-parse lesson; measured as the actual
+    11 s hot spot at sf0.1, not the pair join), broadcast it back, and
+    rank members by cosine-to-centroid (desc, vid tiebreak).
+
+    Returns (lbl, vid, u, cos_c, rank)."""
+    from pyspark.sql import Window as W
+
+    raw = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    norm = F.sqrt(_u_dot(F.col("v"), F.col("v")))
+    members = raw.select(
+        "vid", "lbl", F.transform("v", lambda x: x / norm).alias("u")
+    )
+    grp = members.groupBy("lbl").agg(
+        F.array_sort(F.collect_list(F.struct("vid", "u"))).alias("ms")
+    )
+    zero = F.transform(F.element_at("ms", 1)["u"], lambda _: F.lit(0.0))
+    centroids = grp.select(
+        "lbl",
+        F.aggregate(
+            "ms", zero, lambda acc, m: F.zip_with(acc, m["u"], lambda a, b: a + b)
+        ).alias("c"),
+    )
+    cent = (
+        grp.select("lbl", F.explode("ms").alias("m"))
+        .select("lbl", F.col("m.vid").alias("vid"), F.col("m.u").alias("u"))
+        .join(F.broadcast(centroids), "lbl")
+    )
+    cos_c = _u_dot(F.col("u"), F.col("c")) / F.sqrt(
+        _u_dot(F.col("c"), F.col("c"))
+    )
+    return cent.withColumn("cos_c", cos_c).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("lbl").orderBy(F.desc("cos_c"), F.asc("vid"))
+        ),
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.99,
@@ -1025,50 +1083,7 @@ def semantic_dedup(
 
     Returns (vec_id, label, cos_centroid, max_prior_cos, action).
     """
-    from pyspark.sql import Window as W
-
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-        )
-
-    raw = emb.select(
-        F.col(id_col).alias("vid"),
-        F.col(label_col).alias("lbl"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
-    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    members = raw.select(
-        "vid", "lbl", F.transform("v", lambda x: x / norm).alias("u")
-    )
-    grp = members.groupBy("lbl").agg(
-        F.array_sort(F.collect_list(F.struct("vid", "u"))).alias("ms")
-    )
-    zero = F.transform(F.element_at("ms", 1)["u"], lambda _: F.lit(0.0))
-    # Centroids land in their OWN one-row-per-label frame, folded once
-    # per label and broadcast back onto the members: putting the fold
-    # in the same select as the explode re-evaluates it once per
-    # EXPLODED row — quadratic in cluster size (the ALTO staged-parse
-    # lesson; measured as the actual 11 s hot spot at sf0.1, not the
-    # pair join).
-    centroids = grp.select(
-        "lbl",
-        F.aggregate(
-            "ms", zero, lambda acc, m: F.zip_with(acc, m["u"], lambda a, b: a + b)
-        ).alias("c"),
-    )
-    cent = (
-        grp.select("lbl", F.explode("ms").alias("m"))
-        .select("lbl", F.col("m.vid").alias("vid"), F.col("m.u").alias("u"))
-        .join(F.broadcast(centroids), "lbl")
-    )
-    cos_c = _dot(F.col("u"), F.col("c")) / F.sqrt(_dot(F.col("c"), F.col("c")))
-    ranked = cent.withColumn("cos_c", cos_c).withColumn(
-        "rank",
-        F.row_number().over(
-            W.partitionBy("lbl").orderBy(F.desc("cos_c"), F.asc("vid"))
-        ),
-    )
+    ranked = _semantic_ranked(emb, id_col, label_col, vec_col)
     a = ranked.select("lbl", "vid", "u", "cos_c", "rank")
     b = ranked.select(
         F.col("lbl").alias("p_lbl"),
@@ -1082,7 +1097,7 @@ def semantic_dedup(
             & (F.col("prior_rank") < F.col("rank")),
         )
         .groupBy("lbl", "vid", "cos_c", "rank")
-        .agg(F.max(_dot(F.col("u"), F.col("pu"))).alias("max_prior"))
+        .agg(F.max(_u_dot(F.col("u"), F.col("pu"))).alias("max_prior"))
     )
     out = a.join(
         prior.select("lbl", "vid", "max_prior"), ["lbl", "vid"], "left"
@@ -1098,3 +1113,86 @@ def semantic_dedup(
         .alias("action"),
     )
     return out
+
+
+def semantic_dedup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    bands: int = 24,
+    planes_per_band: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """semantic_dedup's 100 TB path: the exact tier's within-cluster
+    pair join is O(cluster²) BY DESIGN (SemDeDup bounds it by raising
+    k with corpus size so clusters stay constant-sized) — the 25x
+    scale probe, which blows up MEMBERS under FIXED labels, measured
+    the resulting 625x pair growth as 145x wall. When cluster sizes
+    can't be re-bounded (fixed taxonomy labels, streaming clusters),
+    this tier caps pair fan-in with banded hyperplane LSH INSIDE each
+    cluster: candidates collide in (label, band, bucket), then verify
+    with the exact cosine. Per-band fan-in is |cluster|/2^r; a pair at
+    cosine 0.99 is missed with prob ~1.6e-7 and an exact duplicate
+    NEVER (identical sketches) — so on near-dup-by-construction
+    corpora the action column equals the exact tier's, which is this
+    operator's oracle (the dedup_embedding_lsh / lsh_verified_pairs
+    pattern). max_prior_cos is NOT emitted: its exact value ranges
+    over all pairs, which the candidate set deliberately does not.
+
+    Returns (vec_id, label, cos_centroid, action).
+    """
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.similarity import (
+        lsh_band_buckets,
+    )
+
+    ranked = _semantic_ranked(emb, id_col, label_col, vec_col)
+    buckets = lsh_band_buckets(
+        emb, bands, planes_per_band, dim, id_col, vec_col
+    ).localCheckpoint(eager=True)
+    lbls = emb.select(F.col(id_col).alias("id"), F.col(label_col).alias("lbl"))
+    buckets = buckets.join(lbls, "id")
+    left = buckets.select(F.col("id").alias("a"), "lbl", "band", "bucket")
+    right = buckets.select(F.col("id").alias("b"), "lbl", "band", "bucket")
+    cands = (
+        left.join(right, ["lbl", "band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("lbl", "a", "b")
+        .distinct()
+    )
+    ra = ranked.select(
+        "lbl",
+        F.col("vid").alias("a"),
+        F.col("u").alias("ua"),
+        F.col("rank").alias("rank_a"),
+    )
+    rb = ranked.select(
+        "lbl",
+        F.col("vid").alias("b"),
+        F.col("u").alias("ub"),
+        F.col("rank").alias("rank_b"),
+    )
+    verified = (
+        cands.join(ra, ["lbl", "a"])
+        .join(rb, ["lbl", "b"])
+        .filter(_u_dot(F.col("ua"), F.col("ub")) >= threshold)
+        .select(
+            "lbl",
+            # the HIGHER-ranked member of a verified pair is the drop
+            F.when(F.col("rank_a") > F.col("rank_b"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("vid"),
+        )
+        .distinct()
+    )
+    return ranked.join(
+        verified.withColumn("hit", F.lit(1)), ["lbl", "vid"], "left"
+    ).select(
+        F.col("vid").alias(id_col),
+        F.col("lbl").alias(label_col),
+        F.round("cos_c", 6).alias("cos_centroid"),
+        F.when(F.col("hit").isNotNull(), "drop").otherwise("keep").alias(
+            "action"
+        ),
+    )

@@ -2763,3 +2763,16 @@ SELECT r.vid AS vec_id, r.label,
             ELSE 'keep' END AS action
 FROM ranked r LEFT JOIN prior p ON p.label = r.label AND p.vid = r.vid
 """
+
+
+# ------------------------------------------------------------- D61b
+# semantic dedup, LSH-bucketed scale tier (shares the exact oracle's
+# action/centroid columns — the dedup_embedding_lsh pattern)
+def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.semantic_dedup_lsh(_sem_corpus(spark, sf_dir), _COS_T)
+
+
+DEDUP_SEMANTIC_LSH_ORACLE = f"""
+SELECT vec_id, label, cos_centroid, action
+FROM ({DEDUP_SEMANTIC_ORACLE})
+"""

@@ -126,6 +126,9 @@ _SPECS: dict[str, QuerySpec] = {
     "dedup_semantic": QuerySpec(
         pipeline.dedup_semantic, pipeline.DEDUP_SEMANTIC_ORACLE
     ),
+    "dedup_semantic_lsh": QuerySpec(
+        pipeline.dedup_semantic_lsh, pipeline.DEDUP_SEMANTIC_LSH_ORACLE
+    ),
     "ann_bruteforce_topk": QuerySpec(pipeline.ann_bruteforce_topk, pipeline.ANN_BRUTE_ORACLE),
     "text_language_id": QuerySpec(pipeline.text_language_id, pipeline.LANG_ID_ORACLE),
     "text_quality_score": QuerySpec(pipeline.text_quality_score, pipeline.QUALITY_ORACLE),
@@ -977,6 +980,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_substring",
     "dedup_paragraph",
     "dedup_semantic",
+    "dedup_semantic_lsh",
     # Store twins: registered late in r9, never driver-graded.
     "flow_reference_incremental_store",
     "flow_reference_deletes_store",
@@ -1026,7 +1030,6 @@ DRIVER_WINDOW: list[str] = [
     "merge_cdc_apply",
     "events_pivot_wide",
     "orders_cohort_retention",
-    "events_quantiles",
 ]
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

@@ -615,3 +615,35 @@ def test_semantic_dedup_drops_scaled_copies(spark):
     # is < tau.
     for r in kept:
         assert r.max_prior_cos is None or r.max_prior_cos < 0.99
+
+
+def test_semantic_dedup_lsh_matches_exact_tier(spark):
+    """The LSH-bucketed scale tier reproduces the exact tier's action
+    column on the near-dup-by-construction corpus (exact 2x-scaled
+    copies have IDENTICAL hyperplane sketches, so the dropping pairs
+    are always candidates), with identical centroid ranking."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_lsh,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    scaled = emb.select(
+        (F.col("vec_id") + 5000).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0).cast("float")).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(scaled)
+    exact = {
+        r.vec_id: (r.label, r.cos_centroid, r.action)
+        for r in semantic_dedup(corpus, 0.99).collect()
+    }
+    lsh = {
+        r.vec_id: (r.label, r.cos_centroid, r.action)
+        for r in semantic_dedup_lsh(corpus, 0.99).collect()
+    }
+    assert exact == lsh
