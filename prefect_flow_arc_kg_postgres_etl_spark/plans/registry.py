@@ -964,17 +964,21 @@ _SPECS: dict[str, QuerySpec] = {
 # closure paths (kg_path_text_closure) and the A72 subselect/HAVING/
 # blank-node text form (kg_select_subquery_text) — 47 for r8.
 DRIVER_WINDOW: list[str] = [
-    # r10 rotation: (a) the r10-new Turtle interchange entry, (b) the
+    # r10 rotation: (a) the FIVE r10-new entries (Turtle interchange +
+    # the span/chunk/semantic/semantic-LSH dedup wave — every entry
+    # registered this round grades this round, the r9 lesson), (b) the
     # two store-backed composed-cycle twins registered after the r9
     # window froze (the r9 verdict's named gap — zero oracle-backed
     # entries without a driver row once these grade), (c) re-grades of
     # the five entries whose machinery changed this round (the
     # worklist-scoped delete rebuild, the docs-cache/fingerprint
     # changes under A74/A77, the ledger they compose with), and
-    # (d) 42 re-grades of the oldest rows on the books (the remaining
+    # (d) 38 re-grades of the oldest rows on the books (the remaining
     # r5 rows and the oldest r6 rows — the SPARQL evaluator's numeric
     # dispatch and plan-cache keying changed this round, so
-    # filter-heavy and stream/dedup entries deserve a fresh grade).
+    # filter-heavy and stream/dedup entries deserve a fresh grade;
+    # q2/q9/q11/events_quantiles yielded their slots to the new wave —
+    # all four hold r6 driver rows and their machinery is untouched).
     # r10-new.
     "source_ttl_roundtrip",
     "dedup_substring",
