@@ -152,6 +152,7 @@ HEADLINE = [
     "dedup_paragraph",
     "dedup_semantic",
     "dedup_semantic_lsh",
+    "dedup_substring_incremental",
 ]
 
 

@@ -865,10 +865,30 @@ def span_dedup(
         per-doc aggregation (same partitioning, one exchange).
 
     Returns (doc_id, n_words, dup_words, dup_frac_e6, clean_text) with
-    exact-integer e6 fraction (floor), no float hash risk.
+    exact-integer e6 fraction (floor), no float hash risk. Documents
+    with ZERO tokens produce no output row (there are no positions to
+    aggregate — nothing to dedup); the oracle mirrors this, and the
+    contract is pinned in tests.
     """
-    w = window
     base = docs.select(F.col(id_col).alias("id"), _lc_words(text_col).alias("w"))
+    starts = _span_starts(base, window)
+    from pyspark.sql import Window as W
+
+    dup_starts = (
+        starts.withColumn(
+            "rn", F.row_number().over(W.partitionBy("key").orderBy("id", "s"))
+        )
+        .filter(F.col("rn") > 1)
+        .select("id", F.col("s").alias("p"), F.lit(1).alias("dup"))
+    )
+    return _span_coverage(base, dup_starts, window, id_col)
+
+
+def _span_starts(base: DataFrame, w: int) -> DataFrame:
+    """(id, s, key) shingle starts: key = two-seed xxhash64 struct over
+    the w-token slice (see span_dedup's collision note), built
+    scan-side — no per-shingle row before the explode, no joined gram
+    string ever materialized."""
     n = F.size("w")
     shingles = F.when(
         n >= w,
@@ -882,16 +902,18 @@ def span_dedup(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<h1:bigint,h2:bigint>>"))
-    starts = base.select("id", F.posexplode(shingles).alias("s", "key"))
+    return base.select("id", F.posexplode(shingles).alias("s", "key"))
+
+
+def _span_coverage(
+    base: DataFrame, dup_starts: DataFrame, w: int, id_col: str
+) -> DataFrame:
+    """Coverage + reassembly shared by the full and incremental span
+    tiers: a position is duplicated iff any duplicated start within the
+    trailing window covers it (sliding-window max whose doc-key
+    exchange is shared with the final aggregation)."""
     from pyspark.sql import Window as W
 
-    dup_starts = (
-        starts.withColumn(
-            "rn", F.row_number().over(W.partitionBy("key").orderBy("id", "s"))
-        )
-        .filter(F.col("rn") > 1)
-        .select("id", F.col("s").alias("p"), F.lit(1).alias("dup"))
-    )
     pos = base.select("id", F.posexplode("w").alias("p", "word"))
     cov = pos.join(dup_starts, ["id", "p"], "left").withColumn(
         "covered",
@@ -926,6 +948,71 @@ def span_dedup(
     )
 
 
+def span_shingle_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """The landed-corpus shingle index for incremental span dedup: the
+    DISTINCT two-seed shingle keys of the history. Built once at
+    landing (one key shuffle over history), then persisted/landed like
+    build_dedup_index's gram tables — the nightly batch never touches
+    history documents again. Returns (h1, h2)."""
+    base = docs.select(F.col(id_col).alias("id"), _lc_words(text_col).alias("w"))
+    return (
+        _span_starts(base, window)
+        .select(F.col("key.h1").alias("h1"), F.col("key.h2").alias("h2"))
+        .distinct()
+    )
+
+
+def span_dedup_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """span_dedup for an ARRIVING BATCH against a landed corpus, never
+    re-scanning history: a batch shingle start is duplicated iff its
+    key exists in the history ``index`` (span_shingle_index — ANY
+    history occurrence precedes the whole batch) OR an earlier
+    occurrence exists within the batch itself ((doc_id, start) order).
+    Output rows and semantics equal the FULL span_dedup over
+    history ∪ batch, filtered to batch documents, whenever batch ids
+    sort after history ids — the differential test and the registry
+    oracle both pin that equality.
+
+    Cost model at 100 TB: one key shuffle over the BATCH (row_number),
+    one join of batch starts against the index — the index side
+    shuffles at most once on the same key layout (or broadcast-prunes
+    when the batch key set is small enough to broadcast, which AQE
+    picks from actual sizes); history documents are never read.
+    """
+    base = new_docs.select(
+        F.col(id_col).alias("id"), _lc_words(text_col).alias("w")
+    )
+    starts = _span_starts(base, window)
+    from pyspark.sql import Window as W
+
+    flagged = starts.withColumn(
+        "rn", F.row_number().over(W.partitionBy("key").orderBy("id", "s"))
+    ).join(
+        index.select(
+            F.col("h1").alias("i_h1"),
+            F.col("h2").alias("i_h2"),
+            F.lit(1).alias("in_hist"),
+        ),
+        (F.col("key.h1") == F.col("i_h1")) & (F.col("key.h2") == F.col("i_h2")),
+        "left",
+    )
+    dup_starts = flagged.filter(
+        (F.col("rn") > 1) | F.col("in_hist").isNotNull()
+    ).select("id", F.col("s").alias("p"), F.lit(1).alias("dup"))
+    return _span_coverage(base, dup_starts, window, id_col)
+
+
 def chunk_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -946,7 +1033,8 @@ def chunk_dedup(
     along anyway for the reassembly, so the pair only replaces the key
     column, not the row).
 
-    Returns (doc_id, n_chunks, kept_chunks, clean_text).
+    Returns (doc_id, n_chunks, kept_chunks, clean_text); zero-token
+    documents produce no output row (span_dedup's contract).
     """
     c = chunk
     base = docs.select(F.col(id_col).alias("id"), _lc_words(text_col).alias("w"))
@@ -1082,6 +1170,9 @@ def semantic_dedup(
     expression tree here.)
 
     Returns (vec_id, label, cos_centroid, max_prior_cos, action).
+    Zero vectors are undefined input (a zero vector has no direction,
+    so SemDeDup's cosine geometry does not apply): normalization
+    propagates NaN for them, identically in both engines.
     """
     ranked = _semantic_ranked(emb, id_col, label_col, vec_col)
     a = ranked.select("lbl", "vid", "u", "cos_c", "rank")

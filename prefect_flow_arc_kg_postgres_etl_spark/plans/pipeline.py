@@ -2776,3 +2776,31 @@ DEDUP_SEMANTIC_LSH_ORACLE = f"""
 SELECT vec_id, label, cos_centroid, action
 FROM ({DEDUP_SEMANTIC_ORACLE})
 """
+
+
+# ------------------------------------------------------------- D62
+# incremental span dedup: the arriving batch against the landed
+# corpus's shingle index — history documents never re-read
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History = the landed documents table; batch = the exact + near
+    copies (ids offset ABOVE every history id, so the full-corpus
+    recompute and the incremental pass agree — the registry oracle is
+    exactly that equality: D59's full SQL filtered to batch ids)."""
+    hist = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = hist.select(
+        (F.col("doc_id") + _EXACT_OFF).alias("doc_id"), "text"
+    ).unionByName(
+        hist.select(
+            (F.col("doc_id") + _NEAR_OFF).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(_NEAR_SUFFIX)).alias("text"),
+        )
+    )
+    index = D.span_shingle_index(_spread(spark, hist), window=_SPAN_W)
+    return D.span_dedup_incremental(
+        _spread(spark, batch), index, window=_SPAN_W
+    )
+
+
+DEDUP_SUBSTRING_INCR_ORACLE = f"""
+SELECT * FROM ({DEDUP_SUBSTRING_ORACLE}) WHERE doc_id >= {_EXACT_OFF}
+"""

@@ -647,3 +647,47 @@ def test_semantic_dedup_lsh_matches_exact_tier(spark):
         for r in semantic_dedup_lsh(corpus, 0.99).collect()
     }
     assert exact == lsh
+
+
+def test_span_dedup_incremental_equals_full_recompute(spark):
+    """Incremental span dedup (batch vs landed shingle index) equals
+    the FULL recompute over history ∪ batch filtered to batch docs —
+    the nightly-ingest contract. Also pins the zero-token contract:
+    a 0-word doc yields no output row in either tier."""
+    from pyspark.sql import Row
+
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import (
+        span_dedup,
+        span_dedup_incremental,
+        span_shingle_index,
+    )
+
+    hist = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 30)
+    )
+    batch = hist.select((F.col("doc_id") + 1000).alias("doc_id"), "text").unionByName(
+        hist.select(
+            (F.col("doc_id") + 2000).alias("doc_id"),
+            F.concat("text", F.lit(" zz qq extra tail tokens")).alias("text"),
+        )
+    )
+    full = {
+        r.doc_id: (r.n_words, r.dup_words, r.dup_frac_e6, r.clean_text)
+        for r in span_dedup(hist.unionByName(batch)).collect()
+        if r.doc_id >= 1000
+    }
+    incr = {
+        r.doc_id: (r.n_words, r.dup_words, r.dup_frac_e6, r.clean_text)
+        for r in span_dedup_incremental(
+            batch, span_shingle_index(hist)
+        ).collect()
+    }
+    assert full == incr and len(incr) == 60
+
+    empty = spark.createDataFrame(
+        [Row(doc_id=9999, text="   ")], "doc_id bigint, text string"
+    )
+    assert span_dedup(empty).count() == 0
+    assert span_dedup_incremental(empty, span_shingle_index(hist)).count() == 0
