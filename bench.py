@@ -153,6 +153,7 @@ HEADLINE = [
     "dedup_semantic",
     "dedup_semantic_lsh",
     "dedup_substring_incremental",
+    "text_html_extract",
 ]
 
 

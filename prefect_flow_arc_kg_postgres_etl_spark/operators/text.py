@@ -547,3 +547,53 @@ def _bpe_iterate(
             .localCheckpoint()
         )
     return merges, cur
+
+
+def html_extract(
+    docs: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """HTML -> text extraction, the first stage of every web-corpus
+    pipeline (the trafilatura/jusText step, expressed as scan-side
+    regex transforms — zero UDFs, zero shuffles):
+
+      1. drop <script>/<style>/<header>/<head>/<nav>/<footer>/<aside>
+         BLOCKS (boilerplate chrome and the metadata head; <header>
+         strips BEFORE <head> so header blocks match their own rule —
+         non-greedy spans, RE2-compatible so the
+         DuckDB oracle runs the identical patterns; RE2 has no
+         backreferences or \\b, deliberately avoided),
+      2. lift the <title> text,
+      3. count links before tags are stripped,
+      4. strip remaining tags, decode the core entities
+         (&amp; &lt; &gt; &quot; &#39; &nbsp;), collapse whitespace.
+
+    Returns (doc_id, title, n_links, body_text).
+    """
+    h = F.col(html_col)
+    no_blocks = h
+    for tag in ("script", "style", "header", "head", "nav", "footer", "aside"):
+        no_blocks = F.regexp_replace(
+            no_blocks, f"(?s)<{tag}[^>]*>.*?</{tag}>", " "
+        )
+    stripped = F.regexp_replace(no_blocks, "<[^>]*>", " ")
+    for ent, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),  # last: earlier entities must not re-decode
+    ):
+        stripped = F.replace(stripped, F.lit(ent), F.lit(rep))
+    body = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        F.regexp_extract(h, "<title>([^<]*)</title>", 1).alias("title"),
+        F.size(F.split(h, "<a ")).cast("bigint").alias("n_anchors_plus1"),
+        body.alias("body_text"),
+    ).select(
+        id_col,
+        "title",
+        (F.col("n_anchors_plus1") - 1).alias("n_links"),
+        "body_text",
+    )

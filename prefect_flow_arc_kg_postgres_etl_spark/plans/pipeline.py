@@ -2804,3 +2804,77 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_SUBSTRING_INCR_ORACLE = f"""
 SELECT * FROM ({DEDUP_SUBSTRING_ORACLE}) WHERE doc_id >= {_EXACT_OFF}
 """
+
+
+# ------------------------------------------------------------- D63
+# HTML -> text extraction (the web-corpus ingest step). The harness
+# corpus is plain text, so the plan synthesizes a deterministic HTML
+# wrapper inline (the D7 BMP-synthesis precedent) — identically in the
+# Spark plan and the oracle — and the extraction must recover the
+# original text exactly (plus the anchor text), which makes the oracle
+# a round-trip proof, not a golden file.
+def _html_wrap_spark(docs: DataFrame) -> DataFrame:
+    marked = F.replace(F.col("text"), F.lit(" data "), F.lit(" <b>data</b> "))
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><nav>home | about | contact</nav>"),
+        F.lit("<script>var x = 1 &amp;&amp; 2;</script><p>"),
+        marked,
+        F.lit('</p><a href="https://example.org/'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('">more &amp; more</a><footer>(c) example corp</footer>'),
+        F.lit("</body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    return TX.html_extract(_html_wrap_spark(docs))
+
+
+TEXT_HTML_EXTRACT_ORACLE = """
+WITH wrapped AS (
+  SELECT doc_id,
+         '<html><head><title>doc ' || doc_id ||
+         '</title></head><body><nav>home | about | contact</nav>' ||
+         '<script>var x = 1 &amp;&amp; 2;</script><p>' ||
+         replace(text, ' data ', ' <b>data</b> ') ||
+         '</p><a href="https://example.org/' || (doc_id % 7) ||
+         '">more &amp; more</a><footer>(c) example corp</footer>' ||
+         '</body></html>' AS html
+  FROM documents
+),
+no_blocks AS (
+  SELECT doc_id, html,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html,
+                       '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<header[^>]*>.*?</header>', ' ', 'g'),
+                 '(?s)<head[^>]*>.*?</head>', ' ', 'g'),
+               '(?s)<nav[^>]*>.*?</nav>', ' ', 'g'),
+             '(?s)<footer[^>]*>.*?</footer>', ' ', 'g'),
+           '(?s)<aside[^>]*>.*?</aside>', ' ', 'g') AS nb
+  FROM wrapped
+),
+decoded AS (
+  SELECT doc_id, html,
+         replace(replace(replace(replace(replace(replace(
+           regexp_replace(nb, '<[^>]*>', ' ', 'g'),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS stripped
+  FROM no_blocks
+)
+SELECT doc_id,
+       regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+       CAST(len(string_split(html, '<a ')) - 1 AS BIGINT) AS n_links,
+       trim(regexp_replace(stripped, '\\s+', ' ', 'g')) AS body_text
+FROM decoded
+"""

@@ -133,6 +133,9 @@ _SPECS: dict[str, QuerySpec] = {
         pipeline.dedup_substring_incremental,
         pipeline.DEDUP_SUBSTRING_INCR_ORACLE,
     ),
+    "text_html_extract": QuerySpec(
+        pipeline.text_html_extract, pipeline.TEXT_HTML_EXTRACT_ORACLE
+    ),
     "ann_bruteforce_topk": QuerySpec(pipeline.ann_bruteforce_topk, pipeline.ANN_BRUTE_ORACLE),
     "text_language_id": QuerySpec(pipeline.text_language_id, pipeline.LANG_ID_ORACLE),
     "text_quality_score": QuerySpec(pipeline.text_quality_score, pipeline.QUALITY_ORACLE),
@@ -968,9 +971,9 @@ _SPECS: dict[str, QuerySpec] = {
 # closure paths (kg_path_text_closure) and the A72 subselect/HAVING/
 # blank-node text form (kg_select_subquery_text) — 47 for r8.
 DRIVER_WINDOW: list[str] = [
-    # r10 rotation: (a) the SIX r10-new entries (Turtle interchange +
+    # r10 rotation: (a) the SEVEN r10-new entries (Turtle interchange,
     # the span/chunk/semantic/semantic-LSH/incremental-span dedup
-    # wave — every entry
+    # wave, HTML extraction — every entry
     # registered this round grades this round, the r9 lesson), (b) the
     # two store-backed composed-cycle twins registered after the r9
     # window froze (the r9 verdict's named gap — zero oracle-backed
@@ -978,13 +981,13 @@ DRIVER_WINDOW: list[str] = [
     # the five entries whose machinery changed this round (the
     # worklist-scoped delete rebuild, the docs-cache/fingerprint
     # changes under A74/A77, the ledger they compose with), and
-    # (d) 37 re-grades of the oldest rows on the books (the remaining
+    # (d) 36 re-grades of the oldest rows on the books (the remaining
     # r5 rows and the oldest r6 rows — the SPARQL evaluator's numeric
     # dispatch and plan-cache keying changed this round, so
     # filter-heavy and stream/dedup entries deserve a fresh grade;
-    # q2/q9/q11/events_quantiles/orders_cohort_retention yielded
-    # their slots to the new wave — all five hold r6 driver rows and
-    # their machinery is untouched).
+    # q2/q9/q11/events_quantiles/orders_cohort_retention/
+    # events_pivot_wide yielded their slots to the new wave — all six
+    # hold r6 driver rows and their machinery is untouched).
     # r10-new.
     "source_ttl_roundtrip",
     "dedup_substring",
@@ -992,6 +995,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_semantic",
     "dedup_semantic_lsh",
     "dedup_substring_incremental",
+    "text_html_extract",
     # Store twins: registered late in r9, never driver-graded.
     "flow_reference_incremental_store",
     "flow_reference_deletes_store",
@@ -1039,7 +1043,6 @@ DRIVER_WINDOW: list[str] = [
     "targeted_delete_gdpr",
     "graph_pagerank",
     "merge_cdc_apply",
-    "events_pivot_wide",
 ]
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

@@ -365,3 +365,42 @@ def test_vocabulary_two_phase_equals_global(spark):
     fast = {tuple(r) for r in vocabulary(docs, 2, two_phase=False).collect()}
     twop = {tuple(r) for r in vocabulary(docs, 2, two_phase=True).collect()}
     assert fast == twop and fast
+
+
+def test_html_extract_roundtrip_and_boilerplate(spark):
+    """html_extract recovers the body text exactly (tags stripped,
+    entities decoded, whitespace collapsed), drops chrome BLOCKS
+    (script/style/nav/header/footer/aside) wholesale, lifts the title,
+    and counts anchors — hand-built payloads, not the synthesized
+    corpus, so each rule is attributable."""
+    from pyspark.sql import Row
+
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.text import html_extract
+
+    rows = [
+        Row(
+            doc_id=1,
+            html=(
+                "<html><head><title>T one</title>"
+                "<style>p { color: red; }</style></head>"
+                "<body><nav>a | b</nav><p>Hello   <b>bold</b> world</p>"
+                '<a href="x">l1</a> <a href="y">l2</a>'
+                "<script>if (a &lt; b) {}</script>"
+                "<footer>foot</footer></body></html>"
+            ),
+        ),
+        Row(
+            doc_id=2,
+            html="<p>Tom &amp; Jerry &lt;3 &quot;cheese&quot;&#39;s&nbsp;box</p>",
+        ),
+        Row(doc_id=3, html="no tags at all"),
+        Row(doc_id=4, html="<aside>chrome</aside><p></p>"),
+    ]
+    out = {r.doc_id: r for r in html_extract(spark.createDataFrame(rows)).collect()}
+    assert out[1].title == "T one"
+    assert out[1].n_links == 2
+    assert out[1].body_text == "Hello bold world l1 l2"
+    assert out[2].body_text == 'Tom & Jerry <3 "cheese"\'s box'
+    assert out[2].title == "" and out[2].n_links == 0
+    assert out[3].body_text == "no tags at all"
+    assert out[4].body_text == ""
