@@ -940,7 +940,11 @@ def _span_coverage(
             F.col("id").alias(id_col),
             "n_words",
             "dup_words",
-            F.floor(F.col("dup_words") * 1_000_000 / F.col("n_words"))
+            # Exact INTEGER division (bigint `div`), not floor(double
+            # division): products here stay far below 2^53, but the
+            # documented exact-integer-e6 contract should not depend on
+            # double precision at any magnitude.
+            F.expr("dup_words * 1000000 div n_words")
             .cast("bigint")
             .alias("dup_frac_e6"),
             "clean_text",
@@ -973,6 +977,7 @@ def span_dedup_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 8,
+    max_history_id=None,
 ) -> DataFrame:
     """span_dedup for an ARRIVING BATCH against a landed corpus, never
     re-scanning history: a batch shingle start is duplicated iff its
@@ -982,7 +987,13 @@ def span_dedup_incremental(
     Output rows and semantics equal the FULL span_dedup over
     history ∪ batch, filtered to batch documents, whenever batch ids
     sort after history ids — the differential test and the registry
-    oracle both pin that equality.
+    oracle both pin that equality. When batch ids interleave with
+    history ids the precondition is violated and results are UNDEFINED
+    (not merely different): pass ``max_history_id`` (e.g. recorded at
+    index-build time) to enforce it — the guard is wired into the plan
+    itself (raise_error on any batch id <= max_history_id), so an
+    overlapping-id call fails the job instead of silently returning
+    contract-violating rows; it costs one scan-side comparison.
 
     Cost model at 100 TB: one key shuffle over the BATCH (row_number),
     one join of batch starts against the index — the index side
@@ -993,6 +1004,23 @@ def span_dedup_incremental(
     base = new_docs.select(
         F.col(id_col).alias("id"), _lc_words(text_col).alias("w")
     )
+    if max_history_id is not None:
+        base = base.withColumn(
+            "id",
+            F.when(
+                F.col("id") <= F.lit(max_history_id),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "span_dedup_incremental: batch id <= "
+                            "max_history_id violates the "
+                            "ids-sort-after-history precondition: "
+                        ),
+                        F.col("id").cast("string"),
+                    )
+                ),
+            ).otherwise(F.col("id")),
+        )
     starts = _span_starts(base, window)
     from pyspark.sql import Window as W
 
@@ -1051,10 +1079,17 @@ def chunk_dedup(
 
     ranked = chunks.withColumn(
         "rn",
+        # The piece string itself rides along in the partition key: the
+        # two-seed hashes alone could (negligibly, but nonzero) collide
+        # across distinct chunks and silently merge them, while the
+        # oracle partitions by the piece string. Including the column —
+        # already in the row, so no extra data movement — makes the
+        # rank collision-proof and exactly PARTITION BY piece.
         F.row_number().over(
             W.partitionBy(
                 F.xxhash64("piece"),
                 F.xxhash64(F.lit(-7046029254386353131), F.col("piece")),
+                F.col("piece"),
             ).orderBy("id", "ci")
         ),
     ).withColumn("keep", (F.col("rn") == 1).cast("int"))

@@ -2772,6 +2772,15 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.semantic_dedup_lsh(_sem_corpus(spark, sf_dir), _COS_T)
 
 
+# ORACLE VALIDITY CAVEAT: this oracle is the EXACT tier's output
+# projected, so LSH-tier equality is guaranteed only because
+# _sem_corpus's near-dups are exact 2x scalings — identical unit
+# vectors, hence identical hyperplane sketches, hence recall is
+# deterministically 1.0 (not probabilistically ~1-1.6e-7 as it would
+# be for a genuinely-near non-identical >=0.99 pair). If _sem_corpus
+# ever grows non-identical near pairs, this oracle becomes flaky —
+# tests/test_dedup.py::test_sem_corpus_near_dups_are_exact_scalings
+# asserts the corpus construction so that change cannot land silently.
 DEDUP_SEMANTIC_LSH_ORACLE = f"""
 SELECT vec_id, label, cos_centroid, action
 FROM ({DEDUP_SEMANTIC_ORACLE})

@@ -691,3 +691,67 @@ def test_span_dedup_incremental_equals_full_recompute(spark):
     )
     assert span_dedup(empty).count() == 0
     assert span_dedup_incremental(empty, span_shingle_index(hist)).count() == 0
+
+
+def test_sem_corpus_near_dups_are_exact_scalings(spark):
+    """DEDUP_SEMANTIC_LSH_ORACLE (the exact tier's output projected) is
+    valid ONLY while _sem_corpus's near-dups are exact scalings of the
+    originals: identical unit vectors => identical hyperplane sketches
+    => LSH recall deterministically 1.0. This pins that corpus
+    construction so a future non-identical near pair (which would make
+    the oracle probabilistically flaky, ~1.6e-7 miss per pair) cannot
+    land without tripping a test."""
+    from prefect_flow_arc_kg_postgres_etl_spark.plans.pipeline import (
+        _VEC_OFF,
+        _sem_corpus,
+    )
+
+    corpus = _sem_corpus(spark, SF_SMOKE)
+    base = corpus.filter(F.col("vec_id") < _VEC_OFF).select(
+        "vec_id", F.col("embedding").alias("e_base")
+    )
+    scaled = corpus.filter(F.col("vec_id") >= _VEC_OFF).select(
+        (F.col("vec_id") - _VEC_OFF).alias("vec_id"),
+        F.col("embedding").alias("e_scaled"),
+    )
+    joined = base.join(scaled, "vec_id")
+    n = joined.count()
+    assert n > 0
+    exact = joined.filter(
+        F.forall(
+            F.zip_with(
+                "e_base",
+                "e_scaled",
+                lambda a, b: b == (a * F.lit(2.0).cast("float")).cast("float"),
+            ),
+            lambda ok: ok,
+        )
+    ).count()
+    assert exact == n
+
+
+def test_span_dedup_incremental_overlap_guard(spark):
+    """With max_history_id supplied, a batch id at or below it fails
+    the job (plan-side raise_error) instead of silently returning
+    precondition-violating rows; ids strictly above pass."""
+    import pytest as _pytest
+
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import (
+        span_dedup_incremental,
+        span_shingle_index,
+    )
+
+    hist = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 10)
+    )
+    idx = span_shingle_index(hist)
+    ok_batch = hist.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    out = span_dedup_incremental(ok_batch, idx, max_history_id=9)
+    assert out.count() == 10
+
+    bad_batch = hist  # ids overlap the history range
+    with _pytest.raises(Exception) as ei:
+        span_dedup_incremental(bad_batch, idx, max_history_id=9).collect()
+    assert "max_history_id" in str(ei.value)
