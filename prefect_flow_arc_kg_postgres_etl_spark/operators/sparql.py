@@ -81,6 +81,7 @@ subselect projection, lang tags surviving subselect projection
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 from typing import Any
@@ -975,6 +976,20 @@ def _expand_path_triple(t: Triple) -> list[list[Triple]]:
     raise ValueError(f"unsupported path {p!r}")
 
 
+def _path_expandable(p) -> bool:
+    """True when a tuple path is built ONLY of plain IRIs under
+    seq/alt/inv — the shapes _expand_path_triple rewrites without a
+    closure (closures and NPS need their own machinery)."""
+    if isinstance(p, str):
+        return not p.startswith("?")
+    if isinstance(p, tuple):
+        if p[0] == "inv":
+            return _path_expandable(p[1])
+        if p[0] in ("seq", "alt"):
+            return all(_path_expandable(q) for q in p[1])
+    return False
+
+
 def _value_cols(df: DataFrame) -> list[str]:
     return [c for c in df.columns if not c.endswith("__lang")]
 
@@ -1527,6 +1542,191 @@ class _Eval:
             cols |= self._triple_vars(pick)
         return ordered
 
+    def _star_ok(self, t: Triple) -> bool:
+        """Star-fusion eligibility of one triple: subject variable,
+        constant plain/alternation predicate, no self-reference, no
+        variable-graph collision, and not a hot-posting-list read (the
+        opt-in cold-store mode must keep hitting its persisted
+        per-predicate slice)."""
+        return (
+            isinstance(t.p, str)
+            and not t.p.startswith("?")
+            and t.s.startswith("?")
+            and t.s != t.o
+            and not (
+                t.graph is not None
+                and t.graph.startswith("?")
+                and t.graph in (t.s, t.o)
+            )
+            and not (
+                t.p in self.hot
+                and t.o.startswith("?")
+                and (t.graph is None or t.graph.startswith("?"))
+            )
+        )
+
+    def _star_groups(
+        self, triples: list[Triple], keep_single: "frozenset | set" = frozenset()
+    ) -> tuple[list[tuple[tuple, list[Triple]]], list[Triple]]:
+        """Partition a BGP into star-fusable groups and the rest. A
+        star = >= 2 triples sharing one SUBJECT VARIABLE and one graph
+        scope whose predicates are constants (plain IRIs or all-plain
+        alternations — the shapes pattern_scan serves with a predicate
+        equality / IN filter). Excluded per triple: self-referential
+        patterns (?x p ?x), an object variable already bound by an
+        earlier star member (the repeat enforces EQUALITY, which the
+        pivot does not), and object/subject variables colliding with a
+        variable graph position. Excluded entirely: hot-posting-list
+        predicates on fully-unbound patterns (opt-in cold-store mode —
+        those reads must keep hitting the persisted per-predicate
+        slice, not re-scan parquet)."""
+        groups: dict[tuple, list[Triple]] = {}
+        rest: list[Triple] = []
+        seen_ovars: dict[tuple, set[str]] = {}
+        for t in triples:
+            ok = self._star_ok(t)
+            key = (t.s, t.graph)
+            if ok and t.o.startswith("?"):
+                ovars = seen_ovars.setdefault(key, set())
+                if t.o in ovars:
+                    ok = False
+                else:
+                    ovars.add(t.o)
+            if ok:
+                groups.setdefault(key, []).append(t)
+            else:
+                rest.append(t)
+        import os as _os
+
+        min_star = int(_os.environ.get("SPARK_GRAFT_STAR_MIN", "2"))
+        stars: list[tuple[tuple, list[Triple]]] = []
+        for key, ts in groups.items():
+            if len(ts) >= min_star or key in keep_single:
+                stars.append((key, ts))
+            else:
+                rest.extend(ts)
+        return stars, rest
+
+    def _star_scan(
+        self,
+        key: tuple,
+        ts: list[Triple],
+        opt_ts: "list[Triple] | tuple" = (),
+    ) -> tuple[DataFrame, set[str]]:
+        """Property-table star fusion (the classic RDF property-table
+        layout, applied per-BGP): n constant-predicate triples sharing
+        one subject variable read as ONE ``predicate IN (p1..pn)``
+        scan + ONE groupBy(subject) pivot, replacing n scans and n-1
+        subject-key self-joins. Bag semantics are EXACT: per subject
+        the self-join result is the cross product of each triple's
+        match multiset; the pivot collects each triple's matches into
+        its own array (guarded by that triple's predicate/object/lang
+        tests, exactly pattern_scan's filters) and re-expands with one
+        explode per triple — the same cross product with the same
+        multiplicities, langs carried inside the collected structs.
+        The inner-star requirement (every triple matches >= 1 row) is
+        a size() filter before the explodes, so non-qualifying
+        subjects never expand. Cost at 100 TB: one scan of the fused
+        predicate slice + one subject exchange instead of n scans and
+        n join exchanges — the scan-stage count (driver/scheduler
+        pressure at 1000 executors) drops by n-1 per star. Memory: the
+        collected arrays are bounded by per-entity property fan-out
+        (the data model's functional-ish predicates), the standard
+        property-table tradeoff.
+
+        ``opt_ts`` carries OPTIONAL star members — single-triple
+        OPTIONAL groups on the same subject (``OPTIONAL { ?s p ?v }``).
+        An optional member collects like a required one but takes NO
+        size() filter and re-expands with explode_OUTER: per subject
+        exactly k rows when k rows match, one all-null row when none
+        do — the left join's multiplicity, fused into the same single
+        scan. Its variables are NOT in the returned bound set, so
+        downstream joins treat them compatible-binding, as a left join
+        would. organization.sparql's 8 single-triple OPTIONALs on
+        ?org collapse from 8 scans + 8 left joins into this one scan.
+
+        Returns (frame, bound vars)."""
+        svar, graph = key
+        ts = list(ts) + list(opt_ts)
+        n_req = len(ts) - len(opt_ts)
+        members = [t.p.split("|") if "|" in t.p else [t.p] for t in ts]
+        all_preds = sorted({m for ms in members for m in ms})
+        base = (
+            self.ws
+            if self.ws is not None and set(all_preds) <= self.ws_preds
+            else self.quads
+        )
+        gcols = ["subject"]
+        out_gvar: str | None = None
+        q = base
+        if graph is None:
+            if self.datasets:
+                q = q.filter(F.col("graph").isin(self.datasets))
+        elif graph.startswith("?"):
+            self.small_vars.add(graph[1:])
+            out_gvar = graph[1:]
+            gcols.append("graph")
+        else:
+            q = q.filter(F.col("graph") == graph)
+        conds: list[Column] = []
+        aggs: list[Column] = []
+        for i, t in enumerate(ts):
+            cond = (
+                F.col("predicate").isin(members[i])
+                if len(members[i]) > 1
+                else (F.col("predicate") == members[i][0])
+            )
+            if t.o.startswith("?"):
+                payload: Column = F.struct(
+                    F.col("object").alias("o"), F.col("lang").alias("l")
+                )
+            else:
+                if _is_lit(t.o):
+                    value, lang = _lit_parts(t.o)
+                    cond = cond & (F.col("object") == value)
+                    if lang is not None:
+                        cond = cond & (F.col("lang") == lang)
+                else:
+                    cond = cond & (F.col("object") == t.o)
+                payload = F.lit(True)
+            conds.append(cond)
+            aggs.append(
+                F.collect_list(F.when(cond, payload)).alias(f"__st{i}")
+            )
+        # The scan filter is the DISJUNCTION of the members' full
+        # conditions, NOT a bare predicate IN: a const-object member
+        # (``?x a <Class>``) keeps its object equality IN the pushed
+        # filter, so parquet row-group pruning still applies per
+        # member — a bare IN would drag the entire rdf:type slice
+        # through the shuffle (measured 2.4x wall on the issues query).
+        scan_cond = conds[0]
+        for c in conds[1:]:
+            scan_cond = scan_cond | c
+        q = q.filter(scan_cond)
+        df = q.groupBy(*gcols).agg(*aggs)
+        for i in range(n_req):
+            df = df.filter(F.size(f"__st{i}") >= 1)
+        for i in range(len(ts)):
+            gen = F.explode if i < n_req else F.explode_outer
+            df = df.select("*", gen(f"__st{i}").alias(f"__sx{i}")).drop(
+                f"__st{i}"
+            )
+        sel: list[Column] = [F.col("subject").alias(svar[1:])]
+        bound = {svar[1:]}
+        if out_gvar is not None:
+            sel.append(F.col("graph").alias(out_gvar))
+            bound.add(out_gvar)
+        for i, t in enumerate(ts):
+            if t.o.startswith("?"):
+                sel.append(F.col(f"__sx{i}.o").alias(t.o[1:]))
+                sel.append(F.col(f"__sx{i}.l").alias(t.o[1:] + "__lang"))
+                if i < n_req:
+                    bound.add(t.o[1:])
+        out = df.select(*sel)
+        if os.environ.get("SPARK_GRAFT_STAR_CKPT", "1") != "0":
+            out = _truncate_lineage(out)
+        return out, bound
+
     def _fuse_union_branches(
         self, groups: list["Group"], acc: DataFrame | None
     ) -> tuple[list[tuple[DataFrame, set]], list["Group"]]:
@@ -1793,6 +1993,7 @@ class _Eval:
         triples: list[Triple],
         acc: DataFrame | None,
         acc_cb: set[str] | None = None,
+        opt_triples: "list[Triple] | None" = None,
     ) -> DataFrame:
         # Scans certainly bind their variables, so scan-to-scan joins
         # stay pure equi-joins; only the join against the accumulator
@@ -1807,7 +2008,56 @@ class _Eval:
                 c for c in _value_cols(df_acc) if c not in acc_cb
             }
 
-        for t in self._order_triples(triples, acc):
+        import os as _os
+
+        star_on = (
+            _os.environ.get("SPARK_GRAFT_SPARQL_STAR_FUSION", "1") != "0"
+        )
+        star_units: list[tuple[DataFrame, set[str]]] = []
+        rest = triples
+        had_internal = False
+        opt_triples = opt_triples or []
+        if star_on and (len(triples) >= 2 or opt_triples):
+            # Pre-expand SINGLE-alternative property paths (a seq chain,
+            # an all-plain alternation, an inverse of either) into their
+            # plain conjunction triples so the pieces can join stars —
+            # `?file premis:storedAt ?x . ?x rdf:value ?v` contributes
+            # its head to the ?file star instead of a standalone scan.
+            # Multi-alternative paths (union-of-rewrites + distinct) and
+            # closures keep the per-triple path machinery.
+            expanded: list[Triple] = []
+            exp_on = (
+                _os.environ.get("SPARK_GRAFT_STAR_EXPAND", "1") != "0"
+            )
+            for t in triples:
+                if exp_on and isinstance(t.p, tuple) and _path_expandable(t.p):
+                    alts = _expand_path_triple(t)
+                    if len(alts) == 1:
+                        expanded.extend(alts[0])
+                        had_internal = had_internal or any(
+                            pat.o.startswith("?__sq") or pat.s.startswith("?__sq")
+                            for pat in alts[0]
+                        )
+                        continue
+                expanded.append(t)
+            opts_by_key: dict[tuple, list[Triple]] = {}
+            for t in opt_triples:
+                opts_by_key.setdefault((t.s, t.graph), []).append(t)
+            groups, rest = self._star_groups(
+                expanded, keep_single=set(opts_by_key)
+            )
+            # eval_group defers an optional only when an eligible
+            # required triple with its (subject, graph) key is pending,
+            # so every optional finds its star here.
+            assert all(
+                k in {g[0] for g in groups} for k in opts_by_key
+            ), "optional star member without a star"
+            star_units = [
+                self._star_scan(k, ts, opts_by_key.get(k, ()))
+                for k, ts in groups
+            ]
+
+        def eval_one(t: Triple) -> tuple[DataFrame, set[str]]:
             p = t.p
             if (
                 isinstance(p, tuple)
@@ -1818,15 +2068,7 @@ class _Eval:
                 t = Triple(t.o, p[1], t.s, t.graph)
                 p = t.p
             if isinstance(p, tuple) and p[0] in self._CLOSURE_KINDS:
-                part = self._closure_scan(t)
-                acc = (
-                    part
-                    if acc is None
-                    else _join(acc, part, compat=acc_compat(acc))
-                )
-                if acc_cb is not None:
-                    acc_cb |= _path_endpoint_vars(t)
-                continue
+                return self._closure_scan(t), _path_endpoint_vars(t)
             alts = _expand_path_triple(t)
             parts: list[DataFrame] = []
             for alt in alts:
@@ -1835,8 +2077,16 @@ class _Eval:
                     scan = self.pattern_scan(pat)
                     part = scan if part is None else _join(part, scan)
                 assert part is not None
+                # drop only vars THIS expansion introduced — a triple
+                # spliced from pre-expansion has a __sq var as its OWN
+                # endpoint (the seq chain's join key), which must stay
+                ends = {v[1:] for v in (t.s, t.o) if v.startswith("?")}
                 internal = [
-                    c for c in part.columns if c.startswith("__sq")
+                    c
+                    for c in part.columns
+                    if c.startswith("__sq")
+                    and c not in ends
+                    and not (c.endswith("__lang") and c[:-6] in ends)
                 ]
                 if internal:
                     part = part.drop(*internal)
@@ -1846,9 +2096,57 @@ class _Eval:
                 df = df.unionByName(extra, allowMissingColumns=True)
             if len(parts) > 1:
                 df = df.distinct()
-            acc = df if acc is None else _join(acc, df, compat=acc_compat(acc))
+            return df, _path_endpoint_vars(t)
+
+        # Unified greedy fold over star frames and leftover triples —
+        # the same heuristic _order_triples applied per-triple: prefer
+        # a unit sharing a HIGH-cardinality variable (not VALUES-bound
+        # or GRAPH-position) with what is already bound, fall back to
+        # any shared variable, then to listed order. Star frames link
+        # on their subject/object entity variables like any scan.
+        for t in rest:
+            if t.graph is not None and t.graph.startswith("?"):
+                self.small_vars.add(t.graph[1:])
+        pending: list[tuple] = [
+            ("star", frame, vars_) for frame, vars_ in star_units
+        ]
+        for t in rest:
+            gv = (
+                {t.graph[1:]}
+                if (t.graph is not None and t.graph.startswith("?"))
+                else set()
+            )
+            pending.append(("triple", t, self._triple_vars(t) | gv))
+        cols: set[str] = set(_value_cols(acc)) if acc is not None else set()
+        while pending:
+            pick = None
+            if cols:
+                for u in pending:
+                    if (u[2] & cols) - self.small_vars:
+                        pick = u
+                        break
+                if pick is None:
+                    for u in pending:
+                        if u[2] & cols:
+                            pick = u
+                            break
+            if pick is None:
+                pick = pending[0]
+            pending.remove(pick)
+            if pick[0] == "star":
+                df, bound = pick[1], pick[2]
+            else:
+                df, bound = eval_one(pick[1])
+            acc = (
+                df if acc is None else _join(acc, df, compat=acc_compat(acc))
+            )
             if acc_cb is not None:
-                acc_cb |= _path_endpoint_vars(t)
+                acc_cb |= bound
+            cols |= pick[2]
+        if had_internal and acc is not None:
+            internal = [c for c in acc.columns if c.startswith("__sq")]
+            if internal:
+                acc = acc.drop(*internal)
         return acc  # type: ignore[return-value]
 
     # Elements folded into the accumulator between lineage truncations.
@@ -1889,20 +2187,83 @@ class _Eval:
             shared = set(_value_cols(acc)) & set(_value_cols(b_df))
             return {c for c in shared if c not in cb or c not in b_cb}
 
+        import os as _os
+
+        star_on = (
+            _os.environ.get("SPARK_GRAFT_SPARQL_STAR_FUSION", "1") != "0"
+        )
+        pending_optionals: list[Triple] = []
+
         def flush_triples():
-            nonlocal acc, pending_triples
+            nonlocal acc, pending_triples, pending_optionals
             if pending_triples:
                 acc = truncate(
-                    self.eval_triples(pending_triples, acc, acc_cb=cb),
-                    n=len(pending_triples),
+                    self.eval_triples(
+                        pending_triples,
+                        acc,
+                        acc_cb=cb,
+                        opt_triples=pending_optionals,
+                    ),
+                    n=len(pending_triples) + len(pending_optionals),
                 )
                 pending_triples = []
+                pending_optionals = []
+
+        def _optional_star_member(og: "Group") -> Triple | None:
+            """A single-triple OPTIONAL group attachable as an optional
+            star member (see _star_scan): same (subject var, graph
+            scope) as an eligible PENDING required triple, and a fresh
+            variable object — any name reuse (already in the
+            accumulator, certainly-bound, or used by a pending triple
+            or optional) falls back to the per-group left join, which
+            owns compatible-binding semantics for rebound variables."""
+            if (
+                not star_on
+                or _os.environ.get("SPARK_GRAFT_STAR_OPT", "1") == "0"
+                or len(og.elements) != 1
+                or og.elements[0][0] != "triple"
+            ):
+                return None
+            t = og.elements[0][1]
+            if not (
+                self._star_ok(t)
+                and isinstance(t.o, str)
+                and t.o.startswith("?")
+            ):
+                return None
+            var = t.o[1:]
+            used: set[str] = set(cb)
+            if acc is not None:
+                used |= set(_value_cols(acc))
+            for pt in pending_triples:
+                used |= self._triple_vars(pt)
+            for pt in pending_optionals:
+                used |= self._triple_vars(pt)
+            if var in used:
+                return None
+            anchored = any(
+                self._star_ok(pt) and pt.s == t.s and pt.graph == t.graph
+                for pt in pending_triples
+            )
+            return t if anchored else None
 
         for el in g.elements:
             kind = el[0]
             if kind == "triple":
+                if pending_optionals:
+                    ov = {t.o[1:] for t in pending_optionals}
+                    if self._triple_vars(el[1]) & ov:
+                        # the new triple re-binds a deferred optional's
+                        # variable: flush (star + optionals) first so
+                        # the rebind takes the compat-join path
+                        flush_triples()
                 pending_triples.append(el[1])
                 continue
+            if kind == "optional":
+                member = _optional_star_member(el[1])
+                if member is not None:
+                    pending_optionals.append(member)
+                    continue
             flush_triples()
             if kind == "optional":
                 opt = self.eval_group(el[1], None)

@@ -1324,3 +1324,145 @@ def test_hot_posting_lists_heap_gate(spark, monkeypatch):
     SQ.construct_query(quads, text).collect()
     assert not SQ._HOT_CACHE
     SQ.clear_plan_cache()
+
+
+def test_star_fusion_differential(spark, monkeypatch):
+    """Property-table STAR fusion (same-subject constant-predicate
+    triples -> one predicate-IN scan + one subject pivot, r11) must be
+    row-for-row identical to the per-triple join path on the shapes
+    that exercise its semantics: multi-valued predicates (bag CROSS
+    PRODUCT per subject), a const-object member, an all-plain
+    alternation member, a seq chain whose head joins the star (the
+    pre-expansion path — its internal var is the join key and must
+    survive), a variable GRAPH position, and single-triple OPTIONALs
+    attached as optional star members (explode_outer = left-join
+    multiplicity including the all-null row for a no-match subject)."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    quads = _quads(
+        spark,
+        [
+            # e1: 2 names x 2 genres -> 4-row cross product
+            ("e1", "urn:a", "Doc", None, "g1"),
+            ("e1", "urn:name", "n1", None, "g1"),
+            ("e1", "urn:name", "n2", "nl", "g1"),
+            ("e1", "urn:genre", "ga", None, "g1"),
+            ("e1", "urn:genre", "gb", None, "g1"),
+            # alternation member: one hit via :alt1, one via :alt2
+            ("e1", "urn:alt1", "x1", None, "g1"),
+            ("e1", "urn:alt2", "x2", None, "g1"),
+            # seq chain: e1 -> s1 -> value
+            ("e1", "urn:stored", "s1", None, "g1"),
+            ("s1", "urn:val", "v1", None, "g1"),
+            # optional member: two hits on e1
+            ("e1", "urn:note", "o1", None, "g1"),
+            ("e1", "urn:note", "o2", None, "g1"),
+            # e2: qualifies, but no optional match and one of each
+            ("e2", "urn:a", "Doc", None, "g2"),
+            ("e2", "urn:name", "m1", None, "g2"),
+            ("e2", "urn:genre", "gc", None, "g2"),
+            ("e2", "urn:alt1", "y1", None, "g2"),
+            ("e2", "urn:stored", "s2", None, "g2"),
+            ("s2", "urn:val", "v2", None, "g2"),
+            # e3: misses the required :genre -> excluded entirely
+            ("e3", "urn:a", "Doc", None, "g1"),
+            ("e3", "urn:name", "z1", None, "g1"),
+        ],
+    )
+    text = """
+    PREFIX : <urn:>
+    CONSTRUCT {
+      ?e :name ?n. ?e :genre ?g. ?e :alt ?x.
+      ?e :stored_val ?v. ?e :note ?o. ?e :gr ?gr.
+    }
+    WHERE {
+      GRAPH ?gr {
+        ?e :a "Doc" ;
+           :name ?n ;
+           :genre ?g ;
+           :alt1|:alt2 ?x ;
+           :stored/:val ?v .
+        OPTIONAL { ?e :note ?o }
+      }
+    }
+    """
+
+    # BAG multiplicity differential (CONSTRUCT dedups to an RDF set, so
+    # the cross product is asserted on the SELECT solution multiset)
+    sel = """
+    PREFIX : <urn:>
+    SELECT ?e ?n ?g ?x ?v ?o WHERE {
+      GRAPH ?gr {
+        ?e :a "Doc" ;
+           :name ?n ;
+           :genre ?g ;
+           :alt1|:alt2 ?x ;
+           :stored/:val ?v .
+        OPTIONAL { ?e :note ?o }
+      }
+    }
+    """
+
+    def rows(mode: str):
+        monkeypatch.setenv("SPARK_GRAFT_SPARQL_STAR_FUSION", mode)
+        SQ.clear_plan_cache()
+        out = (
+            sorted(map(tuple, SQ.construct_query(quads, text).collect())),
+            sorted(map(tuple, SQ.select_query(quads, sel).collect())),
+        )
+        SQ.clear_plan_cache()
+        return out
+
+    fused, plain = rows("1"), rows("0")
+    assert fused == plain
+    bindings = fused[1]
+    # e1: 2 names x 2 genres x 2 alts x 2 notes = 16 solutions; e2: 1
+    # solution with an UNBOUND ?o (the optional's all-null row)
+    assert len([r for r in bindings if r[0] == "e1"]) == 16
+    e2 = [r for r in bindings if r[0] == "e2"]
+    assert len(e2) == 1 and e2[0][5] is None
+    # e3 misses the required :genre -> excluded entirely
+    assert not [r for r in bindings if r[0] == "e3"]
+
+
+def test_star_optional_rebound_var_falls_back(spark, monkeypatch):
+    """An OPTIONAL whose variable is later re-bound by a triple must
+    NOT attach as an optional star member — the rebind needs
+    compatible-binding join semantics. Differential: star on == off."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    quads = _quads(
+        spark,
+        [
+            ("e1", "urn:a", "Doc", None, "g"),
+            ("e1", "urn:name", "n1", None, "g"),
+            ("e1", "urn:tag", "t1", None, "g"),
+            ("e1", "urn:tag2", "t1", None, "g"),
+            ("e2", "urn:a", "Doc", None, "g"),
+            ("e2", "urn:name", "n2", None, "g"),
+            ("e2", "urn:tag2", "t9", None, "g"),
+        ],
+    )
+    text = """
+    PREFIX : <urn:>
+    CONSTRUCT { ?e :out ?t. }
+    WHERE {
+      ?e :a "Doc" ; :name ?n .
+      OPTIONAL { ?e :tag ?t }
+      ?e :tag2 ?t .
+    }
+    """
+
+    def rows(mode: str):
+        monkeypatch.setenv("SPARK_GRAFT_SPARQL_STAR_FUSION", mode)
+        SQ.clear_plan_cache()
+        out = sorted(map(tuple, SQ.construct_query(quads, text).collect()))
+        SQ.clear_plan_cache()
+        return out
+
+    fused, plain = rows("1"), rows("0")
+    assert fused == plain
+    # e1's tag t1 is compatible with tag2 t1 -> kept; e2's unbound
+    # optional is compatible with t9 -> kept
+    assert ("e1", "urn:out", "t1") in fused
+    assert ("e2", "urn:out", "t9") in fused
