@@ -86,8 +86,24 @@ def _gram_expr(docs: DataFrame, id_col: str, text_col: str, n: int):
     signature build)."""
     toks = docs.select(F.col(id_col).alias("id"), words(F.lower(F.col(text_col))).alias("w"))
     idx = F.sequence(F.lit(1), F.size("w") - (n - 1))
+    # Gram identity = big-endian first 8 bytes of md5 of the
+    # space-joined slice (r11, was xxhash64 of the token array):
+    # bit-identical to DuckDB's ('0x'||substring(md5(g),1,16))::UBIGINT,
+    # which lets minhash signatures (and everything derived from them)
+    # carry a FULL cross-engine oracle. Tokens never contain whitespace
+    # (words() splits on it), so the joined string is a bijection of
+    # the slice. Downstream cost is unchanged — the shuffle still
+    # carries 8-byte longs; md5-vs-xxhash64 only moves scan-side cost.
     hashes = F.when(
-        F.size("w") >= n, F.transform(idx, lambda i: F.xxhash64(F.slice("w", i, n)))
+        F.size("w") >= n,
+        F.transform(
+            idx,
+            lambda i: F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.slice("w", i, n))), 1, 16),
+                16,
+                -10,
+            ).cast("long"),
+        ),
     ).otherwise(F.array().cast("array<long>"))
     return toks, hashes
 
@@ -163,8 +179,12 @@ def minhash_signatures(
     # parsed JVM-side: building them as nested Column objects costs
     # hundreds of py4j round-trips (~1 s of driver time per call) for
     # the exact same plan.
+    # The seed literal is CAST TO LONG so both xxhash64 rounds take the
+    # fixed-width hashLong path — the closed form the DuckDB oracle
+    # replays (an INT literal would route through the 4-byte tail
+    # path, a different formula).
     grams = _gram_hashes(docs, id_col, text_col, n).withColumn(
-        "g2", F.xxhash64(F.lit(-1), F.col("g"))
+        "g2", F.xxhash64(F.lit(-1).cast("long"), F.col("g"))
     )
 
     def rotl(c: str, i: int) -> str:
@@ -247,19 +267,32 @@ def minhash_lsh_candidates(
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash: per token, xxhash64 -> each bit votes +/-1; the
-    fingerprint is the sign vector. 64 sum-aggregates in ONE groupBy
-    (map-side combine, one row per doc on the shuffle). Returns
-    (id, simhash string of 64 bits, n_tokens)."""
+    """64-bit SimHash: per token, a 64-bit hash -> each bit votes +/-1;
+    the fingerprint is the sign vector. 64 sum-aggregates in ONE
+    groupBy (map-side combine, one row per doc on the shuffle).
+    Returns (id, simhash string of 64 bits, n_tokens).
+
+    The token hash is the FIRST 8 BYTES OF md5 (big-endian), not
+    xxhash64 (r11): md5 is computable bit-identically in DuckDB
+    (('0x' || substring(md5(tok),1,16))::UBIGINT equals Spark's
+    conv(substring(md5(tok),1,16),16,-10) reinterpreted unsigned), so
+    the whole operator carries a FULL cross-engine oracle
+    (DEDUP_SIMHASH_ORACLE) instead of the rows-only tier it launched
+    with. md5's bits are uniform, which is the only property SimHash
+    needs; the hash swap costs ~2x per token on a pass that is
+    explode-dominated anyway."""
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(words(F.lower(F.col(text_col)))).alias("tok")
     )
     # Token hash materialized ONCE as a projection column (aggregate
-    # expressions get no cross-column CSE — an inline xxhash64 would be
+    # expressions get no cross-column CSE — an inline hash would be
     # re-evaluated 64 times per token); the 64 bit-votes and the bit
     # string are generated as SQL strings parsed JVM-side (two py4j
     # calls instead of hundreds, same plan).
-    hashed = toks.selectExpr("id", "xxhash64(tok) AS h")
+    hashed = toks.selectExpr(
+        "id",
+        "cast(conv(substring(md5(tok), 1, 16), 16, -10) as bigint) AS h",
+    )
     votes = ", ".join(
         f"sum(CASE WHEN (h & shiftleft(CAST(1 AS BIGINT), {b})) != 0"
         " THEN 1 ELSE -1 END)"

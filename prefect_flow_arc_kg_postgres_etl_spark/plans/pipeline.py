@@ -317,6 +317,202 @@ FINGERPRINT_ORACLE = f"SELECT doc_id, {_FPR_SQL} AS fingerprint FROM documents"
 
 
 # ----------------------------------- rows-only entries (non-SQL ops)
+# --------------------------------------------------------------- r11:
+# Spark xxhash64(BIGINT) replayed in DuckDB SQL, bit-exactly. For a
+# FIXED-WIDTH (single long) input, xxHash64 is a closed form — one
+# stripe round plus the avalanche — so it unrolls into ~11 arithmetic
+# steps. DuckDB's INT128 cannot hold a full 64x64-bit product, so
+# multiplication mod 2^64 uses a 32-bit split; xor/shift stay in
+# UBIGINT. Each step is a LATERAL COLUMN ALIAS (DuckDB resolves
+# same-SELECT alias references), so a chain of hashes ladders through
+# one SELECT without exponential expression blowup. Verified
+# bit-identical to Spark's xxhash64 for single longs and for
+# multi-column chaining (seed threading), including negative inputs.
+_U64 = "18446744073709551616"
+_XXH_P1 = "11400714785074694791"
+_XXH_P2 = "14029467366897019727"
+_XXH_P3 = "1609587929392839161"
+_XXH_P4 = "9650029242287828579"
+_XXH_P5 = "2870177450012600261"
+
+
+def _u64_mul(a: str, b: str) -> str:
+    lo = f"((({a}) % 4294967296)::HUGEINT * ({b})::HUGEINT) % {_U64}"
+    hi = f"((((({a}) >> 32)::HUGEINT * ((({b}) % 4294967296))::HUGEINT) % 4294967296) << 32)"
+    return f"CAST((({lo} + {hi}) % {_U64}) AS UBIGINT)"
+
+
+def _u64_add(a: str, b: str) -> str:
+    return f"CAST(((({a})::HUGEINT + ({b})::HUGEINT) % {_U64}) AS UBIGINT)"
+
+
+def _u64_rotl(x: str, r: int) -> str:
+    if r == 0:
+        return x
+    return (
+        f"(CAST(((({x})::HUGEINT << {r}) % {_U64}) AS UBIGINT)"
+        f" | (({x}) >> {64 - r}))"
+    )
+
+
+def _u64_xor(a: str, b: str) -> str:
+    return f"xor(({a})::UBIGINT, ({b})::UBIGINT)"
+
+
+def _xxh64_steps(in_col: str, seed: str, prefix: str) -> tuple[str, str]:
+    """(select items, out column) computing xxhash64 of one long
+    (UBIGINT domain) as a lateral-alias ladder."""
+    steps: list[tuple[str, str]] = [
+        ("h0", _u64_add(_u64_add(seed, _XXH_P5), "8")),
+        ("k1", _u64_mul(in_col, _XXH_P2)),
+    ]
+    steps.append(("k2", _u64_rotl(f"{prefix}k1", 31)))
+    steps.append(("k3", _u64_mul(f"{prefix}k2", _XXH_P1)))
+    steps.append(("h1", _u64_xor(f"{prefix}h0", f"{prefix}k3")))
+    steps.append(
+        (
+            "h2",
+            _u64_add(
+                _u64_mul(_u64_rotl(f"{prefix}h1", 27), _XXH_P1), _XXH_P4
+            ),
+        )
+    )
+    steps.append(("a1", _u64_xor(f"{prefix}h2", f"({prefix}h2 >> 33)")))
+    steps.append(("a2", _u64_mul(f"{prefix}a1", _XXH_P2)))
+    steps.append(("a3", _u64_xor(f"{prefix}a2", f"({prefix}a2 >> 29)")))
+    steps.append(("a4", _u64_mul(f"{prefix}a3", _XXH_P3)))
+    steps.append(("a5", _u64_xor(f"{prefix}a4", f"({prefix}a4 >> 32)")))
+    items = ", ".join(f"{expr} AS {prefix}{name}" for name, expr in steps)
+    return items, f"{prefix}a5"
+
+
+def _py_xxh64_long(l: int, seed: int) -> int:
+    """Python twin of the ladder (module-scope constants only)."""
+    m = (1 << 64) - 1
+    p1, p2, p3, p4, p5 = (
+        int(_XXH_P1),
+        int(_XXH_P2),
+        int(_XXH_P3),
+        int(_XXH_P4),
+        int(_XXH_P5),
+    )
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & m
+
+    h = (seed + p5 + 8) & m
+    k1 = rotl((l & m) * p2 & m, 31) * p1 & m
+    h ^= k1
+    h = (rotl(h, 27) * p1 + p4) & m
+    h ^= h >> 33
+    h = h * p2 & m
+    h ^= h >> 29
+    h = h * p3 & m
+    return h ^ (h >> 32)
+
+
+# Kirsch–Mitzenmacher second hash g2 = xxhash64(lit(-1), g): the chain
+# seed hashLong(-1, 42) is a constant.
+_MINHASH_G2_SEED = str(_py_xxh64_long((1 << 64) - 1, 42))
+
+_SIGNED = (
+    "CASE WHEN {u} >= 9223372036854775808 "
+    "THEN CAST(({u})::HUGEINT - {m} AS BIGINT) ELSE ({u})::BIGINT END"
+)
+_UNSIGNED = (
+    "CASE WHEN {s} < 0 THEN CAST(({s})::HUGEINT + {m} AS UBIGINT) "
+    "ELSE ({s})::UBIGINT END"
+)
+
+
+def _minhash_oracle_sql(k: int = 64, bands: int = 16) -> str:
+    """DEDUP_MINHASH_LSH full-replay oracle: gram base = big-endian
+    first 8 md5 bytes (== the Spark side after the r11 hash swap), g2
+    via the xxhash64-long ladder, perm_i = g XOR rotl(g2, i) min'd in
+    SIGNED order (Spark longs), band keys via an r-round xxhash64
+    chain over the band's signature slice, candidates = band-bucket
+    self-join, est_jaccard = signature agreement / k. Every step is
+    the bit-exact twin of operators/dedup.py minhash_signatures /
+    _band_keys / minhash_lsh_candidates."""
+    r = k // bands
+    g2_items, g2_out = _xxh64_steps("g", _MINHASH_G2_SEED, "x")
+    # perms in unsigned domain, converted to signed BEFORE the MIN so
+    # ordering matches Spark's signed longs
+    perm_items = ", ".join(
+        "{expr} AS s{i}".format(
+            expr=_SIGNED.format(
+                u=_u64_xor("g", _u64_rotl("g2", i % 64)), m=_U64
+            ),
+            i=i,
+        )
+        for i in range(k)
+    )
+    sig_mins = ", ".join(f"MIN(s{i}) AS m{i}" for i in range(k))
+    sig_list = "[" + ", ".join(f"m{i}" for i in range(k)) + "]"
+    band_structs = ", ".join(
+        "{'band': %d, %s}"
+        % (b, ", ".join(f"'e{j}': m{b * r + j}" for j in range(r)))
+        for b in range(bands)
+    )
+    eu_items = ", ".join(
+        _UNSIGNED.format(s=f"b.u['e{j}']", m=_U64) + f" AS e{j}u"
+        for j in range(r)
+    )
+    # One CTE layer PER HASH ROUND: DuckDB binds lateral column
+    # aliases by recursive expansion, and 4 chained 11-step ladders in
+    # one SELECT exceed its 128-deep binder recursion limit — each
+    # round's ladder stays within a layer, rounds hand off through a
+    # materialized alias.
+    round_ctes = []
+    seed = "42::UBIGINT"
+    prev = "brows"
+    for j in range(r):
+        items, out = _xxh64_steps(f"e{j}u", seed, f"c{j}_")
+        keep = ", ".join(f"e{jj}u" for jj in range(j + 1, r))
+        keep = (keep + ", ") if keep else ""
+        round_ctes.append(
+            f"bh{j} AS (SELECT id, band, {keep}{items} FROM {prev})"
+        )
+        prev = f"bh{j}"
+        seed = out
+    return f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM corpus
+),
+grams AS ({_GRAMS_SQL}),
+g1 AS (
+  SELECT id, ('0x' || substring(md5(gram), 1, 16))::UBIGINT AS g FROM grams
+),
+g2t AS (SELECT id, g, {g2_items} FROM g1),
+perms AS (SELECT id, {perm_items} FROM (SELECT id, g, {g2_out} AS g2 FROM g2t) t),
+sigs AS (SELECT id, {sig_mins} FROM perms GROUP BY id),
+siglist AS (SELECT id, {sig_list} AS sig FROM sigs),
+brows AS (
+  SELECT id, u['band']::INT AS band, {eu_items}
+  FROM (SELECT id, UNNEST([{band_structs}]) AS u FROM sigs) b
+),
+{", ".join(round_ctes)},
+keys AS (SELECT id, band, {seed} AS bkey FROM {prev}),
+pairs AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(list_sum(list_transform(range(1, {k + 1}),
+             j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END)) / {k}.0,
+             6) AS est_jaccard
+FROM pairs p
+JOIN siglist sa ON sa.id = p.doc_a
+JOIN siglist sb ON sb.id = p.doc_b
+"""
+
+
+DEDUP_MINHASH_LSH_ORACLE = _minhash_oracle_sql()
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The registered entry keeps the estimate column (the self-check
     # reads it), which references the signature subtree three times —
@@ -331,6 +527,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_dup_corpus(spark, sf_dir))
+
+
+# Full oracle (r11 promotion from rows-only): the token hash is the
+# big-endian first 8 bytes of md5, identical in both engines —
+# Spark's conv(substring(md5(tok),1,16),16,-10) is the SIGNED
+# reinterpretation of DuckDB's ('0x'||substring(md5(tok),1,16))
+# ::UBIGINT, and bit tests see the same bit pattern either way. The 64
+# bit-votes are one aggregation pass (64 SUM columns, no 64x row
+# blowup), the fingerprint string concatenates votes bit 63 -> 0,
+# matching operators/dedup.py:simhash exactly.
+_SIMHASH_VOTES = ", ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(64)
+)
+_SIMHASH_BITS = " || ".join(
+    f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END" for b in range(63, -1, -1)
+)
+DEDUP_SIMHASH_ORACLE = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id AS id,
+         UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM corpus
+),
+hashed AS (
+  SELECT id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+),
+votes AS (
+  SELECT id, COUNT(*)::BIGINT AS n_tokens, {_SIMHASH_VOTES}
+  FROM hashed GROUP BY id
+)
+SELECT id, {_SIMHASH_BITS} AS simhash, n_tokens FROM votes
+"""
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1366,7 +1596,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = corpus.filter(F.col("doc_id") < _NEAR_OFF)
     new = corpus.filter(F.col("doc_id") >= _NEAR_OFF)
 
-    fp = hashlib.md5(b"dedup_index_v1")
+    # v2: gram identity moved from xxhash64 to md5-based (r11, the
+    # cross-engine oracle promotion) — a v1 index's keys no longer
+    # match probe hashes, so the version string is part of the
+    # fingerprint and forces a rebuild.
+    fp = hashlib.md5(b"dedup_index_v2")
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     fp.update(f"{st.st_mtime_ns}:{st.st_size}".encode())
     path = f"{tempfile.gettempdir()}/dedup_index_{fp.hexdigest()[:16]}"

@@ -918,13 +918,19 @@ _SPECS: dict[str, QuerySpec] = {
     "events_quantiles_approx": QuerySpec(
         relational.events_quantiles_approx, None
     ),
-    "dedup_minhash_lsh": QuerySpec(pipeline.dedup_minhash_lsh, None),
-    "dedup_simhash": QuerySpec(pipeline.dedup_simhash, None),
+    "dedup_minhash_lsh": QuerySpec(
+        pipeline.dedup_minhash_lsh, pipeline.DEDUP_MINHASH_LSH_ORACLE
+    ),
+    "dedup_simhash": QuerySpec(
+        pipeline.dedup_simhash, pipeline.DEDUP_SIMHASH_ORACLE
+    ),
     "ann_lsh_topk": QuerySpec(pipeline.ann_lsh_topk, None),
     # promoted r6: the IVF index pipeline is deterministic end-to-end,
     # so it carries a full SQL oracle now (was rows-only/recall-bound).
     "ann_ivf_topk": QuerySpec(pipeline.ann_ivf_topk, pipeline.ANN_IVF_ORACLE),
-    "stream_es_feed": QuerySpec(streaming_plans.stream_es_feed, None),
+    "stream_es_feed": QuerySpec(
+        streaming_plans.stream_es_feed, streaming_plans.STREAM_ES_FEED_ORACLE
+    ),
     # D38 (r6): greedy first-arrival survivorship over a non-clique dup
     # graph is order-dependent, not one SQL query — exact semantics
     # pinned by the Python-oracle test in tests/test_flows.py.

@@ -171,11 +171,28 @@ SELECT event_id, ts, user_id, event_type, value FROM events
 
 
 def stream_es_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C5: foreachBatch ES bulk feed; the landed NDJSON line count is
-    2x the source rows (action + source line per doc) — asserted in
-    tests; rows-only for the driver."""
+    """C5: foreachBatch ES bulk feed; the landed NDJSON is two lines
+    per source row (action + document). On a bounded availableNow run
+    the landed LINE SET is deterministic — action lines are pure
+    string assembly and the document values are exact integer cents —
+    so the read-back text carries a full SQL oracle (promoted from
+    rows-only in r11; epoch directory split does not affect the set)."""
     out = tempfile.mkdtemp(prefix="stream_es_") + "/feed"
     return es_feed_stream(spark, sf_dir, out)
+
+
+# Spark's to_json renders the struct with no whitespace and fields in
+# struct order; every piece here is integer/lowercase-string, so plain
+# concatenation reproduces it byte-for-byte.
+STREAM_ES_FEED_ORACLE = """
+SELECT '{"index":{"_index":"' || lower(event_type)
+       || '","_id":"' || CAST(event_id AS VARCHAR) || '"}}' AS value
+FROM events
+UNION ALL
+SELECT '{"user_id":' || CAST(user_id AS VARCHAR)
+       || ',"value_c":' || CAST(FLOOR(value * 100) AS BIGINT) || '}'
+FROM events
+"""
 
 
 def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:

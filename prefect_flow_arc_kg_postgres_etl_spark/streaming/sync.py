@@ -446,10 +446,23 @@ def es_feed_stream(
     from prefect_flow_arc_kg_postgres_etl_spark.sinks.es_bulk import to_bulk_actions
 
     ev = events_stream(spark, sf_dir)
+    # The document carries the value in EXACT integer cents (floor) —
+    # to_json's double rendering (Jackson shortest-roundtrip) is not
+    # reproducible in another engine's string formatter, while integer
+    # JSON is byte-identical everywhere. That determinism is what lets
+    # the landed NDJSON line set carry a full DuckDB oracle
+    # (STREAM_ES_FEED_ORACLE, promoted from rows-only in r11).
     docs = ev.select(
         FF.col("event_id").alias("id"),
         FF.lower(FF.col("event_type")).alias("index"),
-        FF.to_json(FF.struct("user_id", "value")).alias("document"),
+        FF.to_json(
+            FF.struct(
+                FF.col("user_id"),
+                FF.floor(FF.col("value") * 100)
+                .cast("long")
+                .alias("value_c"),
+            )
+        ).alias("document"),
     )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -466,7 +479,10 @@ def es_feed_stream(
 
     q = docs.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
     q.awaitTermination()
-    return spark.read.text(out_path)
+    # Project the bulk lines only: the partitioned layout makes
+    # read.text infer epoch=/index= as extra columns, but the feed's
+    # contract (and its oracle) is the NDJSON line set itself.
+    return spark.read.text(out_path).select("value")
 
 
 def enrich_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
