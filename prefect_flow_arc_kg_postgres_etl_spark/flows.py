@@ -510,12 +510,19 @@ def curation_flow(
     benchmark: DataFrame | None = None,
     pack_budget: int = 2048,
     n_shards: int = 8,
+    span_dedup: bool = False,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.99,
     collect_stats: bool = True,
 ) -> tuple[DataFrame, RunStats]:
     """The D-block counterpart of ``sync_flow``: one composed
     training-data curation run over the documents corpus —
 
         quality gate -> language filter -> exact dedup survivorship
+        -> optional span dedup (D59: duplicated 8-word spans removed
+        from surviving docs' text, fully-covered docs dropped)
+        -> optional semantic dedup (D61b: embedding-keyed SemDeDup,
+        LSH tier; docs without an embedding row pass through)
         -> optional benchmark decontamination -> optional
         target-mixture sampling -> sequence packing -> shard layout
 
@@ -588,6 +595,43 @@ def curation_flow(
     keepers = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
     survivors = kept.join(keepers, "doc_id", "left_semi")
     note("dedup", survivors)
+
+    if span_dedup:
+        # D59 composed: surviving docs' text is rewritten to the
+        # uncovered words (duplicated 8-word spans removed, global
+        # first occurrence kept), and docs that end up FULLY covered
+        # (dup_frac_e6 == 1e6 — pure re-posts of earlier spans) drop
+        # out. Inner join: a 0-word doc yields no span row and drops,
+        # same as the standalone operator's contract.
+        from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import (
+            span_dedup as _span_dedup_op,
+        )
+
+        spans = _span_dedup_op(survivors)
+        survivors = survivors.drop("text").join(
+            spans.filter(F.col("dup_frac_e6") < 1_000_000).select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            "doc_id",
+        )
+        note("span_dedup", survivors)
+
+    if embeddings is not None:
+        # D61b composed: SemDeDup's drop rule at the LSH scale tier
+        # over a (doc_id, label, embedding) frame. ANTI-join on the
+        # drop set so docs WITHOUT an embedding row pass through —
+        # absence of an embedding is not evidence of duplication.
+        from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import (
+            semantic_dedup_lsh as _semantic_lsh_op,
+        )
+
+        drops = _semantic_lsh_op(
+            embeddings, semantic_threshold, id_col="doc_id"
+        ).filter(F.col("action") == "drop")
+        survivors = survivors.join(
+            drops.select("doc_id"), "doc_id", "left_anti"
+        )
+        note("semantic_dedup", survivors)
 
     if benchmark is not None:
         # Eval-set decontamination via the Bloom-prefiltered path —

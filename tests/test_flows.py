@@ -709,3 +709,79 @@ def test_cross_deployment_blocking(tmp_path):
         d, "main", lambda: "done", blocking=siblings, full_sync=True
     )
     assert (ran, out, blocked) == (False, None, ["main"])
+
+
+def test_curation_flow_span_and_semantic_stages(spark):
+    """The r11 composed stages: with span_dedup=True the output text
+    equals the standalone span_dedup operator's clean_text for every
+    surviving doc (fully-covered docs dropped); with an embeddings
+    frame the SemDeDup-LSH drop set is removed while docs WITHOUT an
+    embedding row pass through; stage accounting is recorded and
+    monotone."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_kg_postgres_etl_spark.flows import curation_flow
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import (
+        semantic_dedup_lsh,
+        span_dedup,
+    )
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    base, base_stats = curation_flow(spark, SF_SMOKE)
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+
+    # --- span stage: flow text == standalone clean_text on survivors
+    out, stats = curation_flow(spark, SF_SMOKE, span_dedup=True)
+    assert "span_dedup" in stats.tables
+    # the span stage sees the exact-dedup survivors; reproduce it
+    survivors = load_table(spark, SF_SMOKE, "documents").join(
+        spark.createDataFrame(
+            [(i,) for i in sorted(base_ids)], "doc_id bigint"
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    expected = {
+        r.doc_id: r.clean_text
+        for r in span_dedup(survivors).collect()
+        if r.dup_frac_e6 < 1_000_000
+    }
+    got = {r.doc_id: r.text for r in out.select("doc_id", "text").collect()}
+    # flow applies later gates too (none active here beyond packing),
+    # so the doc sets must match exactly
+    assert got == expected
+
+    # --- semantic stage: planted near-dup embeddings drop their docs,
+    # docs without embeddings pass through untouched
+    ids = sorted(base_ids)[:6]
+    a, b, c = ids[0], ids[1], ids[2]
+    def unit(axis: int, scale: float) -> list[float]:
+        v = [0.0] * 64  # the LSH bucketer's hyperplanes are 64-dim
+        v[axis] = scale
+        return v
+
+    emb = spark.createDataFrame(
+        [
+            (a, 0, unit(0, 1.0)),
+            (b, 0, unit(0, 2.0)),  # exact scaling of a -> drop
+            (c, 0, unit(1, 1.0)),
+        ],
+        "doc_id bigint, label int, embedding array<float>",
+    )
+    sem_out, sem_stats = curation_flow(spark, SF_SMOKE, embeddings=emb)
+    sem_ids = {r.doc_id for r in sem_out.select("doc_id").collect()}
+    drops = {
+        r.doc_id
+        for r in semantic_dedup_lsh(emb, 0.99, id_col="doc_id")
+        .filter(F.col("action") == "drop")
+        .collect()
+    }
+    assert drops == {b}
+    assert sem_ids == base_ids - drops
+    assert "semantic_dedup" in sem_stats.tables
+    assert (
+        sem_stats.tables["dedup"]["staged"]
+        >= sem_stats.tables["semantic_dedup"]["staged"]
+        > 0
+    )
