@@ -545,3 +545,148 @@ def kmeans_int(
     return members.join(stats, "cid").select(
         "cid", "n_members", "centroid_sum", "centroid_sumsq"
     )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    codebook_k: int = 16,
+    iters: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance scoring (the
+    rung between D22's int8 scalar quantization and a 100 TB memory
+    budget: PQ codes are m small integers per vector — here 8 codes
+    for a 64-dim embedding, an 8x compression over int8 and 32x over
+    float32 — which is how production vector stores keep billion-scale
+    indexes hot; at full scale D13's IVF coarse quantizer composes
+    upstream to prune which codes are scored at all).
+
+    Everything runs in EXACT INTEGER space so the whole pipeline —
+    codebook learning included — replays in SQL (the D34 discipline):
+    vectors quantize to round(x*scale) longs, each splits into m
+    d/m-dim sub-vectors, and ONE joint Lloyd's run learns all m
+    codebooks simultaneously (cluster key = (subspace, centroid): one
+    broadcast + one window per iteration regardless of m, instead of
+    m separate k-means jobs). Seeding/ties mirror kmeans_int: the
+    codebook_k smallest corpus ids seed every subspace, assignment
+    ties break toward the lower centroid id, updates are
+    floor(sum/count). Encoding = the final assignment (m codes per
+    vector). Scoring is classic ADC: per query a (subspace, centroid)
+    -> exact integer squared-L2 distance table (|queries| x m x
+    codebook_k rows — broadcast), and a vector's approximate distance
+    is the SUM of m table lookups joined on its codes; top-k per query
+    by (distance, neighbor id).
+
+    Cost model at 100 TB: codebooks and query tables broadcast; the
+    corpus touches ONE assignment pass per iteration (row count x m
+    sub-rows, no pairwise anything) and scoring is a broadcast join on
+    the m-codes table + one (query, vector) partial-agg — linear in
+    corpus size with an 8-byte-per-code working set.
+
+    Returns (query_id, neighbor_id, adist, rank) — adist is the exact
+    integer ADC squared distance in the quantized space."""
+
+    def sub_split(df: DataFrame, out_id: str) -> DataFrame:
+        vint = df.select(
+            F.col(id_col).alias(out_id),
+            F.transform(
+                vec_col,
+                lambda x: F.round(x.cast("double") * scale).cast("long"),
+            ).alias("v"),
+        )
+        ds = (F.size("v") / m).cast("int")
+        subs = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.struct(
+                j.cast("int").alias("j"),
+                F.transform(
+                    F.sequence(F.lit(1), ds),
+                    lambda i: F.element_at("v", (j * ds + i).cast("int")),
+                ).alias("sv"),
+            ),
+        )
+        return vint.select(
+            out_id, F.explode(subs).alias("s")
+        ).select(out_id, F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+
+    csubs = sub_split(corpus, "vec_id")
+    seed_ids = (
+        corpus.select(F.col(id_col).alias("vec_id"))
+        .orderBy("vec_id")
+        .limit(codebook_k)
+    )
+    centroids = (
+        csubs.join(F.broadcast(seed_ids), "vec_id")
+        .select("j", F.col("vec_id").cast("bigint").alias("cid"), F.col("sv").alias("c"))
+    )
+    dist = F.aggregate(
+        F.zip_with("sv", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id", "j").orderBy("d", "cid")
+
+    def assign(cents: DataFrame) -> DataFrame:
+        return (
+            csubs.join(F.broadcast(cents), "j")
+            .withColumn("d", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "j", "sv", "cid")
+        )
+
+    for _ in range(iters):
+        centroids = (
+            assign(centroids)
+            .select("j", "cid", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("j", "cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("mv", F.floor(F.col("s") / F.col("n")).cast("long"))
+            .groupBy("j", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda st: st.getField("mv"),
+                ).alias("c")
+            )
+        )
+    # Encoding is the assignment against the FINAL codebooks — the
+    # same table the query distance tables are built from (ADC scores
+    # are meaningless if codes and tables disagree on the codebook).
+    codes = assign(centroids).select("vec_id", "j", "cid")
+    qtab = (
+        sub_split(queries, "query_id")
+        .join(F.broadcast(centroids), "j")
+        .select(
+            "query_id",
+            "j",
+            "cid",
+            F.aggregate(
+                F.zip_with("sv", "c", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qd"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(qtab), ["j", "cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd").alias("adist"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    wk = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adist",
+            "rank",
+        )
+    )

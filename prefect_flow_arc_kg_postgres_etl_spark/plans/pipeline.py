@@ -3121,3 +3121,98 @@ SELECT doc_id,
        trim(regexp_replace(stripped, '\\s+', ' ', 'g')) AS body_text
 FROM decoded
 """
+
+
+# ------------------------------------------------------------- D64
+# product-quantization ANN (asymmetric distance scoring): m integer
+# sub-vector codebooks learned with the D34 k-means discipline, so the
+# ENTIRE pipeline — codebook learning, encoding, ADC scoring — replays
+# as an unrolled SQL oracle. The rung between D22's int8 scalar
+# quantization and 100 TB memory budgets (8 bytes of codes per vector
+# here vs 64 int8 components); D13's IVF composes upstream at scale.
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(spark, load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.pq_topk(queries, emb, k=_K)
+
+
+def _pq_oracle_sql(
+    k: int = 5,
+    m: int = 8,
+    codebook_k: int = 16,
+    iters: int = 2,
+    scale: int = 1000,
+    n_queries: int = 10,
+) -> str:
+    sqd = (
+        "list_sum(list_transform(generate_series(1, len(sv)),"
+        " i -> (sv[i] - c[i]) * (sv[i] - c[i])))"
+    )
+    assign = """
+a{n} AS (
+  SELECT vec_id, j, sv, cid FROM (
+    SELECT s.vec_id, s.j, s.sv, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY {sqd}, c.cid
+           ) AS rn
+    FROM subs s JOIN c{p} c ON s.j = c.j
+  ) WHERE rn = 1
+)"""
+    update = """
+c{n} AS (
+  SELECT j, cid, list(mv ORDER BY pos) AS c FROM (
+    SELECT j, cid, i AS pos,
+           CAST(FLOOR(SUM(sv[i]) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mv
+    FROM a{n}, UNNEST(generate_series(1, len(sv))) AS t(i)
+    GROUP BY j, cid, i
+  ) GROUP BY j, cid
+)"""
+    rounds = []
+    for it in range(1, iters + 1):
+        rounds.append(assign.format(n=it, p=it - 1, sqd=sqd))
+        rounds.append(update.format(n=it))
+    final = iters + 1
+    rounds.append(assign.format(n=final, p=iters, sqd=sqd))
+    return f"""
+WITH vint AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+           AS v
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, j,
+         list_transform(generate_series(1, ds), i -> v[j * ds + i]) AS sv
+  FROM (SELECT vec_id, v, CAST(len(v) / {m} AS INT) AS ds FROM vint),
+       UNNEST(generate_series(0, {m - 1})) AS t(j)
+),
+seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {codebook_k}),
+c0 AS (
+  SELECT s.j, CAST(s.vec_id AS BIGINT) AS cid, s.sv AS c
+  FROM subs s JOIN seeds USING (vec_id)
+),
+{", ".join(rounds)},
+codes AS (SELECT vec_id, j, cid FROM a{final}),
+qtab AS (
+  SELECT q.vec_id AS query_id, c.j, c.cid, {sqd} AS qd
+  FROM (SELECT vec_id, j, sv FROM subs WHERE vec_id < {n_queries}) q
+  JOIN c{iters} c ON q.j = c.j
+),
+scored AS (
+  SELECT query_id, vec_id, CAST(SUM(qd) AS BIGINT) AS adist
+  FROM codes JOIN qtab USING (j, cid)
+  WHERE query_id <> vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, adist, rank FROM (
+  SELECT query_id, vec_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+ANN_PQ_ORACLE = _pq_oracle_sql()

