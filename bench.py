@@ -154,6 +154,9 @@ HEADLINE = [
     "dedup_semantic_lsh",
     "dedup_substring_incremental",
     "text_html_extract",
+    # Round-11 append: the PQ/ADC ANN tier (codebook learning +
+    # encoding + asymmetric-distance scoring, all integer-exact).
+    "ann_pq_topk",
 ]
 
 
@@ -182,6 +185,30 @@ def main() -> None:
         .agg(F.count("*"), F.concat_ws(",", F.sort_array(F.collect_list("n_name"))))
         .collect()
     )
+
+    # Machine-drift control (r11, automating the manual r10 SURVEY §6
+    # re-run): a FIXED workload that never touches repo code or data —
+    # hash + shuffle + aggregate over an in-memory range — so its wall
+    # time measures only the HOST. Cross-round BENCH comparisons divide
+    # by this: if drift_control_sec moved 1.4x between rounds, a 1.4x
+    # uniform query drift is the machine, not a plan regression (the
+    # r10 judging had to establish that manually with a same-day
+    # re-run of the previous round's tree). Two passes, min, after the
+    # JVM warmup above.
+    def _drift_probe() -> float:
+        t0 = time.time()
+        (
+            spark.range(100_000_000)
+            .select((F.xxhash64("id") % 4096).alias("k"))
+            .groupBy("k")
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.time() - t0
+
+    drift_control = round(min(_drift_probe(), _drift_probe()), 3)
 
     # JMH-style: one untimed warmup pass over the whole suite (codegen
     # compilation is per-plan-shape and can cost seconds the first time a
@@ -224,6 +251,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "prefix20_sec": round(sum(timings[n] for n in HEADLINE[:20]), 3),
+                "drift_control_sec": drift_control,
                 "loadavg_start": round(load_start[0], 2),
                 "loadavg_end": round(load_end[0], 2),
             }

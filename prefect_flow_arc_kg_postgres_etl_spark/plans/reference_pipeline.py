@@ -2240,3 +2240,101 @@ def flow_reference_deletes_store(
         store, {**tables, "graph.index_documents": standing}
     )
     return reference_delete_flow(spark, sf_dir, store)
+
+
+def main_reference_flow(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    active: "dict[str, bool] | None" = None,
+    triples: "DataFrame | None" = None,
+) -> "dict[str, object]":
+    """main_flow.py's per-stage ``active`` gating over the composed
+    durable cycle (main_flow.py:58-201: every sub-deployment is
+    independently active/inactive, and a skipped stage contributes no
+    new state while the ``wait_for`` ordering of everything downstream
+    holds). Stages, in the reference's chain order:
+
+      - ``load``   construct (or accept ``triples``) -> pivot ->
+                   FK-ordered merge of every graph.* table over the
+                   store's current state, committed as one snapshot
+                   (kg_view + db_load deployments)
+      - ``index``  rebuild ``graph.index_documents`` from the LATEST
+                   committed tables, committed as its own (partial)
+                   snapshot (the index-tables deployment)
+      - ``delete`` the delete transaction + scoped document rebuild,
+                   ordered after load/index exactly like
+                   arc_db_delete_flow's wait_for edges
+
+    An inactive stage is skipped; the next active stage reads the
+    store AS-IS — precisely what a skipped Prefect deployment means to
+    its downstream ``wait_for`` dependents. ``active`` defaults every
+    stage to True; unknown keys are rejected loudly (a typo'd stage
+    name silently running everything is the failure mode to avoid).
+
+    Returns {"load": manifest|None, "index": manifest|None,
+    "delete": manifest|None, "documents": latest committed documents
+    frame (None when the store has never committed any)}."""
+    import os
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store as S
+
+    act = {"load": True, "index": True, "delete": True}
+    unknown = set(active or {}) - set(act)
+    if unknown:
+        raise ValueError(f"unknown main-flow stages: {sorted(unknown)}")
+    act.update(active or {})
+    out: dict[str, object] = {"load": None, "index": None, "delete": None}
+
+    if act["load"]:
+        tr = triples if triples is not None else all_view_triples(spark, sf_dir)
+        tables = pivot_view_tables(tr)
+        merged: dict[str, DataFrame] = {}
+        for level in graph_load_order():
+            for name in level:
+                if name not in tables:
+                    continue
+                tp = os.path.join(store_dir, f"{name}.parquet")
+                if S.table_exists(tp):
+                    merged[name] = M.upsert(
+                        S.read_table(spark, tp), tables[name], keys=["subject"]
+                    )
+                else:
+                    merged[name] = tables[name]
+        # Inherit the prior snapshot: a load run updates tables but
+        # must not orphan the standing graph.index_documents (the
+        # reference's kg_view/db_load deployments never touch the
+        # index tables) — the new manifest pins them as-was.
+        out["load"] = S.commit_tables(
+            store_dir, merged, carry_from=S.latest_manifest(store_dir)
+        )
+
+    if act["index"]:
+        man = S.latest_manifest(store_dir)
+        assert man is not None, "index stage needs a committed load"
+        snap = S.read_snapshot(spark, store_dir, man)
+        tables = {
+            n: df for n, df in snap.items() if n in GRAPH_TABLE_COLUMNS
+        }
+        docs = build_reference_index_documents(
+            tables, SYNTHETIC_STORE_ADAPTER
+        )
+        # Partial commit WITH snapshot inheritance: the new manifest
+        # pins the load stage's table versions alongside the rebuilt
+        # documents, so the delete stage (and any later reader of the
+        # latest manifest) sees one complete consistent state.
+        out["index"] = S.commit_tables(
+            store_dir, {"graph.index_documents": docs}, carry_from=man
+        )
+
+    if act["delete"]:
+        reference_delete_flow(spark, sf_dir, store_dir)
+        out["delete"] = S.latest_manifest(store_dir)
+
+    man = S.latest_manifest(store_dir)
+    docs_out = None
+    if man is not None:
+        snap = S.read_snapshot(spark, store_dir, man)
+        docs_out = snap.get("graph.index_documents")
+    out["documents"] = docs_out
+    return out

@@ -978,78 +978,72 @@ _SPECS: dict[str, QuerySpec] = {
 # closure paths (kg_path_text_closure) and the A72 subselect/HAVING/
 # blank-node text form (kg_select_subquery_text) — 47 for r8.
 DRIVER_WINDOW: list[str] = [
-    # r10 rotation: (a) the SEVEN r10-new entries (Turtle interchange,
-    # the span/chunk/semantic/semantic-LSH/incremental-span dedup
-    # wave, HTML extraction — every entry
-    # registered this round grades this round, the r9 lesson), (b) the
-    # two store-backed composed-cycle twins registered after the r9
-    # window froze (the r9 verdict's named gap — zero oracle-backed
-    # entries without a driver row once these grade), (c) re-grades of
-    # the five entries whose machinery changed this round (the
-    # worklist-scoped delete rebuild, the docs-cache/fingerprint
-    # changes under A74/A77, the ledger they compose with), and
-    # (d) 36 re-grades of the oldest rows on the books (the remaining
-    # r5 rows and the oldest r6 rows — the SPARQL evaluator's numeric
-    # dispatch and plan-cache keying changed this round, so
-    # filter-heavy and stream/dedup entries deserve a fresh grade;
-    # q2/q9/q11/events_quantiles/orders_cohort_retention/
-    # events_pivot_wide yielded their slots to the new wave — all six
-    # hold r6 driver rows and their machinery is untouched).
-    # r10-new.
-    "source_ttl_roundtrip",
+    # r11 rotation: (a) the round's NEW/PROMOTED entries — the PQ/ADC
+    # ANN tier plus the three rows-only -> full-oracle promotions
+    # (minhash LSH / simhash / ES feed) and every entry whose HASH
+    # MACHINERY changed with them (the md5 gram-identity swap touches
+    # the whole minhash family; the span/chunk entries carry the
+    # advice fixes: collision-proof chunk rank, exact-integer e6
+    # fraction); (b) the SPARQL surface — the star-fusion rewrite
+    # changed eval_triples/eval_group for EVERY SPARQL entry, so all
+    # ten verbatim production queries, the composed reference flows +
+    # store twins, the text forms and the transitive path re-grade
+    # this round; (c) the oldest rows on the books (r6 grades).
+    # (a) new / promoted / hash-machinery re-grades.
+    "ann_pq_topk",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "stream_es_feed",
+    "dedup_incremental",
+    "dedup_lsh_verified",
+    "dedup_ngram_jaccard",
     "dedup_substring",
     "dedup_paragraph",
-    "dedup_semantic",
-    "dedup_semantic_lsh",
     "dedup_substring_incremental",
-    "text_html_extract",
-    # Store twins: registered late in r9, never driver-graded.
+    # (b) SPARQL star-fusion re-grades: verbatim production queries.
+    "kg_construct_real_query",
+    "kg_construct_real_query_org",
+    "kg_construct_real_query_deletes",
+    "kg_construct_real_query_newspaper",
+    "kg_construct_real_query_iiif",
+    "kg_construct_real_query_issues",
+    "kg_construct_real_query_av_audio",
+    "kg_construct_real_query_av_video",
+    "kg_construct_real_query_av_complex",
+    "kg_construct_real_query_av_audio_org",
+    # (b) composed reference flows (+ the active-gating store changes).
+    "flow_kg_view_load",
+    "flow_reference_pipeline",
+    "flow_reference_incremental",
+    "flow_reference_deletes",
+    "reference_delete_report",
     "flow_reference_incremental_store",
     "flow_reference_deletes_store",
-    # Changed-machinery re-grades.
-    "flow_reference_deletes",
-    "flow_reference_incremental",
-    "flow_reference_pipeline",
-    "reference_delete_report",
-    "kg_construct_real_query_issues",
-    # Re-grades: the remaining r5 rows.
-    "kg_construct_optional",
-    "stream_incremental_upsert",
-    "stream_windowed_agg",
-    "stream_windowed_watermarked",
-    "stream_sessionize",
-    "stream_dedup",
-    "stream_enrich",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "ann_bruteforce_topk",
-    "text_language_id",
-    "text_quality_score",
-    "multimodal_decode",
-    "corpus_curation",
-    "text_tfidf",
-    "corpus_decontaminate",
-    "corpus_sample_stratified",
-    "corpus_pack_sequences",
-    "embedding_quantize",
-    # Re-grades: the oldest r6 rows.
-    "merge_scd2",
-    "index_partition_refresh",
-    "maintenance_compaction",
-    "source_schema_evolution",
-    "table_diff_cdc",
-    "agg_incremental_refresh",
-    "bucketed_join_colocated",
-    "skew_salted_join",
-    "kg_describe",
-    "kg_ask",
-    "table_profile",
-    "dq_constraint_check",
-    "maintenance_zorder",
-    "targeted_delete_gdpr",
-    "graph_pagerank",
-    "merge_cdc_apply",
+    # (b) SPARQL text forms + paths.
+    "kg_select_real_text",
+    "kg_ask_real_text",
+    "kg_describe_real_text",
+    "kg_update_real_text",
+    "kg_select_subquery_text",
+    "kg_path_nps_text",
+    "kg_path_nps_inverse",
+    "kg_path_text_closure",
+    "kg_path_transitive",
+    # (c) oldest re-grades (latest grade r6).
+    "embeddings_kmeans",
+    "ann_quantized_topk",
+    "dedup_cluster_components",
+    "dedup_edit_distance",
+    "corpus_decontaminate_bloom",
+    "text_pii_redact",
+    "corpus_vocabulary",
+    "corpus_bigram_lm",
+    "ann_filtered_topk",
+    "events_trend_fit",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "events_pivot_wide",
 ]
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

@@ -497,7 +497,7 @@ def write_table_validated(
     return v
 
 
-def commit_tables(store_dir: str, tables: dict) -> str:
+def commit_tables(store_dir: str, tables: dict, carry_from: str | None = None) -> str:
     """A63 (r6): MULTI-TABLE ATOMIC COMMIT — per-table pointer swaps
     commit independently (A46 exists to pin around that); real
     cross-table writes (fact + its index, parent + child) need
@@ -512,7 +512,17 @@ def commit_tables(store_dir: str, tables: dict) -> str:
     Per-table pointers then swap as a convenience cache for
     single-table readers — idempotent on retry, and pointer-path
     readers of a torn retry window are exactly the anomaly A46
-    manifests exist to avoid. Returns the manifest path."""
+    manifests exist to avoid. Returns the manifest path.
+
+    ``carry_from`` (r11): a manifest path whose entries are INHERITED
+    by the new snapshot for every table not in ``tables`` — a partial
+    commit that still yields a COMPLETE consistent state, with zero
+    data rewrite for the carried tables (metadata-only: the new
+    manifest simply pins their existing version numbers, which vacuum
+    already respects). This is how a stage that touches one table
+    (e.g. the index rebuild committing only graph.index_documents)
+    leaves the store's latest manifest fully usable by the next stage
+    instead of a documents-only island."""
     import json
 
     import glob
@@ -588,6 +598,12 @@ def commit_tables(store_dir: str, tables: dict) -> str:
             v = max([current_version(tp) or 0, *on_disk, 0]) + 1
             os.rename(sd, version_dir(tp, v))
             landed[name] = v
+        manifest_entries = dict(landed)
+        if carry_from is not None:
+            with open(carry_from) as f:
+                inherited = json.load(f)
+            # new versions win; everything else is pinned as-was
+            manifest_entries = {**inherited, **manifest_entries}
         n = 1
         while True:
             path = os.path.join(store_dir, f"_snapshot_{n}.json")
@@ -597,7 +613,7 @@ def commit_tables(store_dir: str, tables: dict) -> str:
             except FileExistsError:
                 n += 1
         with os.fdopen(mfd, "w") as f:
-            json.dump(landed, f, sort_keys=True)
+            json.dump(manifest_entries, f, sort_keys=True)
         # convenience-cache pointer swaps (idempotent; manifest is truth)
         for name, v in landed.items():
             tp = os.path.join(store_dir, f"{name}.parquet")

@@ -743,3 +743,68 @@ def test_reference_delete_flow_store_backed(spark, tmp_path):
     )
     assert flagged and not (flagged & ie_ids)
     triples.unpersist()
+
+
+def test_main_flow_active_gating(spark, tmp_path):
+    """main_flow.py's per-stage active toggles over the composed
+    durable cycle (r11): (a) an inactive INDEX stage leaves the
+    committed documents byte-untouched while the load stage still
+    re-commits tables; (b) the delete stage stays ordered after load —
+    a single run with all stages active lands documents in which the
+    flagged entities are already gone (the cascade saw THIS run's
+    load); (c) unknown stage names fail loudly."""
+    import pytest as _pytest
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store as S
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "store")
+    triples = RP.all_view_triples(spark, sf).persist()
+
+    # (c) typo'd stage names must not silently run everything
+    with _pytest.raises(ValueError):
+        RP.main_reference_flow(spark, sf, store, active={"indxe": False})
+
+    # full run: load + index + delete in one chain over an empty store
+    out = RP.main_reference_flow(spark, sf, store, triples=triples)
+    assert out["load"] and out["index"] and out["delete"]
+    docs1 = out["documents"].toPandas()
+    assert len(docs1) > 0
+    # (b) ordering: the delete stage ran against THIS run's load —
+    # flagged entities are absent from the final committed documents
+    want = RP.flow_reference_deletes(spark, sf).toPandas()
+    key = sorted(want.columns)
+    canon = lambda df: sorted(  # noqa: E731
+        df[key].astype(str).itertuples(index=False, name=None)
+    )
+    assert canon(docs1) == canon(want)
+
+    # (a) inactive index + delete: load re-commits tables, documents
+    # pass through from the previous snapshot untouched
+    man_before = S.latest_manifest(store)
+    out2 = RP.main_reference_flow(
+        spark, sf, store, triples=triples,
+        active={"index": False, "delete": False},
+    )
+    assert out2["load"] is not None
+    assert out2["index"] is None and out2["delete"] is None
+    assert S.latest_manifest(store) != man_before  # load committed
+    docs2 = out2["documents"].toPandas()
+    assert canon(docs2) == canon(docs1)  # documents untouched
+
+    # index-only run (load skipped): documents rebuild from the
+    # store's CURRENT tables. Step (a)'s load re-upserted the FULL
+    # source — deleted entities included — so the rebuild equals the
+    # full-sync documents, NOT the post-delete set: proof the index
+    # stage read the load stage's committed state, not a cached one.
+    out3 = RP.main_reference_flow(
+        spark, sf, store, active={"load": False, "delete": False}
+    )
+    assert out3["load"] is None and out3["index"] is not None
+    docs3 = out3["documents"].toPandas()
+    full_docs = RP.build_reference_index_documents(
+        RP.pivot_view_tables(triples), RP.SYNTHETIC_STORE_ADAPTER
+    ).toPandas()
+    assert canon(docs3) == canon(full_docs)
+    assert len(docs3) > len(docs1)  # the flagged entities are back
+    triples.unpersist()
