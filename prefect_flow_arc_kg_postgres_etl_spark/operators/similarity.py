@@ -92,22 +92,34 @@ def lsh_bucket(
     from pyspark.sql.functions import pandas_udf
 
     planes_T = np.array(
-        [_hyperplane(dim, p) for p in range(n_planes)], dtype=np.float64
+        [_hyperplane(dim, p) for p in range(n_planes)], dtype=np.int64
     ).T
     shifts = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
 
+    # r11: the matmul runs over INTEGER-quantized components
+    # (round(x*1000), the kmeans_int/D19 pattern, computed as a column
+    # so both engines share the rounding rule). With ±1 planes the
+    # projections are exact integer sums — order-independent, so the
+    # sign bits (and therefore every bucket) replay bit-exactly in
+    # DuckDB SQL, which is what promoted ann_lsh_topk from rows-only
+    # to a full oracle. Float dots were the blocker: summation order
+    # could flip a near-zero projection's sign across engines.
     @pandas_udf("bigint")
     def plane_bucket(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="int64")
-        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        mat = np.asarray([np.asarray(x, dtype=np.int64) for x in v])
         bits = ((mat @ planes_T) > 0).astype(np.int64)
         return pd.Series(bits @ shifts)
 
+    vint = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
     return vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        plane_bucket(F.col(vec_col)).alias("bucket"),
+        plane_bucket(vint).alias("bucket"),
     )
 
 

@@ -569,6 +569,62 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(queries, emb, k=_K)
 
 
+def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64) -> str:
+    """ann_lsh_topk full-replay oracle (r11 promotion from rows-only).
+    The hyperplanes are deterministic ±1 signs (similarity._hyperplane,
+    a splitmix-style mix) INLINED as a literal — the same constants the
+    Spark UDF closes over — and projections run over round(x*1000)
+    integer components, so every sign bit (hence every bucket) is an
+    exact integer comparison in both engines. Scoring replays D6's
+    float-fold cosine on the bucket-joined candidates."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.similarity import (
+        _hyperplane,
+    )
+
+    planes = [
+        [int(x) for x in _hyperplane(dim, p)] for p in range(n_planes)
+    ]
+    pl = "[" + ", ".join(
+        "[" + ", ".join(str(x) for x in row) + "]" for row in planes
+    ) + "]"
+    return f"""
+WITH planes AS (SELECT {pl} AS pl),
+vint AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+           AS v
+  FROM embeddings
+),
+bks AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(range(1, {n_planes + 1}), p ->
+           CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                      i -> v[i] * pl[p][i])) > 0
+                THEN 1 << (p - 1) ELSE 0 END)) AS bucket
+  FROM vint CROSS JOIN planes
+),
+qb AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM bks
+       WHERE vec_id < {_N_QUERIES}),
+cb AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM bks),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql("qv", "cv")} AS cos_raw
+  FROM qb JOIN cb USING (bucket)
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+       CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_raw DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {_K}
+"""
+
+
+ANN_LSH_ORACLE = _lsh_oracle_sql()
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _spread(spark, load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)

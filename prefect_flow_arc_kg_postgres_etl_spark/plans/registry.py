@@ -925,7 +925,7 @@ _SPECS: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(
         pipeline.dedup_simhash, pipeline.DEDUP_SIMHASH_ORACLE
     ),
-    "ann_lsh_topk": QuerySpec(pipeline.ann_lsh_topk, None),
+    "ann_lsh_topk": QuerySpec(pipeline.ann_lsh_topk, pipeline.ANN_LSH_ORACLE),
     # promoted r6: the IVF index pipeline is deterministic end-to-end,
     # so it carries a full SQL oracle now (was rows-only/recall-bound).
     "ann_ivf_topk": QuerySpec(pipeline.ann_ivf_topk, pipeline.ANN_IVF_ORACLE),
@@ -991,6 +991,7 @@ DRIVER_WINDOW: list[str] = [
     # this round; (c) the oldest rows on the books (r6 grades).
     # (a) new / promoted / hash-machinery re-grades.
     "ann_pq_topk",
+    "ann_lsh_topk",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "stream_es_feed",
@@ -1043,7 +1044,6 @@ DRIVER_WINDOW: list[str] = [
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_parts",
-    "events_pivot_wide",
 ]
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
