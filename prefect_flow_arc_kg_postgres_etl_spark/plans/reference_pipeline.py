@@ -2338,3 +2338,21 @@ def main_reference_flow(
         docs_out = snap.get("graph.index_documents")
     out["documents"] = docs_out
     return out
+
+
+def flow_reference_main_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The r11 composed MAIN flow twin (registered): one
+    main_reference_flow run — load -> index -> delete with every stage
+    active — over a scratch store. The chain ends in the post-cascade
+    state, so the committed read-back equals the storeless A78 build
+    and SHARES ITS ORACLE; what this entry adds over the
+    flow_reference_deletes_store twin is the per-stage gating + the
+    carry_from manifest inheritance exercised on the graded path (the
+    index stage's partial commit must pin the load stage's table
+    versions for the delete stage to read one consistent state)."""
+    store = _scratch_store(spark, "main_store")
+    out = main_reference_flow(spark, sf_dir, store)
+    assert out["load"] and out["index"] and out["delete"]
+    return out["documents"]

@@ -419,6 +419,10 @@ _SPECS: dict[str, QuerySpec] = {
         reference_pipeline.flow_reference_deletes_store,
         reference_pipeline.reference_deletes_oracle(),
     ),
+    "flow_reference_main_store": QuerySpec(
+        reference_pipeline.flow_reference_main_store,
+        reference_pipeline.reference_deletes_oracle(),
+    ),
     "kg_select_real_text": QuerySpec(
         kg.kg_select_real_text, kg.KG_SELECT_REAL_TEXT_ORACLE
     ),
