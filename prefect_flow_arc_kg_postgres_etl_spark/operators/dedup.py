@@ -151,6 +151,14 @@ def ngram_jaccard_pairs(
     )
 
 
+# Version of the signature derivation (gram hash + permutation + band
+# key formulas). Persisted dedup indexes embed it in their path
+# fingerprint: any change here MUST bump it, or probes against an
+# existing index silently return near-empty candidate sets.
+# v3 = md5 gram base + long-cast g2 seed (r11).
+SIGNATURE_VERSION = 3
+
+
 def minhash_signatures(
     docs: DataFrame,
     k: int = 64,
@@ -182,7 +190,10 @@ def minhash_signatures(
     # The seed literal is CAST TO LONG so both xxhash64 rounds take the
     # fixed-width hashLong path — the closed form the DuckDB oracle
     # replays (an INT literal would route through the 4-byte tail
-    # path, a different formula).
+    # path, a different formula). Any change to signature derivation
+    # MUST bump SIGNATURE_VERSION below: persisted dedup indexes key
+    # their fingerprint on it, and a stale index's band keys silently
+    # match nothing (caught twice in r11 by the oracle gate).
     grams = _gram_hashes(docs, id_col, text_col, n).withColumn(
         "g2", F.xxhash64(F.lit(-1).cast("long"), F.col("g"))
     )

@@ -1652,11 +1652,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = corpus.filter(F.col("doc_id") < _NEAR_OFF)
     new = corpus.filter(F.col("doc_id") >= _NEAR_OFF)
 
-    # v2: gram identity moved from xxhash64 to md5-based (r11, the
-    # cross-engine oracle promotion) — a v1 index's keys no longer
-    # match probe hashes, so the version string is part of the
-    # fingerprint and forces a rebuild.
-    fp = hashlib.md5(b"dedup_index_v2")
+    # The signature-derivation version is part of the fingerprint: a
+    # hash-formula change (r11 moved gram identity to md5 and the g2
+    # seed to the long path — TWICE in one round) must force a
+    # rebuild, or the persisted band keys silently match nothing
+    # (caught both times by the oracle gate: 25 rows vs 993).
+    fp = hashlib.md5(f"dedup_index_v{D.SIGNATURE_VERSION}".encode())
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     fp.update(f"{st.st_mtime_ns}:{st.st_size}".encode())
     path = f"{tempfile.gettempdir()}/dedup_index_{fp.hexdigest()[:16]}"

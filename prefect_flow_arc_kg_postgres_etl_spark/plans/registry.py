@@ -61,7 +61,14 @@ class QuerySpec:
 # landed after the r8 window froze). r9 (the list below) grades all
 # five plus the three r9-new composed-cycle operators and 42
 # re-grades of the oldest r4/r5 rows — after r9 every oracle-backed
-# entry has a driver CORRECTNESS row.
+# entry has a driver CORRECTNESS row. r10 graded its 7 new entries,
+# the 2 late-r9 store twins, 5 changed-machinery re-grades and 36
+# oldest re-grades. r11 (the list below): new/promoted entries first,
+# then the full SPARQL surface (the star-fusion rewrite touched every
+# SPARQL entry's evaluator) and the oldest-r6 rows; the only entries
+# registered this round but outside the window are
+# flow_reference_main_store (shares the delete-cycle oracle graded
+# through two window twins) — it rotates in next round.
 _SPECS: dict[str, QuerySpec] = {
     # ---- A-block: KG/ETL core (reference parity)
     "kg_melt_triples": QuerySpec(kg.kg_melt_triples, kg.KG_MELT_ORACLE),
