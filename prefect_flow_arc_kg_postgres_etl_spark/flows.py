@@ -621,12 +621,23 @@ def curation_flow(
         # over a (doc_id, label, embedding) frame. ANTI-join on the
         # drop set so docs WITHOUT an embedding row pass through —
         # absence of an embedding is not evidence of duplication.
+        # The embeddings frame is semi-joined to the CURRENT survivor
+        # set first: the flow contract is standalone-operators-on-
+        # survivors, and without the restriction a doc already
+        # eliminated upstream (quality / language / exact / span
+        # dedup) could still act as the kept representative, silently
+        # dropping a surviving near-dup whose content then appears
+        # nowhere in the output. Centroid distances and drop ranks are
+        # therefore computed over survivors only — by design.
         from prefect_flow_arc_kg_postgres_etl_spark.operators.dedup import (
             semantic_dedup_lsh as _semantic_lsh_op,
         )
 
+        surviving_embeddings = embeddings.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        )
         drops = _semantic_lsh_op(
-            embeddings, semantic_threshold, id_col="doc_id"
+            surviving_embeddings, semantic_threshold, id_col="doc_id"
         ).filter(F.col("action") == "drop")
         survivors = survivors.join(
             drops.select("doc_id"), "doc_id", "left_anti"

@@ -611,7 +611,22 @@ def pq_topk(
                 lambda x: F.round(x.cast("double") * scale).cast("long"),
             ).alias("v"),
         )
-        ds = (F.size("v") / m).cast("int")
+        # A dim not divisible by m would silently DROP the tail
+        # components from every distance (truncating division), and
+        # engine/oracle could disagree on the rounding — so the plan
+        # raises instead. assert_true is folded into the live ds
+        # expression (coalesce(NULL-when-ok, 0)) so column pruning
+        # can never optimize the guard away.
+        chk = F.assert_true(
+            F.size("v") % m == 0,
+            F.concat(
+                F.lit(f"pq_topk: vector dim must be divisible by m={m}; got dim="),
+                F.size("v").cast("string"),
+            ),
+        )
+        ds = (
+            (F.size("v") + F.coalesce(chk.cast("int"), F.lit(0))) / m
+        ).cast("int")
         subs = F.transform(
             F.sequence(F.lit(0), F.lit(m - 1)),
             lambda j: F.struct(

@@ -3242,7 +3242,7 @@ WITH vint AS (
 subs AS (
   SELECT vec_id, j,
          list_transform(generate_series(1, ds), i -> v[j * ds + i]) AS sv
-  FROM (SELECT vec_id, v, CAST(len(v) / {m} AS INT) AS ds FROM vint),
+  FROM (SELECT vec_id, v, CAST(len(v) // {m} AS INT) AS ds FROM vint),
        UNNEST(generate_series(0, {m - 1})) AS t(j)
 ),
 seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {codebook_k}),

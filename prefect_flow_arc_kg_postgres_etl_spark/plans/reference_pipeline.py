@@ -2305,8 +2305,11 @@ def main_reference_flow(
         # must not orphan the standing graph.index_documents (the
         # reference's kg_view/db_load deployments never touch the
         # index tables) — the new manifest pins them as-was.
+        # CARRY_LATEST (not a pre-resolved path): resolution happens
+        # inside the commit lock, so a commit landing while the merge
+        # computes can never be un-pinned (r11 advice, store.py).
         out["load"] = S.commit_tables(
-            store_dir, merged, carry_from=S.latest_manifest(store_dir)
+            store_dir, merged, carry_from=S.CARRY_LATEST
         )
 
     if act["index"]:

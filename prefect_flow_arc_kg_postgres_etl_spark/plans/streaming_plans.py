@@ -182,15 +182,24 @@ def stream_es_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Spark's to_json renders the struct with no whitespace and fields in
-# struct order; every piece here is integer/lowercase-string, so plain
-# concatenation reproduces it byte-for-byte.
+# struct order, and OMITS null fields. Each concat_ws argument below
+# goes NULL whenever its source column is NULL (|| propagates NULL)
+# and concat_ws skips NULL arguments — so a null user_id/value/
+# event_type drops exactly the field to_json would drop, instead of
+# nulling the whole line (r11 advice). The one remaining assumption is
+# string ESCAPING: to_json would backslash-escape quotes/control chars
+# in event_type while || cannot — pinned by the corpus-invariant test
+# (tests/test_streaming.py: event_type is a bare [A-Za-z0-9_]+ token).
 STREAM_ES_FEED_ORACLE = """
-SELECT '{"index":{"_index":"' || lower(event_type)
-       || '","_id":"' || CAST(event_id AS VARCHAR) || '"}}' AS value
+SELECT '{"index":{' || concat_ws(',',
+         '"_index":"' || lower(event_type) || '"',
+         '"_id":"' || CAST(event_id AS VARCHAR) || '"') || '}}' AS value
 FROM events
 UNION ALL
-SELECT '{"user_id":' || CAST(user_id AS VARCHAR)
-       || ',"value_c":' || CAST(FLOOR(value * 100) AS BIGINT) || '}'
+SELECT '{' || concat_ws(',',
+         '"user_id":' || CAST(user_id AS VARCHAR),
+         '"value_c":' || CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR))
+       || '}' AS value
 FROM events
 """
 

@@ -497,6 +497,12 @@ def write_table_validated(
     return v
 
 
+# Sentinel for commit_tables(carry_from=...): "inherit from whatever
+# manifest is newest AT COMMIT TIME", resolved inside the commit lock
+# (an explicit path pins that one snapshot — caller's choice).
+CARRY_LATEST = "latest"
+
+
 def commit_tables(store_dir: str, tables: dict, carry_from: str | None = None) -> str:
     """A63 (r6): MULTI-TABLE ATOMIC COMMIT — per-table pointer swaps
     commit independently (A46 exists to pin around that); real
@@ -522,7 +528,19 @@ def commit_tables(store_dir: str, tables: dict, carry_from: str | None = None) -
     already respects). This is how a stage that touches one table
     (e.g. the index rebuild committing only graph.index_documents)
     leaves the store's latest manifest fully usable by the next stage
-    instead of a documents-only island."""
+    instead of a documents-only island.
+
+    Concurrency contract (r12, closes the r11 advice): an EXPLICIT
+    manifest path pins exactly that snapshot's versions — the caller
+    is asserting "inherit from THIS state", which is the time-travel
+    use and deliberately ignores commits that land in between. A
+    caller that means "inherit from whatever is newest when my commit
+    actually happens" must pass ``CARRY_LATEST`` instead: the sentinel
+    is resolved via ``latest_manifest`` INSIDE the commit lock, so a
+    concurrent commit landing between the caller's own
+    ``latest_manifest()`` call and this commit can never be silently
+    un-pinned (the lost-update the path form permits under
+    multi-writer use)."""
     import json
 
     import glob
@@ -600,10 +618,19 @@ def commit_tables(store_dir: str, tables: dict, carry_from: str | None = None) -
             landed[name] = v
         manifest_entries = dict(landed)
         if carry_from is not None:
-            with open(carry_from) as f:
-                inherited = json.load(f)
-            # new versions win; everything else is pinned as-was
-            manifest_entries = {**inherited, **manifest_entries}
+            # CARRY_LATEST resolves here, INSIDE the lock: no commit
+            # can land between resolution and the manifest write, so
+            # inheritance always reflects the true latest state.
+            src = (
+                latest_manifest(store_dir)
+                if carry_from is CARRY_LATEST or carry_from == CARRY_LATEST
+                else carry_from
+            )
+            if src is not None:
+                with open(src) as f:
+                    inherited = json.load(f)
+                # new versions win; everything else is pinned as-was
+                manifest_entries = {**inherited, **manifest_entries}
         n = 1
         while True:
             path = os.path.join(store_dir, f"_snapshot_{n}.json")

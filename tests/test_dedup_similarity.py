@@ -791,3 +791,20 @@ def test_pq_topk_recall_and_exactness_properties(spark):
     # 8 codebooks x 16 centroids on 64-dim synthetic embeddings: PQ is
     # lossy by design; require a sane floor rather than a lucky draw
     assert hits / total >= 0.2, f"PQ recall@5 collapsed: {hits}/{total}"
+
+
+def test_pq_topk_rejects_indivisible_dim(spark):
+    """r11 advice: a dim not divisible by m used to silently DROP the
+    tail components from every distance (truncating sub-vector split)
+    — and the SQL oracle's rounding disagreed with Spark's, so only
+    the fixed 64-dim corpus kept them aligned. Now the plan raises."""
+    import pytest
+
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 63).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(Exception, match="divisible by m"):
+        pq_topk(queries, emb, k=3, m=8).collect()

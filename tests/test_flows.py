@@ -588,6 +588,45 @@ def test_commit_tables_stage_then_rename_allocates_disjoint_versions(
     assert not os.path.exists(f"{sd}/_commit.lock")
 
 
+def test_commit_tables_carry_latest_resolves_inside_lock(spark, tmp_path):
+    """r11 advice (store.py carry_from atomicity): CARRY_LATEST means
+    "inherit from whatever is newest AT COMMIT TIME" — resolved inside
+    the commit lock, so a commit that lands after the caller last
+    looked is still reflected. An EXPLICIT manifest path, by contrast,
+    pins exactly that snapshot (the time-travel use). Both contracts
+    exercised against an intervening commit."""
+    import json
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources import store
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    sd = str(tmp_path)
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    store.commit_tables(sd, {"orders": orders.limit(10)})  # orders v1
+    stale = store.latest_manifest(sd)  # caller resolves "latest"...
+    store.commit_tables(sd, {"orders": orders.limit(20)})  # ...orders v2 lands
+
+    # CARRY_LATEST: the lineitem-only commit inherits orders v2.
+    m_latest = store.commit_tables(
+        sd, {"lineitem": li.limit(5)}, carry_from=store.CARRY_LATEST
+    )
+    with open(m_latest) as f:
+        entries = json.load(f)
+    assert entries["orders"] == 2 and "lineitem" in entries
+    snap = store.read_snapshot(spark, sd, m_latest)
+    assert snap["orders"].count() == 20
+
+    # explicit path: pins the stale snapshot's orders v1, by design.
+    m_pinned = store.commit_tables(
+        sd, {"lineitem": li.limit(3)}, carry_from=stale
+    )
+    with open(m_pinned) as f:
+        pinned = json.load(f)
+    assert pinned["orders"] == 1
+    assert store.read_snapshot(spark, sd, m_pinned)["orders"].count() == 10
+
+
 def test_run_exclusive_skip_if_running(tmp_path):
     """The engine-side at-most-one-running guard (main_flow.py:31-42):
     a held lock skips, a crashed (stale) lock is reclaimed atomically,
@@ -785,3 +824,38 @@ def test_curation_flow_span_and_semantic_stages(spark):
         >= sem_stats.tables["semantic_dedup"]["staged"]
         > 0
     )
+
+    # --- survivor scoping (r11 advice): a doc ELIMINATED upstream
+    # (quality/language/exact-dedup) must never act as the kept
+    # representative — the flow semi-joins embeddings to the current
+    # survivor set first, so the surviving near-dup stays. Standalone,
+    # the eliminated doc WOULD win (lower scale = representative) and
+    # the survivor would silently vanish from the corpus.
+    all_ids = {
+        r.doc_id
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id")
+        .collect()
+    }
+    eliminated = sorted(all_ids - base_ids)
+    assert eliminated, "fixture needs an upstream-eliminated doc"
+    x = eliminated[0]
+    # the drop rule keeps the centroid-closer member, ties to the
+    # LOWER id — plant exact duplicates with x below a surviving id so
+    # the eliminated doc would win unscoped
+    a2 = min(i for i in base_ids if i > x)
+    emb2 = spark.createDataFrame(
+        [(x, 0, unit(0, 1.0)), (a2, 0, unit(0, 1.0))],
+        "doc_id bigint, label int, embedding array<float>",
+    )
+    unscoped_drops = {
+        r.doc_id
+        for r in semantic_dedup_lsh(emb2, 0.99, id_col="doc_id")
+        .filter(F.col("action") == "drop")
+        .collect()
+    }
+    assert unscoped_drops == {a2}, "fixture must make the survivor the near-dup"
+    scoped_out, _ = curation_flow(spark, SF_SMOKE, embeddings=emb2)
+    assert {
+        r.doc_id for r in scoped_out.select("doc_id").collect()
+    } == base_ids

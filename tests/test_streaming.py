@@ -97,6 +97,27 @@ def test_stream_es_feed_lands_bulk_pairs(spark, tmp_path):
     )
 
 
+def test_es_feed_oracle_corpus_invariants(spark):
+    """Pins the assumptions STREAM_ES_FEED_ORACLE's string assembly
+    rests on (r11 advice): null fields are now rendered
+    to_json-consistently by the oracle itself (concat_ws skips the
+    NULLed piece exactly where to_json omits the field), but string
+    ESCAPING is not replayable in plain concat — so event_type must
+    stay a bare token (no quotes/backslashes/control chars for
+    to_json to escape). If the corpus generator ever changes, this
+    fails here instead of as a driver hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from prefect_flow_arc_kg_postgres_etl_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    bad = ev.filter(
+        F.col("event_id").isNull()
+        | ~F.col("event_type").rlike(r"^[A-Za-z0-9_]+$")
+    ).count()
+    assert bad == 0
+
+
 def test_watermarked_append_agg_matches_batch_below_watermark(spark, tmp_path):
     """Production windowed-agg variant (append + watermark + file sink):
     the emitted set is exactly the batch tumbling result for windows the
