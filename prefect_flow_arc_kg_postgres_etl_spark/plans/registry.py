@@ -245,6 +245,13 @@ _SPECS: dict[str, QuerySpec] = {
         pipeline.ann_quantized_topk, pipeline.ANN_QUANTIZED_ORACLE
     ),
     "ann_pq_topk": QuerySpec(pipeline.ann_pq_topk, pipeline.ANN_PQ_ORACLE),
+    # D65 (NEW r12): the composed IVF->PQ production tier — coarse
+    # cells prune the candidate set, ADC rescores only probed cells'
+    # codes; oracle = the literal composition of the two standalone
+    # oracles.
+    "ann_ivf_pq_topk": QuerySpec(
+        pipeline.ann_ivf_pq_topk, pipeline.ANN_IVF_PQ_ORACLE
+    ),
     "events_funnel": QuerySpec(relational.events_funnel, relational.FUNNEL_ORACLE),
     # pairs -> clusters canonicalization; oracle = recursive-CTE
     # connected components over the quadratic ground-truth pair set.
@@ -989,30 +996,37 @@ _SPECS: dict[str, QuerySpec] = {
 # closure paths (kg_path_text_closure) and the A72 subselect/HAVING/
 # blank-node text form (kg_select_subquery_text) — 47 for r8.
 DRIVER_WINDOW: list[str] = [
-    # r11 rotation: (a) the round's NEW/PROMOTED entries — the PQ/ADC
-    # ANN tier plus the three rows-only -> full-oracle promotions
-    # (minhash LSH / simhash / ES feed) and every entry whose HASH
-    # MACHINERY changed with them (the md5 gram-identity swap touches
-    # the whole minhash family; the span/chunk entries carry the
-    # advice fixes: collision-proof chunk rank, exact-integer e6
-    # fraction); (b) the SPARQL surface — the star-fusion rewrite
-    # changed eval_triples/eval_group for EVERY SPARQL entry, so all
-    # ten verbatim production queries, the composed reference flows +
-    # store twins, the text forms and the transitive path re-grade
-    # this round; (c) the oldest rows on the books (r6 grades).
-    # (a) new / promoted / hash-machinery re-grades.
+    # r12 rotation: (a) entries with NO driver row or a round-12
+    # change — A80 flow_reference_main_store (registered after the
+    # r11 window froze; local mirror PASS), the NEW composed IVF->PQ
+    # tier, the advice-touched oracles (pq divisibility guard /
+    # integer-division oracle; null-consistent ES feed oracle), the
+    # survivor-scoped curation flow, and the three r5-stale rows the
+    # r11 verdict named (dedup_embedding_lsh, multimodal_resize,
+    # multimodal_frame_sample); (b) the store-commit machinery —
+    # commit_tables now stages tables CONCURRENTLY and resolves
+    # CARRY_LATEST inside the lock, so every multi-table-commit
+    # entry re-grades; (c) the SPARQL surface — the star fan-out
+    # guard, the checkpoint-default change (post-explode -> none),
+    # expression ORDER BY lowering and the cached-plan-partitioning
+    # session conf change every SPARQL plan, so all ten verbatim
+    # production queries, the composed flows, the text forms and the
+    # paths re-grade; (d) the oldest rows on the books (r6 grades).
+    # (a) no-row / new / advice-touched / r5-stale.
+    "flow_reference_main_store",
+    "ann_ivf_pq_topk",
     "ann_pq_topk",
-    "ann_lsh_topk",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "stream_es_feed",
-    "dedup_incremental",
-    "dedup_lsh_verified",
-    "dedup_ngram_jaccard",
-    "dedup_substring",
-    "dedup_paragraph",
-    "dedup_substring_incremental",
-    # (b) SPARQL star-fusion re-grades: verbatim production queries.
+    "corpus_curation",
+    "dedup_embedding_lsh",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # (b) store-commit machinery re-grades.
+    "flow_reference_incremental_store",
+    "flow_reference_deletes_store",
+    "store_multi_commit",
+    "store_validated_commit",
+    # (c) SPARQL surface re-grades: verbatim production queries.
     "kg_construct_real_query",
     "kg_construct_real_query_org",
     "kg_construct_real_query_deletes",
@@ -1023,15 +1037,13 @@ DRIVER_WINDOW: list[str] = [
     "kg_construct_real_query_av_video",
     "kg_construct_real_query_av_complex",
     "kg_construct_real_query_av_audio_org",
-    # (b) composed reference flows (+ the active-gating store changes).
+    # (c) composed reference flows.
     "flow_kg_view_load",
     "flow_reference_pipeline",
     "flow_reference_incremental",
     "flow_reference_deletes",
     "reference_delete_report",
-    "flow_reference_incremental_store",
-    "flow_reference_deletes_store",
-    # (b) SPARQL text forms + paths.
+    # (c) SPARQL text forms + paths.
     "kg_select_real_text",
     "kg_ask_real_text",
     "kg_describe_real_text",
@@ -1041,20 +1053,21 @@ DRIVER_WINDOW: list[str] = [
     "kg_path_nps_inverse",
     "kg_path_text_closure",
     "kg_path_transitive",
-    # (c) oldest re-grades (latest grade r6).
-    "embeddings_kmeans",
-    "ann_quantized_topk",
-    "dedup_cluster_components",
-    "dedup_edit_distance",
-    "corpus_decontaminate_bloom",
-    "text_pii_redact",
-    "corpus_vocabulary",
-    "corpus_bigram_lm",
-    "ann_filtered_topk",
-    "events_trend_fit",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_parts",
+    # (d) oldest re-grades (latest grade r6).
+    "events_pivot_wide",
+    "orders_cohort_retention",
+    "events_quantiles",
+    "q13_order_distribution",
+    "events_json_extract",
+    "events_sliding_window",
+    "events_gap_fill",
+    "orders_window_functions",
+    "orders_basket_pairs",
+    "events_range_join_bucketed",
+    "q6_revenue_forecast",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q20_part_promotion",
 ]
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
@@ -1134,6 +1147,15 @@ def _seed_shuffle_partitions(spark: SparkSession) -> None:
     k = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     if spark.conf.get(k, None) is None:
         spark.conf.set(k, "256")
+    # Cached-plan output partitioning must track AQE (r12): with the
+    # elevated initial partition count above, the default (false) pins
+    # every .persist() at the pre-coalesce width and each downstream
+    # consumer pays a full-width scan of the cache (measured 86 -> 15 s
+    # on the composed reference main flow at sf0.001). Runtime-settable
+    # SQLConf; respects an explicit user setting.
+    k2 = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    if spark.conf.get(k2, None) is None:
+        spark.conf.set(k2, "true")
 
 
 def _self_shipping(builder: Builder) -> Builder:

@@ -37,6 +37,21 @@ def get_spark(app_name: str = "arc-kg-spark", cpus: int | None = None) -> SparkS
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512"
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan the OUTPUT partitioning of cached/persisted
+        # plans (default false pins every .persist() at the
+        # pre-coalesce initialPartitionNum): with 512 initial
+        # partitions, a persisted tiny frame (the reference pivot's
+        # wide table) otherwise materializes as 512 cached partitions
+        # and EVERY downstream consumer pays a 512-task scan —
+        # measured on the composed main flow at sf0.001: 86 s -> 15 s
+        # body wall with this on, identical results. At cluster scale
+        # the setting is strictly better for small cached dims and
+        # neutral for large ones (coalesce only shrinks below target
+        # size).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")

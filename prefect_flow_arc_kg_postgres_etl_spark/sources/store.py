@@ -558,11 +558,37 @@ def commit_tables(store_dir: str, tables: dict, carry_from: str | None = None) -
     # the manifest exists to prevent.
     token = uuid.uuid4().hex[:12]
     staged: dict[str, str] = {}
-    for name, df in tables.items():
+
+    def _stage(name: str, df) -> tuple[str, str]:
         tp = os.path.join(store_dir, f"{name}.parquet")
         sd = os.path.join(tp, f"_stage_{token}")
         df.write.mode("overwrite").parquet(sd)
-        staged[name] = sd
+        return name, sd
+
+    items = list(tables.items())
+    if items:
+        # Staging writes run CONCURRENTLY (r12): Phase 1 is
+        # coordination-free by design, so a multi-table commit's wall
+        # is max(per-table write) instead of sum — for the reference
+        # load's ~30 small graph.* tables the sequential form was
+        # ~2 s of pure job overhead per table (66 s at sf0.001; ~9 s
+        # parallel). The FIRST table stages alone so any shared lazy
+        # upstream (e.g. the pivot's persisted wide frame) is
+        # materialized exactly once instead of racing in every
+        # thread; Spark's scheduler accepts concurrent job
+        # submission from driver threads natively.
+        name0, df0 = items[0]
+        staged[name0] = _stage(name0, df0)[1]
+        if len(items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(8, len(items) - 1)
+            ) as ex:
+                for name, sd in ex.map(
+                    lambda it: _stage(*it), items[1:]
+                ):
+                    staged[name] = sd
 
     # Phase 2 — metadata-only critical section under a store-wide
     # O_EXCL lock: allocate version numbers from what is actually on
