@@ -602,6 +602,43 @@ def pq_topk(
 
     Returns (query_id, neighbor_id, adist, rank) — adist is the exact
     integer ADC squared distance in the quantized space."""
+    codes, qtab = _pq_codes_and_qtab(
+        queries, corpus, m, codebook_k, iters, scale, id_col, vec_col
+    )
+    scored = (
+        codes.join(F.broadcast(qtab), ["j", "cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd").alias("adist"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    wk = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adist",
+            "rank",
+        )
+    )
+
+
+def _pq_codes_and_qtab(
+    queries: DataFrame,
+    corpus: DataFrame,
+    m: int,
+    codebook_k: int,
+    iters: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared PQ machinery behind pq_topk and ivf_pq_topk:
+    learns the m codebooks (one joint Lloyd's run), encodes the corpus
+    against the FINAL codebooks, and builds the per-query ADC distance
+    tables from the same codebooks. Returns (codes(vec_id, j, cid),
+    qtab(query_id, j, cid, qd))."""
 
     def sub_split(df: DataFrame, out_id: str) -> DataFrame:
         vint = df.select(
@@ -700,8 +737,107 @@ def pq_topk(
             ).alias("qd"),
         )
     )
+    return codes, qtab
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    codebook_k: int = 16,
+    iters: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF->PQ, the composed two-stage index every billion-vector
+    store actually serves (the r11 verdict's last missing ANN rung):
+    D13's deterministic IVF coarse quantizer partitions the corpus
+    into ``n_centroids`` cells, each query probes its ``n_probe``
+    closest cells, and ONLY those cells' PQ codes are ADC-rescored —
+    the candidate set shrinks from |corpus| to
+    ~|corpus| * n_probe / n_centroids while the per-candidate cost
+    stays m table lookups on 8-byte codes.
+
+    Both halves are exactly their standalone selves, so the composed
+    DuckDB oracle is their composition: the coarse assignment/probing
+    reuses ivf_topk's float-cosine argmax (sequential-fold double
+    arithmetic, ties to the larger cell id — already proven
+    hash-replayable by the D13 oracle), and codebook learning /
+    encoding / ADC tables reuse pq_topk's all-integer machinery
+    (_pq_codes_and_qtab). Codebooks are trained on the FULL corpus
+    (global codebooks, no per-cell residuals — the IVF-Flat-PQ
+    variant; residual encoding trades determinism for recall and
+    belongs behind the same interface if ever needed).
+
+    Plan shape at 100 TB: centroids and probe lists broadcast; the
+    coarse assignment is scan-side (no shuffle); candidate
+    restriction is ONE equi-join of the m-codes table against the
+    (query, cell)-pruned corpus on vec_id; scoring joins the
+    broadcast ADC tables and partial-aggregates (query, vector) sums.
+    Returns (query_id, neighbor_id, adist, rank) — adist identical to
+    pq_topk's for every surviving candidate."""
+    spark = corpus.sparkSession
+    cent_df = _centroid_frame(
+        spark, ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    )
+
+    def cell_scores(vcol, ncol):
+        return F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (dot(vcol, c.getField("cv")) / (ncol * c.getField("cn"))).alias("s"),
+                c.getField("cid").alias("cid"),
+            ),
+        )
+
+    assigned = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("cv"),
+            norm(F.col(vec_col)).alias("cn"),
+        )
+        .crossJoin(F.broadcast(cent_df))
+        .select(
+            "vec_id",
+            F.array_max(cell_scores(F.col("cv"), F.col("cn")))
+            .getField("cid")
+            .alias("ccid"),
+        )
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("qn"),
+        )
+        .crossJoin(F.broadcast(cent_df))
+        .select(
+            "query_id",
+            F.explode(
+                F.slice(
+                    F.sort_array(
+                        cell_scores(F.col("qv"), F.col("qn")), False
+                    ),
+                    1,
+                    n_probe,
+                )
+            ).alias("p"),
+        )
+        .select("query_id", F.col("p.cid").alias("ccid"))
+    )
+    cand = assigned.join(F.broadcast(probes), "ccid").select(
+        "query_id", "vec_id"
+    )
+    codes, qtab = _pq_codes_and_qtab(
+        queries, corpus, m, codebook_k, iters, scale, id_col, vec_col
+    )
     scored = (
-        codes.join(F.broadcast(qtab), ["j", "cid"])
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(qtab), ["query_id", "j", "cid"])
         .groupBy("query_id", "vec_id")
         .agg(F.sum("qd").alias("adist"))
         .filter(F.col("query_id") != F.col("vec_id"))

@@ -3273,3 +3273,135 @@ SELECT query_id, vec_id AS neighbor_id, adist, rank FROM (
 
 
 ANN_PQ_ORACLE = _pq_oracle_sql()
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D65 (r12): the composed IVF->PQ two-stage index — D13's
+    deterministic coarse quantizer prunes to n_probe cells per query,
+    D64's ADC machinery rescores only those cells' codes
+    (operators/similarity.py:ivf_pq_topk). The oracle is the literal
+    composition of the two standalone oracles: the float-cosine
+    argmax assignment/probing from ANN_IVF_ORACLE feeding a candidate
+    restriction into ANN_PQ's all-integer codebook/ADC replay."""
+    emb = _spread(spark, load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.ivf_pq_topk(queries, emb, k=_K)
+
+
+def _ivf_pq_oracle_sql(
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    codebook_k: int = 16,
+    iters: int = 2,
+    scale: int = 1000,
+    n_queries: int = 10,
+) -> str:
+    sqd = (
+        "list_sum(list_transform(generate_series(1, len(sv)),"
+        " i -> (sv[i] - c[i]) * (sv[i] - c[i])))"
+    )
+    assign = """
+a{n} AS (
+  SELECT vec_id, j, sv, cid FROM (
+    SELECT s.vec_id, s.j, s.sv, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY {sqd}, c.cid
+           ) AS rn
+    FROM subs s JOIN c{p} c ON s.j = c.j
+  ) WHERE rn = 1
+)"""
+    update = """
+c{n} AS (
+  SELECT j, cid, list(mv ORDER BY pos) AS c FROM (
+    SELECT j, cid, i AS pos,
+           CAST(FLOOR(SUM(sv[i]) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mv
+    FROM a{n}, UNNEST(generate_series(1, len(sv))) AS t(i)
+    GROUP BY j, cid, i
+  ) GROUP BY j, cid
+)"""
+    rounds = []
+    for it in range(1, iters + 1):
+        rounds.append(assign.format(n=it, p=it - 1, sqd=sqd))
+        rounds.append(update.format(n=it))
+    final = iters + 1
+    rounds.append(assign.format(n=final, p=iters, sqd=sqd))
+    return f"""
+WITH vint AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+           AS v
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, j,
+         list_transform(generate_series(1, ds), i -> v[j * ds + i]) AS sv
+  FROM (SELECT vec_id, v, CAST(len(v) // {m} AS INT) AS ds FROM vint),
+       UNNEST(generate_series(0, {m - 1})) AS t(j)
+),
+seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {codebook_k}),
+c0 AS (
+  SELECT s.j, CAST(s.vec_id AS BIGINT) AS cid, s.sv AS c
+  FROM subs s JOIN seeds USING (vec_id)
+),
+{", ".join(rounds)},
+codes AS (SELECT vec_id, j, cid FROM a{final}),
+qtab AS (
+  SELECT q.vec_id AS query_id, c.j, c.cid, {sqd} AS qd
+  FROM (SELECT vec_id, j, sv FROM subs WHERE vec_id < {n_queries}) q
+  JOIN c{iters} c ON q.j = c.j
+),
+ivf_seeds AS (
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS ccid,
+         embedding AS cv, {_norm_sql('embedding')} AS cn
+  FROM ivf_seeds
+),
+corpus AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding')} AS vn FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, ccid FROM (
+    SELECT c.vec_id, ct.ccid,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+             ORDER BY {_DOT_SQL.format(a='c.embedding', b='ct.cv')}
+                      / (c.vn * ct.cn) DESC, ct.ccid DESC) AS rn
+    FROM corpus c CROSS JOIN cents ct
+  ) WHERE rn = 1
+),
+iprobes AS (
+  SELECT query_id, ccid FROM (
+    SELECT q.vec_id AS query_id, ct.ccid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY {_DOT_SQL.format(a='q.embedding', b='ct.cv')}
+                      / (q.vn * ct.cn) DESC, ct.ccid DESC) AS rn
+    FROM corpus q CROSS JOIN cents ct WHERE q.vec_id < {n_queries}
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id FROM iprobes p JOIN assigned a USING (ccid)
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id, CAST(SUM(qd) AS BIGINT) AS adist
+  FROM cand
+  JOIN codes co ON co.vec_id = cand.vec_id
+  JOIN qtab qt ON qt.query_id = cand.query_id
+             AND qt.j = co.j AND qt.cid = co.cid
+  WHERE cand.query_id <> cand.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, adist, rank FROM (
+  SELECT query_id, vec_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+ANN_IVF_PQ_ORACLE = _ivf_pq_oracle_sql()

@@ -793,6 +793,47 @@ def test_pq_topk_recall_and_exactness_properties(spark):
     assert hits / total >= 0.2, f"PQ recall@5 collapsed: {hits}/{total}"
 
 
+def test_ivf_pq_topk_composes_and_bounds_recall(spark):
+    """D65 (r12): IVF->PQ candidates are a SUBSET relation of plain
+    PQ — every (query, neighbor) the composed index returns carries
+    the IDENTICAL adist pq_topk computes for it (same codebooks, same
+    ADC tables; only the candidate set shrinks), recall@5 vs brute
+    force clears a floor, and the result is deterministic across
+    runs."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    got1 = ivf_pq_topk(queries, emb, k=5).collect()
+    got2 = ivf_pq_topk(queries, emb, k=5).collect()
+    assert sorted(map(tuple, got1)) == sorted(map(tuple, got2))
+
+    # adist parity with the unpruned PQ scorer on shared pairs: rank a
+    # full-corpus PQ (k = corpus size) and compare distances
+    n = emb.count()
+    full = {
+        (r.query_id, r.neighbor_id): r.adist
+        for r in pq_topk(queries, emb, k=n).collect()
+    }
+    for r in got1:
+        assert full[(r.query_id, r.neighbor_id)] == r.adist
+
+    brute = brute_force_topk(queries, emb, k=5).collect()
+    b_sets, p_sets = {}, {}
+    for r in brute:
+        b_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in got1:
+        p_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(b_sets[q] & p_sets.get(q, set())) for q in b_sets)
+    total = sum(len(b_sets[q]) for q in b_sets)
+    # coarse pruning on top of PQ loss: require a sane floor, not luck
+    assert hits / total >= 0.15, f"IVF-PQ recall@5 collapsed: {hits}/{total}"
+
+
 def test_pq_topk_rejects_indivisible_dim(spark):
     """r11 advice: a dim not divisible by m used to silently DROP the
     tail components from every distance (truncating sub-vector split)
