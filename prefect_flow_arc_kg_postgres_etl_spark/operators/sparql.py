@@ -1837,31 +1837,37 @@ class _Eval:
         df = pivot_in.groupBy(*gcols).agg(*aggs)
         for i in range(n_req):
             df = df.filter(F.size(f"__st{i}") >= 1)
-        # Per-star checkpointing is OFF by default (r12; r11 shipped
-        # it ON post-explode, and the verdict measured it roughly
-        # doubling one-shot cold build+materialize — ~39 vs ~19 s for
-        # issues at sf0.1 — because the bytes written are the star's
-        # exploded cross product). The materialize-once property it
-        # bought is already provided wherever re-reference can
-        # actually happen: a star frame is folded into the
-        # accumulator exactly once (eval_triples' greedy fold),
-        # CONSTRUCT templates expand in ONE inline() pass over the
-        # bindings frame, and the one genuine multi-embedding site —
-        # the accumulator joined once per UNION join group — lazily
-        # checkpoints the ACCUMULATOR first (eval_group's union
-        # path), which materializes the stars inside it once.
-        # Plan-text growth is bounded separately by the fold counter
-        # (_TRUNCATE_EVERY: a fused star counts as its member count).
-        # Measured one-shot issues at sf0.1 (loaded host, interleaved
-        # trials): ~65 s with either checkpoint mode, ~40 s without;
-        # warm walls unchanged (all modes read the downstream
-        # accumulator checkpoints). Executed-plan parquet-scan count
-        # rises 31 -> 43, inside the <= 50 budget pinned by
-        # test_plan_audit. SPARK_GRAFT_STAR_CKPT: "0"/"none"
-        # (default) as above; "compact" checkpoints the pivot output
-        # pre-explode (one array row per subject); "1" = legacy full
-        # post-explode checkpoint.
-        ckpt_mode = os.environ.get("SPARK_GRAFT_STAR_CKPT", "0")
+        # Per-star checkpointing defaults to "compact" — checkpoint
+        # the pivot output PRE-explode, one array row per subject
+        # (r12 optimization round; r11 shipped the full post-explode
+        # checkpoint whose bytes are the star's exploded cross
+        # product, and the mid-r12 build briefly defaulted to NO
+        # checkpoint). Idle-host measurement (tools/time_query.py,
+        # noop sink, min-of-3 warm after a cold pass, sf0.1) across
+        # the three modes:
+        #
+        #   issues        mode 0: cold 57.3 / warm 16.0   compact:
+        #                 62.9 / 7.5   legacy 1: 62.5 / 7.4
+        #   av_audio_org  mode 0: 38.3 / 8.9   compact: 47.3 / 3.8
+        #                 legacy 1: 49.1 / 4.2
+        #   deletes       mode 0: 5.0 / 2.6    compact: 7.1 / 1.4
+        #                 legacy 1: 7.0 / 1.3
+        #
+        # i.e. WITHOUT a per-star materialization the steady-state
+        # (plan-cache-warm) walls double — the downstream accumulator
+        # checkpoints do not make star re-execution free, because
+        # repeated actions on the cached plan re-run every star pivot
+        # upstream of the LAST lazy checkpoint each time. "compact"
+        # buys legacy's warm wall at ~10% one-shot overhead over
+        # mode 0 while writing the SMALL (pre-explode) representation
+        # — the right trade at 100 TB too, where the exploded cross
+        # product is the one set of bytes you never want to spill.
+        # Plan-text growth stays bounded by the fold counter
+        # (_TRUNCATE_EVERY). SPARK_GRAFT_STAR_CKPT: "compact"
+        # (default) as above; "0"/"none" = no star checkpoint
+        # (fastest one-shot); "1" = legacy full post-explode
+        # checkpoint.
+        ckpt_mode = os.environ.get("SPARK_GRAFT_STAR_CKPT", "compact")
         if ckpt_mode not in ("0", "none"):
             df = _truncate_lineage(df)
         for i in range(len(ts)):
