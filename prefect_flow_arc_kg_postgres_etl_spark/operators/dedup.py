@@ -1317,7 +1317,17 @@ def semantic_dedup_lsh(
         lsh_band_buckets,
     )
 
-    ranked = _semantic_ranked(emb, id_col, label_col, vec_col)
+    # Materialize the ranked stage ONCE (eager localCheckpoint): this
+    # tier embeds it 3x (ra + rb + the final action join) and the
+    # collect_list fold + window subtree gets no ReusedExchange —
+    # measured 4.17 s -> 2.73 s warm at sf0.1 (idle host, min-of-4).
+    # The EXACT tier deliberately stays inline: its wall is the
+    # O(cluster^2) pair join and the overlapped subtree re-execution is
+    # cheaper there than the checkpoint barrier (measured 3.57 s inline
+    # vs 4.59 s checkpointed). Guide §2.4 / §5 (lineage truncation).
+    ranked = _semantic_ranked(emb, id_col, label_col, vec_col).localCheckpoint(
+        eager=True
+    )
     buckets = lsh_band_buckets(
         emb, bands, planes_per_band, dim, id_col, vec_col
     ).localCheckpoint(eager=True)

@@ -1057,12 +1057,27 @@ def flow_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit
     triples = all_view_triples(spark, sf_dir)
     tables = pivot_view_tables(triples)
+    # localCheckpoint (eager), not persist: both hold the rows in
+    # executor storage, but persist keeps the FULL ~3000-node analyzed
+    # plan on the returned frame, and every composed consumer
+    # (incremental flags, delete cascade, NDJSON feed) embeds that
+    # lineage 4-6x — measured 2.5-2.9 s of driver-side analysis per
+    # incremental pass plus slower cache-lookup canonicalization
+    # (guide §5 "very large query plans" + §3.3 plan truncation). The
+    # checkpoint truncates the plan to one LogicalRDD leaf, so the
+    # flag algebra plans in milliseconds. Storage bookkeeping moves
+    # from explicit unpersist to the ContextCleaner (blocks are freed
+    # when the evicted frame is garbage-collected); at cluster scale
+    # the durable form of this barrier is reference_pipeline_flow's
+    # store commit, which writes the documents table to the warehouse.
     docs = build_reference_index_documents(
         tables, SYNTHETIC_STORE_ADAPTER
-    ).persist()
+    ).localCheckpoint(eager=True)
     # a mutated store under the same path supersedes its old entry —
-    # unpersist it now instead of letting it hog executor memory until
-    # it ages out of the LRU.
+    # drop the reference now; the checkpointed blocks are freed by the
+    # ContextCleaner once the frame is garbage-collected (unpersist()
+    # is a no-op on a checkpointed frame, kept for persisted entries
+    # from older sessions of this module).
     for old_key in [k for k in _DOCS_CACHE if k[:2] == key[:2]]:
         try:
             _DOCS_CACHE.pop(old_key).unpersist()
