@@ -810,9 +810,14 @@ def incremental_dup_pairs_indexed(
                 f"{meta_rows!r}"
             ) from exc
     r = k // bands
-    sig_new = minhash_signatures(new, k, id_col, text_col, n).localCheckpoint(
-        eager=True
-    )
+    # sig_new is consumed exactly once (by nb, which IS checkpointed,
+    # 3 consumers); checkpointing it too was a pure extra
+    # materialization barrier per ingest batch — one job + one block
+    # write for no recompute saved (guide §5: cache only what is
+    # reused). incremental_dup_pairs (non-indexed) keeps its sig_new
+    # checkpoint because there nb is NOT materialized and embeds the
+    # signature derivation 3x.
+    sig_new = minhash_signatures(new, k, id_col, text_col, n)
     nb = _band_keys(sig_new, bands, r).localCheckpoint(eager=True)
 
     probe_parts = [
