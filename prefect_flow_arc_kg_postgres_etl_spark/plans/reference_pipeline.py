@@ -1038,6 +1038,37 @@ def build_reference_index_documents(
 # build it exactly once.
 _DOCS_CACHE: dict[tuple[str, str, tuple[int, int]], DataFrame] = {}
 
+# Prepared-PLAN cache for the composed flows (operators/sparql's
+# _PLAN_CACHE precedent): the delete cascade compiles a fresh
+# ~2000-node scoped update_partition star join on EVERY call — 7-12 s
+# of driver-side Python + Catalyst analysis per warm pass against ~1 s
+# of actual execution (guide §5 "very large query plans"/§7.3
+# planning-bound drivers). Returning the SAME DataFrame re-uses the
+# analyzed plan while every action still re-EXECUTES it end to end —
+# a plan cache, not a result cache. Keyed like _DOCS_CACHE (appId,
+# sf_dir, store fingerprint) so a mutated store recompiles.
+_FLOW_PLAN_CACHE: dict[tuple[str, str, str, tuple[int, int]], DataFrame] = {}
+
+
+def _flow_plan_cached(spark, sf_dir, tag, build):
+    key = (
+        tag,
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _store_fingerprint(sf_dir, spark),
+    )
+    hit = _FLOW_PLAN_CACHE.get(key)
+    if hit is not None:
+        _FLOW_PLAN_CACHE[key] = _FLOW_PLAN_CACHE.pop(key)  # LRU reorder
+        return hit
+    df = build()
+    for old in [k for k in _FLOW_PLAN_CACHE if k[:3] == key[:3] and k != key]:
+        _FLOW_PLAN_CACHE.pop(old)  # superseded store fingerprint
+    if len(_FLOW_PLAN_CACHE) >= 32:
+        _FLOW_PLAN_CACHE.pop(next(iter(_FLOW_PLAN_CACHE)))
+    _FLOW_PLAN_CACHE[key] = df
+    return df
+
 
 def flow_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A74: the reference's full production cycle — nine verbatim
@@ -1877,6 +1908,12 @@ def flow_reference_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt-union-passthrough shape applied to the delete cycle).
     The result is still EXACTLY the full rebuild over the survivors —
     the oracle is unchanged."""
+    return _flow_plan_cached(
+        spark, sf_dir, "deletes", lambda: _flow_reference_deletes_impl(spark, sf_dir)
+    )
+
+
+def _flow_reference_deletes_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = all_view_triples(spark, sf_dir)
     tables = pivot_view_tables(triples)
     prev_docs = flow_reference_pipeline(spark, sf_dir)
