@@ -424,20 +424,25 @@ def pagerank_int(
     nodes = src_nodes.unionByName(dst_nodes).distinct().localCheckpoint(
         eager=True
     )
-    n_row = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    # The node count is a SCALAR over an already-materialized
+    # checkpoint: read it once on the driver (bounded, one bigint)
+    # and fold it into the plan as a literal, instead of the
+    # crossJoin(broadcast(count-agg)) subtree the pre-r12 plan
+    # re-evaluated in the init frame AND per iteration (3 extra
+    # count-agg + BroadcastNestedLoopJoin stages in the executed
+    # plan; guide §2.4 — remove shuffles outright). Integer semantics
+    # identical: Python // == Spark div for nonnegative operands.
+    n = nodes.count()
     # The out-degree is iteration-INVARIANT: fold it into the edge
     # list once (one join, materialized) instead of re-joining it to
     # the contribution stream every iteration (r6 perf pass — saves a
     # keyed shuffle per iteration).
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges_deg = edges.join(outdeg, "src").localCheckpoint(eager=True)
-    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
-        "node", F.expr(f"CAST({scale} AS BIGINT) div _n").alias("rank")
+    ranks = nodes.select(
+        "node", F.lit(scale // n).cast("long").alias("rank")
     )
-    base = (
-        f"CAST({scale} AS BIGINT) * {damp_den - damp_num} "
-        f"div ({damp_den} * _n)"
-    )
+    base = scale * (damp_den - damp_num) // (damp_den * n)
     for _ in range(iters):
         contrib = edges_deg.join(
             ranks.select(F.col("node").alias("src"), "rank"), "src"
@@ -447,12 +452,13 @@ def pagerank_int(
         )
         inc = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
         ranks = (
-            nodes.crossJoin(F.broadcast(n_row))
+            nodes
             .join(inc, F.col("node") == F.col("dst"), "left")
             .select(
                 "node",
                 (
-                    F.expr(base) + F.coalesce(F.col("inc"), F.lit(0))
+                    F.lit(base).cast("long")
+                    + F.coalesce(F.col("inc"), F.lit(0))
                 ).alias("rank"),
             )
         )
@@ -487,21 +493,20 @@ def pagerank_int_resumable(
     nodes = src_nodes.unionByName(dst_nodes).distinct().localCheckpoint(
         eager=True
     )
-    n_row = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    # Driver-side scalar count of the materialized node set, folded
+    # in as a literal — same rationale as pagerank_int (guide §2.4).
+    n = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges_deg = edges.join(outdeg, "src").localCheckpoint(eager=True)
-    base = (
-        f"CAST({scale} AS BIGINT) * {damp_den - damp_num} "
-        f"div ({damp_den} * _n)"
-    )
+    base = scale * (damp_den - damp_num) // (damp_den * n)
     if store.table_exists(store_path):
         state = store.read_table(spark, store_path)
         done = state.select(F.max("_iter")).first()[0]
         ranks = state.select("node", "rank")
     else:
         done = 0
-        ranks = nodes.crossJoin(F.broadcast(n_row)).select(
-            "node", F.expr(f"CAST({scale} AS BIGINT) div _n").alias("rank")
+        ranks = nodes.select(
+            "node", F.lit(scale // n).cast("long").alias("rank")
         )
         store.write_table(
             ranks.withColumn("_iter", F.lit(0)), store_path
@@ -515,12 +520,13 @@ def pagerank_int_resumable(
         )
         inc = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
         ranks = (
-            nodes.crossJoin(F.broadcast(n_row))
+            nodes
             .join(inc, F.col("node") == F.col("dst"), "left")
             .select(
                 "node",
                 (
-                    F.expr(base) + F.coalesce(F.col("inc"), F.lit(0))
+                    F.lit(base).cast("long")
+                    + F.coalesce(F.col("inc"), F.lit(0))
                 ).alias("rank"),
             )
         )

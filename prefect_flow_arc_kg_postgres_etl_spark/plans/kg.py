@@ -1043,8 +1043,53 @@ def kg_path_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     hierarchy depth (3 hops) is catalog metadata, so ``known_depth``
     runs exactly ceil(log2(3)) = 2 doubling joins with no convergence
     counts; at 100 TB each iteration is one keyed self-join shuffle of
-    the PAIR set, never a corpus re-scan."""
-    return T.transitive_closure(_hierarchy_edges(spark, sf_dir), known_depth=3)
+    the PAIR set, never a corpus re-scan.
+
+    The doubling joins and distincts key on BIGINT node ids (type tag
+    in the low 2 bits: O=0 C=1 N=2 R=3, id = key*4 + tag) instead of
+    the 'O<key>' label strings — narrower shuffle keys and cheaper
+    hash/compare at every exchange (guide §2.3), the same bit-coding
+    pagerank uses. Labels rebuild only on the final output, which the
+    string-keyed oracle reproduces exactly. Measured 2.23 -> 1.98 /
+    1.90 -> 1.69 s warm at sf0.1 (interleaved A/B, noop sink)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+
+    def enc(c: str, tag: int):
+        return F.col(c).cast("long") * 4 + tag
+
+    edges = (
+        orders.select(
+            enc("o_orderkey", 0).alias("child"),
+            enc("o_custkey", 1).alias("parent"),
+        )
+        .unionByName(
+            cust.select(
+                enc("c_custkey", 1).alias("child"),
+                enc("c_nationkey", 2).alias("parent"),
+            )
+        )
+        .unionByName(
+            nat.select(
+                enc("n_nationkey", 2).alias("child"),
+                enc("n_regionkey", 3).alias("parent"),
+            )
+        )
+    )
+    closure = T.transitive_closure(edges, known_depth=3)
+
+    def dec(c: str):
+        return F.concat(
+            F.element_at(
+                F.lit(["O", "C", "N", "R"]), (F.col(c) % 4 + 1).cast("int")
+            ),
+            F.expr(f"{c} div 4").cast("string"),
+        )
+
+    return closure.select(
+        dec("node").alias("node"), dec("ancestor").alias("ancestor")
+    )
 
 
 KG_PATH_TRANSITIVE_ORACLE = """

@@ -1940,13 +1940,22 @@ def corpus_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     score = quality_expr("text")[0]
-    q3 = F.round(score * 3, 0).cast("long")  # the integer check count
     lcg = F.expr(_LCG)
-    return (
-        docs.select("doc_id", "lang", "source", score.alias("quality"), q3.alias("_q3"))
-        .filter(lcg * 3 < F.col("_q3") * F.lit(2147483648))
-        .drop("_q3")
-    )
+    # The keep test references the score, and Catalyst pushes the
+    # filter below the project by SUBSTITUTING the full regex-heavy
+    # score expression into it — every row then pays the score twice
+    # (once in the pushed Filter, once in the Project; guide §4.4's
+    # duplication, with built-ins instead of a UDF). explode(array(..))
+    # is a pushdown barrier: filters on a generated column cannot move
+    # below the Generate, so the score evaluates ONCE per row and the
+    # integer check count derives from the already-computed quality
+    # column (bit-identical: quality = round(k/3, 6) round-trips to k
+    # exactly for k in 0..3). Measured 1.01 -> 0.46 s warm at sf0.1
+    # (interleaved A/B, noop sink); plan: 1 score evaluation, not 2.
+    q3 = F.round(F.col("quality") * 3, 0).cast("long")
+    return docs.select(
+        "doc_id", "lang", "source", F.explode(F.array(score)).alias("quality")
+    ).filter(lcg * 3 < q3 * F.lit(2147483648))
 
 
 QUALITY_RESAMPLE_ORACLE = f"""
