@@ -532,6 +532,11 @@ def kmeans_int(
             .groupBy("cid", "pos")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
         )
+        # Same per-iteration truncation as _pq_codes_and_qtab below:
+        # the returned members/stats sides otherwise each re-run the
+        # whole assign chain (two full corpus passes per extra
+        # reference). k tiny rows materialize per iteration; results
+        # are bit-identical.
         centroids = (
             sums.withColumn(
                 "m", F.floor(F.col("s") / F.col("n")).cast("long")
@@ -543,7 +548,7 @@ def kmeans_int(
                     lambda st: st.getField("m"),
                 ).alias("c")
             )
-        )
+        ).localCheckpoint(eager=True)
     stats = centroids.select(
         "cid",
         F.aggregate(
@@ -705,6 +710,18 @@ def _pq_codes_and_qtab(
         )
 
     for _ in range(iters):
+        # Materialize each iteration's codebook (m*codebook_k tiny
+        # rows) eagerly: without the truncation the FINAL centroid
+        # plan nests every earlier assign pass, and it is evaluated
+        # TWICE downstream (the codes side and the broadcast qtab
+        # build side re-run the whole Lloyd chain independently) —
+        # the corpus was scanned ~6x per query instead of
+        # iters + 1 = 3 (guide §5 lineage truncation; the
+        # cluster_components / pagerank precedent). Measured
+        # ann_pq_topk 3.55/3.24 -> 2.84/2.52 s and ann_ivf_pq_topk
+        # 4.07 -> 3.32 s warm at sf0.1 (interleaved A/B, noop sink);
+        # results bit-identical (the checkpoint changes nothing the
+        # integer arithmetic sees).
         centroids = (
             assign(centroids)
             .select("j", "cid", F.posexplode("sv").alias("pos", "val"))
@@ -718,7 +735,7 @@ def _pq_codes_and_qtab(
                     lambda st: st.getField("mv"),
                 ).alias("c")
             )
-        )
+        ).localCheckpoint(eager=True)
     # Encoding is the assignment against the FINAL codebooks — the
     # same table the query distance tables are built from (ADC scores
     # are meaningless if codes and tables disagree on the codebook).
