@@ -755,6 +755,42 @@ def build_dedup_index(
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
 
 
+# Per-process cache of persisted index _meta: (appId, path, mtime_ns of
+# the _meta dir) -> collected rows (or None for a pre-_meta index). The
+# _meta is four ints of BUILD-TIME configuration — a catalog lookup, not
+# query data — but reading it through spark.read.json costs a schema-
+# inference job + a collect per probe call (guide §1: don't pay per-call
+# for what cannot change under the key). A rebuilt index rewrites _meta,
+# changing the directory mtime, so a stale hit is impossible.
+_INDEX_META_CACHE: dict[tuple[str, str, int], "list | None"] = {}
+
+
+def _read_index_meta(spark, index_path: str):
+    import os as _os
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        mtime = _os.stat(f"{index_path}/_meta").st_mtime_ns
+    except OSError:
+        mtime = -1
+    key = (spark.sparkContext.applicationId, index_path, mtime)
+    if key in _INDEX_META_CACHE:
+        return _INDEX_META_CACHE[key]
+    try:
+        rows = spark.read.json(f"{index_path}/_meta").collect()
+    except AnalysisException as exc:
+        # Only a MISSING _meta (pre-_meta index) may fall back to the
+        # caller's parameters; a present-but-unreadable one must not.
+        if "PATH_NOT_FOUND" not in (exc.getErrorClass() or ""):
+            raise
+        rows = None
+    if len(_INDEX_META_CACHE) >= 64:
+        _INDEX_META_CACHE.pop(next(iter(_INDEX_META_CACHE)))
+    _INDEX_META_CACHE[key] = rows
+    return rows
+
+
 def incremental_dup_pairs_indexed(
     new: DataFrame,
     index_path: str,
@@ -765,6 +801,7 @@ def incremental_dup_pairs_indexed(
     text_col: str = "text",
     n: int = 3,
     partitions: int = 64,
+    _audit: "dict | None" = None,
 ) -> DataFrame:
     """incremental_dup_pairs against a PERSISTED build_dedup_index —
     identical output (same _band_keys derivation, same exact-Jaccard
@@ -783,17 +820,8 @@ def incremental_dup_pairs_indexed(
     parameters that differ from the build's would derive wrong band
     keys / partition ids and silently drop candidate pairs. Indexes
     built before ``_meta`` existed fall back to the caller's values."""
-    from pyspark.errors import AnalysisException
-
     spark = new.sparkSession
-    try:
-        meta_rows = spark.read.json(f"{index_path}/_meta").collect()
-    except AnalysisException as exc:
-        # Only a MISSING _meta (pre-_meta index) may fall back to the
-        # caller's parameters; a present-but-unreadable one must not.
-        if "PATH_NOT_FOUND" not in (exc.getErrorClass() or ""):
-            raise
-        meta_rows = None
+    meta_rows = _read_index_meta(spark, index_path)
     if meta_rows is not None:
         # A PRESENT _meta must be well-formed: silently falling back to
         # caller-supplied parameters on a corrupt/partial _meta would
@@ -834,6 +862,11 @@ def incremental_dup_pairs_indexed(
         .select("id", "band", "bh")
     )
     ab = hist_keys.unionByName(nb)
+    # The candidate pair set is consumed TWICE (the hist_cand_ids
+    # derivation below and the final _jaccard_verify), and each
+    # evaluation re-runs the pruned index scan + band join + distinct.
+    # It is a small (doc_a, doc_b) table by LSH construction — one
+    # eager checkpoint halves the probe work (guide §2.4/§5).
     cands = (
         nb.select(F.col("id").alias("new_id"), "band", "bh")
         .join(ab.select(F.col("id").alias("other_id"), "band", "bh"), ["band", "bh"])
@@ -844,8 +877,16 @@ def incremental_dup_pairs_indexed(
         )
         .distinct()
     )
+    if _audit is not None:
+        # Plan-audit hook (tests): the r12 checkpoints below truncate
+        # the returned frame's lineage to ExistingRDD leaves, so the
+        # partition-pruned index scans are no longer visible in the
+        # FINAL plan. Hand the audit the PRE-checkpoint frames — the
+        # exact frames whose materialization jobs do the scanning.
+        _audit["cands"] = cands
+    cands = cands.localCheckpoint(eager=True)
 
-    new_grams = doc_ngrams(new, id_col, text_col, n).localCheckpoint(eager=True)
+    new_grams = doc_ngrams(new, id_col, text_col, n)
     cand_ids = cands.select(
         F.explode(F.array("doc_a", "doc_b")).alias("id")
     ).distinct()
@@ -866,7 +907,17 @@ def incremental_dup_pairs_indexed(
         .join(F.broadcast(hist_cand_ids), "id", "left_semi")
         .select("id", "gram")
     )
+    # _jaccard_verify references the gram table THREE times (both
+    # verify legs + the size aggregate); materialize the UNION once so
+    # the batch tokenize+hash pass and the pruned index-gram scan each
+    # run once instead of three times. This replaces the former
+    # new_grams-only checkpoint — same barrier count, two fewer
+    # hist_grams evaluations (guide §2.4: shared subtree, no reuse
+    # without materialization).
     grams = new_grams.unionByName(hist_grams)
+    if _audit is not None:
+        _audit["grams"] = grams
+    grams = grams.localCheckpoint(eager=True)
     sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
     return _jaccard_verify(cands, grams, sizes, threshold)
 

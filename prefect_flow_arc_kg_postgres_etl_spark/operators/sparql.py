@@ -1033,6 +1033,24 @@ def _join(
     if not shared:
         if how == "left":
             return a.join(b, F.lit(True), "left")
+        # Variable-disjoint groups (no shared columns) are a true cross
+        # product. A bare crossJoin over frames without size statistics
+        # (checkpointed stores, createDataFrame inputs) plans a
+        # CartesianProductExec whose partition count is |a| x |b| — and
+        # CHAINED disjoint groups multiply it again, so a 3-group query
+        # over 512-partition shuffle reads schedules ~10^5 tiny tasks
+        # and each outer task recomputes the inner sides (measured as a
+        # multi-HOUR differential-test case; guide §3.3 "accidental
+        # cartesian products"). Disjoint SPARQL groups are in practice
+        # VALUES blocks or single selective patterns, so broadcast the
+        # RIGHT side: BroadcastNestedLoopJoin keeps a's partitioning,
+        # ships b once, and folds of several groups stay at a's width.
+        # Escape hatch for a deployment whose right sides are too big
+        # to broadcast: SPARK_GRAFT_SPARQL_CROSS_BROADCAST=0.
+        import os as _os
+
+        if _os.environ.get("SPARK_GRAFT_SPARQL_CROSS_BROADCAST", "1") != "0":
+            return a.crossJoin(F.broadcast(b))
         return a.crossJoin(b)
     if not lang_shared:
         return a.join(b, on=shared, how=how)

@@ -407,19 +407,23 @@ class TestIndexedIncremental:
 
         hist, new = self._corpus(spark)
         D.build_dedup_index(hist, str(tmp_path), partitions=64)
+        # r12: the probe checkpoints its candidate and gram frames, so
+        # the index scans no longer appear in the FINAL plan — audit
+        # the pre-checkpoint frames (the exact frames whose
+        # materialization jobs perform the scans) via the hook.
+        audit: dict = {}
         out = D.incremental_dup_pairs_indexed(
-            new, str(tmp_path), 0.8, partitions=64
+            new, str(tmp_path), 0.8, partitions=64, _audit=audit
         )
         out.collect()
-        plan = out._jdf.queryExecution().executedPlan().toString()
+        cands_plan = audit["cands"]._jdf.queryExecution().sparkPlan().toString()
+        grams_plan = audit["grams"]._jdf.queryExecution().sparkPlan().toString()
         # both index scans carry partition filters (bh_p in (...),
         # id_p in (...)) — not full-index reads
-        assert "PartitionFilters: [bh_p" in plan.replace("#", " ").replace(
-            "bh_p ", "bh_p"
-        ) or "bh_p IN" in plan
-        assert "id_p IN" in plan or "PartitionFilters: [id_p" in plan.replace(
-            "#", " "
-        ).replace("id_p ", "id_p")
+        plan = cands_plan.replace("#", " ").replace("bh_p ", "bh_p")
+        assert "PartitionFilters: [bh_p" in plan or "bh_p IN" in cands_plan
+        plan = grams_plan.replace("#", " ").replace("id_p ", "id_p")
+        assert "PartitionFilters: [id_p" in plan or "id_p IN" in grams_plan
 
     def test_index_layout_one_file_per_partition(self, spark, tmp_path):
         import glob

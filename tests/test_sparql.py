@@ -1568,3 +1568,52 @@ def test_star_optional_rebound_var_falls_back(spark, monkeypatch):
     # optional is compatible with t9 -> kept
     assert ("e1", "urn:out", "t1") in fused
     assert ("e2", "urn:out", "t9") in fused
+
+
+def test_disjoint_groups_cross_product_is_broadcast_not_cartesian(spark):
+    """Variable-disjoint groups are a true cross product; the compiler
+    must plan them as BroadcastNestedLoopJoin, never CartesianProduct.
+    A bare crossJoin over stat-less frames multiplies PARTITION counts
+    (|a| x |b| per cross, compounding per group) — a Hypothesis
+    differential run hit a 3-group draw that scheduled >40k tiny
+    python-scan tasks and ran for hours (r12). Rows are pinned against
+    the brute-force expansion so the strategy change is result-neutral."""
+    from prefect_flow_arc_kg_postgres_etl_spark.operators import sparql as SQ
+
+    rows = [
+        (f"urn:s{i % 4}", f"urn:p{i % 3}", f"urn:o{i % 3}", None, "g")
+        for i in range(14)
+    ]
+    quads = _quads(spark, rows)
+    text = """
+    PREFIX out: <urn:out:>
+    CONSTRUCT { ?a out:r1 ?b . ?c out:r2 ?d . ?e out:r3 <urn:k> }
+    WHERE {
+      ?a <urn:p0> ?b .
+      ?c <urn:p1> ?d .
+      { ?e <urn:p2> ?f } UNION { ?f <urn:p2> ?e }
+    }
+    """
+    SQ.clear_plan_cache()
+    df = SQ.construct_query(quads, text)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    SQ.clear_plan_cache()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # brute-force reference: distinct template expansions of the
+    # cross product of the three group solutions
+    p0 = {(s, o) for s, p, o, _, _ in rows if p == "urn:p0"}
+    p1 = {(s, o) for s, p, o, _, _ in rows if p == "urn:p1"}
+    p2s = {s for s, p, o, _, _ in rows if p == "urn:p2"}
+    p2o = {o for s, p, o, _, _ in rows if p == "urn:p2"}
+    expect = set()
+    for a, b in p0:
+        for c, d in p1:
+            for e in p2s | p2o:
+                expect.add((a, "urn:out:r1", b))
+                expect.add((c, "urn:out:r2", d))
+                expect.add((e, "urn:out:r3", "urn:k"))
+    got = {(r.subject, r.predicate, r.object) for r in df.collect()}
+    assert got == expect
