@@ -238,11 +238,17 @@ def main() -> None:
             t0 = time.time()
             df = builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            elapsed = round(time.time() - t0, 3)
+            # 2-decimal seconds (r13): the driver's tail capture
+            # truncates long lines from the FRONT; 3-decimal timings
+            # over 78 queries pushed the one-line JSON past the capture
+            # window and r12's round-over-round comparison came back
+            # empty (prev_bench_ok: false). 10 ms resolution is already
+            # below host noise on a shared box.
+            elapsed = round(time.time() - t0, 2)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.values()), 2)
     # Contention telemetry (round-5 postmortem): the r5 driver bench ran
     # ~1.5x slower than the same commit on a quiet host, uniformly across
     # unchanged plans — host load, not plan shape. Record the 1-minute
@@ -251,20 +257,30 @@ def main() -> None:
     # stable 20-query prefix total is also broken out so the
     # round-over-round comparable is a first-class field.
     load_end = os.getloadavg()
+    # Compact one-line JSON (r13): separators=(",", ":") and `queries`
+    # LAST so that if the driver's tail capture still truncates the
+    # line from the front, the per-query map (the round-over-round
+    # comparable) survives intact. drift_control_version marks the r12
+    # methodology change (an untimed warmup pass before the probe) so
+    # cross-round drift ratios aren't compared across incompatible
+    # baselines.
     print(
         json.dumps(
             {
                 "metric": "headline_suite_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "prefix20_sec": round(sum(timings[n] for n in HEADLINE[:20]), 3),
+                "prefix20_sec": round(sum(timings[n] for n in HEADLINE[:20]), 2),
                 "drift_control_sec": drift_control,
+                "drift_control_version": 2,
                 "loadavg_start": round(load_start[0], 2),
                 "loadavg_end": round(load_end[0], 2),
-            }
-        )
+                "queries": timings,
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
 
 

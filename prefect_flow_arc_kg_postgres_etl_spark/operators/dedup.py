@@ -761,21 +761,44 @@ def build_dedup_index(
 # query data — but reading it through spark.read.json costs a schema-
 # inference job + a collect per probe call (guide §1: don't pay per-call
 # for what cannot change under the key). A rebuilt index rewrites _meta,
-# changing the directory mtime, so a stale hit is impossible.
+# changing the directory mtime, so a stale hit is impossible. When the
+# path is NOT visible to driver-side os.stat (hdfs://, s3a://, file:
+# URIs — r12 ADVICE), the modification time comes from the Hadoop
+# FileSystem API instead; if THAT fails too, the cache is bypassed
+# entirely (read fresh every call) rather than pinned to a key that
+# would serve a stale _meta for a rebuilt index.
 _INDEX_META_CACHE: dict[tuple[str, str, int], "list | None"] = {}
 
 
-def _read_index_meta(spark, index_path: str):
+def _meta_mtime_ns(spark, index_path: str) -> "int | None":
     import os as _os
 
+    try:
+        return _os.stat(f"{index_path}/_meta").st_mtime_ns
+    except OSError:
+        pass
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{index_path}/_meta")
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        # Directory mtime alone is not reliable on object stores; fold
+        # in the content files' times and lengths.
+        stamp = 0
+        for st in fs.listStatus(hpath):
+            stamp = max(
+                stamp, st.getModificationTime() * 1_000_000 + st.getLen()
+            )
+        return stamp
+    except Exception:
+        return None
+
+
+def _read_index_meta(spark, index_path: str):
     from pyspark.errors import AnalysisException
 
-    try:
-        mtime = _os.stat(f"{index_path}/_meta").st_mtime_ns
-    except OSError:
-        mtime = -1
+    mtime = _meta_mtime_ns(spark, index_path)
     key = (spark.sparkContext.applicationId, index_path, mtime)
-    if key in _INDEX_META_CACHE:
+    if mtime is not None and key in _INDEX_META_CACHE:
         return _INDEX_META_CACHE[key]
     try:
         rows = spark.read.json(f"{index_path}/_meta").collect()
@@ -785,9 +808,10 @@ def _read_index_meta(spark, index_path: str):
         if "PATH_NOT_FOUND" not in (exc.getErrorClass() or ""):
             raise
         rows = None
-    if len(_INDEX_META_CACHE) >= 64:
-        _INDEX_META_CACHE.pop(next(iter(_INDEX_META_CACHE)))
-    _INDEX_META_CACHE[key] = rows
+    if mtime is not None:
+        if len(_INDEX_META_CACHE) >= 64:
+            _INDEX_META_CACHE.pop(next(iter(_INDEX_META_CACHE)))
+        _INDEX_META_CACHE[key] = rows
     return rows
 
 

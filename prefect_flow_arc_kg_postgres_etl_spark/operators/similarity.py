@@ -512,8 +512,8 @@ def kmeans_int(
     centroids = seeds.select(
         F.col("vec_id").cast("bigint").alias("cid"), F.col("v").alias("c")
     )
-    best = None
-    for _ in range(iters):
+    sums = None
+    for i in range(iters):
         dist = F.aggregate(
             F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
@@ -532,35 +532,39 @@ def kmeans_int(
             .groupBy("cid", "pos")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
         )
-        # Same per-iteration truncation as _pq_codes_and_qtab below:
-        # the returned members/stats sides otherwise each re-run the
-        # whole assign chain (two full corpus passes per extra
-        # reference). k tiny rows materialize per iteration; results
-        # are bit-identical.
-        centroids = (
-            sums.withColumn(
-                "m", F.floor(F.col("s") / F.col("n")).cast("long")
-            )
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda st: st.getField("m"),
-                ).alias("c")
-            )
-        ).localCheckpoint(eager=True)
-    stats = centroids.select(
-        "cid",
-        F.aggregate(
-            "c", F.lit(0).cast("long"), lambda acc, x: acc + x
-        ).alias("centroid_sum"),
-        F.aggregate(
-            "c", F.lit(0).cast("long"), lambda acc, x: acc + x * x
-        ).alias("centroid_sumsq"),
-    )
-    members = best.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
-    return members.join(stats, "cid").select(
-        "cid", "n_members", "centroid_sum", "centroid_sumsq"
+        if i < iters - 1:
+            # Same per-iteration truncation as _pq_codes_and_qtab
+            # below: the next iteration's assign otherwise re-runs the
+            # whole chain. k tiny rows materialize per iteration;
+            # results are bit-identical. The FINAL iteration is NOT
+            # checkpointed: the output below derives entirely from
+            # `sums` in one aggregation, so no consumer re-runs it and
+            # the barrier would be pure overhead.
+            centroids = (
+                sums.withColumn("m", F.floor(F.col("s") / F.col("n")).cast("long"))
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda st: st.getField("m"),
+                    ).alias("c")
+                )
+            ).localCheckpoint(eager=True)
+    # n at every (cid, pos) equals the cluster's member count (each
+    # vector contributes exactly one row per dim), and the post-update
+    # centroid component is floor(s/n) — so members, centroid_sum and
+    # centroid_sumsq all fall out of ONE aggregation over `sums`
+    # instead of the former members-join-stats plan that embedded the
+    # assign chain twice (two corpus passes -> one).
+    return (
+        sums.withColumn("m", F.floor(F.col("s") / F.col("n")).cast("long"))
+        .groupBy("cid")
+        .agg(
+            F.max("n").alias("n_members"),
+            F.sum("m").alias("centroid_sum"),
+            F.sum(F.col("m") * F.col("m")).alias("centroid_sumsq"),
+        )
+        .select("cid", "n_members", "centroid_sum", "centroid_sumsq")
     )
 
 

@@ -1088,22 +1088,29 @@ def flow_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit
     triples = all_view_triples(spark, sf_dir)
     tables = pivot_view_tables(triples)
-    # localCheckpoint (eager), not persist: both hold the rows in
-    # executor storage, but persist keeps the FULL ~3000-node analyzed
-    # plan on the returned frame, and every composed consumer
-    # (incremental flags, delete cascade, NDJSON feed) embeds that
-    # lineage 4-6x — measured 2.5-2.9 s of driver-side analysis per
-    # incremental pass plus slower cache-lookup canonicalization
-    # (guide §5 "very large query plans" + §3.3 plan truncation). The
-    # checkpoint truncates the plan to one LogicalRDD leaf, so the
-    # flag algebra plans in milliseconds. Storage bookkeeping moves
-    # from explicit unpersist to the ContextCleaner (blocks are freed
-    # when the evicted frame is garbage-collected); at cluster scale
-    # the durable form of this barrier is reference_pipeline_flow's
-    # store commit, which writes the documents table to the warehouse.
-    docs = build_reference_index_documents(
-        tables, SYNTHETIC_STORE_ADAPTER
-    ).localCheckpoint(eager=True)
+    # Land the composed documents in a parquet spill and return the
+    # READ-BACK (r13, replacing the r12 localCheckpoint): the returned
+    # frame's plan is a scan leaf, so consumers (incremental flags,
+    # delete cascade, NDJSON feed) never embed the ~3000-node build
+    # lineage (guide §5 "very large query plans" / §3.3 plan
+    # truncation) — same truncation the checkpoint gave — but every
+    # action now re-reads the standing state from STORAGE, exactly
+    # what a fresh session reading the committed
+    # graph.index_documents snapshot does, instead of scanning
+    # session-memoised executor blocks (the r12 verdict's
+    # measurement-scope caveat: flow bench numbers must reflect work a
+    # fresh session would do). The spill is keyed per (application,
+    # sf_dir, store fingerprint), superseded on store mutation, and
+    # removed at interpreter exit — nothing persists across runs. At
+    # cluster scale the durable form of this landing is
+    # reference_pipeline_flow's store commit, which writes the
+    # documents table to the warehouse.
+    spill = _make_spill_dir(spark, _default_spill_root(spark))
+    build_reference_index_documents(tables, SYNTHETIC_STORE_ADAPTER).write.mode(
+        "overwrite"
+    ).parquet(f"{spill}/index_documents")
+    _register_spill((key[0], "docs:" + sf_dir, key[2]), spill)
+    docs = spark.read.parquet(f"{spill}/index_documents")
     # a mutated store under the same path supersedes its old entry —
     # drop the reference now; the checkpointed blocks are freed by the
     # ContextCleaner once the frame is garbage-collected (unpersist()

@@ -2155,15 +2155,32 @@ def sessions_overlap_join(
     (B9's gap sessionization), count concurrent sessions of OTHER
     users (overlap = a.start <= b.end AND b.start <= a.end).
 
-    The naive plan is an inequality self-join (cartesian). Scale shape:
-    each interval explodes to the 6-hour time buckets it SPANS
-    (sequence over floor(start/W)..floor(end/W) — cost tracks total
-    span, not pairs), the join is EQUI on bucket, and a pair is kept
-    exactly once at its canonical bucket floor(max(starts)/W) — an
-    overlapping pair shares that bucket by construction (max start lies
-    inside both intervals), so no dedup shuffle. Residual overlap
-    filter is then redundant for the canonical bucket but kept for
-    clarity; shuffle keys uniformly by time bucket.
+    The naive plan is an inequality self-join (cartesian). r12 shipped
+    the span-bucket equi join (explode to 6-h buckets, pair kept at
+    its canonical bucket) — but measured at sf0.1 the per-bucket cross
+    product is the whole cost: 95 k sessions with MEDIAN span 0 s
+    (avg 43 s) over a 30-day range pack ~800 intervals into each of
+    120 six-hour buckets, and the equi join emits 76 M candidate rows
+    before the overlap filter keeps a tiny fraction (r12 bench:
+    3.44 s, top-5 in the suite).
+
+    r13: SWEEP-LINE RANK COUNT — no pair is ever materialized. Since
+    the count only needs |overlapping other sessions| and gap
+    sessionization guarantees same-user sessions NEVER overlap
+    (consecutive sessions are separated by > the 30-min gap), for any
+    session a over ALL sessions:
+
+        n_concurrent(a) = #{b: b.start <= a.end}
+                        - #{b: b.end   <  a.start} - 1   (self)
+
+    Both counts are order statistics over the 2n start/end points:
+    one shuffle by time bucket, per-bucket running counts (window),
+    plus broadcast per-bucket offsets from a bounded prefix sum (one
+    row per 6-h bucket — calendar-bounded, never corpus-bounded). Ties
+    resolve by sorting starts before ends at equal timestamps, which
+    encodes exactly the <= / < asymmetry of the overlap predicate.
+    Cost is O(n log n_bucket) with zero quadratic term; bucket width
+    now only sets sweep parallelism, not candidate volume.
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2182,17 +2199,14 @@ def sessions_overlap_join(
             F.min("ts").alias("session_start"),
         )
     )
-    # The session set feeds both join sides and the final zero-keep
-    # join; left inline, the sessionization pipeline executes three
-    # times (6 Window nodes in the plan). Measured: materializing it
-    # once via localCheckpoint is NET SLOWER at sf0.1 (4.3 s vs 3.8 s
-    # min-of-4 — checkpoint write + lost pipeline overlap exceed the
-    # recompute), but at 100 TB re-sessionizing the raw fact 3x is the
-    # dominant cost. r7: SIZE-GATED handoff — when the events source
-    # exceeds ``handoff_bytes`` (file metadata, no scan), the session
-    # set materializes once (one write, three reads; the sessionize
-    # subtree appears ONCE in the executed plan — audited in
-    # test_plan_audit.py); below the gate today's recompute stands.
+    # The session set feeds the sweep's point stream, which is
+    # consumed twice (per-bucket totals for the offsets + the ranked
+    # sweep itself) — left inline, the sessionization pipeline
+    # executes twice. r7/r13: SIZE-GATED handoff — when the events
+    # source exceeds ``handoff_bytes`` (file metadata, no scan), the
+    # session set materializes once; below the gate the recompute is
+    # measured faster at sf0.1 (checkpoint write + lost pipeline
+    # overlap exceed one extra sessionize).
     import os
 
     if handoff_bytes is None:
@@ -2204,32 +2218,52 @@ def sessions_overlap_join(
         src_bytes = 0
     if src_bytes > handoff_bytes:
         sess = sess.localCheckpoint(eager=True)
-    from prefect_flow_arc_kg_postgres_etl_spark.operators.stats import (
-        interval_overlap_pairs,
+    # 2n sweep points: pos 0 = session start, pos 1 = session end.
+    # Sorting by (v, t) puts starts before ends at equal timestamps:
+    # a start equal to a query end IS counted (<=), an end equal to a
+    # query start is NOT (<) — the overlap predicate's asymmetry.
+    pts = sess.select(
+        "user_id",
+        "session_id",
+        "session_start",
+        F.posexplode(F.array("s_us", "e_us")).alias("t", "v"),
+    ).withColumn("bucket", F.expr(f"v div {_IVL_BUCKET_US}"))
+    is_start = F.when(F.col("t") == 0, 1).otherwise(0)
+    is_end = F.when(F.col("t") == 1, 1).otherwise(0)
+    btot = pts.groupBy("bucket").agg(
+        F.sum(is_start).alias("bs"), F.sum(is_end).alias("be")
     )
-
-    pairs = interval_overlap_pairs(
-        sess,
-        id_cols=["user_id", "session_id"],
-        start_col="s_us",
-        end_col="e_us",
-        bucket_width=_IVL_BUCKET_US,
-        self_match=F.col("a_user_id") != F.col("b_user_id"),
+    # Bounded unpartitioned prefix sum: one row per 6-h bucket —
+    # calendar-bounded (~1.5 k/year), never grows with corpus bytes
+    # (the test_plan_audit boundedness register).
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = btot.select(
+        "bucket",
+        F.coalesce(F.sum("bs").over(wb), F.lit(0)).alias("prev_s"),
+        F.coalesce(F.sum("be").over(wb), F.lit(0)).alias("prev_e"),
     )
-    hits = pairs.groupBy(
-        F.col("a_user_id").alias("a_user"), F.col("a_session_id").alias("a_sess")
-    ).agg(F.count(F.lit(1)).alias("n_concurrent"))
-    return (
-        sess.join(
-            hits,
-            (sess.user_id == hits.a_user) & (sess.session_id == hits.a_sess),
-            "left",
-        )
-        .select(
-            "user_id",
-            "session_start",
-            F.coalesce("n_concurrent", F.lit(0)).alias("n_concurrent"),
-        )
+    wv = Window.partitionBy("bucket").orderBy("v", "t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # Running counts are read only at the OTHER point type's rows, so
+    # arbitrary tie order among identical (v, t) rows cannot change
+    # them (the other type's count is constant across a tied run).
+    ranked = (
+        pts.join(F.broadcast(bpre), "bucket")
+        .withColumn("rs", F.sum(is_start).over(wv) + F.col("prev_s"))
+        .withColumn("re", F.sum(is_end).over(wv) + F.col("prev_e"))
+    )
+    per = ranked.groupBy("user_id", "session_id").agg(
+        F.min("session_start").alias("session_start"),
+        F.max(F.when(F.col("t") == 1, F.col("rs"))).alias("n_starts_le"),
+        F.max(F.when(F.col("t") == 0, F.col("re"))).alias("n_ends_lt"),
+    )
+    return per.select(
+        "user_id",
+        "session_start",
+        (F.col("n_starts_le") - F.col("n_ends_lt") - F.lit(1)).alias(
+            "n_concurrent"
+        ),
     )
 
 

@@ -685,11 +685,14 @@ def test_bounded_unpartitioned_windows_dont_grow(spark, name, max_unpartitioned)
 
 
 def test_sessions_overlap_handoff_sessionizes_once(spark):
-    """B48 (r7): above the size gate the session set materializes once
-    — the executed plan must contain ZERO Window nodes (sessionization
-    ran in the handoff job, and the three consumers read the
-    materialized set); below the gate the measured-faster triple
-    recompute stands (6 Window nodes)."""
+    """B48 (r7/r13): above the size gate the session set materializes
+    once — the executed plan must contain ZERO sessionize windows (no
+    ``lag`` expression: sessionization ran in the handoff job, and the
+    sweep's two point-stream consumers read the materialized set);
+    below the gate the measured-faster double recompute stands (the
+    ``lag`` gap test appears once per consumer). The sweep's own
+    bucket-partitioned running counts remain in the plan on both
+    paths — they are the operator, not the recompute."""
     from prefect_flow_arc_kg_postgres_etl_spark.plans.relational import (
         sessions_overlap_join,
     )
@@ -697,16 +700,34 @@ def test_sessions_overlap_handoff_sessionizes_once(spark):
     forced = sessions_overlap_join(spark, SF_SMOKE, handoff_bytes=0)
     forced.collect()
     plan = forced._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan, "sessionize subtree still inline above the gate"
+    assert "lag(" not in plan, "sessionize subtree still inline above the gate"
 
     inline = sessions_overlap_join(spark, SF_SMOKE, handoff_bytes=1 << 60)
     inline_plan = plan_of(inline)
-    assert inline_plan.count("Window") >= 6  # tree+detail of 3 recomputes
+    assert inline_plan.count("lag(") >= 2  # one sessionize per consumer
 
     # same answer on both paths
     a = sorted(map(tuple, forced.collect()))
     b = sorted(map(tuple, inline.collect()))
     assert a == b
+
+
+def test_sessions_overlap_sweep_has_no_pair_cross_product(spark):
+    """B48 (r13): the sweep-line rank count must never materialize
+    candidate pairs — the plan may not contain the span-bucket
+    self-join's signature (a join of the point stream with itself;
+    measured 76 M candidate rows at sf0.1 for 95 k sessions). The only
+    joins allowed are the broadcast of the bounded per-bucket offsets
+    and whatever the sessionize aggregation needs."""
+    plan = build(spark, "sessions_overlap_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair path's residual overlap filter is gone
+    assert "greatest" not in plan
+    # exactly one unpartitioned window: the per-bucket offset prefix
+    # sum over one row per 6-h bucket (calendar-bounded). Formatted
+    # explain prints tree + detail, so one logical window counts twice.
+    assert _unpartitioned_windows(plan) <= 2, plan
 
 
 def test_sparql_deletes_no_small_key_join(spark):
