@@ -1045,12 +1045,30 @@ def _join(
         # VALUES blocks or single selective patterns, so broadcast the
         # RIGHT side: BroadcastNestedLoopJoin keeps a's partitioning,
         # ships b once, and folds of several groups stay at a's width.
-        # Escape hatch for a deployment whose right sides are too big
-        # to broadcast: SPARK_GRAFT_SPARQL_CROSS_BROADCAST=0.
+        # SIZE-GUARDED (r12 ADVICE): checkpointed/createDataFrame
+        # frames carry no usable stats, so the guard is one bounded
+        # compile-time probe — count(limit(b, N+1)) runs distributed,
+        # returns a single long, and short-circuits after N+1 rows. A
+        # right side above the cap falls back to the plain crossJoin
+        # (slow but memory-safe) instead of an unbounded broadcast
+        # build. Escape hatch for a deployment whose right sides are
+        # known-small: SPARK_GRAFT_SPARQL_CROSS_BROADCAST=0 disables
+        # broadcasting entirely; ..._MAX_ROWS tunes the cap.
         import os as _os
 
         if _os.environ.get("SPARK_GRAFT_SPARQL_CROSS_BROADCAST", "1") != "0":
-            return a.crossJoin(F.broadcast(b))
+            cap = int(
+                _os.environ.get(
+                    "SPARK_GRAFT_SPARQL_CROSS_BROADCAST_MAX_ROWS",
+                    str(1 << 17),
+                )
+            )
+            try:
+                small = b.limit(cap + 1).count() <= cap
+            except Exception:
+                small = True  # probe failure: keep the r12 behavior
+            if small:
+                return a.crossJoin(F.broadcast(b))
         return a.crossJoin(b)
     if not lang_shared:
         return a.join(b, on=shared, how=how)
@@ -2280,10 +2298,48 @@ class _Eval:
             assert all(
                 k in {g[0] for g in groups} for k in opts_by_key
             ), "optional star member without a star"
-            star_units = [
-                self._star_scan(k, ts, opts_by_key.get(k, ()))
-                for k, ts in groups
-            ]
+            # Star compilation runs on a small thread pool (r13, guide
+            # §2.6 applied to DRIVER-side work): each star's compact
+            # checkpoint (`_truncate_lineage`) calls toRdd, which runs
+            # the FULL Catalyst analysis/optimization/physical planning
+            # of that star's subtree synchronously — profiled at
+            # 1.4-2 s per star, 30.7 s of the issues query's 47.5 s
+            # cold compile across its 22 truncation points. The stars
+            # of one flush are disjoint subtrees planned independently
+            # (Catalyst is thread-safe per session), so the plannings
+            # overlap; results keep listcomp order via pool.map. The
+            # fan-out probe is prefetched once — its per-store cache
+            # would otherwise race and run the probe job per thread.
+            if len(groups) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._fanout_hot_buckets()
+                n_threads = min(
+                    int(
+                        _os.environ.get(
+                            "SPARK_GRAFT_STAR_COMPILE_THREADS", "8"
+                        )
+                    )
+                    or 1,
+                    len(groups),
+                )
+            else:
+                n_threads = 1
+            if n_threads > 1:
+                with ThreadPoolExecutor(max_workers=n_threads) as pool:
+                    star_units = list(
+                        pool.map(
+                            lambda kt: self._star_scan(
+                                kt[0], kt[1], opts_by_key.get(kt[0], ())
+                            ),
+                            groups,
+                        )
+                    )
+            else:
+                star_units = [
+                    self._star_scan(k, ts, opts_by_key.get(k, ()))
+                    for k, ts in groups
+                ]
 
         def eval_one(t: Triple) -> tuple[DataFrame, set[str]]:
             p = t.p
@@ -2859,6 +2915,59 @@ def parse(text: str) -> Query:
 # across cycles. Keyed by (session, quad-store analyzed-plan semantic
 # hash, query text, params) — a store swap or param change misses; the
 # cached object is only the immutable plan, never materialized data.
+import threading as _threading
+
+_TRUNCATE_AQE_LOCK = _threading.Lock()
+_TRUNCATE_AQE_DEPTH = 0
+_TRUNCATE_AQE_SAVED: "str | None" = None
+
+
+class _no_aqe_planning:
+    """Plan-with-AQE-off scope for lineage truncation (r13). Even a
+    LAZY ``localCheckpoint`` calls ``queryExecution.toRdd``, and with
+    adaptive execution enabled ``AdaptiveSparkPlanExec.execute`` runs
+    ``getFinalPhysicalPlan`` — which EXECUTES every shuffle stage of
+    the subtree synchronously at checkpoint-CALL time. Profiled on the
+    issues query at sf0.1: 33.4 s of its 47.5 s cold compile was the
+    22 truncation points each serially executing their star pivot's
+    stages with an idle tail (guide §2.6's anti-pattern). Planning the
+    checkpointed subtree with AQE OFF keeps toRdd genuinely lazy: the
+    FIRST action executes every star subtree inside one job DAG, where
+    the scheduler overlaps the independent stars across the cluster.
+    The traded-away AQE features are minor for these subtrees (a star
+    pivot is scan -> filter -> hash aggregate: no joins to re-plan; the
+    static shuffle partition count only shapes the checkpoint block
+    layout), and the TOP-LEVEL query plan — everything the truncation
+    points feed — still plans and runs under AQE. Re-entrant and
+    thread-safe (the star compile pool plans truncations
+    concurrently): a depth counter keeps AQE off until the outermost
+    scope restores the saved value."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        global _TRUNCATE_AQE_DEPTH, _TRUNCATE_AQE_SAVED
+        with _TRUNCATE_AQE_LOCK:
+            if _TRUNCATE_AQE_DEPTH == 0:
+                _TRUNCATE_AQE_SAVED = self.spark.conf.get(
+                    "spark.sql.adaptive.enabled", "true"
+                )
+                self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+            _TRUNCATE_AQE_DEPTH += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _TRUNCATE_AQE_DEPTH
+        with _TRUNCATE_AQE_LOCK:
+            _TRUNCATE_AQE_DEPTH -= 1
+            if _TRUNCATE_AQE_DEPTH == 0:
+                self.spark.conf.set(
+                    "spark.sql.adaptive.enabled", _TRUNCATE_AQE_SAVED
+                )
+        return False
+
+
 def _truncate_lineage(df: DataFrame) -> DataFrame:
     """Accumulator lineage truncation, in the durability mode the run
     needs. Default: a LAZY executor-local DISK_ONLY localCheckpoint —
@@ -2871,7 +2980,11 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     verdict's 100 TB watch item). SPARK_GRAFT_RELIABLE_CHECKPOINT=1
     switches to RELIABLE checkpoints under the session's checkpoint
     dir (defaulted beneath the warehouse — shared storage on a real
-    cluster), which survive executor loss and driver restarts."""
+    cluster), which survive executor loss and driver restarts.
+
+    The subtree is PLANNED with AQE off (see _no_aqe_planning) so the
+    checkpoint call stays lazy instead of serially executing its
+    shuffle stages."""
     import os
 
     if os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT") == "1":
@@ -2880,10 +2993,14 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
         if sc._jsc.sc().getCheckpointDir().isEmpty():
             wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
             sc.setCheckpointDir(f"{wh.rstrip('/')}/_sparql_checkpoints")
-        return df.checkpoint(eager=False)
+        with _no_aqe_planning(spark):
+            return df.checkpoint(eager=False)
     from pyspark.storagelevel import StorageLevel
 
-    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    with _no_aqe_planning(df.sparkSession):
+        return df.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.DISK_ONLY
+        )
 
 
 _PLAN_CACHE: dict[tuple, DataFrame] = {}
