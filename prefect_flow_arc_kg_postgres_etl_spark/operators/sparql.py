@@ -1904,8 +1904,22 @@ class _Eval:
         # (fastest one-shot); "1" = legacy full post-explode
         # checkpoint.
         ckpt_mode = os.environ.get("SPARK_GRAFT_STAR_CKPT", "compact")
+        # Star checkpoints are narrow (one pre-explode array row per
+        # subject) and MUTUALLY INDEPENDENT, so they get an explicit
+        # small partition count: block count and warm re-read tasks
+        # stay bounded (the non-adaptive checkpoint plan cannot
+        # size-coalesce), while COLD aggregate parallelism is preserved
+        # because the first action executes all stars' narrow final
+        # stages concurrently in one DAG. Scale knob:
+        # SPARK_GRAFT_STAR_CKPT_PARTITIONS (default cores/8, min 2).
+        n_ckpt = int(
+            os.environ.get("SPARK_GRAFT_STAR_CKPT_PARTITIONS", "0")
+        ) or max(
+            2,
+            self.quads.sparkSession.sparkContext.defaultParallelism // 8,
+        )
         if ckpt_mode not in ("0", "none"):
-            df = _truncate_lineage(df)
+            df = _truncate_lineage(df, coalesce=n_ckpt)
         for i in range(len(ts)):
             gen = F.explode if i < n_req else F.explode_outer
             df = df.select("*", gen(f"__st{i}").alias(f"__sx{i}")).drop(
@@ -1962,7 +1976,7 @@ class _Eval:
             # checkpoint so the member-frame scans stay out of the
             # executed-plan print.
             if ckpt_mode not in ("0", "none"):
-                hot_out = _truncate_lineage(hot_out)
+                hot_out = _truncate_lineage(hot_out, coalesce=n_ckpt)
             out = out.unionByName(hot_out)
 
         if ckpt_mode == "1":
@@ -2968,7 +2982,7 @@ class _no_aqe_planning:
         return False
 
 
-def _truncate_lineage(df: DataFrame) -> DataFrame:
+def _truncate_lineage(df: DataFrame, coalesce: "int | None" = None) -> DataFrame:
     """Accumulator lineage truncation, in the durability mode the run
     needs. Default: a LAZY executor-local DISK_ONLY localCheckpoint —
     checkpoint blocks must not compete with execution memory in a
@@ -2984,9 +2998,17 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
 
     The subtree is PLANNED with AQE off (see _no_aqe_planning) so the
     checkpoint call stays lazy instead of serially executing its
-    shuffle stages."""
+    shuffle stages. Because the non-adaptive plan cannot coalesce its
+    output by size, callers whose checkpointed frame is known-small
+    (the per-subject star pivots) pass ``coalesce`` to bound the
+    block count — without it every checkpoint holds one block per
+    static shuffle partition, and a 22-truncation query leaves 3.5x
+    the storage blocks (measured: 1474 vs 419), slowing every warm
+    re-read and the whole session's block manager."""
     import os
 
+    if coalesce:
+        df = df.coalesce(coalesce)
     if os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT") == "1":
         spark = df.sparkSession
         sc = spark.sparkContext
